@@ -1,0 +1,219 @@
+"""Flash attention for TPU (Pallas) with an XLA reference path.
+
+Replaces the reference's optional CUDA flash-attention-2 dependency
+(reference: src/evaluate_perplexity.py:99-103) with a TPU-native kernel.
+Online-softmax tiling: for each query block, stream key/value blocks through
+VMEM keeping a running max / normalizer / weighted accumulator, so the
+S x S score matrix never materializes in HBM.
+
+Supports key-padding masks (encoder) and causal masking (reader LM). The
+XLA path is numerically equivalent and used on CPU (tests verify parity via
+the interpreter mode of the Pallas kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+# --------------------------------------------------------------------------
+# XLA reference implementation
+# --------------------------------------------------------------------------
+def xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None = None,
+    causal: bool = False,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Plain XLA attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] (True=keep)."""
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * sm_scale
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, :], scores, NEG_INF)
+    if causal:
+        sq, sk = q.shape[2], k.shape[2]
+        qi = jnp.arange(sq)[:, None] + (sk - sq)
+        ki = jnp.arange(sk)[None, :]
+        scores = jnp.where((ki <= qi)[None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+# --------------------------------------------------------------------------
+# Pallas TPU kernel
+# --------------------------------------------------------------------------
+def _flash_kernel(
+    q_ref,      # [1, 1, block_q, D]
+    k_ref,      # [1, 1, Sk_pad, D]
+    v_ref,      # [1, 1, Sk_pad, D]
+    mask_ref,   # [1, Sk_pad] float32 additive (0 or NEG_INF)
+    o_ref,      # [1, 1, block_q, D]
+    *,
+    sm_scale: float,
+    block_k: int,
+    sk_pad: int,
+    causal: bool,
+    q_offset_per_block: int,
+    seq_delta: int,
+):
+    block_q, d = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+
+    num_k_blocks = sk_pad // block_k
+    qi = pl.program_id(2)
+
+    if causal:
+        # Only key blocks intersecting the causal triangle contribute.
+        last_q = qi * q_offset_per_block + block_q - 1 + seq_delta
+        k_blocks = jnp.minimum(num_k_blocks, pl.cdiv(last_q + 1, block_k))
+    else:
+        k_blocks = num_k_blocks
+
+    def body(ki, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+        s = s + mask_ref[0, pl.ds(ki * block_k, block_k)][None, :]
+        if causal:
+            q_pos = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + qi * q_offset_per_block
+                + seq_delta
+            )
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, l_new
+
+    init = (
+        jnp.zeros((block_q, d), jnp.float32),
+        jnp.full((block_q, 1), NEG_INF, jnp.float32),
+        jnp.zeros((block_q, 1), jnp.float32),
+    )
+    acc, _, l = jax.lax.fori_loop(0, k_blocks, body, init)
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None = None,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas flash attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] bool."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if sm_scale is None:
+        sm_scale = d**-0.5
+
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+
+    # Additive mask folding key padding + kv-tail padding: [B, Sk_pad].
+    if kv_mask is None:
+        add_mask = jnp.zeros((b, sk_pad), jnp.float32)
+        if sk_pad != sk:
+            add_mask = add_mask.at[:, sk:].set(NEG_INF)
+    else:
+        valid = jnp.pad(kv_mask.astype(bool), ((0, 0), (0, sk_pad - sk)))
+        add_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    grid = (b, h, sq_pad // block_q)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        sm_scale=sm_scale,
+        block_k=block_k,
+        sk_pad=sk_pad,
+        causal=causal,
+        q_offset_per_block=block_q,
+        seq_delta=sk - sq,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, sk_pad), lambda bi, hi, qi: (bi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, add_mask)
+
+    return out[:, :, :sq, :]
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None = None,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatching attention entry point. q,k,v: [B, H, S, D].
+
+    ``impl``: "auto" picks Pallas on TPU, XLA elsewhere; "flash"/"xla"
+    force a backend; "flash_interpret" runs the kernel in interpreter mode
+    (for CPU parity tests).
+    """
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return xla_attention(q, k, v, kv_mask, causal, sm_scale)
+    if impl == "flash":
+        return flash_attention(q, k, v, kv_mask, causal, sm_scale)
+    if impl == "flash_interpret":
+        return flash_attention(q, k, v, kv_mask, causal, sm_scale, interpret=True)
+    raise ValueError(f"Unknown attention impl: {impl!r}")

@@ -1,0 +1,99 @@
+"""Streaming / merged top-k primitives for TPU MIPS search.
+
+The exact-search hot path (the FAISS ``IndexFlatIP`` replacement) scores
+queries against the datastore with MXU-tiled matmuls and keeps a running
+top-k per query instead of materializing the [B, N] score matrix
+(reference behavior: src/indicies/flat.py:129-141). The datastore axis is
+scanned in fixed-size chunks under ``lax.scan`` so the program is
+shape-static and XLA double-buffers HBM loads against MXU compute.
+
+``merge_topk`` merges candidate lists (multi-shard / multi-device), the
+collective analog of the reference's ``rerank_elements``
+(reference: api/serve_main_node.py:109-165).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def merge_topk(scores_a, ids_a, scores_b, ids_b, k: int):
+    """Merge two per-query candidate sets into the top-k of their union.
+
+    scores_*: [B, Ka], [B, Kb]; ids are int arrays aligned with scores.
+    """
+    scores = jnp.concatenate([scores_a, scores_b], axis=-1)
+    ids = jnp.concatenate([ids_a, ids_b], axis=-1)
+    top_scores, pos = jax.lax.top_k(scores, k)
+    return top_scores, jnp.take_along_axis(ids, pos, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+def chunked_topk_scores(
+    queries: jax.Array,      # [B, D]
+    database: jax.Array,     # [N_pad, D] (rows >= n_valid are padding)
+    n_valid: jax.Array | int,  # scalar: number of real rows
+    k: int,
+    chunk_size: int = 131072,
+):
+    """Exact inner-product top-k of each query against the database.
+
+    Returns (scores [B, k], indices [B, k]) with float32 scores. Padding rows
+    are masked to -inf. The database is scanned chunk-by-chunk with a running
+    top-k carry: per chunk, per-query top-k via ``lax.top_k`` on the [B, C]
+    chunk scores, then a merge with the carry — O(B * (k + C)) VMEM.
+    """
+    n_pad, d = database.shape
+    b = queries.shape[0]
+    chunk_size = min(chunk_size, n_pad)
+    # Pad database rows to a chunk multiple (scores masked below).
+    n_chunks = -(-n_pad // chunk_size)
+    total = n_chunks * chunk_size
+    if total != n_pad:
+        database = jnp.pad(database, ((0, total - n_pad), (0, 0)))
+
+    qf = queries.astype(database.dtype)
+    chunks = database.reshape(n_chunks, chunk_size, d)
+
+    k_carry = min(k, total)        # candidates retained across the scan
+    k_chunk = min(k, chunk_size)   # candidates a single chunk can contribute
+
+    def scan_body(carry, chunk_data):
+        best_s, best_i = carry
+        chunk, chunk_idx = chunk_data
+        scores = jax.lax.dot_general(
+            qf, chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [B, C]
+        base = chunk_idx * chunk_size
+        col = jnp.arange(chunk_size, dtype=jnp.int32)[None, :]
+        valid = (base + col) < n_valid
+        scores = jnp.where(valid, scores, NEG_INF)
+        c_s, c_pos = jax.lax.top_k(scores, k_chunk)
+        c_i = jnp.where(c_s > NEG_INF / 2, (base + c_pos).astype(jnp.int32), -1)
+        return merge_topk(best_s, best_i, c_s, c_i, k_carry), None
+
+    init = (
+        jnp.full((b, k_carry), NEG_INF, jnp.float32),
+        jnp.full((b, k_carry), -1, jnp.int32),
+    )
+    (scores, ids), _ = jax.lax.scan(
+        scan_body, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32))
+    )
+    if k_carry < k:  # datastore smaller than k: pad out
+        pad = k - k_carry
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    return scores, ids
+
+
+def topk_bitonic_ok(k: int) -> bool:
+    return (k & (k - 1)) == 0

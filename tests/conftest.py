@@ -13,8 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# CPU XLA defaults to fast low-precision matmuls; parity tests need exact f32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

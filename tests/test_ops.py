@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retrieval_scaling_tpu.ops.flash_attention import (
+    flash_attention,
+    multi_head_attention,
+    xla_attention,
+)
+from retrieval_scaling_tpu.ops.topk import chunked_topk_scores, merge_topk
+
+
+# ------------------------------------------------------------ attention
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("sq,sk", [(64, 64), (40, 40), (64, 128)])
+def test_flash_matches_xla(causal, sq, sk):
+    if causal and sq != sk and sq > sk:
+        pytest.skip("invalid shape combo")
+    rng = np.random.RandomState(0)
+    b, h, d = 2, 3, 32
+    q = jnp.asarray(rng.randn(b, h, sq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    ref = xla_attention(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_with_padding_mask():
+    rng = np.random.RandomState(1)
+    b, h, s, d = 2, 2, 48, 16
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    lengths = np.array([48, 17])
+    mask = jnp.asarray(np.arange(s)[None, :] < lengths[:, None])
+    ref = xla_attention(q, k, v, kv_mask=mask)
+    out = flash_attention(q, k, v, kv_mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_multi_head_attention_dispatch_cpu():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 2, 16, 8), jnp.float32)
+    out = multi_head_attention(x, x, x, impl="auto")  # cpu -> xla path
+    assert out.shape == x.shape
+
+
+# ------------------------------------------------------------ top-k
+def test_merge_topk():
+    sa = jnp.asarray([[5.0, 3.0]])
+    ia = jnp.asarray([[10, 11]], jnp.int32)
+    sb = jnp.asarray([[4.0, 1.0]])
+    ib = jnp.asarray([[20, 21]], jnp.int32)
+    s, i = merge_topk(sa, ia, sb, ib, 3)
+    np.testing.assert_array_equal(np.asarray(s[0]), [5.0, 4.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(i[0]), [10, 20, 11])
+
+
+@pytest.mark.parametrize("n,k,chunk", [(1000, 10, 256), (500, 7, 512), (100, 128, 64)])
+def test_chunked_topk_matches_bruteforce(n, k, chunk):
+    rng = np.random.RandomState(3)
+    d, b = 32, 5
+    db = rng.randn(n, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    n_pad = ((n + 63) // 64) * 64
+    db_pad = np.zeros((n_pad, d), np.float32)
+    db_pad[:n] = db
+
+    scores, ids = chunked_topk_scores(jnp.asarray(q), jnp.asarray(db_pad), n, k, chunk_size=chunk)
+    scores, ids = np.asarray(scores), np.asarray(ids)
+
+    exact = q @ db.T
+    k_real = min(k, n)
+    for row in range(b):
+        order = np.argsort(-exact[row])[:k_real]
+        np.testing.assert_allclose(scores[row, :k_real], exact[row][order], atol=1e-4)
+        np.testing.assert_array_equal(ids[row, :k_real], order)
+    if k > n:
+        assert (ids[:, n:] == -1).all()
+
+
+def test_chunked_topk_ignores_padding_rows():
+    rng = np.random.RandomState(4)
+    d = 16
+    db = np.zeros((64, d), np.float32)
+    db[:10] = rng.randn(10, d)
+    # poison the padding rows with huge values; they must not surface
+    db[10:] = 100.0
+    q = rng.randn(2, d).astype(np.float32)
+    scores, ids = chunked_topk_scores(jnp.asarray(q), jnp.asarray(db), 10, 5, chunk_size=64)
+    assert (np.asarray(ids) < 10).all()

@@ -1,0 +1,167 @@
+"""BERT encoder (Contriever) as a pure-functional JAX model.
+
+TPU-native re-design of the reference's Contriever retriever
+(reference: contriever/src/contriever.py:11-56 — a ``BertModel`` subclass
+with masked mean pooling). Design choices for the MXU:
+
+  * Parameters are a plain pytree of arrays; the forward pass is a jittable
+    function ``bert_encode(params, cfg, input_ids, attention_mask)`` — pjit
+    shards it with no framework machinery.
+  * Q/K/V projections are fused into one ``[d, 3, H, hd]`` matmul; bf16
+    activations with f32 layernorm statistics.
+  * Attention dispatches to the Pallas flash kernel on TPU
+    (``ops/flash_attention.py``) and XLA elsewhere.
+
+Pooling parity: ``mean`` = attention-masked token average (Contriever),
+``cls`` = first token (generic HF encoders, reference: src/embed.py:77-79).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from retrieval_scaling_tpu.ops.flash_attention import multi_head_attention
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pooling: str = "mean"  # "mean" (contriever) | "cls"
+    attention_impl: str = "auto"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def init_bert_params(cfg: BertConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random initialization (for tests and training-from-scratch)."""
+    k_iter = iter(jax.random.split(key, 6 + 16 * cfg.num_layers))
+
+    def dense(shape, scale=0.02):
+        return (jax.random.normal(next(k_iter), shape) * scale).astype(dtype)
+
+    d, hh, hd, ff = cfg.hidden_size, cfg.num_heads, cfg.head_dim, cfg.intermediate_size
+    params: Params = {
+        "embeddings": {
+            "word": dense((cfg.vocab_size, d)),
+            "position": dense((cfg.max_position_embeddings, d)),
+            "token_type": dense((cfg.type_vocab_size, d)),
+            "ln_scale": jnp.ones((d,), dtype),
+            "ln_bias": jnp.zeros((d,), dtype),
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "qkv_w": dense((d, 3, hh, hd)),
+                "qkv_b": jnp.zeros((3, hh, hd), dtype),
+                "attn_out_w": dense((hh, hd, d)),
+                "attn_out_b": jnp.zeros((d,), dtype),
+                "attn_ln_scale": jnp.ones((d,), dtype),
+                "attn_ln_bias": jnp.zeros((d,), dtype),
+                "mlp_in_w": dense((d, ff)),
+                "mlp_in_b": jnp.zeros((ff,), dtype),
+                "mlp_out_w": dense((ff, d)),
+                "mlp_out_b": jnp.zeros((d,), dtype),
+                "mlp_ln_scale": jnp.ones((d,), dtype),
+                "mlp_ln_bias": jnp.zeros((d,), dtype),
+            }
+        )
+    return params
+
+
+def bert_encode(
+    params: Params,
+    cfg: BertConfig,
+    input_ids: jax.Array,       # [B, S] int32
+    attention_mask: jax.Array,  # [B, S] (1 = token, 0 = pad)
+    token_type_ids: jax.Array | None = None,
+) -> jax.Array:
+    """Return the last hidden state [B, S, D]."""
+    b, s = input_ids.shape
+    emb = params["embeddings"]
+    x = emb["word"][input_ids]
+    x = x + emb["position"][None, :s, :]
+    if token_type_ids is None:
+        x = x + emb["token_type"][0][None, None, :]
+    else:
+        x = x + emb["token_type"][token_type_ids]
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+
+    kv_mask = attention_mask.astype(bool)
+
+    for layer in params["layers"]:
+        x = _bert_layer(layer, cfg, x, kv_mask)
+    return x
+
+
+def _bert_layer(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array) -> jax.Array:
+    b, s, d = x.shape
+    qkv = (
+        jnp.einsum("bsd,dtnk->bstnk", x, layer["qkv_w"]) + layer["qkv_b"][None, None]
+    )  # [B, S, 3, H, hd]
+    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, hd]
+
+    attn = multi_head_attention(q, k, v, kv_mask=kv_mask, impl=cfg.attention_impl)
+    attn_out = jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
+    x = _layer_norm(x + attn_out, layer["attn_ln_scale"], layer["attn_ln_bias"], cfg.layer_norm_eps)
+
+    h = jnp.dot(x, layer["mlp_in_w"]) + layer["mlp_in_b"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
+    x = _layer_norm(x + h, layer["mlp_ln_scale"], layer["mlp_ln_bias"], cfg.layer_norm_eps)
+    return x
+
+
+def pool_embeddings(
+    hidden: jax.Array, attention_mask: jax.Array, pooling: str
+) -> jax.Array:
+    if pooling == "mean":
+        mask = attention_mask[..., None].astype(hidden.dtype)
+        summed = jnp.sum(hidden * mask, axis=1)
+        counts = jnp.clip(jnp.sum(mask, axis=1), 1e-9, None)
+        return summed / counts
+    if pooling == "cls":
+        return hidden[:, 0, :]
+    raise ValueError(f"Unknown pooling: {pooling!r}")
+
+
+def contriever_embed(
+    params: Params,
+    cfg: BertConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    normalize: bool = False,
+) -> jax.Array:
+    """Passage/query embedding: encode + pool (+ optional L2 normalize).
+
+    Matches ``Contriever.forward`` (reference: contriever/src/contriever.py:29-56).
+    """
+    hidden = bert_encode(params, cfg, input_ids, attention_mask)
+    emb = pool_embeddings(hidden, attention_mask, cfg.pooling)
+    if normalize:
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb

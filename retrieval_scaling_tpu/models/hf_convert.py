@@ -1,0 +1,225 @@
+"""HuggingFace checkpoint -> JAX parameter conversion.
+
+The reference loads retrievers/readers straight from HF hub with torch
+(reference: src/embed.py:118-138, src/evaluate_perplexity.py:97-108). Here
+torch is only a host-side loading detail: state dicts are converted once to
+our pure-JAX parameter pytrees (fused QKV layouts re-packed for the MXU)
+and can be cached as orbax/npz artifacts.
+
+Also handles the reference's local Contriever training checkpoints, which
+prefix weights with ``encoder_q.``/``encoder.``
+(reference: contriever/src/contriever.py:123-127).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from retrieval_scaling_tpu.models.bert import BertConfig
+from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _np(tensor) -> np.ndarray:
+    if hasattr(tensor, "detach"):
+        t = tensor.detach().cpu()
+        # torch bf16 has no numpy analog; upcast then let callers re-cast.
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        return t.numpy()
+    return np.asarray(tensor)
+
+
+def _strip_prefixes(state: Mapping[str, Any]) -> Dict[str, Any]:
+    """Normalize wrapper prefixes from MoCo/InBatch/DDP checkpoints.
+
+    Anchors on ``embeddings.word_embeddings.weight``: whatever precedes it
+    (``module.``, ``encoder_q.``, ``encoder.``, ``bert.``, combinations) is
+    the wrapper prefix, stripped from all keys. This avoids clobbering
+    BertModel's own ``encoder.layer.*`` keys.
+    """
+    anchor = "embeddings.word_embeddings.weight"
+    candidates = [k[: -len(anchor)] for k in state if k.endswith(anchor)]
+    if not candidates:
+        raise KeyError(f"No '{anchor}' key found in checkpoint")
+    # MoCo checkpoints carry both encoder_q (query) and encoder_k (momentum)
+    # towers; the reference loads encoder_q (contriever/src/contriever.py:123).
+    q_first = [c for c in candidates if "encoder_q" in c]
+    prefix = q_first[0] if q_first else min(candidates, key=len)
+    if not prefix:
+        return dict(state)
+    return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+# --------------------------------------------------------------------------
+# BERT / Contriever
+# --------------------------------------------------------------------------
+def bert_config_from_hf(hf_config, pooling: str = "mean", attention_impl: str = "auto") -> BertConfig:
+    return BertConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        type_vocab_size=hf_config.type_vocab_size,
+        layer_norm_eps=hf_config.layer_norm_eps,
+        pooling=pooling,
+        attention_impl=attention_impl,
+    )
+
+
+def bert_params_from_state_dict(state: Mapping[str, Any], cfg: BertConfig, dtype=np.float32) -> Dict:
+    sd = {k: _np(v) for k, v in _strip_prefixes(state).items()}
+    d, hh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+
+    def g(name):
+        return sd[name].astype(dtype)
+
+    params: Dict[str, Any] = {
+        "embeddings": {
+            "word": g("embeddings.word_embeddings.weight"),
+            "position": g("embeddings.position_embeddings.weight"),
+            "token_type": g("embeddings.token_type_embeddings.weight"),
+            "ln_scale": g("embeddings.LayerNorm.weight"),
+            "ln_bias": g("embeddings.LayerNorm.bias"),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"encoder.layer.{i}."
+        # HF stores [out, in] Linear weights; we use [in, out] matmuls.
+        q_w = g(p + "attention.self.query.weight").T.reshape(d, hh, hd)
+        k_w = g(p + "attention.self.key.weight").T.reshape(d, hh, hd)
+        v_w = g(p + "attention.self.value.weight").T.reshape(d, hh, hd)
+        q_b = g(p + "attention.self.query.bias").reshape(hh, hd)
+        k_b = g(p + "attention.self.key.bias").reshape(hh, hd)
+        v_b = g(p + "attention.self.value.bias").reshape(hh, hd)
+        params["layers"].append(
+            {
+                "qkv_w": np.stack([q_w, k_w, v_w], axis=1),           # [d, 3, H, hd]
+                "qkv_b": np.stack([q_b, k_b, v_b], axis=0),           # [3, H, hd]
+                "attn_out_w": g(p + "attention.output.dense.weight").T.reshape(hh, hd, d),
+                "attn_out_b": g(p + "attention.output.dense.bias"),
+                "attn_ln_scale": g(p + "attention.output.LayerNorm.weight"),
+                "attn_ln_bias": g(p + "attention.output.LayerNorm.bias"),
+                "mlp_in_w": g(p + "intermediate.dense.weight").T,
+                "mlp_in_b": g(p + "intermediate.dense.bias"),
+                "mlp_out_w": g(p + "output.dense.weight").T,
+                "mlp_out_b": g(p + "output.dense.bias"),
+                "mlp_ln_scale": g(p + "output.LayerNorm.weight"),
+                "mlp_ln_bias": g(p + "output.LayerNorm.bias"),
+            }
+        )
+    return params
+
+
+def bert_from_hf_model(hf_model, pooling: str = "mean", dtype=np.float32, attention_impl: str = "auto"):
+    cfg = bert_config_from_hf(hf_model.config, pooling=pooling, attention_impl=attention_impl)
+    params = bert_params_from_state_dict(hf_model.state_dict(), cfg, dtype=dtype)
+    return params, cfg
+
+
+# --------------------------------------------------------------------------
+# GPT-NeoX / Pythia
+# --------------------------------------------------------------------------
+def gpt_neox_config_from_hf(hf_config, attention_impl: str = "auto") -> GPTNeoXConfig:
+    return GPTNeoXConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        rotary_pct=hf_config.rotary_pct,
+        rotary_base=getattr(hf_config, "rotary_emb_base", 10000.0),
+        layer_norm_eps=hf_config.layer_norm_eps,
+        use_parallel_residual=hf_config.use_parallel_residual,
+        attention_impl=attention_impl,
+    )
+
+
+def gpt_neox_params_from_state_dict(
+    state: Mapping[str, Any], cfg: GPTNeoXConfig, dtype=np.float32
+) -> Dict:
+    sd = {}
+    for key, val in state.items():
+        if key.startswith("gpt_neox."):
+            key = key[len("gpt_neox."):]
+        sd[key] = _np(val)
+
+    d, hh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+
+    def g(name):
+        return sd[name].astype(dtype)
+
+    params: Dict[str, Any] = {
+        "embed_in": g("embed_in.weight"),
+        "final_ln_scale": g("final_layer_norm.weight"),
+        "final_ln_bias": g("final_layer_norm.bias"),
+        "embed_out": g("embed_out.weight").T,
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}."
+        # HF qkv output dim is head-major [H, (q k v), hd].
+        qkv_w = g(p + "attention.query_key_value.weight").T.reshape(d, hh, 3, hd)
+        qkv_b = g(p + "attention.query_key_value.bias").reshape(hh, 3, hd)
+        params["layers"].append(
+            {
+                "ln1_scale": g(p + "input_layernorm.weight"),
+                "ln1_bias": g(p + "input_layernorm.bias"),
+                "qkv_w": np.ascontiguousarray(qkv_w.transpose(0, 2, 1, 3)),  # [d, 3, H, hd]
+                "qkv_b": np.ascontiguousarray(qkv_b.transpose(1, 0, 2)),     # [3, H, hd]
+                "attn_out_w": g(p + "attention.dense.weight").T.reshape(hh, hd, d),
+                "attn_out_b": g(p + "attention.dense.bias"),
+                "ln2_scale": g(p + "post_attention_layernorm.weight"),
+                "ln2_bias": g(p + "post_attention_layernorm.bias"),
+                "mlp_in_w": g(p + "mlp.dense_h_to_4h.weight").T,
+                "mlp_in_b": g(p + "mlp.dense_h_to_4h.bias"),
+                "mlp_out_w": g(p + "mlp.dense_4h_to_h.weight").T,
+                "mlp_out_b": g(p + "mlp.dense_4h_to_h.bias"),
+            }
+        )
+    return params
+
+
+def gpt_neox_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "auto"):
+    cfg = gpt_neox_config_from_hf(hf_model.config, attention_impl=attention_impl)
+    params = gpt_neox_params_from_state_dict(hf_model.state_dict(), cfg, dtype=dtype)
+    return params, cfg
+
+
+# --------------------------------------------------------------------------
+# Loading helpers
+# --------------------------------------------------------------------------
+def load_tokenizer(name_or_path: str):
+    import transformers
+
+    return transformers.AutoTokenizer.from_pretrained(name_or_path)
+
+
+def load_hf_encoder(name_or_path: str, pooling: str | None = None, dtype=np.float32):
+    """Load a BERT-family encoder checkpoint with torch and convert.
+
+    Pooling dispatch mirrors the reference's name-substring logic
+    (reference: src/embed.py:118-133, src/search.py:48-108): contriever-style
+    models use masked mean pooling; generic HF encoders use CLS.
+    """
+    import transformers
+
+    if pooling is None:
+        pooling = "mean" if "contriever" in str(name_or_path).lower() else "cls"
+    hf = transformers.AutoModel.from_pretrained(name_or_path)
+    return bert_from_hf_model(hf, pooling=pooling, dtype=dtype)
+
+
+def load_hf_reader(name_or_path: str, dtype=np.float32):
+    import transformers
+
+    hf = transformers.AutoModelForCausalLM.from_pretrained(name_or_path)
+    return gpt_neox_from_hf_model(hf, dtype=dtype)

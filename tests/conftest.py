@@ -17,6 +17,10 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# A site hook may force JAX_PLATFORMS to the TPU plugin after our env var;
+# override at the config level so tests always run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # CPU XLA defaults to fast low-precision matmuls; parity tests need exact f32.
 jax.config.update("jax_default_matmul_precision", "highest")
 

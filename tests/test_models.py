@@ -1,0 +1,165 @@
+"""Numeric parity of the JAX models against HF torch implementations.
+
+Tiny randomly-initialized HF models are built locally (no network) and
+converted; logits/hidden states must agree to float32 tolerance.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from retrieval_scaling_tpu.models.bert import (  # noqa: E402
+    BertConfig,
+    bert_encode,
+    contriever_embed,
+    init_bert_params,
+    pool_embeddings,
+)
+from retrieval_scaling_tpu.models.gpt_neox import (  # noqa: E402
+    GPTNeoXConfig,
+    gpt_neox_forward,
+    gpt_neox_lm,
+    init_gpt_neox_params,
+)
+from retrieval_scaling_tpu.models.hf_convert import (  # noqa: E402
+    bert_from_hf_model,
+    gpt_neox_from_hf_model,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_bert():
+    cfg = transformers.BertConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg, add_pooling_layer=False)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_neox():
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=256,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        rotary_pct=0.25,
+        use_parallel_residual=True,
+    )
+    torch.manual_seed(1)
+    model = transformers.GPTNeoXForCausalLM(cfg)
+    model.eval()
+    return model
+
+
+def test_bert_parity_with_hf(tiny_hf_bert):
+    params, cfg = bert_from_hf_model(tiny_hf_bert, pooling="mean")
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 128, size=(3, 20)).astype(np.int64)
+    mask = np.ones_like(ids)
+    mask[1, 12:] = 0
+    mask[2, 5:] = 0
+
+    with torch.no_grad():
+        ref = tiny_hf_bert(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+
+    out = np.asarray(bert_encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    # only compare non-padded positions (HF computes garbage at padded ones too)
+    for b in range(3):
+        n = int(mask[b].sum())
+        np.testing.assert_allclose(out[b, :n], ref[b, :n], atol=2e-5, rtol=1e-4)
+
+
+def test_contriever_mean_pooling_matches_reference_formula(tiny_hf_bert):
+    params, cfg = bert_from_hf_model(tiny_hf_bert, pooling="mean")
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, 128, size=(2, 16)).astype(np.int64)
+    mask = np.ones_like(ids)
+    mask[1, 9:] = 0
+
+    with torch.no_grad():
+        hidden = tiny_hf_bert(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state
+    # reference: contriever/src/contriever.py:45-51 masked mean pooling
+    m = torch.tensor(mask)[..., None].bool()
+    ref_emb = (hidden.masked_fill(~m, 0.0).sum(dim=1) / m.sum(dim=1)).numpy()
+
+    emb = np.asarray(contriever_embed(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(emb, ref_emb, atol=2e-5, rtol=1e-4)
+
+
+def test_cls_pooling():
+    hidden = jnp.asarray(np.random.RandomState(0).randn(2, 5, 8).astype(np.float32))
+    mask = jnp.ones((2, 5))
+    out = pool_embeddings(hidden, mask, "cls")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(hidden[:, 0]))
+
+
+@pytest.mark.parametrize("parallel_residual", [True, False])
+def test_gpt_neox_parity_with_hf(parallel_residual):
+    cfg_hf = transformers.GPTNeoXConfig(
+        vocab_size=256,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        rotary_pct=0.25,
+        use_parallel_residual=parallel_residual,
+    )
+    torch.manual_seed(2)
+    model = transformers.GPTNeoXForCausalLM(cfg_hf)
+    model.eval()
+    params, cfg = gpt_neox_from_hf_model(model)
+
+    rng = np.random.RandomState(2)
+    ids = rng.randint(0, 256, size=(2, 24)).astype(np.int64)
+    with torch.no_grad():
+        ref_logits = model(input_ids=torch.tensor(ids)).logits.numpy()
+
+    logits = np.asarray(gpt_neox_forward(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(logits, ref_logits, atol=5e-4, rtol=1e-3)
+
+
+def test_gpt_neox_loss_matches_hf(tiny_hf_neox):
+    params, cfg = gpt_neox_from_hf_model(tiny_hf_neox)
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, 256, size=(1, 20)).astype(np.int64)
+    labels = ids.copy()
+    labels[0, :8] = -100  # mask the "context" prefix like the reference
+
+    with torch.no_grad():
+        ref = tiny_hf_neox(input_ids=torch.tensor(ids), labels=torch.tensor(labels))
+    loss_sum, count = gpt_neox_lm(params, cfg, jnp.asarray(ids), jnp.asarray(labels))
+    jax_loss = float(loss_sum / count)
+    assert abs(jax_loss - float(ref.loss)) < 2e-4
+
+
+def test_random_init_shapes_run():
+    import jax
+
+    cfg = BertConfig(vocab_size=50, hidden_size=16, num_layers=1, num_heads=2, intermediate_size=32, max_position_embeddings=32)
+    params = init_bert_params(cfg, jax.random.PRNGKey(0))
+    out = bert_encode(params, cfg, jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8)))
+    assert out.shape == (1, 8, 16)
+
+    ncfg = GPTNeoXConfig(vocab_size=64, hidden_size=16, num_layers=1, num_heads=2, intermediate_size=32, max_position_embeddings=32)
+    nparams = init_gpt_neox_params(ncfg, jax.random.PRNGKey(1))
+    logits = gpt_neox_forward(nparams, ncfg, jnp.zeros((1, 8), jnp.int32))
+    assert logits.shape == (1, 8, 64)

@@ -1,0 +1,72 @@
+"""Mesh-sharded exact MIPS search with ICI cross-shard top-k merge.
+
+Replaces the reference's multi-worker HTTP fan-out + host-side merge
+(``main_node_multithread_search`` + ``rerank_elements``, reference:
+api/serve_main_node.py:109-165,281-323): datastore rows live sharded over
+the ``data`` mesh axis in HBM, every device scores the replicated query
+batch against its rows and keeps a local top-k, then one ``all_gather``
+over ICI + a [B, shards*k] ``top_k`` yields the exact global result —
+no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from retrieval_scaling_tpu.ops.topk import chunked_topk_scores
+
+
+def shard_rows(mesh: Mesh, array: jax.Array) -> jax.Array:
+    """Place a [N, D] array row-sharded over the mesh's data axis."""
+    return jax.device_put(array, NamedSharding(mesh, P(("data",), None)))
+
+
+def replicate(mesh: Mesh, array: jax.Array) -> jax.Array:
+    return jax.device_put(array, NamedSharding(mesh, P()))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "chunk_size", "rows_per_shard")
+)
+def sharded_flat_search(
+    mesh: Mesh,
+    queries: jax.Array,    # [B, D] replicated
+    database: jax.Array,   # [S * rows_per_shard, D] sharded over "data"
+    n_valid: jax.Array,    # scalar int32: global count of real rows
+    k: int,
+    rows_per_shard: int,
+    chunk_size: int = 131072,
+):
+    """Exact global top-k over a row-sharded database. Returns replicated
+    (scores [B, k], global_ids [B, k])."""
+
+    num_shards = mesh.shape["data"]
+
+    def local_search(q, db_local, n_valid_arr):
+        rank = jax.lax.axis_index("data")
+        base = rank * rows_per_shard
+        local_valid = jnp.clip(n_valid_arr[0] - base, 0, rows_per_shard)
+        s, i = chunked_topk_scores(q, db_local, local_valid, k, chunk_size=chunk_size)
+        gi = jnp.where(i >= 0, i + base, -1)
+        # Cross-shard merge over ICI: gather all candidates, global top-k.
+        all_s = jax.lax.all_gather(s, "data", axis=0)   # [S, B, k]
+        all_i = jax.lax.all_gather(gi, "data", axis=0)
+        b = q.shape[0]
+        cat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, num_shards * k)
+        cat_i = jnp.moveaxis(all_i, 0, 1).reshape(b, num_shards * k)
+        top_s, pos = jax.lax.top_k(cat_s, k)
+        top_i = jnp.take_along_axis(cat_i, pos, axis=-1)
+        return top_s, top_i
+
+    fn = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(("data",), None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, database, jnp.asarray(n_valid, jnp.int32).reshape(1))

@@ -1,0 +1,124 @@
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from retrieval_scaling_tpu.config import config_from_dict
+from retrieval_scaling_tpu.index.base import Indexer, get_index_dir_and_embedding_paths
+from retrieval_scaling_tpu.index.flat import FlatIndex
+from retrieval_scaling_tpu.parallel.mesh import build_mesh
+
+
+def _make_datastore(tmp_path, num_shards=2, per_shard=100, dim=32, seed=0):
+    """Write embedding pkls + passage jsonls in the reference layout."""
+    rng = np.random.RandomState(seed)
+    emb_dir = tmp_path / "embeddings"
+    psg_dir = tmp_path / "passages"
+    emb_dir.mkdir()
+    psg_dir.mkdir()
+    all_embs = []
+    for shard in range(num_shards):
+        emb = rng.randn(per_shard, dim).astype(np.float16)
+        ids = list(range(per_shard))
+        with open(emb_dir / f"passages_{shard:02d}.pkl", "wb") as f:
+            pickle.dump((ids, emb), f)
+        with open(psg_dir / f"raw_passages-{shard}-of-{num_shards}.jsonl", "w") as f:
+            for i in range(per_shard):
+                f.write(json.dumps({"text": f"passage-{shard}-{i}", "id": i, "shard_id": shard}) + "\n")
+        all_embs.append(emb.astype(np.float32))
+    return str(emb_dir), str(psg_dir), np.concatenate(all_embs, 0)
+
+
+def test_flat_index_build_search_exact(tmp_path):
+    emb_dir, psg_dir, embs = _make_datastore(tmp_path)
+    index = FlatIndex(
+        embed_paths=[f"{emb_dir}/passages_00.pkl", f"{emb_dir}/passages_01.pkl"],
+        index_path=str(tmp_path / "index" / "index_Flat.tpu.npz"),
+        meta_file=str(tmp_path / "index" / "index_Flat.tpu.ids.npy"),
+        passage_dir=psg_dir,
+        dimension=32,
+    )
+    rng = np.random.RandomState(1)
+    q = rng.randn(3, 32).astype(np.float32)
+    scores, passages, db_ids = index.search(q, k=5)
+
+    # brute force in the index dtype (bf16 embeddings round the scores)
+    exact = q @ embs.T
+    for row in range(3):
+        order = np.argsort(-exact[row])[:5]
+        got_flat = [sid * 100 + cid for sid, cid in db_ids[row]]
+        assert got_flat == order.tolist()
+        assert passages[row][0] == f"passage-{order[0]//100}-{order[0]%100}"
+        np.testing.assert_allclose(scores[row], exact[row][order], rtol=2e-2, atol=2e-1)
+
+
+def test_flat_index_persistence_roundtrip(tmp_path):
+    emb_dir, psg_dir, embs = _make_datastore(tmp_path, num_shards=1, per_shard=50)
+    kwargs = dict(
+        embed_paths=[f"{emb_dir}/passages_00.pkl"],
+        index_path=str(tmp_path / "index" / "index_Flat.tpu.npz"),
+        meta_file=str(tmp_path / "index" / "index_Flat.tpu.ids.npy"),
+        passage_dir=psg_dir,
+        dimension=32,
+    )
+    first = FlatIndex(**kwargs)
+    q = np.random.RandomState(2).randn(2, 32).astype(np.float32)
+    s1, i1 = first.search_ids(q, 7)
+    # second construction loads from disk (no embed_paths access needed)
+    second = FlatIndex(**{**kwargs, "embed_paths": None})
+    s2, i2 = second.search_ids(q, 7)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_flat_index_on_8device_mesh(tmp_path):
+    emb_dir, psg_dir, embs = _make_datastore(tmp_path, num_shards=2, per_shard=200)
+    mesh = build_mesh()
+    assert mesh.shape["data"] == 8
+    index = FlatIndex(
+        embed_paths=[f"{emb_dir}/passages_00.pkl", f"{emb_dir}/passages_01.pkl"],
+        index_path=None,
+        meta_file=None,
+        passage_dir=psg_dir,
+        dimension=32,
+        mesh=mesh,
+    )
+    q = np.random.RandomState(3).randn(4, 32).astype(np.float32)
+    scores, ids = index.search_ids(q, 10)
+    exact = q @ embs.T
+    for row in range(4):
+        order = np.argsort(-exact[row])[:10]
+        np.testing.assert_array_equal(ids[row], order)
+
+
+def test_indexer_facade_and_paths(tmp_path):
+    emb_dir, psg_dir, _ = _make_datastore(tmp_path)
+    cfg = config_from_dict(
+        {
+            "datastore": {
+                "embedding": {"embedding_dir": emb_dir, "prefix": "passages", "passages_dir": psg_dir},
+                "index": {
+                    "index_type": "Flat",
+                    "index_shard_ids": [1, 0],
+                    "projection_size": 32,
+                    "sample_train_size": 100,
+                    "ncentroids": 8,
+                    "probe": 4,
+                    "n_subquantizers": 4,
+                    "n_bits": 8,
+                },
+            }
+        }
+    )
+    index_dir, paths = get_index_dir_and_embedding_paths(cfg)
+    assert index_dir.endswith("index_Flat/0_1")  # sorted shard ids
+    assert [os.path.basename(p) for p in paths] == ["passages_00.pkl", "passages_01.pkl"]
+
+    indexer = Indexer(cfg)
+    q = np.random.RandomState(4).randn(2, 32).astype(np.float32)
+    scores, passages, db_ids = indexer.search(q, k=3)
+    assert len(scores) == 2 and len(passages[0]) == 3
+    # artifacts written
+    assert os.path.exists(os.path.join(index_dir, "index_Flat.tpu.npz"))

@@ -160,7 +160,7 @@ class FlatIndex:
         (reference: src/indicies/flat.py:122-136)."""
         assert self.passage_store is not None, "passage store not configured"
         flat = [int(i) for row in all_indices for i in row]
-        pairs = [tuple(self.index_id_to_db_id[i]) for i in flat]
+        pairs = [tuple(int(v) for v in self.index_id_to_db_id[i]) for i in flat]
         records = self.passage_store.fetch_many(pairs)
         texts = [r["text"] for r in records]
         b, k = np.asarray(all_indices).shape

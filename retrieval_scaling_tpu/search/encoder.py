@@ -1,0 +1,183 @@
+"""Batched text encoder on TPU (passage + query embedding).
+
+TPU-first redesign of the reference's GPU embed loops
+(reference: src/embed.py:24-94, src/search.py:48-108):
+
+  * XLA traces one program per (batch, seq-len) shape, so texts are packed
+    into *length buckets* (powers of two up to ``maxlength``) and batches are
+    padded to a fixed size — a handful of compiled programs total, no
+    per-batch recompiles, and short texts don't pay full-length attention.
+  * Batches shard over the mesh's ``data`` axis (pjit data parallelism);
+    weights are replicated.
+  * bf16 activations feed the MXU; embeddings return as fp16 numpy, the
+    reference's storage dtype.
+
+Model-name dispatch keeps the reference's substring conventions:
+"contriever" -> masked mean pooling; other BERT-family -> CLS.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from retrieval_scaling_tpu.models.bert import BertConfig, contriever_embed
+from retrieval_scaling_tpu.parallel.mesh import single_device_mesh
+from retrieval_scaling_tpu.utils import text_normalize
+
+logger = logging.getLogger(__name__)
+
+
+def _length_buckets(maxlength: int) -> List[int]:
+    buckets, b = [], 32
+    while b < maxlength:
+        buckets.append(b)
+        b *= 2
+    buckets.append(maxlength)
+    return buckets
+
+
+@dataclass
+class EncodeOptions:
+    batch_size: int = 512
+    maxlength: int = 512
+    lowercase: bool = False
+    normalize_text: bool = False
+    no_title: bool = False
+    normalize_emb: bool = False
+
+
+class JaxEncoder:
+    """Contriever-style encoder with bucketed, mesh-parallel batching."""
+
+    def __init__(
+        self,
+        params,
+        cfg: BertConfig,
+        tokenizer,
+        mesh: Mesh | None = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.mesh = mesh or single_device_mesh()
+        self.dtype = dtype
+        self.params = jax.device_put(
+            jax.tree.map(lambda x: jnp.asarray(x, dtype), params),
+            NamedSharding(self.mesh, P()),
+        )
+        self._encode_jit = {}
+
+    # ------------------------------------------------------------------
+    def _compiled(self, normalize_emb: bool):
+        key = normalize_emb
+        if key not in self._encode_jit:
+            batch_sharding = NamedSharding(self.mesh, P(("data",), None))
+
+            @partial(jax.jit, in_shardings=(None, batch_sharding, batch_sharding))
+            def fn(params, input_ids, attention_mask):
+                return contriever_embed(
+                    params, self.cfg, input_ids, attention_mask, normalize=normalize_emb
+                )
+
+            self._encode_jit[key] = fn
+        return self._encode_jit[key]
+
+    def encode(
+        self,
+        texts: Sequence[str],
+        opts: EncodeOptions | None = None,
+    ) -> np.ndarray:
+        """Encode texts -> [N, D] fp16 embeddings (original order)."""
+        opts = opts or EncodeOptions()
+        n = len(texts)
+        if n == 0:
+            return np.zeros((0, self.cfg.hidden_size), np.float16)
+
+        prepped = []
+        for t in texts:
+            if opts.lowercase:
+                t = t.lower()
+            if opts.normalize_text:
+                t = text_normalize.normalize(t)
+            prepped.append(t)
+
+        enc = self.tokenizer(
+            prepped,
+            max_length=opts.maxlength,
+            truncation=True,
+            padding=False,
+        )["input_ids"]
+        lengths = np.asarray([len(ids) for ids in enc])
+
+        buckets = _length_buckets(opts.maxlength)
+        order = np.argsort(lengths, kind="stable")
+        out = np.zeros((n, self.cfg.hidden_size), np.float16)
+
+        num_data = self.mesh.shape["data"]
+        batch = max(opts.batch_size, num_data)
+        batch -= batch % num_data  # divisible by data axis
+
+        fn = self._compiled(opts.normalize_emb)
+        pad_id = self.tokenizer.pad_token_id or 0
+
+        pos = 0
+        while pos < n:
+            take = order[pos : pos + batch]
+            max_len = int(lengths[take].max())
+            bucket = next(b for b in buckets if b >= min(max_len, opts.maxlength))
+            ids_np = np.full((batch, bucket), pad_id, np.int32)
+            mask_np = np.zeros((batch, bucket), np.int32)
+            for row, idx in enumerate(take):
+                ids = enc[idx][:bucket]
+                ids_np[row, : len(ids)] = ids
+                mask_np[row, : len(ids)] = 1
+            emb = fn(self.params, jnp.asarray(ids_np), jnp.asarray(mask_np))
+            emb = np.asarray(jax.device_get(emb), np.float16)
+            out[take] = emb[: len(take)]
+            pos += batch
+        return out
+
+    # ------------------------------------------------------------------
+    def encode_passages(self, passages: Sequence[dict], opts: EncodeOptions):
+        """Passage-side text assembly (title handling per src/embed.py:29-35)."""
+        texts = []
+        for p in passages:
+            if opts.no_title or "title" not in p:
+                texts.append(p["text"])
+            else:
+                texts.append(p["title"] + " " + p["text"])
+        ids = [p["id"] for p in passages]
+        return ids, self.encode(texts, opts)
+
+    def encode_queries(self, queries: Sequence[str], opts: EncodeOptions) -> np.ndarray:
+        return self.encode(queries, opts)
+
+
+def load_encoder(
+    model_name_or_path: str,
+    tokenizer_name: str | None = None,
+    mesh: Mesh | None = None,
+    dtype=jnp.bfloat16,
+    attention_impl: str = "auto",
+) -> JaxEncoder:
+    """Load + convert an HF encoder checkpoint into a JaxEncoder.
+
+    Dispatch mirrors the reference's name-substring logic
+    (src/embed.py:118-133): contriever -> mean pooling, generic -> CLS.
+    """
+    import dataclasses
+
+    from retrieval_scaling_tpu.models.hf_convert import load_hf_encoder, load_tokenizer
+
+    params, cfg = load_hf_encoder(model_name_or_path, dtype=np.float32)
+    cfg = dataclasses.replace(cfg, attention_impl=attention_impl)
+    tokenizer = load_tokenizer(tokenizer_name or model_name_or_path)
+    return JaxEncoder(params, cfg, tokenizer, mesh=mesh, dtype=dtype)

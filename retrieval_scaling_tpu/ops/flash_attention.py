@@ -65,7 +65,7 @@ def _flash_kernel(
     q_ref,      # [1, 1, block_q, D]
     k_ref,      # [1, 1, Sk_pad, D]
     v_ref,      # [1, 1, Sk_pad, D]
-    mask_ref,   # [1, Sk_pad] float32 additive (0 or NEG_INF)
+    mask_ref,   # [1, 1, Sk_pad] float32 additive (0 or NEG_INF)
     o_ref,      # [1, 1, block_q, D]
     *,
     sm_scale: float,
@@ -95,7 +95,7 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_q, block_k]
-        s = s + mask_ref[0, pl.ds(ki * block_k, block_k)][None, :]
+        s = s + mask_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
         if causal:
             q_pos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -155,7 +155,8 @@ def flash_attention(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
 
-    # Additive mask folding key padding + kv-tail padding: [B, Sk_pad].
+    # Additive mask folding key padding + kv-tail padding: [B, 1, Sk_pad]
+    # (middle singleton keeps TPU block shapes legal: trailing dims match).
     if kv_mask is None:
         add_mask = jnp.zeros((b, sk_pad), jnp.float32)
         if sk_pad != sk:
@@ -163,6 +164,7 @@ def flash_attention(
     else:
         valid = jnp.pad(kv_mask.astype(bool), ((0, 0), (0, sk_pad - sk)))
         add_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+    add_mask = add_mask[:, None, :]
 
     grid = (b, h, sq_pad // block_q)
 
@@ -183,7 +185,7 @@ def flash_attention(
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, sk_pad), lambda bi, hi, qi: (bi, 0)),
+            pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),

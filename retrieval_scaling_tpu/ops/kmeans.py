@@ -1,0 +1,208 @@
+"""K-means training on TPU — the FAISS ``Clustering`` replacement.
+
+Trains IVF coarse centroids and PQ codebooks
+(reference: src/indicies/ivf_flat.py:145-171, ivf_pq.py:146-171 delegate to
+``faiss.IndexIVF*.train``). TPU-first formulation:
+
+  * Lloyd iterations are MXU matmuls end-to-end: the assignment distance
+    uses ``||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2`` (one [N, k] matmul), and
+    the centroid update is the one-hot-assignment matmul ``A^T X`` —
+    no scatters in the inner loop.
+  * Points stream through a ``lax.scan`` in fixed-size chunks, so N scales
+    past VMEM while XLA overlaps HBM loads with compute.
+  * Empty clusters re-seed by splitting the largest cluster (a perturbed
+    copy of its centroid), FAISS's policy.
+
+``kmeans`` matches FAISS's IVF defaults (L2 training; callers assign with
+inner product at add/search time when the index metric is IP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _chunk(n: int, target: int) -> int:
+    return min(n, target)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "metric"))
+def assign_clusters(
+    data: jax.Array,        # [N, D]
+    centroids: jax.Array,   # [k, D]
+    k: int,
+    chunk_size: int = 65536,
+    metric: str = "l2",
+) -> jax.Array:
+    """Nearest-centroid id per row ([N] int32), streamed in chunks."""
+    n, d = data.shape
+    chunk_size = _chunk(n, chunk_size)
+    n_chunks = -(-n // chunk_size)
+    total = n_chunks * chunk_size
+    padded = jnp.pad(data, ((0, total - n), (0, 0))) if total != n else data
+    chunks = padded.reshape(n_chunks, chunk_size, d)
+    c_norms = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)
+
+    def body(_, chunk):
+        ip = jax.lax.dot_general(
+            chunk, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if metric == "l2":
+            score = 2.0 * ip - c_norms[None, :]  # argmax == argmin L2
+        else:
+            score = ip
+        return None, jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(body, None, chunks)
+    return assign.reshape(total)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+def _lloyd_iteration(
+    data: jax.Array,       # [N, D]
+    centroids: jax.Array,  # [k, D] float32
+    k: int,
+    chunk_size: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One Lloyd step: returns (sums [k, D], counts [k], objective)."""
+    n, d = data.shape
+    chunk_size = _chunk(n, chunk_size)
+    n_chunks = -(-n // chunk_size)
+    total = n_chunks * chunk_size
+    padded = jnp.pad(data, ((0, total - n), (0, 0))) if total != n else data
+    chunks = padded.reshape(n_chunks, chunk_size, d)
+    valid = jnp.arange(total).reshape(n_chunks, chunk_size) < n
+    c_norms = jnp.sum(centroids**2, axis=-1)
+
+    def body(carry, inp):
+        sums, counts, obj = carry
+        chunk, v = inp
+        chunk_f = chunk.astype(jnp.float32)
+        ip = jax.lax.dot_general(
+            chunk_f, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dist = c_norms[None, :] - 2.0 * ip  # + ||x||^2 (constant per row)
+        best = jnp.argmin(jnp.where(v[:, None], dist, jnp.inf), axis=-1)
+        onehot = jax.nn.one_hot(best, k, dtype=jnp.float32) * v[:, None]
+        sums = sums + jax.lax.dot_general(
+            onehot, chunk_f, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        counts = counts + jnp.sum(onehot, axis=0)
+        x_norms = jnp.sum(chunk_f**2, axis=-1)
+        obj = obj + jnp.sum(jnp.where(v, jnp.min(dist, axis=-1) + x_norms, 0.0))
+        return (sums, counts, obj), None
+
+    init = (
+        jnp.zeros((k, d), jnp.float32),
+        jnp.zeros((k,), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    )
+    (sums, counts, obj), _ = jax.lax.scan(body, init, (chunks, valid))
+    return sums, counts, obj
+
+
+def kmeans(
+    data,
+    k: int,
+    iters: int = 20,
+    seed: int = 1,
+    chunk_size: int = 65536,
+    spherical: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Train k-means. Returns (centroids [k, D] f32, objective history [iters]).
+
+    Host-side loop over jitted Lloyd steps (iters is small and per-step
+    results drive empty-cluster reseeding).
+    """
+    data = jnp.asarray(data)
+    n, d = data.shape
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    init_idx = jax.random.choice(sub, n, shape=(min(k, n),), replace=False)
+    centroids = data[init_idx].astype(jnp.float32)
+    if k > n:  # degenerate: duplicate
+        centroids = jnp.concatenate([centroids, centroids[: k - n]], axis=0)
+
+    history = []
+    for it in range(iters):
+        sums, counts, obj = _lloyd_iteration(data, centroids, k, chunk_size)
+        history.append(obj)
+        new_centroids = sums / jnp.maximum(counts[:, None], 1.0)
+        # Empty clusters: split the largest cluster (FAISS policy).
+        key, sub = jax.random.split(key)
+        largest = jnp.argmax(counts)
+        noise = 1e-4 * jax.random.normal(sub, (k, d))
+        donor = new_centroids[largest][None, :] * (1.0 + noise)
+        empty = counts[:, None] < 0.5
+        new_centroids = jnp.where(empty, donor, new_centroids)
+        if spherical:
+            new_centroids = new_centroids / jnp.clip(
+                jnp.linalg.norm(new_centroids, axis=-1, keepdims=True), 1e-12, None
+            )
+        centroids = new_centroids
+
+    return centroids, jnp.stack(history)
+
+
+def pq_train_codebooks(
+    data,
+    n_subquantizers: int,
+    n_bits: int = 8,
+    iters: int = 20,
+    seed: int = 1,
+) -> jax.Array:
+    """Train PQ codebooks: [m, 2^bits, D/m].
+
+    Each subspace trains an independent k-means (reference behavior:
+    faiss.IndexIVFPQ.train's ProductQuantizer). Subspaces loop on the host —
+    m is small and each subspace reuses the jitted Lloyd step.
+    """
+    data = jnp.asarray(data)
+    n, d = data.shape
+    m = n_subquantizers
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    ksub = 1 << n_bits
+    books = []
+    for j in range(m):
+        sub = data[:, j * dsub : (j + 1) * dsub]
+        cb, _ = kmeans(sub, ksub, iters=iters, seed=seed + j)
+        books.append(cb)
+    return jnp.stack(books)  # [m, ksub, dsub]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def pq_encode(
+    data: jax.Array,       # [N, D]
+    codebooks: jax.Array,  # [m, ksub, dsub]
+    chunk_size: int = 65536,
+) -> jax.Array:
+    """Encode rows to uint8 codes [N, m] (nearest codeword per subspace)."""
+    n, d = data.shape
+    m, ksub, dsub = codebooks.shape
+    chunk_size = _chunk(n, chunk_size)
+    n_chunks = -(-n // chunk_size)
+    total = n_chunks * chunk_size
+    padded = jnp.pad(data, ((0, total - n), (0, 0))) if total != n else data
+    chunks = padded.reshape(n_chunks, chunk_size, m, dsub)
+    cb_norms = jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=-1)  # [m, ksub]
+
+    def body(_, chunk):
+        chunk_f = chunk.astype(jnp.float32)
+        ip = jnp.einsum("cmd,mkd->cmk", chunk_f, codebooks.astype(jnp.float32))
+        dist = cb_norms[None] - 2.0 * ip
+        return None, jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+
+    _, codes = jax.lax.scan(body, None, chunks)
+    return codes.reshape(total, m)[:n]
+
+
+def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Reconstruct [N, D] from codes (for tests / reconstruction error)."""
+    m, ksub, dsub = codebooks.shape
+    parts = [codebooks[j][codes[:, j].astype(jnp.int32)] for j in range(m)]
+    return jnp.concatenate(parts, axis=-1)

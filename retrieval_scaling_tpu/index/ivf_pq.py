@@ -1,0 +1,319 @@
+"""IVF-PQ index on TPU: residual product quantization + ADC list scan.
+
+The ``faiss.IndexIVFPQ`` replacement (reference: src/indicies/ivf_pq.py):
+coarse k-means + per-subspace PQ codebooks trained on *residuals*
+(FAISS ``by_residual`` default), codes stored in the same tile-padded CSR
+layout as IVF-Flat but at ``m`` bytes/vector instead of ``2*D``.
+
+ADC on TPU: for inner product with residual encoding the score decomposes
+as ``q.c_list + sum_m LUT[m, code_m]`` where ``LUT = q_sub . codebooks`` is
+query-only — one [m, ksub] matmul per query, shared across all probed
+lists. The list scan streams uint8 code tiles (16-96x less HBM traffic
+than raw vectors — the reason PQ wins at datastore scale) and evaluates
+the LUT sum either by vectorized gather or as a one-hot MXU matmul
+(``adc_mode``).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from retrieval_scaling_tpu.data.passages import PassageStore
+from retrieval_scaling_tpu.index.flat import load_embedding_shard, shard_id_from_embedding_path
+from retrieval_scaling_tpu.index.ivf_common import (
+    TILE,
+    build_list_layout,
+    default_max_tiles,
+    probe_tile_schedule,
+    select_probes,
+)
+from retrieval_scaling_tpu.ops.kmeans import (
+    assign_clusters,
+    kmeans,
+    pq_encode,
+    pq_train_codebooks,
+)
+from retrieval_scaling_tpu.ops.topk import merge_topk
+from retrieval_scaling_tpu.parallel.mesh import single_device_mesh
+
+logger = logging.getLogger(__name__)
+
+NEG_INF = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=("k", "group", "adc_mode"))
+def pq_scan_topk(
+    lut: jax.Array,           # [B, m, ksub] f32 query lookup tables
+    coarse_scores: jax.Array,  # [B, nprobe] q.c term per probed list
+    code_tiles: jax.Array,    # [total_tiles, TILE, m] uint8
+    row_flat_ids: jax.Array,  # [total_tiles * TILE] int32
+    tile_ids: jax.Array,      # [B, max_tiles]
+    tile_valid: jax.Array,    # [B, max_tiles]
+    probe_of_tile: jax.Array,  # [B, max_tiles] probe slot per tile
+    k: int,
+    group: int = 4,
+    adc_mode: str = "gather",
+) -> Tuple[jax.Array, jax.Array]:
+    b, m, ksub = lut.shape
+    max_tiles = tile_ids.shape[1]
+    n_groups = -(-max_tiles // group)
+    pad = n_groups * group - max_tiles
+    if pad:
+        tile_ids = jnp.pad(tile_ids, ((0, 0), (0, pad)))
+        tile_valid = jnp.pad(tile_valid, ((0, 0), (0, pad)))
+        probe_of_tile = jnp.pad(probe_of_tile, ((0, 0), (0, pad)))
+
+    row_ids_tiled = row_flat_ids.reshape(-1, TILE)
+    k_eff = min(k, n_groups * group * TILE)
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        ids_g, valid_g, probe_g = inp              # [B, group]
+        codes = code_tiles[ids_g]                  # [B, group, TILE, m] uint8
+        rows = row_ids_tiled[ids_g]                # [B, group, TILE]
+
+        if adc_mode == "onehot":
+            onehot = jax.nn.one_hot(codes.astype(jnp.int32), ksub, dtype=jnp.bfloat16)
+            s = jnp.einsum(
+                "bgtmk,bmk->bgt", onehot, lut.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            idx = codes.astype(jnp.int32)                      # [B, g, T, m]
+            gathered = jnp.take_along_axis(
+                lut[:, None, None, :, :],                       # [B, 1, 1, m, ksub]
+                idx[..., None],                                 # [B, g, T, m, 1]
+                axis=-1,
+            )[..., 0]                                           # [B, g, T, m]
+            s = jnp.sum(gathered, axis=-1)                      # [B, g, T]
+
+        coarse = jnp.take_along_axis(coarse_scores, probe_g, axis=1)  # [B, group]
+        s = s + coarse[:, :, None]
+        ok = valid_g[:, :, None] & (rows >= 0)
+        s = jnp.where(ok, s, NEG_INF).reshape(b, group * TILE)
+        flat_rows = jnp.where(ok, rows, -1).reshape(b, group * TILE)
+        kk = min(k_eff, group * TILE)
+        c_s, c_pos = jax.lax.top_k(s, kk)
+        c_i = jnp.take_along_axis(flat_rows, c_pos, axis=-1)
+        return merge_topk(best_s, best_i, c_s, c_i, k_eff), None
+
+    init = (
+        jnp.full((b, k_eff), NEG_INF, jnp.float32),
+        jnp.full((b, k_eff), -1, jnp.int32),
+    )
+    (scores, ids), _ = jax.lax.scan(
+        body,
+        init,
+        (
+            jnp.moveaxis(tile_ids.reshape(b, n_groups, group), 1, 0),
+            jnp.moveaxis(tile_valid.reshape(b, n_groups, group), 1, 0),
+            jnp.moveaxis(probe_of_tile.reshape(b, n_groups, group), 1, 0),
+        ),
+    )
+    if k_eff < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return scores, ids
+
+
+class IVFPQIndex:
+    def __init__(
+        self,
+        embed_paths: Sequence[str] | None = None,
+        index_path: str | None = None,
+        meta_file: str | None = None,
+        trained_index_path: str | None = None,
+        passage_dir: str | None = None,
+        pos_map_save_path: str | None = None,
+        dimension: int = 768,
+        sample_train_size: int = 1000000,
+        ncentroids: int = 4096,
+        probe: int = 64,
+        n_subquantizers: int = 16,
+        n_bits: int = 8,
+        kmeans_iters: int = 20,
+        pq_iters: int = 20,
+        mesh: Mesh | None = None,
+        probe_slack: float = 1.5,
+        adc_mode: str = "gather",
+    ):
+        self.index_path = index_path
+        self.meta_file = meta_file
+        self.trained_index_path = trained_index_path
+        self.dimension = dimension
+        self.sample_train_size = sample_train_size
+        self.ncentroids = ncentroids
+        self.probe = probe
+        self.m = n_subquantizers
+        self.n_bits = n_bits
+        self.kmeans_iters = kmeans_iters
+        self.pq_iters = pq_iters
+        self.mesh = mesh or single_device_mesh()
+        self.probe_slack = probe_slack
+        self.adc_mode = adc_mode
+
+        if index_path and meta_file and os.path.exists(index_path) and os.path.exists(meta_file):
+            logger.info("Loading IVF-PQ index from %s", index_path)
+            self._load(index_path, meta_file)
+        else:
+            centroids, codebooks = self._load_or_train(embed_paths or [])
+            self._build(embed_paths or [], centroids, codebooks)
+            if index_path and meta_file:
+                self._save(index_path, meta_file)
+
+        self._place_on_device()
+
+        self.passage_store: PassageStore | None = None
+        if passage_dir is not None:
+            self.passage_store = PassageStore.from_passages_dir(passage_dir, pos_map_save_path)
+
+    # ------------------------------------------------------------ training
+    def _sample(self, embed_paths: Sequence[str]) -> np.ndarray:
+        per_shard = max(1, self.sample_train_size // max(len(embed_paths), 1))
+        rng = np.random.RandomState(1)
+        samples = []
+        for path in embed_paths:
+            _, emb = load_embedding_shard(path)
+            take = min(per_shard, len(emb))
+            idx = rng.choice(len(emb), size=take, replace=False)
+            samples.append(np.asarray(emb[idx], np.float32))
+        return np.concatenate(samples, axis=0)
+
+    def _load_or_train(self, embed_paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        if self.trained_index_path and os.path.exists(self.trained_index_path):
+            data = np.load(self.trained_index_path)
+            return data["centroids"], data["codebooks"]
+        sample = self._sample(embed_paths)
+        t0 = time.time()
+        centroids, _ = kmeans(sample, self.ncentroids, iters=self.kmeans_iters)
+        centroids = np.asarray(centroids, np.float32)
+        assign = np.asarray(
+            assign_clusters(jnp.asarray(sample), jnp.asarray(centroids), self.ncentroids, metric="ip")
+        )
+        residuals = sample - centroids[assign]
+        codebooks = np.asarray(
+            pq_train_codebooks(residuals, self.m, self.n_bits, iters=self.pq_iters), np.float32
+        )
+        logger.info(
+            "Trained %d centroids + %dx%d PQ codebooks in %.1fs",
+            self.ncentroids, self.m, 1 << self.n_bits, time.time() - t0,
+        )
+        if self.trained_index_path:
+            os.makedirs(os.path.dirname(self.trained_index_path), exist_ok=True)
+            base = self.trained_index_path[:-4] if self.trained_index_path.endswith(".npz") else self.trained_index_path
+            np.savez(base, centroids=centroids, codebooks=codebooks)
+        return centroids, codebooks
+
+    # ------------------------------------------------------------ build
+    def _build(self, embed_paths, centroids: np.ndarray, codebooks: np.ndarray) -> None:
+        parts, id_parts = [], []
+        for path in sorted(embed_paths, key=shard_id_from_embedding_path):
+            shard_id = shard_id_from_embedding_path(path)
+            _, emb = load_embedding_shard(path)
+            parts.append(np.asarray(emb, np.float32))
+            ids = np.empty((len(emb), 2), np.int64)
+            ids[:, 0] = shard_id
+            ids[:, 1] = np.arange(len(emb))
+            id_parts.append(ids)
+        emb = np.concatenate(parts, 0)
+        self.index_id_to_db_id = np.concatenate(id_parts, 0)
+        self.n_valid = len(emb)
+
+        assignments = np.asarray(
+            assign_clusters(jnp.asarray(emb), jnp.asarray(centroids), self.ncentroids, metric="ip")
+        )
+        residuals = emb - centroids[assignments]
+        codes = np.asarray(pq_encode(jnp.asarray(residuals), jnp.asarray(codebooks)))
+        # lay codes out in the tiled CSR (layout works on any row payload)
+        layout = build_list_layout(codes, assignments, self.ncentroids, TILE)
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.layout = layout
+
+    # ------------------------------------------------------------ io
+    def _save(self, index_path: str, meta_file: str) -> None:
+        os.makedirs(os.path.dirname(index_path), exist_ok=True)
+        base = index_path[:-4] if index_path.endswith(".npz") else index_path
+        np.savez(
+            base,
+            centroids=self.centroids,
+            codebooks=self.codebooks,
+            codes=self.layout.sorted_rows.astype(np.uint8),
+            row_flat_ids=self.layout.row_flat_ids,
+            tile_start=self.layout.tile_start,
+            tile_count=self.layout.tile_count,
+            list_len=self.layout.list_len,
+            n_valid=np.int64(self.n_valid),
+        )
+        np.save(meta_file + ".tmp.npy", self.index_id_to_db_id)
+        os.replace(meta_file + ".tmp.npy", meta_file)
+
+    def _load(self, index_path: str, meta_file: str) -> None:
+        from retrieval_scaling_tpu.index.ivf_common import IVFListLayout
+
+        data = np.load(index_path)
+        self.centroids = data["centroids"]
+        self.codebooks = data["codebooks"]
+        self.layout = IVFListLayout(
+            data["codes"], data["row_flat_ids"], data["tile_start"],
+            data["tile_count"], data["list_len"],
+        )
+        self.n_valid = int(data["n_valid"])
+        self.index_id_to_db_id = np.load(meta_file)
+
+    def _place_on_device(self) -> None:
+        total_tiles = max(int(self.layout.tile_count.sum()), 1)
+        self.code_tiles_dev = jnp.asarray(
+            self.layout.sorted_rows.reshape(total_tiles, TILE, self.m), jnp.uint8
+        )
+        self.row_ids_dev = jnp.asarray(self.layout.row_flat_ids, jnp.int32)
+        self.centroids_dev = jnp.asarray(self.centroids, jnp.float32)
+        self.codebooks_dev = jnp.asarray(self.codebooks, jnp.float32)
+        self.tile_start_dev = jnp.asarray(self.layout.tile_start, jnp.int32)
+        self.tile_count_dev = jnp.asarray(self.layout.tile_count, jnp.int32)
+
+    # ------------------------------------------------------------ search
+    def search_ids(self, query_embs: np.ndarray, k: int, nprobe: int | None = None):
+        nprobe = int(nprobe or self.probe)
+        q = jnp.asarray(np.asarray(query_embs), jnp.float32)
+        coarse, probe_ids = select_probes(q, self.centroids_dev, nprobe)
+        max_tiles = default_max_tiles(self.layout.list_len, nprobe, TILE, self.probe_slack)
+        tile_ids, valid, probe_of = probe_tile_schedule(
+            probe_ids, self.tile_start_dev, self.tile_count_dev, max_tiles
+        )
+        # query LUT: q_sub . codebooks  -> [B, m, ksub]
+        b = q.shape[0]
+        dsub = self.dimension // self.m
+        q_sub = q.reshape(b, self.m, dsub)
+        lut = jnp.einsum("bmd,mkd->bmk", q_sub, self.codebooks_dev)
+        k_eff = min(k, self.n_valid)
+        scores, ids = pq_scan_topk(
+            lut, coarse, self.code_tiles_dev, self.row_ids_dev,
+            tile_ids, valid, probe_of, k_eff, adc_mode=self.adc_mode,
+        )
+        return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
+
+    def get_retrieved_passages(self, all_indices: np.ndarray):
+        assert self.passage_store is not None, "passage store not configured"
+        flat = [max(int(i), 0) for row in all_indices for i in row]
+        pairs = [tuple(int(v) for v in self.index_id_to_db_id[i]) for i in flat]
+        records = self.passage_store.fetch_many(pairs)
+        texts = [r["text"] for r in records]
+        b, k = np.asarray(all_indices).shape
+        passages = [texts[i * k : (i + 1) * k] for i in range(b)]
+        db_ids = [[list(pairs[i * k + j]) for j in range(k)] for i in range(b)]
+        return passages, db_ids
+
+    def search(self, query_embs: np.ndarray, k: int = 4096):
+        scores, ids = self.search_ids(query_embs, k)
+        passages, db_ids = self.get_retrieved_passages(ids)
+        return scores.tolist(), passages, db_ids

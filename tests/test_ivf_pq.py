@@ -1,0 +1,134 @@
+import json
+import pickle
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retrieval_scaling_tpu.index.ivf_pq import IVFPQIndex, pq_scan_topk
+
+
+def _clustered(rng, n, d, c, spread=0.2):
+    centers = rng.randn(c, d).astype(np.float32)
+    labels = rng.randint(0, c, n)
+    return centers[labels] + spread * rng.randn(n, d).astype(np.float32)
+
+
+def _write_shards(tmp_path, data, num_shards=2):
+    emb_dir = tmp_path / "emb"
+    psg_dir = tmp_path / "psg"
+    emb_dir.mkdir(), psg_dir.mkdir()
+    per = len(data) // num_shards
+    for shard in range(num_shards):
+        emb = data[shard * per : (shard + 1) * per].astype(np.float16)
+        with open(emb_dir / f"passages_{shard:02d}.pkl", "wb") as f:
+            pickle.dump((list(range(per)), emb), f)
+        with open(psg_dir / f"raw_passages-{shard}-of-{num_shards}.jsonl", "w") as f:
+            for i in range(per):
+                f.write(json.dumps({"text": f"p-{shard}-{i}", "id": i}) + "\n")
+    return str(emb_dir), str(psg_dir), per
+
+
+@pytest.fixture(scope="module")
+def pq_index_env(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("pq")
+    rng = np.random.RandomState(0)
+    d, nlist = 32, 16
+    data = _clustered(rng, 2000, d, nlist)
+    emb_dir, psg_dir, per = _write_shards(tmp_path, data)
+    index = IVFPQIndex(
+        embed_paths=[f"{emb_dir}/passages_00.pkl", f"{emb_dir}/passages_01.pkl"],
+        index_path=str(tmp_path / "idx" / "index_IVFPQ.tpu.npz"),
+        meta_file=str(tmp_path / "idx" / "index_IVFPQ.tpu.ids.npy"),
+        trained_index_path=str(tmp_path / "idx" / "index_IVFPQ.tpu.trained.npz"),
+        passage_dir=psg_dir,
+        dimension=d,
+        sample_train_size=1500,
+        ncentroids=nlist,
+        probe=8,
+        n_subquantizers=8,
+        n_bits=6,
+        kmeans_iters=8,
+        pq_iters=8,
+    )
+    return index, data, per, tmp_path, rng
+
+
+def test_pq_compression_ratio(pq_index_env):
+    index, data, _, _, _ = pq_index_env
+    # m bytes/vector vs 2*D raw fp16
+    assert index.code_tiles_dev.shape[-1] == 8
+    assert index.code_tiles_dev.dtype == jnp.uint8
+
+
+def test_pq_recall_vs_exact(pq_index_env):
+    index, data, per, _, rng = pq_index_env
+    q = data[rng.randint(0, len(data), 16)] + 0.02 * rng.randn(16, 32).astype(np.float32)
+    scores, ids = index.search_ids(q, 10)
+    exact = q @ data.T
+    recalls = []
+    for b in range(16):
+        truth = set(np.argsort(-exact[b])[:10].tolist())
+        recalls.append(len(truth & set(ids[b].tolist())) / 10)
+    assert np.mean(recalls) >= 0.6, np.mean(recalls)  # PQ-compressed recall@10
+
+
+def test_pq_score_decomposition(pq_index_env):
+    """ADC score must equal coarse + LUT reconstruction of the same code."""
+    index, data, per, _, rng = pq_index_env
+    q = data[:2]
+    scores, ids = index.search_ids(q, 5)
+    # recompute score of the top hit by hand
+    for b in range(2):
+        flat_id = None
+        # map db id back to flat position in build order
+        sid, cid = index.index_id_to_db_id[0] if False else (None, None)
+        top_flat = ids[b, 0]
+        # find the row in the layout and its list
+        pos = np.where(index.layout.row_flat_ids == top_flat)[0][0]
+        tile = pos // 128
+        # which list contains this tile
+        lists = np.where(
+            (index.layout.tile_start <= tile)
+            & (tile < index.layout.tile_start + index.layout.tile_count)
+        )[0]
+        assert len(lists) == 1
+        c = lists[0]
+        code = index.layout.sorted_rows[pos]
+        recon = np.concatenate(
+            [index.codebooks[m][code[m]] for m in range(index.m)]
+        )
+        manual = q[b] @ (index.centroids[c] + recon)
+        np.testing.assert_allclose(scores[b, 0], manual, rtol=1e-3, atol=1e-3)
+
+
+def test_pq_persistence_roundtrip(pq_index_env):
+    index, data, per, tmp_path, rng = pq_index_env
+    q = data[:4]
+    s1, i1 = index.search_ids(q, 8)
+    reloaded = IVFPQIndex(
+        index_path=str(tmp_path / "idx" / "index_IVFPQ.tpu.npz"),
+        meta_file=str(tmp_path / "idx" / "index_IVFPQ.tpu.ids.npy"),
+        trained_index_path=str(tmp_path / "idx" / "index_IVFPQ.tpu.trained.npz"),
+        dimension=32,
+        ncentroids=16,
+        probe=8,
+        n_subquantizers=8,
+        n_bits=6,
+    )
+    s2, i2 = reloaded.search_ids(q, 8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_adc_modes_agree(pq_index_env):
+    index, data, per, _, rng = pq_index_env
+    q = data[:4]
+    s_gather, i_gather = index.search_ids(q, 8)
+    index.adc_mode = "onehot"
+    try:
+        s_onehot, i_onehot = index.search_ids(q, 8)
+    finally:
+        index.adc_mode = "gather"
+    np.testing.assert_array_equal(i_gather, i_onehot)
+    np.testing.assert_allclose(s_gather, s_onehot, rtol=2e-2, atol=2e-2)

@@ -1,0 +1,89 @@
+import json
+import os
+
+import numpy as np
+
+from retrieval_scaling_tpu.config import config_from_dict
+from retrieval_scaling_tpu.search.bm25 import BM25Index, analyze, build_bm25_index
+
+
+def test_analyze_stems_and_stops():
+    toks = analyze("The RUNNING dogs and cats are runs!")
+    assert "the" not in toks and "and" not in toks and "are" not in toks
+    assert "runn" in toks or "run" in toks  # "running" stemmed
+    assert "dog" in toks and "cat" in toks
+
+
+def test_bm25_ranks_relevant_docs_first():
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "a fast auburn fox leaped across a sleepy canine",
+        "stock markets rallied on tuesday as investors cheered",
+        "the fox population in urban areas is growing",
+        "dogs are popular pets in many households",
+    ]
+    index = BM25Index.build(docs)
+    scores, ids = index.search("fox dog", k=5)
+    assert ids[0] == 0  # contains both terms
+    assert set(ids[:3]) <= {0, 3, 4, 1}
+    assert (np.diff(scores) <= 1e-6).all()
+
+
+def test_bm25_idf_prefers_rare_terms():
+    docs = ["common word filler"] * 20 + ["common rareterm appears here"]
+    index = BM25Index.build(docs)
+    scores, ids = index.search("rareterm", k=3)
+    assert ids[0] == 20
+    s2, ids2 = index.search("common", k=3)
+    assert scores[0] > s2[0]  # rare term scores higher than ubiquitous term
+
+
+def test_bm25_save_load_roundtrip(tmp_path):
+    docs = [f"document number {i} about topic{i % 5}" for i in range(50)]
+    index = BM25Index.build(docs)
+    path = str(tmp_path / "bm25.npz")
+    index.save(path)
+    loaded = BM25Index.load(path)
+    q = "topic3 document"
+    s1, i1 = index.search(q, 10)
+    s2, i2 = loaded.search(q, 10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_build_bm25_pipeline(tmp_path):
+    corpus = tmp_path / "corpus.jsonl"
+    with open(corpus, "w") as f:
+        for i in range(30):
+            f.write(json.dumps({"text": f"passage about subject{i % 6} item {i}"}) + "\n")
+    cfg = config_from_dict(
+        {
+            "datastore": {
+                "datastore_root_dir": str(tmp_path / "out"),
+                "domain": "test",
+                "embedding": {
+                    "raw_data_path": str(corpus),
+                    "num_shards": 1,
+                    "chunk_size": 64,
+                    "passages_dir": str(tmp_path / "psg"),
+                    "use_passage_pos_id_map": True,
+                },
+                "index": {"index_shard_ids": [0]},
+            }
+        }
+    )
+    index = build_bm25_index(cfg)
+    scores, ids = index.search("subject3", k=5)
+    assert len(ids) == 5
+    # all hits mention subject3
+    docs_path = os.path.join(
+        str(tmp_path / "out"), "bm25", "test", "1-shards", "0", "bm25_docs.jsonl"
+    )
+    with open(docs_path) as f:
+        docs = [json.loads(line) for line in f]
+    for i in ids:
+        assert "subject3" in docs[int(i)]["contents"]
+    # second call loads from disk
+    again = build_bm25_index(cfg)
+    s2, i2 = again.search("subject3", k=5)
+    np.testing.assert_array_equal(ids, i2)

@@ -1,0 +1,221 @@
+"""Autoregressive generation for the GPT-NeoX reader with a KV cache.
+
+Needed by the RAG evaluation harness's ``generate_until`` tasks
+(reference: rag-evaluation-harness ``lm_eval/models/huggingface.py``
+``_model_generate``). TPU-first decode loop:
+
+  * static-shape KV cache ``[L, B, H, max_len, hd]`` updated with one-hot
+    writes (no scatters), per-row write positions so ragged prompts need no
+    left padding;
+  * prefill runs the full prompt through one causal forward that also
+    populates the cache; decode is a ``lax.while_loop`` of single-token
+    steps (stops early when every row hit EOS);
+  * greedy or temperature sampling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from retrieval_scaling_tpu.models.gpt_neox import (
+    GPTNeoXConfig,
+    _apply_rotary,
+    _layer_norm,
+    _rotary_cos_sin,
+)
+
+NEG_INF = -1e30
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, H, max_len, hd]
+    v: jax.Array
+
+
+def init_cache(cfg: GPTNeoXConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, cfg.num_heads, max_len, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _attention_with_cache(q, keys, values, q_pos, key_valid):
+    """q: [B, H, S, hd]; keys/values: [B, H, M, hd]; q_pos: [B, S];
+    key_valid: [B, M] — full mask attention (keys beyond q_pos excluded)."""
+    scores = jnp.einsum("bhsd,bhmd->bhsm", q.astype(jnp.float32), keys.astype(jnp.float32))
+    scores = scores * (q.shape[-1] ** -0.5)
+    m = keys.shape[2]
+    key_pos = jnp.arange(m)[None, None, None, :]             # [1,1,1,M]
+    ok = key_valid[:, None, None, :] & (key_pos <= q_pos[:, None, :, None])
+    scores = jnp.where(ok, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhsm,bhmd->bhsd", probs.astype(values.dtype), values)
+
+
+def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, write_onehot):
+    """One transformer block writing its new K/V into the cache.
+
+    positions: [B, S] absolute positions of x's tokens.
+    write_onehot: [B, M, S] one-hot of each token's cache slot.
+    Returns (x_out, new_cache_k, new_cache_v).
+    """
+    ln1 = _layer_norm(x, layer["ln1_scale"], layer["ln1_bias"], cfg.layer_norm_eps)
+    qkv = jnp.einsum("bsd,dtnk->bstnk", ln1, layer["qkv_w"]) + layer["qkv_b"][None, None]
+    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, hd]
+
+    rot = cfg.rotary_dims
+    max_pos = cfg.max_position_embeddings
+    cos_all, sin_all = _rotary_cos_sin(max_pos, rot, cfg.rotary_base, jnp.float32)
+    cos = cos_all[positions]  # [B, S, rot]
+    sin = sin_all[positions]
+
+    def rope(t):
+        tr = t[..., :rot].astype(jnp.float32)
+        half = rot // 2
+        t1, t2 = tr[..., :half], tr[..., half:]
+        rotated = jnp.concatenate([-t2, t1], axis=-1)
+        out = tr * cos[:, None] + rotated * sin[:, None]
+        return jnp.concatenate([out.astype(t.dtype), t[..., rot:]], axis=-1)
+
+    q, k = rope(q), rope(k)
+
+    # cache write: [B, H, M, hd] += onehot(slots) x new kv
+    new_k = cache_k + jnp.einsum("bms,bhsd->bhmd", write_onehot, k.astype(cache_k.dtype))
+    new_v = cache_v + jnp.einsum("bms,bhsd->bhmd", write_onehot, v.astype(cache_v.dtype))
+
+    attn = _attention_with_cache(q, new_k, new_v, positions, key_valid)
+    attn_out = jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
+
+    ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
+    h = jnp.dot(ln2, layer["mlp_in_w"]) + layer["mlp_in_b"]
+    h = jax.nn.gelu(h, approximate=False)
+    mlp_out = jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
+
+    if cfg.use_parallel_residual:
+        x = x + attn_out + mlp_out
+    else:
+        x = x + attn_out
+        ln2b = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
+        h = jnp.dot(ln2b, layer["mlp_in_w"]) + layer["mlp_in_b"]
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
+    return x, new_k, new_v
+
+
+def forward_with_cache(
+    params,
+    cfg: GPTNeoXConfig,
+    input_ids: jax.Array,   # [B, S]
+    positions: jax.Array,   # [B, S] absolute positions (pad rows repeat last)
+    cache: KVCache,
+    key_valid: jax.Array,   # [B, M] which cache slots hold real keys AFTER this call
+    write_mask: jax.Array | None = None,  # [B, S] tokens that may write (pads must not)
+) -> Tuple[jax.Array, KVCache]:
+    """Run a segment, writing K/V at ``positions``; returns (logits, cache).
+
+    Cache writes are additive one-hots into zeroed slots, so tokens beyond a
+    row's real length MUST be masked out of ``write_mask`` or they would
+    pollute slots that decode writes into later.
+    """
+    b, s = input_ids.shape
+    max_len = cache.k.shape[3]
+    x = params["embed_in"][input_ids]
+
+    slots = jnp.arange(max_len)[None, :, None]                      # [1, M, 1]
+    write_onehot = (slots == positions[:, None, :]).astype(cache.k.dtype)  # [B, M, S]
+    if write_mask is not None:
+        write_onehot = write_onehot * write_mask[:, None, :].astype(cache.k.dtype)
+
+    new_ks, new_vs = [], []
+    for li, layer in enumerate(params["layers"]):
+        x, nk, nv = _block_with_cache(
+            layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid, write_onehot
+        )
+        new_ks.append(nk)
+        new_vs.append(nv)
+
+    x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
+    logits = jnp.dot(x, params["embed_out"], preferred_element_type=jnp.float32)
+    return logits, KVCache(jnp.stack(new_ks), jnp.stack(new_vs))
+
+
+class GenState(NamedTuple):
+    cache: KVCache
+    tokens: jax.Array      # [B, max_new] generated so far
+    last_token: jax.Array  # [B]
+    cur_len: jax.Array     # [B] absolute next-write position
+    finished: jax.Array    # [B] bool
+    step: jax.Array
+    rng: jax.Array
+
+
+def make_generate_fn(cfg: GPTNeoXConfig, max_new_tokens: int, eos_id: int, temperature: float = 0.0):
+    """Build a jitted ``(params, prompt_ids, prompt_lens, seed) -> tokens`` fn.
+
+    prompt_ids: [B, S_pad] right-padded; prompt_lens: [B]. Output: [B,
+    max_new_tokens] with eos_id after each row finishes.
+    """
+
+    def fn(params, prompt_ids, prompt_lens, seed):
+        b, s_pad = prompt_ids.shape
+        max_len = s_pad + max_new_tokens
+        cache = init_cache(cfg, b, max_len, dtype=params["embed_in"].dtype)
+
+        # prefill: positions 0..s_pad-1 (pad tokens write masked-off slots)
+        positions = jnp.broadcast_to(jnp.arange(s_pad)[None, :], (b, s_pad))
+        key_valid = jnp.arange(max_len)[None, :] < prompt_lens[:, None]
+        write_mask = jnp.arange(s_pad)[None, :] < prompt_lens[:, None]
+        logits, cache = forward_with_cache(
+            params, cfg, prompt_ids, positions, cache, key_valid, write_mask
+        )
+        # last real token's logits per row
+        last_logits = jnp.take_along_axis(logits, (prompt_lens - 1)[:, None, None], axis=1)[:, 0]
+
+        def sample(lg, rng):
+            if temperature <= 0.0:
+                return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            rng_next = jax.random.fold_in(rng, 0)
+            return jax.random.categorical(rng_next, lg / temperature, axis=-1).astype(jnp.int32)
+
+        rng0 = jax.random.PRNGKey(seed)
+        first = sample(last_logits, rng0)
+        tokens0 = jnp.full((b, max_new_tokens), eos_id, jnp.int32).at[:, 0].set(first)
+        state = GenState(
+            cache=cache,
+            tokens=tokens0,
+            last_token=first,
+            cur_len=prompt_lens,
+            finished=first == eos_id,
+            step=jnp.ones((), jnp.int32),
+            rng=rng0,
+        )
+
+        def cond(st: GenState):
+            return (st.step < max_new_tokens) & ~jnp.all(st.finished)
+
+        def body(st: GenState):
+            positions = st.cur_len[:, None]  # write slot for the new token
+            key_valid = jnp.arange(max_len)[None, :] < (st.cur_len + 1)[:, None]
+            logits, cache = forward_with_cache(
+                params, cfg, st.last_token[:, None], positions, st.cache, key_valid
+            )
+            rng = jax.random.fold_in(st.rng, st.step)
+            nxt = sample(logits[:, 0], rng)
+            nxt = jnp.where(st.finished, eos_id, nxt)
+            tokens = st.tokens.at[:, st.step].set(nxt)
+            return GenState(
+                cache=cache,
+                tokens=tokens,
+                last_token=nxt,
+                cur_len=st.cur_len + 1,
+                finished=st.finished | (nxt == eos_id),
+                step=st.step + 1,
+                rng=st.rng,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.tokens
+
+    return jax.jit(fn)

@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retrieval_scaling_tpu.models.generate import (
+    forward_with_cache,
+    init_cache,
+    make_generate_fn,
+)
+from retrieval_scaling_tpu.models.gpt_neox import (
+    GPTNeoXConfig,
+    gpt_neox_forward,
+    init_gpt_neox_params,
+)
+
+CFG = GPTNeoXConfig(
+    vocab_size=97,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=64,
+    attention_impl="xla",
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_gpt_neox_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_cached_forward_matches_full_forward(params):
+    """Prefill+cache logits must equal the plain causal forward."""
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 97, (2, 12)), jnp.int32)
+    full_logits = gpt_neox_forward(params, CFG, ids)
+
+    cache = init_cache(CFG, 2, 20, dtype=jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(12)[None], (2, 12))
+    key_valid = jnp.arange(20)[None, :] < 12
+    cached_logits, cache = forward_with_cache(params, CFG, ids, positions, cache, key_valid)
+    np.testing.assert_allclose(
+        np.asarray(cached_logits), np.asarray(full_logits), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_incremental_decode_matches_full_forward(params):
+    """Token-by-token decoding with cache == full forward on the same text."""
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(0, 97, (1, 10)), jnp.int32)
+    full_logits = gpt_neox_forward(params, CFG, ids)
+
+    cache = init_cache(CFG, 1, 16, dtype=jnp.float32)
+    # prefill first 6 tokens
+    pos = jnp.arange(6)[None]
+    kv = jnp.arange(16)[None, :] < 6
+    logits, cache = forward_with_cache(params, CFG, ids[:, :6], pos, cache, kv)
+    np.testing.assert_allclose(np.asarray(logits[0, -1]), np.asarray(full_logits[0, 5]), atol=2e-4, rtol=1e-3)
+    # decode tokens 6..9 one at a time
+    for t in range(6, 10):
+        kv = jnp.arange(16)[None, :] < (t + 1)
+        logits, cache = forward_with_cache(
+            params, CFG, ids[:, t : t + 1], jnp.asarray([[t]]), cache, kv
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits[0, 0]), np.asarray(full_logits[0, t]), atol=3e-4, rtol=1e-3
+        )
+
+
+def test_greedy_generation_deterministic_and_stops(params):
+    rng = np.random.RandomState(2)
+    prompts = jnp.asarray(rng.randint(1, 97, (2, 8)), jnp.int32)
+    lens = jnp.asarray([8, 5], jnp.int32)
+    gen = make_generate_fn(CFG, max_new_tokens=6, eos_id=0)
+    out1 = np.asarray(gen(params, prompts, lens, 0))
+    out2 = np.asarray(gen(params, prompts, lens, 123))  # greedy ignores seed
+    np.testing.assert_array_equal(out1, out2)
+    assert out1.shape == (2, 6)
+
+    # ragged prompts: row 1 conditions only on its first 5 tokens
+    prompts_b = prompts.at[1, 5:].set(93)  # change pad region only
+    out3 = np.asarray(gen(params, prompts_b, lens, 0))
+    np.testing.assert_array_equal(out1[1], out3[1])
+
+
+def test_greedy_matches_argmax_of_full_forward(params):
+    """First generated token == argmax of the last prompt position."""
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(rng.randint(1, 97, (1, 7)), jnp.int32)
+    logits = gpt_neox_forward(params, CFG, ids)
+    expect = int(jnp.argmax(logits[0, -1]))
+    gen = make_generate_fn(CFG, max_new_tokens=3, eos_id=0)
+    out = np.asarray(gen(params, ids, jnp.asarray([7], jnp.int32), 0))
+    assert out[0, 0] == expect
+
+
+def test_sampled_generation_varies_with_seed(params):
+    rng = np.random.RandomState(4)
+    ids = jnp.asarray(rng.randint(1, 97, (1, 6)), jnp.int32)
+    gen = make_generate_fn(CFG, max_new_tokens=8, eos_id=0, temperature=1.0)
+    a = np.asarray(gen(params, ids, jnp.asarray([6], jnp.int32), 0))
+    b = np.asarray(gen(params, ids, jnp.asarray([6], jnp.int32), 1))
+    assert not np.array_equal(a, b)

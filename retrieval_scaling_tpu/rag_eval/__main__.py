@@ -1,0 +1,93 @@
+"""CLI for the RAG evaluation harness.
+
+Mirrors the reference's lm_eval CLI including the RAG flags
+(reference: rag-evaluation-harness/lm_eval/__main__.py:253-304):
+
+    python -m retrieval_scaling_tpu.rag_eval \
+        --model jax --model_args pretrained=EleutherAI/pythia-1b \
+        --tasks nq_open --data_root data/ \
+        --retrieval_file results.jsonl --concat_k 3 \
+        --results_only_save_path results.log
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def parse_model_args(spec: str) -> dict:
+    out = {}
+    if spec:
+        for part in spec.split(","):
+            key, _, val = part.partition("=")
+            out[key.strip()] = val.strip()
+    return out
+
+
+def build_lm(model: str, model_args: dict, batch_size: int):
+    if model == "dummy":
+        from retrieval_scaling_tpu.rag_eval.models import DummyLM
+
+        return DummyLM()
+    if model in ("jax", "jax-reader", "hf"):
+        from retrieval_scaling_tpu.rag_eval.models import JaxReaderLM
+
+        return JaxReaderLM.from_pretrained(model_args["pretrained"], batch_size=batch_size)
+    raise ValueError(f"unknown model backend {model!r}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", default="jax")
+    parser.add_argument("--model_args", default="")
+    parser.add_argument("--tasks", required=True, help="comma-separated task names")
+    parser.add_argument("--num_fewshot", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--data_root", default=None)
+    parser.add_argument("--output_path", default=None)
+    # RAG flags (reference: lm_eval/__main__.py:253-304)
+    parser.add_argument("--save_inputs_only", action="store_true")
+    parser.add_argument("--inputs_save_dir", default=None)
+    parser.add_argument("--answer_save_dir", default=None)
+    parser.add_argument("--overwrite_saved_inputs", action="store_true")
+    parser.add_argument("--retrieval_file", default=None)
+    parser.add_argument("--retrieval_dir", default=None)
+    parser.add_argument("--concat_k", type=int, default=0)
+    parser.add_argument("--additional_system_prompt", default=None)
+    parser.add_argument("--results_only_save_path", default=None)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+
+    from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+
+    lm = build_lm(args.model, parse_model_args(args.model_args), args.batch_size)
+    results = simple_evaluate(
+        lm,
+        tasks=args.tasks.split(","),
+        num_fewshot=args.num_fewshot,
+        data_root=args.data_root,
+        limit=args.limit,
+        save_inputs_only=args.save_inputs_only,
+        inputs_save_dir=args.inputs_save_dir,
+        answer_save_dir=args.answer_save_dir,
+        overwrite_saved_inputs=args.overwrite_saved_inputs,
+        retrieval_file=args.retrieval_file,
+        retrieval_dir=args.retrieval_dir,
+        concat_k=args.concat_k,
+        additional_system_prompt=args.additional_system_prompt,
+        results_only_save_path=args.results_only_save_path,
+    )
+    if results is not None:
+        print(json.dumps(results, indent=2))
+        if args.output_path:
+            with open(args.output_path, "w") as f:
+                json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

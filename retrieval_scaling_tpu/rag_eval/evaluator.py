@@ -1,0 +1,201 @@
+"""Evaluator with the RAG retrieval hooks.
+
+Reproduces the reference evaluator's RAG flow (reference:
+rag-evaluation-harness/lm_eval/evaluator.py:399-558,803-843):
+
+  1. build requests with fewshot contexts;
+  2. export queries (``save_inputs_only`` / ``inputs_save_dir``) — the 0-shot
+     question extracted by splitting on the '\\n\\n' fewshot delimiter;
+  3. export gold answers (``answer_save_dir``);
+  4. hash the retrieval results file into {query -> concat of k ctx texts in
+     reverse relevance order} and prepend to every prompt
+     (``retrieval_file``/``retrieval_dir`` + ``concat_k``);
+  5. run the LM over requests, apply metrics, emit results with ``n-doc``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List, Optional
+
+from retrieval_scaling_tpu.rag_eval.metrics import METRICS, aggregate_mean
+from retrieval_scaling_tpu.rag_eval.tasks import Task, TaskConfig, get_task
+
+logger = logging.getLogger(__name__)
+
+
+def extract_question_from_fewshot_prompt(prompt: str) -> str:
+    """0-shot question = last '\\n\\n'-delimited segment
+    (reference: evaluator.py:803-809)."""
+    return prompt.split("\n\n")[-1]
+
+
+def hash_retrieval_results(path: str, concat_k: int) -> Dict[str, str]:
+    """{query -> k ctx texts concatenated most-relevant-last}
+    (reference: evaluator.py:812-843)."""
+    hashed: Dict[str, str] = {}
+    with open(path) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    for row in rows:
+        if "raw_query" in row or "query" in row:
+            raw_query = row.get("raw_query", row.get("query"))
+            raw_query = extract_question_from_fewshot_prompt(raw_query)
+        else:
+            raw_query = row["question"]
+        ctxs = row.get("ctxs") or []
+        k_ctx = ""
+        for i in range(concat_k):
+            if i >= len(ctxs) or ctxs[i] is None:
+                logger.warning("only %d docs available to prepend", i)
+                break
+            ctx = ctxs[i]
+            text = ctx.get("retrieval text", ctx.get("text", ""))
+            k_ctx = text + k_ctx
+        hashed[raw_query] = k_ctx
+    return hashed
+
+
+def _run_requests(lm, requests: List[dict]) -> List[dict]:
+    """Dispatch grouped by request type; returns per-request result dicts."""
+    gen_idx = [i for i, r in enumerate(requests) if r["type"] == "generate_until"]
+    ll_idx = [i for i, r in enumerate(requests) if r["type"] == "loglikelihood"]
+    mc_idx = [i for i, r in enumerate(requests) if r["type"] == "multiple_choice"]
+    results: List[dict] = [None] * len(requests)  # type: ignore[list-item]
+
+    if gen_idx:
+        outs = lm.generate_until([requests[i] for i in gen_idx])
+        for i, text in zip(gen_idx, outs):
+            results[i] = {"prediction": text}
+
+    if ll_idx:
+        pairs = [(requests[i]["context"], requests[i]["continuation"]) for i in ll_idx]
+        outs = lm.loglikelihood(pairs)
+        for i, (ll, greedy) in zip(ll_idx, outs):
+            results[i] = {"loglikelihood": ll, "is_greedy": greedy}
+
+    if mc_idx:
+        flat_pairs, owners = [], []
+        for i in mc_idx:
+            for choice in requests[i]["choices"]:
+                flat_pairs.append((requests[i]["context"], choice))
+                owners.append(i)
+        outs = lm.loglikelihood(flat_pairs)
+        per_req: Dict[int, List[float]] = {}
+        for owner, (ll, _) in zip(owners, outs):
+            per_req.setdefault(owner, []).append(ll)
+        for i in mc_idx:
+            lls = per_req[i]
+            results[i] = {"choice_lls": lls, "prediction_idx": int(max(range(len(lls)), key=lls.__getitem__))}
+
+    return results
+
+
+def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[str, float]:
+    metric_values: Dict[str, List[float]] = {}
+    for req, out in zip(requests, outputs):
+        doc = req["doc"]
+        if req["type"] == "generate_until":
+            refs = task.references(doc)
+            for name in task.cfg.metric_list:
+                metric_values.setdefault(name, []).append(METRICS[name](out["prediction"], refs))
+        elif req["type"] == "loglikelihood":
+            metric_values.setdefault("loglikelihood", []).append(out["loglikelihood"])
+            metric_values.setdefault("acc", []).append(float(out["is_greedy"]))
+        else:  # multiple_choice
+            metric_values.setdefault("acc", []).append(float(out["prediction_idx"] == req["gold"]))
+    return {name: aggregate_mean(vals) for name, vals in metric_values.items()}
+
+
+def simple_evaluate(
+    lm,
+    tasks: List[str],
+    num_fewshot: Optional[int] = None,
+    data_root: Optional[str] = None,
+    limit: Optional[int] = None,
+    # RAG flags (reference: lm_eval/__main__.py:253-304)
+    save_inputs_only: bool = False,
+    inputs_save_dir: Optional[str] = None,
+    answer_save_dir: Optional[str] = None,
+    overwrite_saved_inputs: bool = False,
+    retrieval_file: Optional[str] = None,
+    retrieval_dir: Optional[str] = None,
+    concat_k: int = 0,
+    additional_system_prompt: Optional[str] = None,
+    results_only_save_path: Optional[str] = None,
+) -> Optional[dict]:
+    all_results = {"results": {}, "n-doc": concat_k}
+
+    for task_name in tasks:
+        cfg = get_task(task_name) if isinstance(task_name, str) else task_name
+        if limit:
+            cfg.limit = limit
+        task = Task(cfg, data_root=data_root)
+        requests = task.build_requests(num_fewshot)
+        logger.info("Task %s: %d requests", cfg.task, len(requests))
+
+        # --- query export for offline retrieval (step 1 of the RAG pipeline)
+        if inputs_save_dir:
+            os.makedirs(inputs_save_dir, exist_ok=True)
+            save_file = os.path.join(inputs_save_dir, f"{cfg.task}.jsonl")
+            if not os.path.exists(save_file) or overwrite_saved_inputs:
+                with open(save_file, "w") as f:
+                    for req in requests:
+                        f.write(
+                            json.dumps(
+                                {"query": extract_question_from_fewshot_prompt(req["context"])}
+                            )
+                            + "\n"
+                        )
+        if answer_save_dir:
+            os.makedirs(answer_save_dir, exist_ok=True)
+            save_file = os.path.join(answer_save_dir, f"{cfg.task}.jsonl")
+            if not os.path.exists(save_file) or overwrite_saved_inputs:
+                with open(save_file, "w") as f:
+                    for req in requests:
+                        f.write(
+                            json.dumps(
+                                {"query": req["context"], "answer": task.references(req["doc"])}
+                            )
+                            + "\n"
+                        )
+        if save_inputs_only:
+            logger.info("save_inputs_only set; skipping evaluation")
+            continue
+
+        # --- retrieved-context prepending
+        if retrieval_file or retrieval_dir:
+            rfile = retrieval_file or os.path.join(
+                retrieval_dir, f"{cfg.task}_retrieved_results.jsonl"
+            )
+            hashed = hash_retrieval_results(rfile, concat_k)
+            missing = 0
+            for req in requests:
+                query = extract_question_from_fewshot_prompt(req["context"])
+                if query not in hashed:
+                    missing += 1
+                    continue
+                prefix = hashed[query]
+                if additional_system_prompt:
+                    req["context"] = prefix + "\n\n" + additional_system_prompt + req["context"]
+                else:
+                    req["context"] = prefix + req["context"]
+            if missing:
+                logger.warning("%d/%d queries missing from retrieval file", missing, len(requests))
+        elif additional_system_prompt:
+            for req in requests:
+                req["context"] = additional_system_prompt + req["context"]
+
+        outputs = _run_requests(lm, requests)
+        scores = _score_task(task, requests, outputs)
+        all_results["results"][cfg.task] = {**scores, "n-doc": concat_k, "samples": len(requests)}
+        logger.info("Task %s: %s", cfg.task, scores)
+
+    if save_inputs_only:
+        return None
+
+    if results_only_save_path:
+        with open(results_only_save_path, "a") as f:
+            f.write(json.dumps(all_results) + "\n")
+    return all_results

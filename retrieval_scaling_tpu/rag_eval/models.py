@@ -1,0 +1,181 @@
+"""LM backends for the RAG evaluation harness.
+
+Interface (the lm-eval ``LM`` contract, reference:
+rag-evaluation-harness/lm_eval/api/model.py):
+
+  * ``loglikelihood(pairs) -> [(ll_sum, is_greedy)]``
+  * ``generate_until(reqs) -> [text]``
+
+``JaxReaderLM`` drives the GPT-NeoX JAX reader (length-bucketed batches,
+KV-cache generation); ``DummyLM`` is the deterministic fake backend for
+tests (reference: lm_eval/models/dummy.py:10-40).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class DummyLM:
+    """Deterministic fake: loglikelihoods hash the text; generations echo."""
+
+    def loglikelihood(self, pairs: Sequence[Tuple[str, str]]):
+        out = []
+        for ctx, cont in pairs:
+            h = int(hashlib.blake2b((ctx + "|" + cont).encode(), digest_size=8).hexdigest(), 16)
+            out.append((-(h % 1000) / 100.0, bool(h % 2)))
+        return out
+
+    def generate_until(self, reqs: Sequence[dict]):
+        return ["dummy answer" for _ in reqs]
+
+
+class EchoAnswerLM:
+    """Test backend that 'knows' answers embedded in the prompt context."""
+
+    def __init__(self, answer_fn):
+        self.answer_fn = answer_fn
+
+    def loglikelihood(self, pairs):
+        return [(-float(len(cont)), False) for _, cont in pairs]
+
+    def generate_until(self, reqs):
+        return [self.answer_fn(r["context"]) for r in reqs]
+
+
+class JaxReaderLM:
+    """GPT-NeoX reader backend."""
+
+    def __init__(self, params, cfg, tokenizer, batch_size: int = 8, max_length: int | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        from retrieval_scaling_tpu.evals.perplexity import make_row_loss_fn
+        from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
+
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_length = max_length or cfg.max_position_embeddings
+        self.params = params
+        self._jnp = jnp
+        self._jax = jax
+
+        @jax.jit
+        def row_ll_greedy(params, ids, labels):
+            logits = gpt_neox_forward(params, cfg, ids)
+            shift_logits = logits[:, :-1]
+            shift_labels = labels[:, 1:]
+            mask = shift_labels != -100
+            safe = jnp.where(mask, shift_labels, 0)
+            logprobs = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+            token_ll = jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
+            ll = jnp.sum(token_ll * mask, axis=-1)
+            greedy = jnp.argmax(shift_logits, axis=-1) == safe
+            is_greedy = jnp.all(jnp.where(mask, greedy, True), axis=-1)
+            return ll, is_greedy
+
+        self._row_ll = row_ll_greedy
+        self._gen_fns = {}
+
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, batch_size: int = 8):
+        from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
+
+        params, cfg = load_hf_reader(name_or_path)
+        return cls(params, cfg, load_tokenizer(name_or_path), batch_size)
+
+    # ------------------------------------------------------------ ll
+    def loglikelihood(self, pairs: Sequence[Tuple[str, str]]):
+        jnp = self._jnp
+        rows = []
+        for i, (ctx, cont) in enumerate(pairs):
+            ctx_ids = self.tokenizer(ctx)["input_ids"] if ctx else [self._eos_id()]
+            cont_ids = self.tokenizer(cont)["input_ids"]
+            ids = (ctx_ids + cont_ids)[-self.max_length :]
+            labels = ([-100] * len(ctx_ids) + cont_ids)[-self.max_length :]
+            rows.append((i, ids, labels))
+
+        rows.sort(key=lambda r: len(r[1]))
+        out: List[Tuple[float, bool]] = [None] * len(rows)  # type: ignore[list-item]
+        pad_id = self._eos_id()
+        pos = 0
+        while pos < len(rows):
+            batch = rows[pos : pos + self.batch_size]
+            width = _bucket(max(len(r[1]) for r in batch), self.max_length)
+            ids_np = np.full((self.batch_size, width), pad_id, np.int32)
+            lab_np = np.full((self.batch_size, width), -100, np.int32)
+            for r, (_, ids, labels) in enumerate(batch):
+                ids_np[r, : len(ids)] = ids
+                lab_np[r, : len(labels)] = labels
+            ll, greedy = self._row_ll(self.params, jnp.asarray(ids_np), jnp.asarray(lab_np))
+            ll = np.asarray(ll, np.float64)
+            greedy = np.asarray(greedy)
+            for r, (orig, _, _) in enumerate(batch):
+                out[orig] = (float(ll[r]), bool(greedy[r]))
+            pos += self.batch_size
+        return out
+
+    # ------------------------------------------------------------ gen
+    def _eos_id(self) -> int:
+        return (
+            self.tokenizer.eos_token_id
+            if self.tokenizer.eos_token_id is not None
+            else (self.tokenizer.pad_token_id or 0)
+        )
+
+    def _gen_fn(self, max_new: int):
+        if max_new not in self._gen_fns:
+            from retrieval_scaling_tpu.models.generate import make_generate_fn
+
+            self._gen_fns[max_new] = make_generate_fn(self.cfg, max_new, self._eos_id())
+        return self._gen_fns[max_new]
+
+    def generate_until(self, reqs: Sequence[dict]):
+        jnp = self._jnp
+        results: List[str] = [""] * len(reqs)
+        order = sorted(range(len(reqs)), key=lambda i: len(reqs[i]["context"]))
+        pos = 0
+        while pos < len(order):
+            take = order[pos : pos + self.batch_size]
+            batch = [reqs[i] for i in take]
+            max_new = max(r["gen_kwargs"].get("max_gen_toks", 32) for r in batch)
+            enc = [
+                self.tokenizer(r["context"])["input_ids"][-(self.max_length - max_new):]
+                for r in batch
+            ]
+            lens = [len(e) for e in enc]
+            width = _bucket(max(lens), self.max_length - max_new)
+            ids_np = np.full((self.batch_size, width), self._eos_id(), np.int32)
+            len_np = np.ones(self.batch_size, np.int32)
+            for r, e in enumerate(enc):
+                ids_np[r, : len(e)] = e
+                len_np[r] = len(e)
+            tokens = np.asarray(
+                self._gen_fn(max_new)(self.params, jnp.asarray(ids_np), jnp.asarray(len_np), 0)
+            )
+            for r, i in enumerate(take):
+                text = self.tokenizer.decode(
+                    [t for t in tokens[r].tolist() if t != self._eos_id()],
+                    skip_special_tokens=True,
+                )
+                for stop in reqs[i]["gen_kwargs"].get("until", []):
+                    idx = text.find(stop)
+                    if idx >= 0:
+                        text = text[:idx]
+                results[i] = text
+            pos += self.batch_size
+        return results
+
+
+def _bucket(length: int, cap: int) -> int:
+    b = 32
+    while b < length:
+        b *= 2
+    return min(b, max(cap, 1))

@@ -1,0 +1,215 @@
+"""Declarative task system (lm-eval-style YAML configs).
+
+Schema subset of the reference's task YAMLs (reference:
+rag-evaluation-harness/lm_eval/tasks/nq_open/nq_open.yaml):
+
+  task: nq_open
+  dataset_path: <jsonl file | directory with {split}.jsonl | hf dataset id>
+  output_type: generate_until | loglikelihood | multiple_choice
+  doc_to_text: "Q: {question}\\nA:"     # str.format over the doc dict
+  doc_to_target: "{answer[0]}" | field name
+  doc_to_choice: field name holding the choice list (multiple_choice)
+  target_delimiter: " "
+  fewshot_delimiter: "\\n\\n"
+  num_fewshot: 0
+  generation_kwargs: {until: ["\\n"], max_gen_toks: 32}
+  metric_list: [exact_match]
+  description: ""                       # prefix prepended once
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import random
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class TaskConfig:
+    task: str
+    dataset_path: str = ""
+    test_split: str = "test"
+    fewshot_split: Optional[str] = None
+    output_type: str = "generate_until"
+    doc_to_text: str = "{question}"
+    doc_to_target: str = "{answer}"
+    doc_to_choice: Optional[str] = None
+    target_delimiter: str = " "
+    fewshot_delimiter: str = "\n\n"
+    num_fewshot: int = 0
+    generation_kwargs: Dict[str, Any] = field(default_factory=dict)
+    metric_list: List[str] = field(default_factory=lambda: ["exact_match"])
+    description: str = ""
+    limit: Optional[int] = None
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "TaskConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        known = {f_.name for f_ in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+        return cls(**{k: v for k, v in raw.items() if k in known})
+
+
+_BUILTIN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "task_configs")
+_EXTRA_DIRS: List[str] = []
+
+
+def register_task_dir(path: str) -> None:
+    _EXTRA_DIRS.append(path)
+
+
+def list_tasks() -> List[str]:
+    names = []
+    for d in [_BUILTIN_DIR] + _EXTRA_DIRS:
+        for p in glob.glob(os.path.join(d, "*.yaml")):
+            names.append(os.path.splitext(os.path.basename(p))[0])
+    return sorted(set(names))
+
+
+def get_task(name: str) -> TaskConfig:
+    for d in _EXTRA_DIRS + [_BUILTIN_DIR]:
+        path = os.path.join(d, name + ".yaml")
+        if os.path.exists(path):
+            return TaskConfig.from_yaml(path)
+    if os.path.exists(name) and name.endswith((".yaml", ".yml")):
+        return TaskConfig.from_yaml(name)
+    raise KeyError(f"Unknown task {name!r}; known: {list_tasks()}")
+
+
+# ---------------------------------------------------------------- documents
+def _render(template: str, doc: dict) -> str:
+    """str.format with list indexing ({answer[0]}) and bare-field fallback."""
+    if template in doc:  # bare field name
+        val = doc[template]
+        return val if isinstance(val, str) else json.dumps(val)
+    try:
+        return template.format(**doc)
+    except (KeyError, IndexError) as e:
+        raise KeyError(f"template {template!r} failed on doc keys {list(doc)}: {e}")
+
+
+def load_documents(cfg: TaskConfig, split: str | None = None, data_root: str | None = None) -> List[dict]:
+    split = split or cfg.test_split
+    path = cfg.dataset_path
+    if data_root and not os.path.isabs(path):
+        path = os.path.join(data_root, path)
+    if os.path.isdir(path):
+        candidates = [os.path.join(path, f"{split}.jsonl"), os.path.join(path, f"{split}.json")]
+        path = next((c for c in candidates if os.path.exists(c)), candidates[0])
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"dataset for task {cfg.task!r} not found at {path}")
+    with open(path) as f:
+        docs = [json.loads(line) for line in f if line.strip()]
+    if cfg.limit:
+        docs = docs[: cfg.limit]
+    return docs
+
+
+class Task:
+    """Materialized task: documents + prompt building + requests."""
+
+    def __init__(self, cfg: TaskConfig, data_root: str | None = None, seed: int = 1234):
+        self.cfg = cfg
+        self.docs = load_documents(cfg, data_root=data_root)
+        self.fewshot_docs = (
+            load_documents(cfg, split=cfg.fewshot_split, data_root=data_root)
+            if cfg.fewshot_split
+            else None
+        )
+        self.rng = random.Random(seed)
+
+    # ---------------- prompt assembly
+    def doc_text(self, doc: dict) -> str:
+        return _render(self.cfg.doc_to_text, doc)
+
+    def doc_target(self, doc: dict) -> str:
+        return _render(self.cfg.doc_to_target, doc)
+
+    def doc_choices(self, doc: dict) -> List[str]:
+        assert self.cfg.doc_to_choice, "multiple_choice task requires doc_to_choice"
+        choices = doc[self.cfg.doc_to_choice]
+        assert isinstance(choices, list)
+        return [str(c) for c in choices]
+
+    def references(self, doc: dict) -> List[str]:
+        """Gold references for metrics (answer lists pass through)."""
+        for key in ("answers", "answer"):
+            if key in doc:
+                val = doc[key]
+                if isinstance(val, list):
+                    return [str(v) for v in val]
+                if isinstance(val, dict) and "aliases" in val:
+                    return [str(v) for v in val["aliases"]]
+                return [str(val)]
+        return [self.doc_target(doc)]
+
+    def fewshot_context(self, doc: dict, num_fewshot: int | None = None) -> str:
+        """description + N sampled shots + the doc's own prompt.
+
+        Shots join with the fewshot delimiter — '\\n\\n' is load-bearing for
+        the harness's query extraction (reference: evaluator.py:803-809).
+        """
+        n = self.cfg.num_fewshot if num_fewshot is None else num_fewshot
+        parts = []
+        if n:
+            pool = self.fewshot_docs if self.fewshot_docs is not None else self.docs
+            pool = [d for d in pool if d is not doc]
+            shots = self.rng.sample(pool, min(n, len(pool)))
+            for shot in shots:
+                parts.append(self.doc_text(shot) + self.cfg.target_delimiter + self.doc_target(shot))
+        parts.append(self.doc_text(doc))
+        body = self.cfg.fewshot_delimiter.join(parts)
+        return self.cfg.description + body
+
+    # ---------------- requests
+    def build_requests(self, num_fewshot: int | None = None) -> List[dict]:
+        """One request record per doc.
+
+        generate_until: {context, gen_kwargs}; loglikelihood: (context,
+        continuation); multiple_choice: one continuation per choice.
+        """
+        requests = []
+        for doc in self.docs:
+            context = self.fewshot_context(doc, num_fewshot)
+            if self.cfg.output_type == "generate_until":
+                requests.append(
+                    {
+                        "type": "generate_until",
+                        "doc": doc,
+                        "context": context,
+                        "gen_kwargs": {
+                            "until": self.cfg.generation_kwargs.get("until", ["\n"]),
+                            "max_gen_toks": self.cfg.generation_kwargs.get("max_gen_toks", 32),
+                        },
+                    }
+                )
+            elif self.cfg.output_type == "loglikelihood":
+                requests.append(
+                    {
+                        "type": "loglikelihood",
+                        "doc": doc,
+                        "context": context,
+                        "continuation": self.cfg.target_delimiter + self.doc_target(doc),
+                    }
+                )
+            elif self.cfg.output_type == "multiple_choice":
+                requests.append(
+                    {
+                        "type": "multiple_choice",
+                        "doc": doc,
+                        "context": context,
+                        "choices": [
+                            self.cfg.target_delimiter + c for c in self.doc_choices(doc)
+                        ],
+                        "gold": int(doc.get("gold", doc.get("label", 0))),
+                    }
+                )
+            else:
+                raise ValueError(f"unknown output_type {self.cfg.output_type!r}")
+        return requests

@@ -1,0 +1,195 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from retrieval_scaling_tpu.rag_eval.evaluator import (
+    extract_question_from_fewshot_prompt,
+    hash_retrieval_results,
+    simple_evaluate,
+)
+from retrieval_scaling_tpu.rag_eval.metrics import exact_match, f1_score
+from retrieval_scaling_tpu.rag_eval.models import DummyLM, EchoAnswerLM, JaxReaderLM
+from retrieval_scaling_tpu.rag_eval.tasks import Task, TaskConfig, get_task, list_tasks
+
+from helpers import make_word_tokenizer
+
+
+# ---------------------------------------------------------------- metrics
+def test_exact_match_normalization():
+    assert exact_match("The Eagles!", ["eagles"]) == 1.0
+    assert exact_match("the answer is paris", ["Paris"]) == 0.0
+    assert f1_score("paris france", ["paris"]) > 0.5
+
+
+# ---------------------------------------------------------------- tasks
+def _write_task_data(tmp_path, n=6):
+    d = tmp_path / "nq_open"
+    d.mkdir(exist_ok=True)
+    with open(d / "validation.jsonl", "w") as f:
+        for i in range(n):
+            f.write(json.dumps({"question": f"what is item {i}", "answer": [f"thing{i}"]}) + "\n")
+    return str(tmp_path)
+
+
+def test_builtin_tasks_registered():
+    names = list_tasks()
+    assert {"nq_open", "triviaqa", "hotpotqa", "mmlu"} <= set(names)
+
+
+def test_task_prompt_building(tmp_path):
+    root = _write_task_data(tmp_path)
+    cfg = get_task("nq_open")
+    task = Task(cfg, data_root=root)
+    reqs = task.build_requests()
+    assert len(reqs) == 6
+    assert reqs[0]["context"] == "Q: what is item 0?\nA:"
+    assert reqs[0]["gen_kwargs"]["until"] == ["\n", ".", ","]
+
+
+def test_fewshot_context_uses_delimiter(tmp_path):
+    root = _write_task_data(tmp_path)
+    cfg = get_task("nq_open")
+    task = Task(cfg, data_root=root)
+    ctx = task.fewshot_context(task.docs[0], num_fewshot=2)
+    parts = ctx.split("\n\n")
+    assert len(parts) == 3
+    assert parts[-1] == "Q: what is item 0?\nA:"
+    for shot in parts[:-1]:
+        assert shot.startswith("Q: ") and " thing" in shot
+    # query extraction inverts fewshot assembly
+    assert extract_question_from_fewshot_prompt(ctx) == "Q: what is item 0?\nA:"
+
+
+# ---------------------------------------------------------------- RAG flow
+def test_query_export_and_retrieval_prepend(tmp_path):
+    root = _write_task_data(tmp_path)
+    inputs_dir = str(tmp_path / "inputs")
+
+    # step 1: export queries
+    out = simple_evaluate(
+        DummyLM(), ["nq_open"], data_root=root,
+        save_inputs_only=True, inputs_save_dir=inputs_dir,
+    )
+    assert out is None
+    with open(os.path.join(inputs_dir, "nq_open.jsonl")) as f:
+        queries = [json.loads(line)["query"] for line in f]
+    assert queries[0] == "Q: what is item 0?\nA:"
+
+    # step 2: fake retrieval results keyed by those queries
+    rfile = str(tmp_path / "nq_open_retrieved_results.jsonl")
+    with open(rfile, "w") as f:
+        for i, q in enumerate(queries):
+            ctxs = [
+                {"retrieval text": f"[doc-a-{i}] ", "retrieval score": "9"},
+                {"retrieval text": f"[doc-b-{i}] ", "retrieval score": "5"},
+            ]
+            f.write(json.dumps({"raw_query": q, "ctxs": ctxs}) + "\n")
+
+    hashed = hash_retrieval_results(rfile, concat_k=2)
+    # reverse order: doc-b (rank 2) precedes doc-a (rank 1)
+    assert hashed[queries[0]] == "[doc-b-0] [doc-a-0] "
+
+    # step 3: evaluate with prepended retrieval; EchoAnswerLM reads the doc
+    def answer_from_ctx(context):
+        # prove the retrieval prefix reached the prompt
+        assert context.startswith("[doc-b-")
+        idx = context.index("item ")
+        return "thing" + context[idx + 5]
+
+    res = simple_evaluate(
+        EchoAnswerLM(answer_from_ctx), ["nq_open"], data_root=root,
+        retrieval_file=rfile, concat_k=2,
+    )
+    assert res["results"]["nq_open"]["exact_match"] == 1.0
+    assert res["results"]["nq_open"]["n-doc"] == 2
+
+
+def test_multiple_choice_scoring(tmp_path):
+    d = tmp_path / "mmlu"
+    d.mkdir()
+    with open(d / "test.jsonl", "w") as f:
+        for i in range(4):
+            f.write(
+                json.dumps(
+                    {
+                        "question": f"pick {i}",
+                        "choices": ["alpha", "beta", "gamma", "delta"],
+                        "gold": i % 4,
+                    }
+                )
+                + "\n"
+            )
+
+    class OracleLM:
+        def loglikelihood(self, pairs):
+            # highest ll for the gold choice: continuation matching "pick i" index
+            out = []
+            for ctx, cont in pairs:
+                i = int(ctx.split("pick ")[1][0])
+                gold = ["alpha", "beta", "gamma", "delta"][i % 4]
+                out.append((0.0 if gold in cont else -10.0, False))
+            return out
+
+    res = simple_evaluate(OracleLM(), ["mmlu"], data_root=str(tmp_path))
+    assert res["results"]["mmlu"]["acc"] == 1.0
+
+
+def test_results_only_log(tmp_path):
+    root = _write_task_data(tmp_path)
+    log = str(tmp_path / "results.log")
+    simple_evaluate(DummyLM(), ["nq_open"], data_root=root, results_only_save_path=log)
+    with open(log) as f:
+        rec = json.loads(f.readline())
+    assert "nq_open" in rec["results"]
+
+
+# ---------------------------------------------------------------- JAX backend
+def test_jax_reader_lm_loglikelihood_and_generation(tmp_path):
+    from helpers import tiny_reader
+
+    texts = [f"question {i} answer {i}" for i in range(10)]
+    tokenizer = make_word_tokenizer(texts, extra_tokens=["Q", ":", "A"])
+    reader = tiny_reader(tokenizer)
+    lm = JaxReaderLM(reader.params, reader.cfg, tokenizer, batch_size=4)
+
+    pairs = [("question 1", " answer 1"), ("question 2", " answer 2")]
+    out = lm.loglikelihood(pairs)
+    assert len(out) == 2
+    assert all(isinstance(ll, float) and ll < 0 for ll, _ in out)
+
+    reqs = [
+        {"context": "question 3", "gen_kwargs": {"until": ["\n"], "max_gen_toks": 4}},
+        {"context": "question 4 answer", "gen_kwargs": {"until": [], "max_gen_toks": 4}},
+    ]
+    texts_out = lm.generate_until(reqs)
+    assert len(texts_out) == 2
+    assert all(isinstance(t, str) for t in texts_out)
+
+
+def test_jax_reader_is_greedy_flag():
+    """is_greedy must be True exactly for the argmax continuation token."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helpers import tiny_reader
+    from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
+
+    tokenizer = make_word_tokenizer(["alpha beta gamma delta"])
+    reader = tiny_reader(tokenizer)
+    lm = JaxReaderLM(reader.params, reader.cfg, tokenizer, batch_size=2)
+
+    ctx_ids = tokenizer("alpha beta")["input_ids"]
+    logits = np.asarray(gpt_neox_forward(reader.params, reader.cfg, jnp.asarray([ctx_ids]))[0, -1])
+    words = {"alpha", "beta", "gamma", "delta"}
+    cands = {w: tokenizer(w)["input_ids"][0] for w in words}
+    best = max(cands, key=lambda w: logits[cands[w]])
+    worst = min(cands, key=lambda w: logits[cands[w]])
+    # the global argmax may be an out-of-vocab id; restrict the "greedy"
+    # check to the best in-vocab word only when it IS the global argmax
+    if int(np.argmax(logits)) == cands[best]:
+        (_, greedy_best), = lm.loglikelihood([("alpha beta", " " + best)])
+        assert greedy_best
+    (_, greedy_worst), = lm.loglikelihood([("alpha beta", " " + worst)])
+    assert not greedy_worst

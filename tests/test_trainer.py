@@ -1,0 +1,102 @@
+import jax
+import numpy as np
+import pytest
+
+from retrieval_scaling_tpu.models.bert import BertConfig, init_bert_params
+from retrieval_scaling_tpu.train.trainer import (
+    TrainConfig,
+    finetuning_batches,
+    independent_crops,
+    latest_checkpoint_step,
+    pretraining_batches,
+    train,
+)
+
+from helpers import make_word_tokenizer
+
+CFG = BertConfig(
+    vocab_size=512,
+    hidden_size=16,
+    num_layers=1,
+    num_heads=2,
+    intermediate_size=32,
+    max_position_embeddings=64,
+    pooling="mean",
+    attention_impl="xla",
+)
+
+
+def _texts(n=50):
+    rng = np.random.RandomState(0)
+    return [" ".join(f"w{rng.randint(0, 200)}" for _ in range(60)) for _ in range(n)]
+
+
+def test_independent_crops_within_doc():
+    import random
+
+    text = " ".join(f"tok{i}" for i in range(100))
+    a, b = independent_crops(text, random.Random(0), 5, 20)
+    assert set(a.split()) <= set(text.split())
+    assert set(b.split()) <= set(text.split())
+    assert 5 <= len(a.split()) <= 20
+
+
+def test_pretraining_batch_shapes():
+    texts = _texts()
+    tok = make_word_tokenizer(texts)
+    cfg = TrainConfig(batch_size=4, max_length=32)
+    batch = next(pretraining_batches(texts, tok, cfg))
+    assert batch["q_tokens"].shape == (4, 32)
+    assert batch["k_mask"].shape == (4, 32)
+
+
+def test_finetuning_batches_use_positives():
+    pairs = [
+        {"question": f"q{i}", "positive_ctxs": [{"text": f"pos{i}"}]} for i in range(10)
+    ]
+    tok = make_word_tokenizer([f"q{i} pos{i}" for i in range(10)])
+    cfg = TrainConfig(batch_size=2, max_length=8)
+    batch = next(finetuning_batches(pairs, tok, cfg))
+    assert batch["q_tokens"].shape == (2, 8)
+
+
+def test_train_loop_with_checkpoint_resume(tmp_path):
+    texts = _texts()
+    tok = make_word_tokenizer(texts)
+    params = init_bert_params(CFG, jax.random.PRNGKey(0))
+    tcfg = TrainConfig(
+        objective="inbatch",
+        total_steps=6,
+        warmup_steps=1,
+        batch_size=4,
+        max_length=16,
+        save_freq=3,
+        log_freq=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    state, history = train(CFG, params, pretraining_batches(texts, tok, tcfg), tcfg)
+    assert int(state.step) == 6
+    assert latest_checkpoint_step(str(tmp_path / "ckpt")) == 6
+    assert history and np.isfinite(history[-1]["loss"])
+
+    # resume: a fresh call starts from step 6 and does nothing more
+    params2 = init_bert_params(CFG, jax.random.PRNGKey(0))
+    state2, _ = train(CFG, params2, pretraining_batches(texts, tok, tcfg), tcfg)
+    assert int(state2.step) == 6
+    # resumed params equal the checkpointed ones
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_train_moco_objective():
+    texts = _texts()
+    tok = make_word_tokenizer(texts)
+    params = init_bert_params(CFG, jax.random.PRNGKey(1))
+    tcfg = TrainConfig(
+        objective="moco", total_steps=3, warmup_steps=1, batch_size=4,
+        max_length=16, queue_size=16, log_freq=1,
+    )
+    state, history = train(CFG, params, pretraining_batches(texts, tok, tcfg), tcfg)
+    assert int(state.step) == 3
+    assert np.isfinite(history[-1]["loss"])

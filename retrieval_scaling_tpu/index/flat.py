@@ -71,7 +71,7 @@ class FlatIndex:
         dimension: int = 768,
         mesh: Mesh | None = None,
         dtype=jnp.bfloat16,
-        search_chunk_size: int = 131072,
+        search_chunk_size: int = 1 << 20,
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -142,8 +142,14 @@ class FlatIndex:
     # ------------------------------------------------------------ search
     def search_ids(self, query_embs: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Device search: returns (scores [B, k], flat index ids [B, k])."""
+        from retrieval_scaling_tpu.ops.topk import pick_chunk_size
+
         k_eff = min(k, self.n_valid)
-        q = replicate(self.mesh, jnp.asarray(np.asarray(query_embs), self.dtype))
+        q_np = np.asarray(query_embs)
+        q = replicate(self.mesh, jnp.asarray(q_np, self.dtype))
+        chunk = min(
+            self.search_chunk_size, pick_chunk_size(self.rows_per_shard, len(q_np))
+        )
         scores, ids = sharded_flat_search(
             self.mesh,
             q,
@@ -151,7 +157,7 @@ class FlatIndex:
             self.n_valid,
             k_eff,
             self.rows_per_shard,
-            chunk_size=min(self.search_chunk_size, self.rows_per_shard),
+            chunk_size=chunk,
         )
         return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
 

@@ -143,13 +143,16 @@ def _bucketize(length: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-def make_row_loss_fn(cfg: GPTNeoXConfig):
-    """Jitted per-row (NLL sum, scored-token count) over a padded batch."""
-    from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
+def make_row_loss_fn(cfg):
+    """Jitted per-row (NLL sum, scored-token count) over a padded batch.
+
+    ``cfg`` may be any supported reader config (GPT-NeoX or llama family).
+    """
+    from retrieval_scaling_tpu.models.hf_convert import reader_logits
 
     @jax.jit
     def fn(params, ids, labels):
-        logits = gpt_neox_forward(params, cfg, ids)
+        logits = reader_logits(params, cfg, ids)
         shift_logits = logits[:, :-1]
         shift_labels = labels[:, 1:]
         mask = shift_labels != IGNORE

@@ -27,6 +27,13 @@ from retrieval_scaling_tpu.models.gpt_neox import (
     _layer_norm,
     _rotary_cos_sin,
 )
+from retrieval_scaling_tpu.models.llama import (
+    LlamaConfig,
+    _qkv as _llama_qkv,
+    _rms_norm,
+    repeat_kv,
+    rotary_cos_sin as _llama_rotary_cos_sin,
+)
 
 NEG_INF = -1e30
 
@@ -36,8 +43,16 @@ class KVCache(NamedTuple):
     v: jax.Array
 
 
-def init_cache(cfg: GPTNeoXConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_layers, batch, cfg.num_heads, max_len, cfg.head_dim)
+def init_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    """Zeroed KV cache sized for ``cfg`` (GPT-NeoX or llama family).
+
+    Llama-family caches store only ``num_kv_heads`` heads (GQA) — queries
+    repeat them at attention time, so cache HBM stays at the grouped size.
+    """
+    if isinstance(cfg, LlamaConfig):
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.hd)
+    else:
+        shape = (cfg.num_layers, batch, cfg.num_heads, max_len, cfg.head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -104,9 +119,43 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
     return x, new_k, new_v
 
 
+def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positions, key_valid, write_onehot):
+    """Llama-family block writing grouped K/V into the cache.
+
+    Cache holds ``num_kv_heads``; queries repeat them at attention time.
+    """
+    h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
+    q, k, v = _llama_qkv(layer, cfg, h)  # q: [B,H,S,hd]; k,v: [B,Hkv,S,hd]
+
+    cos_all, sin_all = _llama_rotary_cos_sin(cache_k.shape[2], cfg.hd, cfg.rope_base)
+    cos = cos_all[positions]  # [B, S, hd]
+    sin = sin_all[positions]
+
+    def rope(t):
+        tf = t.astype(jnp.float32)
+        half = cfg.hd // 2
+        t1, t2 = tf[..., :half], tf[..., half:]
+        rotated = jnp.concatenate([-t2, t1], axis=-1)
+        return (tf * cos[:, None] + rotated * sin[:, None]).astype(t.dtype)
+
+    q, k = rope(q), rope(k)
+
+    new_k = cache_k + jnp.einsum("bms,bhsd->bhmd", write_onehot, k.astype(cache_k.dtype))
+    new_v = cache_v + jnp.einsum("bms,bhsd->bhmd", write_onehot, v.astype(cache_v.dtype))
+
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+    attn = _attention_with_cache(q, repeat_kv(new_k, n_rep), repeat_kv(new_v, n_rep), positions, key_valid)
+    x = x + jnp.einsum("bhsk,hkd->bsd", attn, layer["o_w"])
+
+    h = _rms_norm(x, layer["post_norm"], cfg.rms_eps)
+    gate = jax.nn.silu(jnp.dot(h, layer["gate_w"]))
+    x = x + jnp.dot(gate * jnp.dot(h, layer["up_w"]), layer["down_w"])
+    return x, new_k, new_v
+
+
 def forward_with_cache(
     params,
-    cfg: GPTNeoXConfig,
+    cfg,
     input_ids: jax.Array,   # [B, S]
     positions: jax.Array,   # [B, S] absolute positions (pad rows repeat last)
     cache: KVCache,
@@ -121,23 +170,30 @@ def forward_with_cache(
     """
     b, s = input_ids.shape
     max_len = cache.k.shape[3]
-    x = params["embed_in"][input_ids]
+    is_llama = isinstance(cfg, LlamaConfig)
+    x = params["embed"][input_ids] if is_llama else params["embed_in"][input_ids]
 
     slots = jnp.arange(max_len)[None, :, None]                      # [1, M, 1]
     write_onehot = (slots == positions[:, None, :]).astype(cache.k.dtype)  # [B, M, S]
     if write_mask is not None:
         write_onehot = write_onehot * write_mask[:, None, :].astype(cache.k.dtype)
 
+    block = _llama_block_with_cache if is_llama else _block_with_cache
     new_ks, new_vs = [], []
     for li, layer in enumerate(params["layers"]):
-        x, nk, nv = _block_with_cache(
+        x, nk, nv = block(
             layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid, write_onehot
         )
         new_ks.append(nk)
         new_vs.append(nv)
 
-    x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
-    logits = jnp.dot(x, params["embed_out"], preferred_element_type=jnp.float32)
+    if is_llama:
+        x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+        head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+        logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    else:
+        x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
+        logits = jnp.dot(x, params["embed_out"], preferred_element_type=jnp.float32)
     return logits, KVCache(jnp.stack(new_ks), jnp.stack(new_vs))
 
 
@@ -151,7 +207,7 @@ class GenState(NamedTuple):
     rng: jax.Array
 
 
-def make_generate_fn(cfg: GPTNeoXConfig, max_new_tokens: int, eos_id: int, temperature: float = 0.0):
+def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float = 0.0):
     """Build a jitted ``(params, prompt_ids, prompt_lens, seed) -> tokens`` fn.
 
     prompt_ids: [B, S_pad] right-padded; prompt_lens: [B]. Output: [B,
@@ -161,7 +217,8 @@ def make_generate_fn(cfg: GPTNeoXConfig, max_new_tokens: int, eos_id: int, tempe
     def fn(params, prompt_ids, prompt_lens, seed):
         b, s_pad = prompt_ids.shape
         max_len = s_pad + max_new_tokens
-        cache = init_cache(cfg, b, max_len, dtype=params["embed_in"].dtype)
+        embed = params["embed"] if isinstance(cfg, LlamaConfig) else params["embed_in"]
+        cache = init_cache(cfg, b, max_len, dtype=embed.dtype)
 
         # prefill: positions 0..s_pad-1 (pad tokens write masked-off slots)
         positions = jnp.broadcast_to(jnp.arange(s_pad)[None, :], (b, s_pad))

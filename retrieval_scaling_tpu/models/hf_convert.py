@@ -20,6 +20,7 @@ import numpy as np
 
 from retrieval_scaling_tpu.models.bert import BertConfig
 from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig
+from retrieval_scaling_tpu.models.llama import LlamaConfig
 
 logger = logging.getLogger(__name__)
 
@@ -195,6 +196,89 @@ def gpt_neox_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "au
 
 
 # --------------------------------------------------------------------------
+# Llama family (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, TinyLlama)
+# --------------------------------------------------------------------------
+_LLAMA_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3")
+
+
+def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig:
+    model_type = getattr(hf_config, "model_type", "llama")
+    return LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=getattr(hf_config, "num_key_value_heads", hf_config.num_attention_heads),
+        intermediate_size=hf_config.intermediate_size,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        head_dim=getattr(hf_config, "head_dim", None),
+        rope_base=getattr(hf_config, "rope_theta", 10000.0),
+        rms_eps=hf_config.rms_norm_eps,
+        # Qwen2's QKV bias predates the attention_bias config field.
+        attention_bias=getattr(hf_config, "attention_bias", model_type == "qwen2"),
+        qk_norm=model_type == "qwen3",
+        tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        attention_impl=attention_impl,
+    )
+
+
+def llama_params_from_state_dict(
+    state: Mapping[str, Any], cfg: LlamaConfig, dtype=np.float32
+) -> Dict:
+    sd = {}
+    for key, val in state.items():
+        if key.startswith("model."):
+            key = key[len("model."):]
+        sd[key] = _np(val)
+
+    d, h, hkv, hd = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.hd
+
+    def g(name):
+        return sd[name].astype(dtype)
+
+    params: Dict[str, Any] = {
+        "embed": g("embed_tokens.weight"),
+        "final_norm": g("norm.weight"),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        if "lm_head.weight" in sd:
+            params["lm_head"] = g("lm_head.weight").T
+        else:
+            # Base model (AutoModel) checkpoints carry no head — fine for
+            # embedding use; fall back to tied weights for logits.
+            params["lm_head"] = params["embed"].T
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}."
+        layer = {
+            "input_norm": g(p + "input_layernorm.weight"),
+            "q_w": g(p + "self_attn.q_proj.weight").T.reshape(d, h, hd),
+            "k_w": g(p + "self_attn.k_proj.weight").T.reshape(d, hkv, hd),
+            "v_w": g(p + "self_attn.v_proj.weight").T.reshape(d, hkv, hd),
+            "o_w": g(p + "self_attn.o_proj.weight").T.reshape(h, hd, d),
+            "post_norm": g(p + "post_attention_layernorm.weight"),
+            "gate_w": g(p + "mlp.gate_proj.weight").T,
+            "up_w": g(p + "mlp.up_proj.weight").T,
+            "down_w": g(p + "mlp.down_proj.weight").T,
+        }
+        if cfg.attention_bias:
+            layer["q_b"] = g(p + "self_attn.q_proj.bias").reshape(h, hd)
+            layer["k_b"] = g(p + "self_attn.k_proj.bias").reshape(hkv, hd)
+            layer["v_b"] = g(p + "self_attn.v_proj.bias").reshape(hkv, hd)
+        if cfg.qk_norm:
+            layer["q_norm"] = g(p + "self_attn.q_norm.weight")
+            layer["k_norm"] = g(p + "self_attn.k_norm.weight")
+        params["layers"].append(layer)
+    return params
+
+
+def llama_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "auto"):
+    cfg = llama_config_from_hf(hf_model.config, attention_impl=attention_impl)
+    params = llama_params_from_state_dict(hf_model.state_dict(), cfg, dtype=dtype)
+    return params, cfg
+
+
+# --------------------------------------------------------------------------
 # Loading helpers
 # --------------------------------------------------------------------------
 def load_tokenizer(name_or_path: str):
@@ -219,7 +303,36 @@ def load_hf_encoder(name_or_path: str, pooling: str | None = None, dtype=np.floa
 
 
 def load_hf_reader(name_or_path: str, dtype=np.float32):
+    """Load any supported causal reader (GPT-NeoX/Pythia or llama family).
+
+    Mirrors the reference's ``AutoModelForCausalLM`` reader loading
+    (reference: src/evaluate_perplexity.py:97-108); dispatch is by HF
+    ``model_type``.
+    """
     import transformers
 
     hf = transformers.AutoModelForCausalLM.from_pretrained(name_or_path)
+    model_type = getattr(hf.config, "model_type", "gpt_neox")
+    if model_type in _LLAMA_MODEL_TYPES:
+        return llama_from_hf_model(hf, dtype=dtype)
     return gpt_neox_from_hf_model(hf, dtype=dtype)
+
+
+def reader_lm_loss(params, cfg, input_ids, labels):
+    """Architecture-dispatching causal LM loss: (sum_loss, n_scored_tokens)."""
+    from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_lm
+    from retrieval_scaling_tpu.models.llama import llama_lm
+
+    if isinstance(cfg, LlamaConfig):
+        return llama_lm(params, cfg, input_ids, labels)
+    return gpt_neox_lm(params, cfg, input_ids, labels)
+
+
+def reader_logits(params, cfg, input_ids):
+    """Architecture-dispatching causal LM forward: logits [B, S, V]."""
+    from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
+    from retrieval_scaling_tpu.models.llama import llama_forward, llama_logits
+
+    if isinstance(cfg, LlamaConfig):
+        return llama_logits(params, cfg, llama_forward(params, cfg, input_ids))
+    return gpt_neox_forward(params, cfg, input_ids)

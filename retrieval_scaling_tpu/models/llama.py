@@ -1,0 +1,222 @@
+"""Llama-family transformer (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, TinyLlama).
+
+The reference treats the reader LM as an arbitrary HF ``AutoModelForCausalLM``
+(reference: src/evaluate_perplexity.py:97-108) — the paper's readers are
+Llama-2/3 and Pythia — and its retriever dispatch includes decoder-based
+embedders (GRIT/gritlm, Qwen3, ReasonIR; reference: src/embed.py:118-133).
+This module covers the whole llama architecture family with one pure-
+functional JAX implementation:
+
+  * RMSNorm (fp32 accumulation), full-head-dim rotary embeddings, SwiGLU
+    MLP, grouped-query attention (``num_kv_heads`` < ``num_heads``).
+  * Optional attention QKV bias (Qwen2) and per-head q/k RMSNorm (Qwen3).
+  * Causal attention for reading; ``bidirectional=True`` turns the same
+    weights into a GRIT-style embedder (mean/last-token pooling).
+  * The Pallas flash-attention kernel on TPU via ``multi_head_attention``.
+
+Loss contract matches ``gpt_neox_lm``: labels equal to -100 are excluded
+(reference: src/evaluate_perplexity.py:119-124).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from retrieval_scaling_tpu.ops.flash_attention import multi_head_attention
+
+Params = Dict[str, Any]
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    intermediate_size: int = 11008
+    max_position_embeddings: int = 4096
+    head_dim: int | None = None          # Qwen3 decouples head_dim from hidden/heads
+    rope_base: float = 10000.0
+    rms_eps: float = 1e-5
+    attention_bias: bool = False         # Qwen2-style QKV bias
+    qk_norm: bool = False                # Qwen3 per-head q/k RMSNorm
+    tie_embeddings: bool = False
+    attention_impl: str = "auto"
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
+
+
+def _rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+
+
+def init_llama_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    k_iter = iter(jax.random.split(key, 2 + 8 * cfg.num_layers))
+
+    def dense(shape, scale=0.02):
+        return (jax.random.normal(next(k_iter), shape) * scale).astype(dtype)
+
+    d, h, hkv, hd, ff = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.hd, cfg.intermediate_size
+    params: Params = {
+        "embed": dense((cfg.vocab_size, d)),
+        "final_norm": jnp.ones((d,), dtype),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense((d, cfg.vocab_size))
+    for _ in range(cfg.num_layers):
+        layer = {
+            "input_norm": jnp.ones((d,), dtype),
+            "q_w": dense((d, h, hd)),
+            "k_w": dense((d, hkv, hd)),
+            "v_w": dense((d, hkv, hd)),
+            "o_w": dense((h, hd, d)),
+            "post_norm": jnp.ones((d,), dtype),
+            "gate_w": dense((d, ff)),
+            "up_w": dense((d, ff)),
+            "down_w": dense((ff, d)),
+        }
+        if cfg.attention_bias:
+            layer["q_b"] = jnp.zeros((h, hd), dtype)
+            layer["k_b"] = jnp.zeros((hkv, hd), dtype)
+            layer["v_b"] = jnp.zeros((hkv, hd), dtype)
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((hd,), dtype)
+            layer["k_norm"] = jnp.ones((hd,), dtype)
+        params["layers"].append(layer)
+    return params
+
+
+def rotary_cos_sin(seq_len: int, dims: int, base: float) -> Tuple[jax.Array, jax.Array]:
+    inv_freq = 1.0 / (base ** (jnp.arange(0, dims, 2, dtype=jnp.float32) / dims))
+    t = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)                      # [S, dims/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)      # [S, dims] (HF layout)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """HF rotate-half rotary over the full head dim. x: [B, H, S, hd]."""
+    xf = x.astype(jnp.float32)
+    half = xf.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (xf * cos[None, None] + rotated * sin[None, None]).astype(x.dtype)
+
+
+def _qkv(layer: Params, cfg: LlamaConfig, x: jax.Array):
+    """Project to q,k,v heads: [B, H(_kv), S, hd]; GQA kv repeated to H."""
+    q = jnp.einsum("bsd,dnk->bnsk", x, layer["q_w"])
+    k = jnp.einsum("bsd,dnk->bnsk", x, layer["k_w"])
+    v = jnp.einsum("bsd,dnk->bnsk", x, layer["v_w"])
+    if cfg.attention_bias:
+        q = q + layer["q_b"][None, :, None, :]
+        k = k + layer["k_b"][None, :, None, :]
+        v = v + layer["v_b"][None, :, None, :]
+    if cfg.qk_norm:
+        q = _rms_norm(q, layer["q_norm"], cfg.rms_eps)
+        k = _rms_norm(k, layer["k_norm"], cfg.rms_eps)
+    return q, k, v
+
+
+def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """[B, Hkv, S, hd] -> [B, Hkv*n_rep, S, hd] (HF interleaving order)."""
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=1)
+
+
+def llama_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    input_ids: jax.Array,                 # [B, S]
+    attention_mask: jax.Array | None = None,  # [B, S] 1=keep (padding mask)
+    bidirectional: bool = False,
+) -> jax.Array:
+    """Return final hidden states [B, S, D] (pre-lm-head)."""
+    x = params["embed"][input_ids]
+    s = input_ids.shape[1]
+    cos, sin = rotary_cos_sin(s, cfg.hd, cfg.rope_base)
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+    kv_mask = None if attention_mask is None else attention_mask.astype(bool)
+
+    for layer in params["layers"]:
+        h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
+        q, k, v = _qkv(layer, cfg, h)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        k, v = repeat_kv(k, n_rep), repeat_kv(v, n_rep)
+        attn = multi_head_attention(
+            q, k, v, kv_mask=kv_mask, causal=not bidirectional, impl=cfg.attention_impl
+        )
+        x = x + jnp.einsum("bnsk,nkd->bsd", attn, layer["o_w"])
+
+        h = _rms_norm(x, layer["post_norm"], cfg.rms_eps)
+        gate = jax.nn.silu(jnp.dot(h, layer["gate_w"]))
+        x = x + jnp.dot(gate * jnp.dot(h, layer["up_w"]), layer["down_w"])
+
+    return _rms_norm(x, params["final_norm"], cfg.rms_eps)
+
+
+def llama_logits(params: Params, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+
+
+def llama_lm(
+    params: Params,
+    cfg: LlamaConfig,
+    input_ids: jax.Array,  # [B, S]
+    labels: jax.Array,     # [B, S]; positions == -100 are not scored
+) -> Tuple[jax.Array, jax.Array]:
+    """HF-compatible causal LM loss; returns (sum_loss, num_scored_tokens)."""
+    logits = llama_logits(params, cfg, llama_forward(params, cfg, input_ids))
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    mask = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(mask, shift_labels, 0)
+    logprobs = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(logprobs, safe_labels[..., None], axis=-1)[..., 0]
+    loss_sum = -jnp.sum(token_ll * mask)
+    return loss_sum, jnp.sum(mask)
+
+
+def llama_embed(
+    params: Params,
+    cfg: LlamaConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    pooling: str = "last",
+    normalize: bool = True,
+    bidirectional: bool = False,
+) -> jax.Array:
+    """Decoder-based retrieval embedding (GRIT / Qwen3-embedding style).
+
+    ``pooling='last'`` takes the hidden state at each row's final non-pad
+    token (causal embedders); ``'mean'`` masked-mean-pools (GRIT uses mean
+    with bidirectional attention).
+    """
+    hidden = llama_forward(params, cfg, input_ids, attention_mask, bidirectional=bidirectional)
+    maskf = attention_mask.astype(hidden.dtype)
+    if pooling == "last":
+        last_idx = jnp.maximum(jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1, 0)
+        emb = hidden[jnp.arange(hidden.shape[0]), last_idx]
+    elif pooling == "mean":
+        emb = jnp.sum(hidden * maskf[..., None], axis=1) / jnp.clip(
+            jnp.sum(maskf, axis=1, keepdims=True), 1e-9, None
+        )
+    else:
+        raise ValueError(f"Unknown pooling: {pooling!r}")
+    if normalize:
+        emb = emb / jnp.clip(jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True), 1e-9, None).astype(emb.dtype)
+    return emb

@@ -56,8 +56,7 @@ class JaxReaderLM:
         import jax
         import jax.numpy as jnp
 
-        from retrieval_scaling_tpu.evals.perplexity import make_row_loss_fn
-        from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
+        from retrieval_scaling_tpu.models.hf_convert import reader_logits
 
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -69,7 +68,7 @@ class JaxReaderLM:
 
         @jax.jit
         def row_ll_greedy(params, ids, labels):
-            logits = gpt_neox_forward(params, cfg, ids)
+            logits = reader_logits(params, cfg, ids)
             shift_logits = logits[:, :-1]
             shift_labels = labels[:, 1:]
             mask = shift_labels != -100

@@ -55,20 +55,31 @@ class EncodeOptions:
 
 
 class JaxEncoder:
-    """Contriever-style encoder with bucketed, mesh-parallel batching."""
+    """Text embedder with bucketed, mesh-parallel batching.
+
+    ``embed_fn(params, cfg, input_ids, attention_mask, normalize=bool)``
+    defines the architecture — Contriever/BERT by default; llama-family
+    (GRIT / Qwen3-embedding style) via ``load_encoder`` dispatch.
+    """
 
     def __init__(
         self,
         params,
-        cfg: BertConfig,
+        cfg,
         tokenizer,
         mesh: Mesh | None = None,
         dtype=jnp.bfloat16,
+        embed_fn: Callable | None = None,
+        query_prefix: str = "",
+        passage_prefix: str = "",
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.mesh = mesh or single_device_mesh()
         self.dtype = dtype
+        self.embed_fn = embed_fn or contriever_embed
+        self.query_prefix = query_prefix
+        self.passage_prefix = passage_prefix
         self.params = jax.device_put(
             jax.tree.map(lambda x: jnp.asarray(x, dtype), params),
             NamedSharding(self.mesh, P()),
@@ -83,7 +94,7 @@ class JaxEncoder:
 
             @partial(jax.jit, in_shardings=(None, batch_sharding, batch_sharding))
             def fn(params, input_ids, attention_mask):
-                return contriever_embed(
+                return self.embed_fn(
                     params, self.cfg, input_ids, attention_mask, normalize=normalize_emb
                 )
 
@@ -94,6 +105,7 @@ class JaxEncoder:
         self,
         texts: Sequence[str],
         opts: EncodeOptions | None = None,
+        prefix: str = "",
     ) -> np.ndarray:
         """Encode texts -> [N, D] fp16 embeddings (original order)."""
         opts = opts or EncodeOptions()
@@ -107,7 +119,7 @@ class JaxEncoder:
                 t = t.lower()
             if opts.normalize_text:
                 t = text_normalize.normalize(t)
-            prepped.append(t)
+            prepped.append(prefix + t if prefix else t)
 
         enc = self.tokenizer(
             prepped,
@@ -155,10 +167,13 @@ class JaxEncoder:
             else:
                 texts.append(p["title"] + " " + p["text"])
         ids = [p["id"] for p in passages]
-        return ids, self.encode(texts, opts)
+        return ids, self.encode(texts, opts, prefix=self.passage_prefix)
 
     def encode_queries(self, queries: Sequence[str], opts: EncodeOptions) -> np.ndarray:
-        return self.encode(queries, opts)
+        return self.encode(queries, opts, prefix=self.query_prefix)
+
+
+_DECODER_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3")
 
 
 def load_encoder(
@@ -168,16 +183,65 @@ def load_encoder(
     dtype=jnp.bfloat16,
     attention_impl: str = "auto",
 ) -> JaxEncoder:
-    """Load + convert an HF encoder checkpoint into a JaxEncoder.
+    """Load + convert an HF retriever checkpoint into a JaxEncoder.
 
-    Dispatch mirrors the reference's name-substring logic
-    (src/embed.py:118-133): contriever -> mean pooling, generic -> CLS.
+    Dispatch mirrors the reference's retriever-family logic
+    (reference: src/embed.py:118-133, src/search.py:48-108):
+
+      * contriever          -> BERT, masked mean pooling
+      * e5 / sentence-transformers -> BERT-family, mean pooling + L2
+        normalize + "query: "/"passage: " prefixes (E5 convention)
+      * dragon / dpr / generic BERT -> CLS pooling
+      * GRIT / ReasonIR     -> llama-family, bidirectional + mean pooling
+        (gritlm embedding mode)
+      * Qwen3 embedding     -> llama-family, causal + last-token pooling
     """
     import dataclasses
 
-    from retrieval_scaling_tpu.models.hf_convert import load_hf_encoder, load_tokenizer
+    import transformers
 
-    params, cfg = load_hf_encoder(model_name_or_path, dtype=np.float32)
-    cfg = dataclasses.replace(cfg, attention_impl=attention_impl)
+    from retrieval_scaling_tpu.models.hf_convert import (
+        llama_from_hf_model,
+        load_hf_encoder,
+        load_tokenizer,
+    )
+
+    name = str(model_name_or_path).lower()
     tokenizer = load_tokenizer(tokenizer_name or model_name_or_path)
-    return JaxEncoder(params, cfg, tokenizer, mesh=mesh, dtype=dtype)
+    try:
+        hf_cfg = transformers.AutoConfig.from_pretrained(model_name_or_path)
+        model_type = getattr(hf_cfg, "model_type", "bert")
+    except Exception:
+        model_type = "bert"
+
+    if model_type in _DECODER_MODEL_TYPES:
+        from functools import partial as _partial
+
+        from retrieval_scaling_tpu.models.llama import llama_embed
+
+        hf = transformers.AutoModel.from_pretrained(model_name_or_path)
+        params, cfg = llama_from_hf_model(hf, dtype=np.float32)
+        cfg = dataclasses.replace(cfg, attention_impl=attention_impl)
+        grit_style = "grit" in name or "reasonir" in name
+        embed_fn = _partial(
+            llama_embed,
+            pooling="mean" if grit_style else "last",
+            bidirectional=grit_style,
+        )
+        query_prefix = "" if grit_style else "Instruct: Given a web search query, retrieve relevant passages that answer the query\nQuery: "
+        if tokenizer.pad_token_id is None:
+            tokenizer.pad_token = tokenizer.eos_token
+        return JaxEncoder(
+            params, cfg, tokenizer, mesh=mesh, dtype=dtype,
+            embed_fn=embed_fn, query_prefix=query_prefix,
+        )
+
+    e5_style = "e5" in name.replace("-", "_").split("_") or "sentence-transformers" in name
+    pooling = "mean" if ("contriever" in name or e5_style) else "cls"
+    params, cfg = load_hf_encoder(model_name_or_path, pooling=pooling, dtype=np.float32)
+    cfg = dataclasses.replace(cfg, attention_impl=attention_impl)
+    return JaxEncoder(
+        params, cfg, tokenizer, mesh=mesh, dtype=dtype,
+        query_prefix="query: " if e5_style else "",
+        passage_prefix="passage: " if e5_style else "",
+    )

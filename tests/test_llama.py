@@ -1,0 +1,215 @@
+"""Numeric parity of the llama-family JAX model against HF torch.
+
+Covers Llama (GQA), Qwen2 (QKV bias), Qwen3 (qk-norm, decoupled head_dim),
+the embedding path (GRIT-style bidirectional + last-token pooling), the
+architecture-dispatching reader helpers, and KV-cache generation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from retrieval_scaling_tpu.models.hf_convert import (  # noqa: E402
+    llama_from_hf_model,
+    reader_lm_loss,
+    reader_logits,
+)
+from retrieval_scaling_tpu.models.llama import (  # noqa: E402
+    LlamaConfig,
+    init_llama_params,
+    llama_embed,
+    llama_forward,
+    llama_lm,
+    llama_logits,
+)
+
+
+def _tiny_llama_hf(**over):
+    kw = dict(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+        attention_bias=False,
+    )
+    kw.update(over)
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(transformers.LlamaConfig(**kw))
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def tiny_llama():
+    return _tiny_llama_hf()
+
+
+def _ids(rng, b=2, s=12, v=128):
+    return rng.randint(3, v, (b, s)).astype(np.int32)
+
+
+def test_llama_logits_parity(tiny_llama, rng):
+    params, cfg = llama_from_hf_model(tiny_llama)
+    assert cfg.num_kv_heads == 2
+    ids = _ids(rng)
+    with torch.no_grad():
+        ref = tiny_llama(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids))))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_llama_loss_parity(tiny_llama, rng):
+    params, cfg = llama_from_hf_model(tiny_llama)
+    ids = _ids(rng)
+    labels = ids.copy()
+    labels[:, :5] = -100
+    with torch.no_grad():
+        out = tiny_llama(torch.tensor(ids.astype(np.int64)), labels=torch.tensor(labels.astype(np.int64)))
+    loss_sum, n_tok = llama_lm(params, cfg, jnp.asarray(ids), jnp.asarray(labels))
+    got = float(loss_sum) / float(n_tok)
+    np.testing.assert_allclose(got, float(out.loss), atol=1e-4, rtol=1e-4)
+
+
+def test_qwen2_bias_parity(rng):
+    torch.manual_seed(1)
+    hf = transformers.Qwen2ForCausalLM(
+        transformers.Qwen2Config(
+            vocab_size=96,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            intermediate_size=48,
+            max_position_embeddings=64,
+            tie_word_embeddings=False,
+        )
+    )
+    hf.eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert cfg.attention_bias
+    ids = _ids(rng, v=96)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids))))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_qwen3_qknorm_parity(rng):
+    torch.manual_seed(2)
+    hf = transformers.Qwen3ForCausalLM(
+        transformers.Qwen3Config(
+            vocab_size=96,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,  # decoupled from hidden_size // heads
+            intermediate_size=48,
+            max_position_embeddings=64,
+            tie_word_embeddings=True,
+        )
+    )
+    hf.eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert cfg.qk_norm and cfg.hd == 16 and cfg.tie_embeddings
+    ids = _ids(rng, v=96)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids))))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_reader_dispatch_matches_llama(tiny_llama, rng):
+    params, cfg = llama_from_hf_model(tiny_llama)
+    ids = jnp.asarray(_ids(rng))
+    labels = jnp.asarray(_ids(rng))
+    direct = llama_lm(params, cfg, ids, labels)
+    via = reader_lm_loss(params, cfg, ids, labels)
+    np.testing.assert_allclose(float(direct[0]), float(via[0]))
+    np.testing.assert_allclose(
+        np.asarray(reader_logits(params, cfg, ids)),
+        np.asarray(llama_logits(params, cfg, llama_forward(params, cfg, ids))),
+    )
+
+
+def test_llama_embed_pooling(rng):
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=16, num_layers=1, num_heads=2, num_kv_heads=1,
+        intermediate_size=32, max_position_embeddings=32, attention_impl="xla",
+    )
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    ids = jnp.asarray(rng.randint(3, 64, (2, 8)), jnp.int32)
+    mask = jnp.asarray([[1] * 8, [1] * 5 + [0] * 3], jnp.int32)
+
+    emb_last = llama_embed(params, cfg, ids, mask, pooling="last", normalize=True)
+    assert emb_last.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb_last), axis=-1), 1.0, atol=1e-5)
+
+    # Row 1's last-token embedding must depend only on its real (unpadded) prefix.
+    hidden = llama_forward(params, cfg, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(emb_last[1]),
+        np.asarray(hidden[1, 4] / jnp.linalg.norm(hidden[1, 4].astype(jnp.float32))),
+        atol=1e-5,
+    )
+
+    emb_mean = llama_embed(params, cfg, ids, mask, pooling="mean", normalize=False, bidirectional=True)
+    ref_mean = np.asarray(
+        llama_forward(params, cfg, ids, mask, bidirectional=True)[1, :5].mean(axis=0)
+    )
+    np.testing.assert_allclose(np.asarray(emb_mean[1]), ref_mean, atol=1e-5)
+
+
+def test_llama_generate_greedy_matches_hf(tiny_llama, rng):
+    from retrieval_scaling_tpu.models.generate import make_generate_fn
+
+    params, cfg = llama_from_hf_model(tiny_llama)
+    prompts = _ids(rng, b=2, s=6)
+    lens = np.asarray([6, 4], np.int32)
+    max_new = 5
+    eos = 0
+
+    gen = make_generate_fn(cfg, max_new, eos_id=eos)
+    got = np.asarray(gen(params, jnp.asarray(prompts), jnp.asarray(lens), 0))
+
+    for row in range(2):
+        ids = torch.tensor(prompts[row, : lens[row]].astype(np.int64))[None]
+        with torch.no_grad():
+            ref = tiny_llama.generate(
+                ids, max_new_tokens=max_new, do_sample=False, eos_token_id=eos,
+                pad_token_id=eos,
+            )[0, lens[row]:].numpy()
+        ref_padded = np.full(max_new, eos, np.int64)
+        ref_padded[: len(ref)] = ref
+        stop = np.where(ref_padded == eos)[0]
+        upto = int(stop[0]) if len(stop) else max_new
+        np.testing.assert_array_equal(got[row, :upto], ref_padded[:upto])
+
+
+def test_encoder_dispatch_decoder_family(tmp_path, rng):
+    """load_encoder routes llama-family checkpoints to the decoder embedder."""
+    hf = _tiny_llama_hf(tie_word_embeddings=True)
+    # Save model + a local word-level tokenizer so loading stays offline.
+    mdir = tmp_path / "tiny-GRIT-model"
+    hf.save_pretrained(mdir)
+
+    from tests.helpers import make_word_tokenizer
+
+    make_word_tokenizer(["hello world a longer piece of text here"]).save_pretrained(mdir)
+
+    from retrieval_scaling_tpu.search.encoder import EncodeOptions, load_encoder
+
+    enc = load_encoder(str(mdir), attention_impl="xla", dtype=jnp.float32)
+    out = enc.encode(["hello world", "a longer piece of text here"], EncodeOptions(batch_size=2, maxlength=16))
+    assert out.shape == (2, 32)
+    assert np.isfinite(out).all()

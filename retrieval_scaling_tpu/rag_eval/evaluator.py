@@ -105,6 +105,12 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             metric_values.setdefault("acc", []).append(float(out["is_greedy"]))
         else:  # multiple_choice
             metric_values.setdefault("acc", []).append(float(out["prediction_idx"] == req["gold"]))
+            # Byte-length-normalized accuracy (lm-eval's acc_norm): compare
+            # per-character loglikelihoods so longer choices aren't penalized.
+            lls = out["choice_lls"]
+            lengths = [max(len(c), 1) for c in req["choices"]]
+            norm_idx = int(max(range(len(lls)), key=lambda j: lls[j] / lengths[j]))
+            metric_values.setdefault("acc_norm", []).append(float(norm_idx == req["gold"]))
     return {name: aggregate_mean(vals) for name, vals in metric_values.items()}
 
 

@@ -134,6 +134,29 @@ def test_multiple_choice_scoring(tmp_path):
 
     res = simple_evaluate(OracleLM(), ["mmlu"], data_root=str(tmp_path))
     assert res["results"]["mmlu"]["acc"] == 1.0
+    assert res["results"]["mmlu"]["acc_norm"] == 1.0
+
+
+def test_acc_norm_length_normalization(tmp_path):
+    """acc_norm divides by choice length; acc does not (lm-eval semantics)."""
+    d = tmp_path / "arc_easy"
+    d.mkdir()
+    with open(d / "test.jsonl", "w") as f:
+        f.write(
+            json.dumps(
+                {"question": "q", "choices": ["ab", "abababab"], "gold": 1}
+            )
+            + "\n"
+        )
+
+    class LengthBiasedLM:
+        # Long gold choice gets total ll -4 (worse raw) but better per-char.
+        def loglikelihood(self, pairs):
+            return [(-3.0, False) if "abab" not in cont else (-4.0, False) for _, cont in pairs]
+
+    res = simple_evaluate(LengthBiasedLM(), ["arc_easy"], data_root=str(tmp_path))
+    assert res["results"]["arc_easy"]["acc"] == 0.0
+    assert res["results"]["arc_easy"]["acc_norm"] == 1.0
 
 
 def test_results_only_log(tmp_path):

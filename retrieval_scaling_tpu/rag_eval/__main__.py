@@ -36,6 +36,14 @@ def build_lm(model: str, model_args: dict, batch_size: int):
         from retrieval_scaling_tpu.rag_eval.models import JaxReaderLM
 
         return JaxReaderLM.from_pretrained(model_args["pretrained"], batch_size=batch_size)
+    if model == "hf-torch":
+        from retrieval_scaling_tpu.rag_eval.models import HFTorchLM
+
+        return HFTorchLM.from_pretrained(
+            model_args["pretrained"],
+            batch_size=batch_size,
+            dtype=model_args.get("dtype", "float32"),
+        )
     raise ValueError(f"unknown model backend {model!r}")
 
 

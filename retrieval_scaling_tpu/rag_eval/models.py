@@ -178,3 +178,88 @@ def _bucket(length: int, cap: int) -> int:
     while b < length:
         b *= 2
     return min(b, max(cap, 1))
+
+
+class HFTorchLM:
+    """HF transformers (torch) backend — the reference's HFLM analog
+    (reference: rag-evaluation-harness/lm_eval/models/huggingface.py:68+).
+
+    Host-side torch (CPU in this image); useful for cross-checking the JAX
+    backend numerically and for architectures without a JAX port yet.
+    """
+
+    def __init__(self, model, tokenizer, batch_size: int = 4, max_length: int | None = None):
+        self.model = model.eval()
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_length = max_length or getattr(model.config, "max_position_embeddings", 2048)
+
+    @classmethod
+    def from_pretrained(cls, name_or_path: str, batch_size: int = 4, dtype: str = "float32"):
+        import torch
+        import transformers
+
+        model = transformers.AutoModelForCausalLM.from_pretrained(
+            name_or_path, torch_dtype=getattr(torch, dtype)
+        )
+        tokenizer = transformers.AutoTokenizer.from_pretrained(name_or_path)
+        return cls(model, tokenizer, batch_size=batch_size)
+
+    def _eos_id(self) -> int:
+        return (
+            self.tokenizer.eos_token_id
+            if self.tokenizer.eos_token_id is not None
+            else (self.tokenizer.pad_token_id or 0)
+        )
+
+    def loglikelihood(self, pairs: Sequence[Tuple[str, str]]):
+        import torch
+
+        results = []
+        for pos in range(0, len(pairs), self.batch_size):
+            batch = pairs[pos : pos + self.batch_size]
+            rows = []
+            for ctx, cont in batch:
+                ctx_ids = self.tokenizer(ctx)["input_ids"] if ctx else [self._eos_id()]
+                cont_ids = self.tokenizer(cont)["input_ids"]
+                ids = (ctx_ids + cont_ids)[-self.max_length:]
+                n_cont = min(len(cont_ids), len(ids) - 1)
+                rows.append((ids, n_cont))
+            width = max(len(ids) for ids, _ in rows)
+            ids_t = torch.full((len(rows), width), self._eos_id(), dtype=torch.long)
+            for r, (ids, _) in enumerate(rows):
+                ids_t[r, : len(ids)] = torch.tensor(ids)
+            with torch.no_grad():
+                logits = self.model(ids_t).logits.float()
+            logprobs = torch.log_softmax(logits, dim=-1)
+            for r, (ids, n_cont) in enumerate(rows):
+                # position t predicts token t+1
+                tgt = torch.tensor(ids[len(ids) - n_cont:])
+                pred_rows = logprobs[r, len(ids) - n_cont - 1 : len(ids) - 1]
+                token_ll = pred_rows.gather(-1, tgt[:, None])[:, 0]
+                greedy = bool((pred_rows.argmax(-1) == tgt).all())
+                results.append((float(token_ll.sum()), greedy))
+        return results
+
+    def generate_until(self, reqs: Sequence[dict]):
+        import torch
+
+        results = []
+        for req in reqs:
+            max_new = req["gen_kwargs"].get("max_gen_toks", 32)
+            ids = self.tokenizer(req["context"])["input_ids"][-(self.max_length - max_new):]
+            with torch.no_grad():
+                out = self.model.generate(
+                    torch.tensor(ids)[None],
+                    max_new_tokens=max_new,
+                    do_sample=False,
+                    pad_token_id=self._eos_id(),
+                    eos_token_id=self._eos_id(),
+                )
+            text = self.tokenizer.decode(out[0, len(ids):].tolist(), skip_special_tokens=True)
+            for stop in req["gen_kwargs"].get("until", []):
+                idx = text.find(stop)
+                if idx >= 0:
+                    text = text[:idx]
+            results.append(text)
+        return results

@@ -216,3 +216,34 @@ def test_jax_reader_is_greedy_flag():
         assert greedy_best
     (_, greedy_worst), = lm.loglikelihood([("alpha beta", " " + worst)])
     assert not greedy_worst
+
+
+def test_hf_torch_backend_matches_jax(tmp_path):
+    """HFTorchLM and JaxReaderLM agree on loglikelihoods for the same model."""
+    pytest.importorskip("torch")
+    import torch
+    import transformers
+
+    texts = ["the sun is a star", "water is made of molecules"]
+    tok = make_word_tokenizer(texts)
+    vocab = max(tok.get_vocab().values()) + 1
+    torch.manual_seed(0)
+    hf = transformers.LlamaForCausalLM(
+        transformers.LlamaConfig(
+            vocab_size=vocab, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+            max_position_embeddings=64, tie_word_embeddings=False,
+        )
+    )
+    mdir = tmp_path / "m"
+    hf.save_pretrained(mdir)
+    tok.save_pretrained(mdir)
+
+    from retrieval_scaling_tpu.rag_eval.models import HFTorchLM, JaxReaderLM
+
+    pairs = [("the sun is", " a star"), ("water is", " made of molecules")]
+    torch_out = HFTorchLM.from_pretrained(str(mdir)).loglikelihood(pairs)
+    jax_out = JaxReaderLM.from_pretrained(str(mdir)).loglikelihood(pairs)
+    for (tl, tg), (jl, jg) in zip(torch_out, jax_out):
+        assert abs(tl - jl) < 1e-3
+        assert tg == jg

@@ -180,12 +180,17 @@ def serve_worker_from_config(cfg, port: int | None = None, registry_path: str | 
     worker_id = int(os.environ.get("WORKER_ID", 0))
     shard_ids = list(range(worker_id * per_worker, min((worker_id + 1) * per_worker, num_shards)))
 
+    serve_cfg = getattr(cfg, "serve", None)
+
+    def serve_opt(key, default):
+        return getattr(serve_cfg, key, default) if serve_cfg is not None else default
+
     engine = RetrievalEngine.from_config(cfg, index_shard_ids=shard_ids)
     engine.smoke_test()
     server = SearchAPIServer({domain: engine}, default_n_docs=cfg.evaluation.search.n_docs)
     return server.serve(
-        port=port,
-        registry_path=registry_path or "running_ports_massiveds.jsonl",
+        port=port or (serve_opt("port", 0) or None),
+        registry_path=registry_path or serve_opt("registry", "running_ports_massiveds.jsonl"),
         domain_name=domain,
         chunk_id=worker_id,
     )

@@ -88,3 +88,15 @@ def test_retrieval_paths(tmp_path):
     assert paths == [p]
     assert open(out_txt).read().strip() == p
     assert "wiki_datastore-256_chunk_size-1of2_shards" in p
+
+
+def test_dedup_eval_data(tmp_path):
+    from retrieval_scaling_tpu.utils.dedup_eval_data import dedup_file
+
+    p = tmp_path / "in.jsonl"
+    rows = [{"q": "a", "x": 1}, {"x": 1, "q": "a"}, {"q": "b"}]
+    p.write_text("\n".join(__import__("json").dumps(r) for r in rows) + "\n")
+    out = tmp_path / "out.jsonl"
+    removed = dedup_file(str(p), str(out))
+    assert removed == 1  # key order doesn't defeat exact dedup
+    assert len(out.read_text().splitlines()) == 2

@@ -97,9 +97,10 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
     for req, out in zip(requests, outputs):
         doc = req["doc"]
         if req["type"] == "generate_until":
-            refs = task.references(doc)
+            refs = [task.cfg.extract_target(r) for r in task.references(doc)]
+            prediction = task.cfg.apply_filter(out["prediction"])
             for name in task.cfg.metric_list:
-                metric_values.setdefault(name, []).append(METRICS[name](out["prediction"], refs))
+                metric_values.setdefault(name, []).append(METRICS[name](prediction, refs))
         elif req["type"] == "loglikelihood":
             metric_values.setdefault("loglikelihood", []).append(out["loglikelihood"])
             metric_values.setdefault("acc", []).append(float(out["is_greedy"]))

@@ -47,6 +47,30 @@ class TaskConfig:
     metric_list: List[str] = field(default_factory=lambda: ["exact_match"])
     description: str = ""
     limit: Optional[int] = None
+    # Output filters (lm-eval filter pipeline analog, reference:
+    # rag-evaluation-harness/lm_eval/filters/extraction.py): regex applied to
+    # the model generation before metrics; `filter_select` picks which match.
+    filter_regex: Optional[str] = None
+    filter_select: str = "first"      # "first" | "last"
+    # Same extraction applied to gold targets (e.g. GSM8K's "#### N").
+    target_regex: Optional[str] = None
+
+    def apply_filter(self, text: str) -> str:
+        if not self.filter_regex:
+            return text
+        matches = re.findall(self.filter_regex, text)
+        if not matches:
+            return text.strip()
+        pick = matches[-1] if self.filter_select == "last" else matches[0]
+        if isinstance(pick, tuple):  # multiple groups -> first non-empty
+            pick = next((g for g in pick if g), "")
+        return pick.strip()
+
+    def extract_target(self, text: str) -> str:
+        if not self.target_regex:
+            return text
+        matches = re.findall(self.target_regex, text)
+        return (matches[-1].strip() if matches else text.strip())
 
     @classmethod
     def from_yaml(cls, path: str) -> "TaskConfig":

@@ -247,3 +247,21 @@ def test_hf_torch_backend_matches_jax(tmp_path):
     for (tl, tg), (jl, jg) in zip(torch_out, jax_out):
         assert abs(tl - jl) < 1e-3
         assert tg == jg
+
+
+def test_generation_filters_gsm8k_style(tmp_path):
+    """filter_regex/target_regex extract final answers before metrics."""
+    d = tmp_path / "gsm8k"
+    d.mkdir()
+    with open(d / "test.jsonl", "w") as f:
+        f.write(json.dumps({"question": "2+2?", "answer": "2 and 2 make four.\n#### 4"}) + "\n")
+
+    class ReasoningLM:
+        def loglikelihood(self, pairs):
+            raise NotImplementedError
+
+        def generate_until(self, reqs):
+            return ["First, 2 + 2 = 4. The answer is 4"]
+
+    res = simple_evaluate(ReasoningLM(), ["gsm8k"], data_root=str(tmp_path), num_fewshot=0)
+    assert res["results"]["gsm8k"]["exact_match"] == 1.0

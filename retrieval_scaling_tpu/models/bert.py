@@ -41,6 +41,10 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     pooling: str = "mean"  # "mean" (contriever) | "cls"
     attention_impl: str = "auto"
+    # RoBERTa/XLM-R (the reference's XLMRetriever variant, reference:
+    # contriever/src/contriever.py:58-100): positions are pad-offset —
+    # position_id = cumsum(mask) * mask + padding_idx (padding_idx = 1).
+    roberta_position_ids: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -104,7 +108,11 @@ def bert_encode(
     b, s = input_ids.shape
     emb = params["embeddings"]
     x = emb["word"][input_ids]
-    x = x + emb["position"][None, :s, :]
+    if cfg.roberta_position_ids:
+        pos_ids = jnp.cumsum(attention_mask, axis=1) * attention_mask + 1
+        x = x + emb["position"][pos_ids]
+    else:
+        x = x + emb["position"][None, :s, :]
     if token_type_ids is None:
         x = x + emb["token_type"][0][None, None, :]
     else:

@@ -59,8 +59,12 @@ def _strip_prefixes(state: Mapping[str, Any]) -> Dict[str, Any]:
 # --------------------------------------------------------------------------
 # BERT / Contriever
 # --------------------------------------------------------------------------
+_ROBERTA_MODEL_TYPES = ("roberta", "xlm-roberta", "camembert")
+
+
 def bert_config_from_hf(hf_config, pooling: str = "mean", attention_impl: str = "auto") -> BertConfig:
     return BertConfig(
+        roberta_position_ids=getattr(hf_config, "model_type", "bert") in _ROBERTA_MODEL_TYPES,
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
         num_layers=hf_config.num_hidden_layers,

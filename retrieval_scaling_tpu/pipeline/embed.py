@@ -44,12 +44,17 @@ def generate_passage_embeddings(cfg, encoder: JaxEncoder | None = None) -> None:
             tokenizer_name=args.get("tokenizer", None),
         )
 
+    # Truncate embeddings to the index's projection size when the encoder's
+    # hidden size exceeds it (drama-style matryoshka, reference: src/embed.py:61-62).
+    proj = args.get("projection_size", None) or cfg.datastore.index.get("projection_size", None)
+    out_dim = proj if proj and proj < encoder.cfg.hidden_size else None
     opts = EncodeOptions(
         batch_size=args.get("per_device_batch_size", args.get("per_gpu_batch_size", 512)),
         maxlength=args.passage_maxlength,
         lowercase=args.get("lowercase", False),
         normalize_text=args.get("normalize_text", False),
         no_title=args.get("no_title", False),
+        out_dim=out_dim,
     )
 
     for shard_id in todo:

@@ -52,6 +52,10 @@ class EncodeOptions:
     normalize_text: bool = False
     no_title: bool = False
     normalize_emb: bool = False
+    # Matryoshka-style truncation to the index's projection size (the
+    # reference's drama ``encode_documents(..., dim=768)``,
+    # reference: src/embed.py:61-62). None = full hidden size.
+    out_dim: int | None = None
 
 
 class JaxEncoder:
@@ -87,16 +91,23 @@ class JaxEncoder:
         self._encode_jit = {}
 
     # ------------------------------------------------------------------
-    def _compiled(self, normalize_emb: bool):
-        key = normalize_emb
+    def _compiled(self, normalize_emb: bool, out_dim: int | None = None):
+        key = (normalize_emb, out_dim)
         if key not in self._encode_jit:
             batch_sharding = NamedSharding(self.mesh, P(("data",), None))
 
             @partial(jax.jit, in_shardings=(None, batch_sharding, batch_sharding))
             def fn(params, input_ids, attention_mask):
-                return self.embed_fn(
-                    params, self.cfg, input_ids, attention_mask, normalize=normalize_emb
+                emb = self.embed_fn(
+                    params, self.cfg, input_ids, attention_mask,
+                    normalize=normalize_emb and out_dim is None,
                 )
+                if out_dim is not None:
+                    emb = emb[:, :out_dim]
+                    if normalize_emb:
+                        norm = jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True)
+                        emb = (emb.astype(jnp.float32) / jnp.clip(norm, 1e-9, None)).astype(emb.dtype)
+                return emb
 
             self._encode_jit[key] = fn
         return self._encode_jit[key]
@@ -110,8 +121,9 @@ class JaxEncoder:
         """Encode texts -> [N, D] fp16 embeddings (original order)."""
         opts = opts or EncodeOptions()
         n = len(texts)
+        out_dim = opts.out_dim or self.cfg.hidden_size
         if n == 0:
-            return np.zeros((0, self.cfg.hidden_size), np.float16)
+            return np.zeros((0, out_dim), np.float16)
 
         prepped = []
         for t in texts:
@@ -131,13 +143,13 @@ class JaxEncoder:
 
         buckets = _length_buckets(opts.maxlength)
         order = np.argsort(lengths, kind="stable")
-        out = np.zeros((n, self.cfg.hidden_size), np.float16)
+        out = np.zeros((n, out_dim), np.float16)
 
         num_data = self.mesh.shape["data"]
         batch = max(opts.batch_size, num_data)
         batch -= batch % num_data  # divisible by data axis
 
-        fn = self._compiled(opts.normalize_emb)
+        fn = self._compiled(opts.normalize_emb, opts.out_dim)
         pad_id = self.tokenizer.pad_token_id or 0
 
         pos = 0
@@ -222,7 +234,9 @@ def load_encoder(
         hf = transformers.AutoModel.from_pretrained(model_name_or_path)
         params, cfg = llama_from_hf_model(hf, dtype=np.float32)
         cfg = dataclasses.replace(cfg, attention_impl=attention_impl)
-        grit_style = "grit" in name or "reasonir" in name
+        # GRIT/ReasonIR/DRAMA are bidirectional llama-family embedders;
+        # Qwen3-style embedders stay causal with last-token pooling.
+        grit_style = "grit" in name or "reasonir" in name or "drama" in name
         embed_fn = _partial(
             llama_embed,
             pooling="mean" if grit_style else "last",

@@ -213,3 +213,22 @@ def test_encoder_dispatch_decoder_family(tmp_path, rng):
     out = enc.encode(["hello world", "a longer piece of text here"], EncodeOptions(batch_size=2, maxlength=16))
     assert out.shape == (2, 32)
     assert np.isfinite(out).all()
+
+
+def test_encoder_out_dim_truncation(tmp_path, rng):
+    """Matryoshka out_dim truncation renormalizes on the truncated dims."""
+    from tests.helpers import make_word_tokenizer, tiny_encoder
+
+    tok = make_word_tokenizer(["alpha beta gamma delta epsilon"])
+    enc = tiny_encoder(tok)  # hidden 32
+    from retrieval_scaling_tpu.search.encoder import EncodeOptions
+
+    full = enc.encode(["alpha beta", "gamma delta epsilon"], EncodeOptions(batch_size=2, maxlength=16, normalize_emb=True))
+    trunc = enc.encode(["alpha beta", "gamma delta epsilon"], EncodeOptions(batch_size=2, maxlength=16, normalize_emb=True, out_dim=16))
+    assert full.shape == (2, 32) and trunc.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(trunc.astype(np.float32), axis=-1), 1.0, atol=1e-2)
+    # direction agrees with truncation of the unnormalized embedding
+    raw = enc.encode(["alpha beta"], EncodeOptions(batch_size=2, maxlength=16))
+    want = raw[0, :16] / np.linalg.norm(raw[0, :16].astype(np.float32))
+    got = trunc[0].astype(np.float32)
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-2)

@@ -163,3 +163,46 @@ def test_random_init_shapes_run():
     nparams = init_gpt_neox_params(ncfg, jax.random.PRNGKey(1))
     logits = gpt_neox_forward(nparams, ncfg, jnp.zeros((1, 8), jnp.int32))
     assert logits.shape == (1, 8, 64)
+
+
+def test_roberta_parity_with_padding():
+    """XLM-R/RoBERTa encoders use pad-offset position ids
+    (reference: contriever/src/contriever.py:58-100 XLMRetriever)."""
+    import transformers
+
+    cfg = transformers.RobertaConfig(
+        vocab_size=100,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=66,  # HF reserves padding_idx offset
+        pad_token_id=1,
+    )
+    torch.manual_seed(3)
+    hf = transformers.RobertaModel(cfg, add_pooling_layer=False)
+    hf.eval()
+
+    params, jcfg = bert_from_hf_model(hf, pooling="mean")
+    assert jcfg.roberta_position_ids
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(3, 100, (2, 10)).astype(np.int32)
+    ids[1, 7:] = 1  # right padding with pad_token_id
+    mask = np.ones((2, 10), np.int32)
+    mask[1, 7:] = 0
+
+    import torch as _torch
+
+    with _torch.no_grad():
+        ref = hf(
+            _torch.tensor(ids.astype(np.int64)), attention_mask=_torch.tensor(mask.astype(np.int64))
+        ).last_hidden_state.numpy()
+
+    from retrieval_scaling_tpu.models.bert import bert_encode
+
+    got = np.asarray(bert_encode(params, jcfg, jnp.asarray(ids), jnp.asarray(mask)))
+    # only compare non-pad positions (HF computes garbage on pads too, but
+    # with identical pos ids; pads are excluded from pooling anyway)
+    np.testing.assert_allclose(got[0], ref[0], atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(got[1, :7], ref[1, :7], atol=2e-4, rtol=2e-3)

@@ -166,7 +166,10 @@ def ivf_scan_topk(
         ids_g, valid_g = inp                       # [B, group]
         gathered = tiles[ids_g]                    # [B, group, TILE, D]
         rows = row_ids_tiled[ids_g]                # [B, group, TILE]
-        s = jnp.einsum("bd,bgtd->bgt", qf, gathered).astype(jnp.float32)
+        # bf16 inputs MUST accumulate in f32 on the MXU: without
+        # preferred_element_type the result is bf16 (~3 significant digits),
+        # which tie-breaks away true neighbors (recall loss at high nprobe).
+        s = jnp.einsum("bd,bgtd->bgt", qf, gathered, preferred_element_type=jnp.float32)
         ok = valid_g[:, :, None] & (rows >= 0)
         s = jnp.where(ok, s, NEG_INF).reshape(b, group * TILE)
         flat_rows = jnp.where(ok, rows, -1).reshape(b, group * TILE)

@@ -294,7 +294,9 @@ class IVFPQIndex:
         b = q.shape[0]
         dsub = self.dimension // self.m
         q_sub = q.reshape(b, self.m, dsub)
-        lut = jnp.einsum("bmd,mkd->bmk", q_sub, self.codebooks_dev)
+        lut = jnp.einsum(
+            "bmd,mkd->bmk", q_sub, self.codebooks_dev, preferred_element_type=jnp.float32
+        )
         k_eff = min(k, self.n_valid)
         scores, ids = pq_scan_topk(
             lut, coarse, self.code_tiles_dev, self.row_ids_dev,

@@ -231,3 +231,43 @@ def test_pq_encode_picks_nearest_codeword(rng):
         sub = data[:, j * 4 : (j + 1) * 4]
         d2 = ((sub[:, None] - np.asarray(books[j])[None]) ** 2).sum(-1)
         np.testing.assert_array_equal(codes[:, j], np.argmin(d2, axis=1))
+
+
+def test_ivf_scan_scores_are_f32_accumulated(rng):
+    """Scores must come from f32 MXU accumulation, not bf16 rounding.
+
+    Regression: a missing preferred_element_type made scan scores land on
+    the bf16 grid, tie-breaking true neighbors away (recall plateaued at
+    ~0.75 regardless of nprobe).
+    """
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.index.ivf_common import (
+        build_list_layout,
+        ivf_scan_topk,
+        probe_tile_schedule,
+        select_probes,
+    )
+
+    d = 32
+    data, _, _ = _clustered_data(rng, n=600, d=d, n_clusters=4)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    assign = np.zeros(len(data), np.int32)  # single list: pure ranking test
+    layout = build_list_layout(data.astype(np.float16), assign, 1)
+
+    q = data[:1] + 0.001 * rng.randn(1, d).astype(np.float32)
+    tiles = jnp.asarray(layout.sorted_rows.reshape(-1, 128, d), jnp.bfloat16)
+    probe_ids = jnp.zeros((1, 1), jnp.int32)
+    tile_ids, valid, _ = probe_tile_schedule(
+        probe_ids, jnp.asarray(layout.tile_start), jnp.asarray(layout.tile_count),
+        int(layout.tile_count.max()),
+    )
+    scores, ids = ivf_scan_topk(
+        jnp.asarray(q, jnp.bfloat16), tiles, jnp.asarray(layout.row_flat_ids),
+        tile_ids, valid, 10,
+    )
+    got = np.asarray(scores[0])
+    # bf16 values round-trip exactly; f32-accumulated scores of bf16 inputs
+    # almost surely don't. At least some scores must be off-grid.
+    on_grid = np.asarray(jnp.asarray(got, jnp.bfloat16), np.float32) == got
+    assert not on_grid.all(), got[:5]

@@ -120,6 +120,75 @@ def main() -> None:
     # reference: 3,518,123 passages in ~47 min on 1x L40 (README.md:94) ≈ 1248/s
     log(f"encoder throughput: {psg_per_s:.0f} passages/s (ref L40 ~1248/s -> {psg_per_s/1248:.1f}x)")
 
+    # ---- aux: IVF-Flat + IVF-PQ probed-scan throughput -------------------
+    # Structures are synthesized on device (host->device transfers crawl
+    # through the relay); the scan kernels' cost is independent of the
+    # actual clustering, so random tiles measure real serving QPS.
+    from retrieval_scaling_tpu.index.ivf_common import TILE, ivf_scan_topk, probe_tile_schedule
+    from retrieval_scaling_tpu.index.ivf_pq import pq_scan_topk
+
+    nlist, tiles_per_list, nprobe, bq = 3904, 2, 64, 64
+    total_tiles = nlist * tiles_per_list  # ~1M rows at TILE=128
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    centroids = jax.random.normal(k1, (nlist, d), jnp.float32)
+    tile_start = jnp.arange(nlist, dtype=jnp.int32) * tiles_per_list
+    tile_count = jnp.full((nlist,), tiles_per_list, jnp.int32)
+    row_ids = jnp.arange(total_tiles * TILE, dtype=jnp.int32)
+    qv = jax.random.normal(k2, (bq, d), jnp.float32)
+
+    def probed_schedule(q):
+        scores_c = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+        coarse, probe_ids = jax.lax.top_k(scores_c, nprobe)
+        tile_ids, valid, probe_of = probe_tile_schedule(
+            probe_ids, tile_start, tile_count, nprobe * tiles_per_list
+        )
+        return coarse, tile_ids, valid, probe_of
+
+    flat_tiles = jax.jit(
+        lambda kk: jax.random.normal(kk, (total_tiles, TILE, d), jnp.bfloat16)
+    )(k3)
+    flat_tiles.block_until_ready()
+
+    fi = 8
+
+    def ivfflat_loop(params, db):
+        def body(i, acc):
+            q = qv + acc * 0
+            _, tile_ids, valid, _ = probed_schedule(q)
+            s, _ = ivf_scan_topk(q.astype(jnp.bfloat16), flat_tiles, row_ids, tile_ids, valid, k)
+            return acc + s[0, 0] * 0 + 1
+        return jax.lax.fori_loop(0, fi, body, jnp.zeros((), jnp.float32))
+
+    per_ivf = timed_loop(f"ivf-flat scan b{bq} nprobe{nprobe}", ivfflat_loop, fi)
+    ivf_qps = bq / (per_ivf / 1e3)
+    log(f"IVF-Flat throughput: {ivf_qps:.0f} QPS (1M rows, nprobe {nprobe})")
+
+    del flat_tiles
+    m, ksub = 16, 256
+    dsub = d // m
+    code_tiles = jax.jit(
+        lambda kk: jax.random.randint(kk, (total_tiles, TILE, m), 0, ksub, jnp.uint8)
+    )(k4)
+    codebooks = jax.random.normal(jax.random.PRNGKey(2), (m, ksub, dsub), jnp.float32)
+    code_tiles.block_until_ready()
+
+    def ivfpq_loop(params, db):
+        def body(i, acc):
+            q = qv + acc * 0
+            coarse, tile_ids, valid, probe_of = probed_schedule(q)
+            lut = jnp.einsum(
+                "bmd,mkd->bmk", q.reshape(bq, m, dsub), codebooks,
+                preferred_element_type=jnp.float32,
+            )
+            s, _ = pq_scan_topk(lut, coarse, code_tiles, row_ids, tile_ids, valid, probe_of, k)
+            return acc + s[0, 0] * 0 + 1
+        return jax.lax.fori_loop(0, fi, body, jnp.zeros((), jnp.float32))
+
+    per_pq = timed_loop(f"ivf-pq scan b{bq} nprobe{nprobe} m{m}", ivfpq_loop, fi)
+    pq_qps = bq / (per_pq / 1e3)
+    log(f"IVF-PQ throughput: {pq_qps:.0f} QPS (1M codes, nprobe {nprobe}, m={m})")
+
     print(
         json.dumps(
             {
@@ -130,6 +199,8 @@ def main() -> None:
                 "aux": {
                     "batch64_exact_qps": round(qps, 1),
                     "encoder_passages_per_s": round(psg_per_s, 1),
+                    "ivf_flat_qps_nprobe64": round(ivf_qps, 1),
+                    "ivf_pq_qps_nprobe64_m16": round(pq_qps, 1),
                     "backend": backend,
                     "method": "amortized in-program loops (relay-safe)",
                 },

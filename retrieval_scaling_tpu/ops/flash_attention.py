@@ -195,6 +195,42 @@ def flash_attention(
     return out[:, :, :sq, :]
 
 
+# --------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, XLA-recompute backward.
+#
+# pallas_call has no automatic VJP, so training through the flash kernel
+# needs a custom one. The backward recomputes attention with XLA in f32
+# (flash-style rematerialization: no S x S tensor is saved between fwd and
+# bwd) and takes exact gradients of that recomputation. Sequences here are
+# <= 512 (SURVEY.md §5 long-context scope), so the XLA backward's blockwise
+# fusion is adequate; a fused Pallas dq/dk/dv kernel is a further step.
+# --------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_diffable(causal, sm_scale, q, k, v, mask_f):
+    kv_mask = None if mask_f is None else mask_f > 0.5
+    return flash_attention(q, k, v, kv_mask, causal, sm_scale)
+
+
+def _flash_diffable_fwd(causal, sm_scale, q, k, v, mask_f):
+    return _flash_diffable(causal, sm_scale, q, k, v, mask_f), (q, k, v, mask_f)
+
+
+def _flash_diffable_bwd(causal, sm_scale, residuals, g):
+    q, k, v, mask_f = residuals
+    kv_mask = None if mask_f is None else mask_f > 0.5
+
+    def ref(q_, k_, v_):
+        return xla_attention(q_, k_, v_, kv_mask, causal, sm_scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    dmask = None if mask_f is None else jnp.zeros_like(mask_f)
+    return dq, dk, dv, dmask
+
+
+_flash_diffable.defvjp(_flash_diffable_fwd, _flash_diffable_bwd)
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
@@ -208,14 +244,18 @@ def multi_head_attention(
 
     ``impl``: "auto" picks Pallas on TPU, XLA elsewhere; "flash"/"xla"
     force a backend; "flash_interpret" runs the kernel in interpreter mode
-    (for CPU parity tests).
+    (for CPU parity tests). The flash path is differentiable (custom VJP
+    with XLA-recompute backward), so the same model code trains and serves.
     """
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return xla_attention(q, k, v, kv_mask, causal, sm_scale)
     if impl == "flash":
-        return flash_attention(q, k, v, kv_mask, causal, sm_scale)
+        if sm_scale is None:
+            sm_scale = q.shape[-1] ** -0.5
+        mask_f = None if kv_mask is None else kv_mask.astype(jnp.float32)
+        return _flash_diffable(causal, float(sm_scale), q, k, v, mask_f)
     if impl == "flash_interpret":
         return flash_attention(q, k, v, kv_mask, causal, sm_scale, interpret=True)
     raise ValueError(f"Unknown attention impl: {impl!r}")

@@ -58,6 +58,10 @@ def main(argv=None):
     parser.add_argument("--data_root", default=None)
     parser.add_argument("--output_path", default=None)
     # RAG flags (reference: lm_eval/__main__.py:253-304)
+    parser.add_argument(
+        "--use_cache", default=None,
+        help="path to a request-cache sqlite file (reference: lm_eval --use_cache)",
+    )
     parser.add_argument("--save_inputs_only", action="store_true")
     parser.add_argument("--inputs_save_dir", default=None)
     parser.add_argument("--answer_save_dir", default=None)
@@ -74,6 +78,10 @@ def main(argv=None):
     from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
 
     lm = build_lm(args.model, parse_model_args(args.model_args), args.batch_size)
+    if args.use_cache:
+        from retrieval_scaling_tpu.rag_eval.caching import CachingLM
+
+        lm = CachingLM(lm, args.use_cache, model_tag=f"{args.model}:{args.model_args}")
     results = simple_evaluate(
         lm,
         tasks=args.tasks.split(","),

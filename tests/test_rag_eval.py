@@ -265,3 +265,37 @@ def test_generation_filters_gsm8k_style(tmp_path):
 
     res = simple_evaluate(ReasoningLM(), ["gsm8k"], data_root=str(tmp_path), num_fewshot=0)
     assert res["results"]["gsm8k"]["exact_match"] == 1.0
+
+
+def test_request_cache_avoids_recompute(tmp_path):
+    from retrieval_scaling_tpu.rag_eval.caching import CachingLM
+
+    calls = {"ll": 0, "gen": 0}
+
+    class CountingLM:
+        def loglikelihood(self, pairs):
+            calls["ll"] += len(pairs)
+            return [(-1.0 * i, False) for i in range(len(pairs))]
+
+        def generate_until(self, reqs):
+            calls["gen"] += len(reqs)
+            return [f"out-{r['context']}" for r in reqs]
+
+    lm = CachingLM(CountingLM(), str(tmp_path / "cache.db"), model_tag="m1")
+    pairs = [("a", " b"), ("c", " d")]
+    first = lm.loglikelihood(pairs)
+    again = lm.loglikelihood(pairs)
+    assert first == again and calls["ll"] == 2  # second call fully cached
+
+    reqs = [{"context": "x", "gen_kwargs": {"until": ["\n"]}}]
+    g1 = lm.generate_until(reqs)
+    g2 = lm.generate_until(reqs)
+    assert g1 == g2 == ["out-x"] and calls["gen"] == 1
+
+    # a fresh wrapper over the same file still hits the cache (disk persistence)
+    lm2 = CachingLM(CountingLM(), str(tmp_path / "cache.db"), model_tag="m1")
+    assert lm2.loglikelihood(pairs) == first and calls["ll"] == 2
+    # different model tag misses
+    lm3 = CachingLM(CountingLM(), str(tmp_path / "cache.db"), model_tag="m2")
+    lm3.loglikelihood(pairs)
+    assert calls["ll"] == 4

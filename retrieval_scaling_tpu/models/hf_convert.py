@@ -283,6 +283,104 @@ def llama_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "auto"
 
 
 # --------------------------------------------------------------------------
+# T5 encoder (sentence-transformers GTR family)
+# --------------------------------------------------------------------------
+def t5_config_from_hf(hf_config, projection_dim: int | None = None) -> "T5EncoderConfig":
+    from retrieval_scaling_tpu.models.t5 import T5EncoderConfig
+
+    return T5EncoderConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.d_model,
+        num_layers=hf_config.num_layers,
+        num_heads=hf_config.num_heads,
+        head_dim=hf_config.d_kv,
+        intermediate_size=hf_config.d_ff,
+        relative_buckets=hf_config.relative_attention_num_buckets,
+        relative_max_distance=getattr(hf_config, "relative_attention_max_distance", 128),
+        rms_eps=hf_config.layer_norm_epsilon,
+        gated_act="gated" in getattr(hf_config, "feed_forward_proj", "relu"),
+        projection_dim=projection_dim,
+    )
+
+
+def t5_encoder_params_from_state_dict(state: Mapping[str, Any], cfg, dtype=np.float32) -> Dict:
+    sd = {}
+    for key, val in state.items():
+        if key.startswith("encoder."):
+            key = key[len("encoder."):]
+        sd[key] = _np(val)
+
+    d, h, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+
+    def g(name):
+        return sd[name].astype(dtype)
+
+    params: Dict[str, Any] = {
+        "embed": (sd.get("shared.weight", sd.get("embed_tokens.weight"))).astype(dtype),
+        "rel_bias": g("block.0.layer.0.SelfAttention.relative_attention_bias.weight"),
+        "final_norm": g("final_layer_norm.weight"),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"block.{i}.layer."
+        layer = {
+            "attn_norm": g(p + "0.layer_norm.weight"),
+            "q_w": g(p + "0.SelfAttention.q.weight").T.reshape(d, h, hd),
+            "k_w": g(p + "0.SelfAttention.k.weight").T.reshape(d, h, hd),
+            "v_w": g(p + "0.SelfAttention.v.weight").T.reshape(d, h, hd),
+            "o_w": g(p + "0.SelfAttention.o.weight").T.reshape(h, hd, d),
+            "ffn_norm": g(p + "1.layer_norm.weight"),
+            "wo": g(p + "1.DenseReluDense.wo.weight").T,
+        }
+        if cfg.gated_act:
+            layer["wi_0"] = g(p + "1.DenseReluDense.wi_0.weight").T
+            layer["wi_1"] = g(p + "1.DenseReluDense.wi_1.weight").T
+        else:
+            layer["wi"] = g(p + "1.DenseReluDense.wi.weight").T
+        params["layers"].append(layer)
+    return params
+
+
+def t5_encoder_from_hf_model(hf_model, dtype=np.float32, projection: np.ndarray | None = None):
+    cfg = t5_config_from_hf(
+        hf_model.config,
+        projection_dim=projection.shape[1] if projection is not None else None,
+    )
+    params = t5_encoder_params_from_state_dict(hf_model.state_dict(), cfg, dtype=dtype)
+    if projection is not None:
+        params["projection"] = np.asarray(projection, dtype)
+    return params, cfg
+
+
+def load_sentence_transformers_projection(model_dir: str) -> np.ndarray | None:
+    """Load a sentence-transformers Dense module (GTR's 2_Dense/) if present.
+
+    ST checkpoints store it as ``2_Dense/pytorch_model.bin`` (or
+    model.safetensors) holding ``linear.weight`` [out, in].
+    """
+    import glob as _glob
+    import os
+
+    for dense_dir in sorted(_glob.glob(os.path.join(model_dir, "*_Dense"))):
+        st_bin = os.path.join(dense_dir, "pytorch_model.bin")
+        st_safe = os.path.join(dense_dir, "model.safetensors")
+        if os.path.exists(st_safe):
+            from safetensors.numpy import load_file
+
+            weights = load_file(st_safe)
+        elif os.path.exists(st_bin):
+            import torch
+
+            weights = {k: _np(v) for k, v in torch.load(st_bin, map_location="cpu").items()}
+        else:
+            continue
+        for key, val in weights.items():
+            if key.endswith("weight"):
+                return np.asarray(val).T  # [in, out]
+    return None
+
+
+# --------------------------------------------------------------------------
 # Loading helpers
 # --------------------------------------------------------------------------
 def load_tokenizer(name_or_path: str):

@@ -76,6 +76,7 @@ class JaxEncoder:
         embed_fn: Callable | None = None,
         query_prefix: str = "",
         passage_prefix: str = "",
+        force_normalize: bool = False,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -84,6 +85,9 @@ class JaxEncoder:
         self.embed_fn = embed_fn or contriever_embed
         self.query_prefix = query_prefix
         self.passage_prefix = passage_prefix
+        # Models whose contract includes L2 normalization (sentence-
+        # transformers / e5 / GTR) normalize regardless of EncodeOptions.
+        self.force_normalize = force_normalize
         self.params = jax.device_put(
             jax.tree.map(lambda x: jnp.asarray(x, dtype), params),
             NamedSharding(self.mesh, P()),
@@ -92,6 +96,7 @@ class JaxEncoder:
 
     # ------------------------------------------------------------------
     def _compiled(self, normalize_emb: bool, out_dim: int | None = None):
+        normalize_emb = normalize_emb or self.force_normalize
         key = (normalize_emb, out_dim)
         if key not in self._encode_jit:
             batch_sharding = NamedSharding(self.mesh, P(("data",), None))
@@ -121,7 +126,11 @@ class JaxEncoder:
         """Encode texts -> [N, D] fp16 embeddings (original order)."""
         opts = opts or EncodeOptions()
         n = len(texts)
-        out_dim = opts.out_dim or self.cfg.hidden_size
+        out_dim = (
+            opts.out_dim
+            or getattr(self.cfg, "projection_dim", None)
+            or self.cfg.hidden_size
+        )
         if n == 0:
             return np.zeros((0, out_dim), np.float16)
 
@@ -226,6 +235,30 @@ def load_encoder(
     except Exception:
         model_type = "bert"
 
+    if model_type == "t5":
+        # sentence-transformers GTR family: T5 encoder + mean pool +
+        # optional Dense projection + L2 normalize (reference: README.md:197-208).
+        import os
+        from functools import partial as _partial
+
+        from retrieval_scaling_tpu.models.hf_convert import (
+            load_sentence_transformers_projection,
+            t5_encoder_from_hf_model,
+        )
+        from retrieval_scaling_tpu.models.t5 import t5_embed
+
+        hf = transformers.T5EncoderModel.from_pretrained(model_name_or_path)
+        projection = (
+            load_sentence_transformers_projection(model_name_or_path)
+            if os.path.isdir(str(model_name_or_path))
+            else None
+        )
+        params, cfg = t5_encoder_from_hf_model(hf, dtype=np.float32, projection=projection)
+        return JaxEncoder(
+            params, cfg, tokenizer, mesh=mesh, dtype=dtype,
+            embed_fn=t5_embed, force_normalize=True,
+        )
+
     if model_type in _DECODER_MODEL_TYPES:
         from functools import partial as _partial
 
@@ -258,4 +291,5 @@ def load_encoder(
         params, cfg, tokenizer, mesh=mesh, dtype=dtype,
         query_prefix="query: " if e5_style else "",
         passage_prefix="passage: " if e5_style else "",
+        force_normalize=e5_style,
     )

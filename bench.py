@@ -80,12 +80,16 @@ def main() -> None:
     q_mask = jnp.ones((1, 64), jnp.int32)
 
     def serve_loop(params, db):
+        # Dependencies are threaded through FLOAT arithmetic only: XLA's
+        # algebraic simplifier folds integer x*0 -> 0 and then dead-code-
+        # eliminates the search, faking the measurement. float x*0.0 is not
+        # foldable (NaN/inf semantics), so every stage must really run.
         def body(i, acc):
-            ids = q_ids[i] + (acc * 0).astype(jnp.int32)
+            ids = q_ids[i] + (acc * 0.0).astype(jnp.int32)
             emb = contriever_embed(params, cfg, ids, q_mask).astype(jnp.bfloat16)
             s, _ = chunked_topk_scores(emb, db, n, k, chunk_size=chunk)
-            return acc + s[0, 0].astype(jnp.int32) * 0 + 1
-        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.int32))
+            return acc + s[0, 0].astype(jnp.float32) * 1e-12
+        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.float32))
 
     p50 = timed_loop("e2e encode+exact-search b1", serve_loop, n_iter)
 
@@ -110,10 +114,10 @@ def main() -> None:
 
     def enc_loop(params, db):
         def body(i, acc):
-            ids = p_ids + (acc * 0).astype(jnp.int32)
+            ids = p_ids + (acc * 0.0).astype(jnp.int32)
             emb = contriever_embed(params, cfg, ids, p_mask)
-            return acc + emb[0, 0].astype(jnp.int32) * 0 + 1
-        return jax.lax.fori_loop(0, ei, body, jnp.zeros((), jnp.int32))
+            return acc + emb[0, 0].astype(jnp.float32) * 1e-12
+        return jax.lax.fori_loop(0, ei, body, jnp.zeros((), jnp.float32))
 
     per_enc = timed_loop("encode 512x256", enc_loop, ei)
     psg_per_s = 512 / (per_enc / 1e3)

@@ -37,6 +37,44 @@ def merge_topk(scores_a, ids_a, scores_b, ids_b, k: int):
     return top_scores, jnp.take_along_axis(ids, pos, axis=-1)
 
 
+def exact_topk_2stage(scores: jax.Array, k: int, seg: int = 128):
+    """Exact top-k over the last axis via segment-max prefilter.
+
+    ``lax.top_k`` on TPU sorts the whole row (ruinous at 1M columns). This
+    selects exactly the same set in two cheap stages:
+
+      1. max over SEG-wide segments (VPU reduction) -> [B, C/SEG]
+      2. top-k of the segment maxima, gather those k segments
+         (k*SEG candidates), exact top-k over the small pool.
+
+    Exactness: let t = the k-th largest value. Every element > t lives in a
+    segment whose max > t; there are < k such elements, hence < k such
+    segments, and all of them rank above any max == t segment — so they are
+    all among the k segments kept. Remaining slots are filled by elements
+    == t from kept segments, which is a valid top-k under tie-arbitrariness.
+
+    Returns (values [B, k'], column indices [B, k']) with k' = min(k, C).
+    """
+    b, c = scores.shape
+    if c <= max(k, 2 * seg):  # small rows: direct sort is fine
+        kk = min(k, c)
+        return jax.lax.top_k(scores, kk)
+    n_seg = -(-c // seg)
+    if n_seg * seg != c:
+        scores = jnp.pad(scores, ((0, 0), (0, n_seg * seg - c)), constant_values=NEG_INF)
+    s3 = scores.reshape(b, n_seg, seg)
+    seg_max = jnp.max(s3, axis=-1)                               # [B, G]
+    k_seg = min(k, n_seg)
+    _, seg_ids = jax.lax.top_k(seg_max, k_seg)                   # [B, k_seg]
+    cand = jnp.take_along_axis(s3, seg_ids[..., None], axis=1)   # [B, k_seg, SEG]
+    cand = cand.reshape(b, k_seg * seg)
+    kk = min(k, c)
+    c_s, c_pos = jax.lax.top_k(cand, kk)
+    seg_of = jnp.take_along_axis(seg_ids, c_pos // seg, axis=1)
+    cols = seg_of * seg + c_pos % seg
+    return c_s, cols.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk_size", "approx_recall"))
 def chunked_topk_scores(
     queries: jax.Array,      # [B, D]
@@ -89,7 +127,7 @@ def chunked_topk_scores(
         valid = (base + col) < n_valid
         scores = jnp.where(valid, scores, NEG_INF)
         if approx_recall is None:
-            c_s, c_pos = jax.lax.top_k(scores, k_chunk)
+            c_s, c_pos = exact_topk_2stage(scores, k_chunk)
         else:
             c_s, c_pos = jax.lax.approx_max_k(scores, k_chunk, recall_target=approx_recall)
         c_i = jnp.where(c_s > NEG_INF / 2, (base + c_pos).astype(jnp.int32), -1)

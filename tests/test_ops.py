@@ -120,3 +120,33 @@ def test_flash_attention_gradients_match_xla():
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for gf, gx in zip(g_flash, g_xla):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=2e-4, rtol=2e-3)
+
+
+def test_exact_topk_2stage_matches_lax_topk():
+    """Two-stage segment-prefiltered top-k is exact, including ties."""
+    from retrieval_scaling_tpu.ops.topk import exact_topk_2stage
+
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        b, c, k = 4, 4096 + trial * 517, 100
+        scores = rng.randn(b, c).astype(np.float32)
+        if trial >= 3:  # heavy ties
+            scores = np.round(scores * 4) / 4
+        vals, cols = exact_topk_2stage(jnp.asarray(scores), k, seg=128)
+        ref_vals, _ = jax.lax.top_k(jnp.asarray(scores), k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+        # returned columns really hold the returned values
+        np.testing.assert_allclose(
+            np.take_along_axis(scores, np.asarray(cols), axis=1), np.asarray(vals)
+        )
+
+
+def test_exact_topk_2stage_small_rows():
+    from retrieval_scaling_tpu.ops.topk import exact_topk_2stage
+
+    rng = np.random.RandomState(1)
+    scores = rng.randn(2, 50).astype(np.float32)
+    vals, cols = exact_topk_2stage(jnp.asarray(scores), 10)
+    ref_vals, ref_cols = jax.lax.top_k(jnp.asarray(scores), 10)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+    np.testing.assert_array_equal(np.asarray(cols), np.asarray(ref_cols))

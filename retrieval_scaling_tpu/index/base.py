@@ -85,7 +85,9 @@ class Indexer:
             mesh=mesh,
         )
         if self.index_type == "Flat":
-            self.datastore = FlatIndex(**common)
+            self.datastore = FlatIndex(
+                approx_recall=self.args.get("approx_recall", None), **common
+            )
         elif self.index_type == "IVFFlat":
             from retrieval_scaling_tpu.index.ivf_flat import IVFFlatIndex
 

@@ -72,6 +72,7 @@ class FlatIndex:
         mesh: Mesh | None = None,
         dtype=jnp.bfloat16,
         search_chunk_size: int = 1 << 20,
+        approx_recall: float | None = None,
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -79,6 +80,9 @@ class FlatIndex:
         self.mesh = mesh or single_device_mesh()
         self.dtype = dtype
         self.search_chunk_size = search_chunk_size
+        # None = exact top-k; a recall target (e.g. 0.99) enables the
+        # lax.approx_max_k serving fast path (datastore.index.approx_recall).
+        self.approx_recall = approx_recall
 
         if index_path and meta_file and os.path.exists(index_path) and os.path.exists(meta_file):
             logger.info("Loading index from %s", index_path)
@@ -158,6 +162,7 @@ class FlatIndex:
             k_eff,
             self.rows_per_shard,
             chunk_size=chunk,
+            approx_recall=self.approx_recall,
         )
         return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
 

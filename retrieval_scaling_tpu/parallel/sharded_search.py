@@ -40,9 +40,12 @@ def sharded_flat_search(
     k: int,
     rows_per_shard: int,
     chunk_size: int = 131072,
+    approx_recall: float | None = None,
 ):
-    """Exact global top-k over a row-sharded database. Returns replicated
-    (scores [B, k], global_ids [B, k])."""
+    """Global top-k over a row-sharded database. Returns replicated
+    (scores [B, k], global_ids [B, k]). Exact by default;
+    ``approx_recall`` switches the per-shard scan to ``lax.approx_max_k``
+    at the given recall target (serving fast path)."""
 
     num_shards = mesh.shape["data"]
 
@@ -50,7 +53,9 @@ def sharded_flat_search(
         rank = jax.lax.axis_index("data")
         base = rank * rows_per_shard
         local_valid = jnp.clip(n_valid_arr[0] - base, 0, rows_per_shard)
-        s, i = chunked_topk_scores(q, db_local, local_valid, k, chunk_size=chunk_size)
+        s, i = chunked_topk_scores(
+            q, db_local, local_valid, k, chunk_size=chunk_size, approx_recall=approx_recall
+        )
         gi = jnp.where(i >= 0, i + base, -1)
         # Cross-shard merge over ICI: gather all candidates, global top-k.
         all_s = jax.lax.all_gather(s, "data", axis=0)   # [S, B, k]

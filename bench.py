@@ -128,8 +128,8 @@ def main() -> None:
     # Structures are synthesized on device (host->device transfers crawl
     # through the relay); the scan kernels' cost is independent of the
     # actual clustering, so random tiles measure real serving QPS.
-    from retrieval_scaling_tpu.index.ivf_common import TILE, ivf_scan_topk, probe_tile_schedule
-    from retrieval_scaling_tpu.index.ivf_pq import pq_scan_topk
+    from retrieval_scaling_tpu.index.ivf_common import TILE, probe_tile_schedule
+    from retrieval_scaling_tpu.ops.ivf_gather import ivf_scan_topk_pallas, pq_scan_topk_pallas
 
     nlist, tiles_per_list, nprobe, bq = 3904, 2, 64, 64
     total_tiles = nlist * tiles_per_list  # ~1M rows at TILE=128
@@ -160,7 +160,7 @@ def main() -> None:
         def body(i, acc):
             q = qv + acc * 0
             _, tile_ids, valid, _ = probed_schedule(q)
-            s, _ = ivf_scan_topk(q.astype(jnp.bfloat16), flat_tiles, row_ids, tile_ids, valid, k)
+            s, _ = ivf_scan_topk_pallas(q.astype(jnp.bfloat16), flat_tiles, row_ids, tile_ids, valid, k)
             return acc + s[0, 0] * 0 + 1
         return jax.lax.fori_loop(0, fi, body, jnp.zeros((), jnp.float32))
 
@@ -172,7 +172,7 @@ def main() -> None:
     m, ksub = 16, 256
     dsub = d // m
     code_tiles = jax.jit(
-        lambda kk: jax.random.randint(kk, (total_tiles, TILE, m), 0, ksub, jnp.uint8)
+        lambda kk: jax.random.randint(kk, (total_tiles, m, TILE), 0, ksub, jnp.uint8)
     )(k4)
     codebooks = jax.random.normal(jax.random.PRNGKey(2), (m, ksub, dsub), jnp.float32)
     code_tiles.block_until_ready()
@@ -185,7 +185,7 @@ def main() -> None:
                 "bmd,mkd->bmk", q.reshape(bq, m, dsub), codebooks,
                 preferred_element_type=jnp.float32,
             )
-            s, _ = pq_scan_topk(lut, coarse, code_tiles, row_ids, tile_ids, valid, probe_of, k)
+            s, _ = pq_scan_topk_pallas(lut, coarse, code_tiles, row_ids, tile_ids, valid, probe_of, k)
             return acc + s[0, 0] * 0 + 1
         return jax.lax.fori_loop(0, fi, body, jnp.zeros((), jnp.float32))
 

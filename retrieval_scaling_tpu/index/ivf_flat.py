@@ -201,7 +201,16 @@ class IVFFlatIndex:
             probe_ids, self.tile_start_dev, self.tile_count_dev, max_tiles
         )
         k_eff = min(k, self.n_valid)
-        scores, ids = ivf_scan_topk(q, self.tiles_dev, self.row_ids_dev, tile_ids, valid, k_eff)
+        if jax.default_backend() == "tpu":
+            # Pallas scalar-prefetch gather kernel: XLA's generic gather of
+            # probed tiles lowers pathologically on TPU (ops/ivf_gather.py).
+            from retrieval_scaling_tpu.ops.ivf_gather import ivf_scan_topk_pallas
+
+            scores, ids = ivf_scan_topk_pallas(
+                q, self.tiles_dev, self.row_ids_dev, tile_ids, valid, k_eff
+            )
+        else:
+            scores, ids = ivf_scan_topk(q, self.tiles_dev, self.row_ids_dev, tile_ids, valid, k_eff)
         return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
 
     def get_retrieved_passages(self, all_indices: np.ndarray):

@@ -1,0 +1,183 @@
+"""Pallas TPU kernel: probed-tile gather + score for IVF list scans.
+
+The IVF search must score each query against the vectors of its probed
+inverted lists — a data-dependent gather of 128-row tiles from HBM. XLA's
+generic gather lowers poorly for this shape; the TPU-native form is a
+Pallas kernel whose *block index map reads the tile id from a scalar-
+prefetched array*, so the pipeline double-buffers exactly the tile DMAs
+the probe schedule names (pallas_guide: PrefetchScalarGridSpec).
+
+Kernel shape: grid (B, T). Step (b, t) DMAs ``tiles[tile_ids[b, t]]``
+([TILE, D] bf16) into VMEM and computes the [TILE] inner products against
+query b. The scan is DMA-bandwidth-bound (~1 FLOP/byte), which is the
+physical floor for gathered lists; invalid slots point at tile 0 and are
+masked by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+
+def _kernel(ids_ref, q_ref, tiles_ref, out_ref):
+    # q_ref: [1, D]; tiles_ref: [1, TILE, D]; out_ref: [1, 1, TILE]
+    scores = jax.lax.dot_general(
+        tiles_ref[0],                      # [TILE, D]
+        q_ref[:],                          # [1, D]
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # [TILE, 1]
+    out_ref[0, 0, :] = scores[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_score_tiles(
+    queries: jax.Array,    # [B, D] (any float dtype; cast to tiles dtype)
+    tiles: jax.Array,      # [T_total, TILE, D] bf16/f32 (HBM resident)
+    tile_ids: jax.Array,   # [B, T] int32 (invalid slots must be in range)
+    interpret: bool = False,
+) -> jax.Array:
+    """Scores [B, T, TILE] f32: query b vs every row of its probed tiles."""
+    b, d = queries.shape
+    t = tile_ids.shape[1]
+    q = queries.astype(tiles.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda bi, ti, ids: (bi, 0)),
+            pl.BlockSpec((1, TILE, d), lambda bi, ti, ids: (ids[bi, ti], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TILE), lambda bi, ti, ids: (bi, ti, 0)),
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, TILE), jnp.float32),
+        interpret=interpret,
+    )(tile_ids, q, tiles)
+
+
+def ivf_scan_topk_pallas(
+    queries: jax.Array,       # [B, D]
+    tiles: jax.Array,         # [T_total, TILE, D]
+    row_flat_ids: jax.Array,  # [T_total * TILE] int32 (-1 = pad)
+    tile_ids: jax.Array,      # [B, T]
+    tile_valid: jax.Array,    # [B, T] bool
+    k: int,
+    interpret: bool = False,
+):
+    """Drop-in for ``ivf_common.ivf_scan_topk`` on TPU.
+
+    Pallas gather+score kernel, then masked exact top-k over the [B, T*TILE]
+    candidate scores (two-stage select — T*TILE is at most a few tens of K).
+    """
+    from retrieval_scaling_tpu.ops.topk import NEG_INF, exact_topk_2stage
+
+    b, t = tile_ids.shape
+    safe_ids = jnp.where(tile_valid, tile_ids, 0)
+    scores = gather_score_tiles(queries, tiles, safe_ids, interpret=interpret)  # [B,T,TILE]
+    rows = row_flat_ids.reshape(-1, TILE)[safe_ids]                             # [B,T,TILE]
+    ok = tile_valid[:, :, None] & (rows >= 0)
+    flat_scores = jnp.where(ok, scores, NEG_INF).reshape(b, t * TILE)
+    flat_rows = jnp.where(ok, rows, -1).reshape(b, t * TILE)
+    kk = min(k, t * TILE)
+    c_s, c_pos = exact_topk_2stage(flat_scores, kk)
+    c_i = jnp.take_along_axis(flat_rows, c_pos, axis=-1)
+    if kk < k:
+        c_s = jnp.pad(c_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        c_i = jnp.pad(c_i, ((0, 0), (0, k - kk)), constant_values=-1)
+    return c_s, c_i
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: gathered code tiles + in-kernel ADC
+# --------------------------------------------------------------------------
+def _pq_kernel(ids_ref, lut_ref, codes_ref, out_ref):
+    """codes_ref: [1, m, TILE] uint8; lut_ref: [1, m, ksub] f32; out [1,1,TILE].
+
+    ADC by one-hot matvec per subquantizer: TPU has no per-lane VMEM
+    gather, so score[t] = sum_m lut[m, codes[m, t]] becomes m small
+    [TILE, ksub] x [ksub, 1] matmuls on the MXU (pallas_guide:
+    quantization-kernel pattern).
+    """
+    m, tile = codes_ref.shape[1], codes_ref.shape[2]
+    ksub = lut_ref.shape[2]
+    codes = codes_ref[0].astype(jnp.int32)           # [m, TILE]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, ksub), 1)
+    acc = jnp.zeros((tile, 1), jnp.float32)
+    for mi in range(m):
+        onehot = (codes[mi][:, None] == lanes).astype(jnp.bfloat16)   # [TILE, ksub]
+        lut_m = lut_ref[0, mi].astype(jnp.bfloat16).reshape(ksub, 1)
+        acc = acc + jax.lax.dot_general(
+            onehot, lut_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0, 0, :] = acc[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_adc_tiles(
+    lut: jax.Array,        # [B, m, ksub] f32
+    codes_mt: jax.Array,   # [T_total, m, TILE] uint8 (transposed layout)
+    tile_ids: jax.Array,   # [B, T] int32
+    interpret: bool = False,
+) -> jax.Array:
+    """ADC scores [B, T, TILE] f32 for each query's probed code tiles."""
+    b, m, ksub = lut.shape
+    t = tile_ids.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, m, ksub), lambda bi, ti, ids: (bi, 0, 0)),
+            pl.BlockSpec((1, m, TILE), lambda bi, ti, ids: (ids[bi, ti], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TILE), lambda bi, ti, ids: (bi, ti, 0)),
+    )
+    return pl.pallas_call(
+        _pq_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, TILE), jnp.float32),
+        interpret=interpret,
+    )(tile_ids, lut, codes_mt)
+
+
+def pq_scan_topk_pallas(
+    lut: jax.Array,            # [B, m, ksub]
+    coarse_scores: jax.Array,  # [B, nprobe]
+    codes_mt: jax.Array,       # [T_total, m, TILE] uint8
+    row_flat_ids: jax.Array,   # [T_total * TILE] int32
+    tile_ids: jax.Array,       # [B, T]
+    tile_valid: jax.Array,     # [B, T]
+    probe_of_tile: jax.Array,  # [B, T]
+    k: int,
+    interpret: bool = False,
+):
+    """Drop-in for ``ivf_pq.pq_scan_topk`` on TPU (Pallas gather + ADC)."""
+    from retrieval_scaling_tpu.ops.topk import NEG_INF, exact_topk_2stage
+
+    b, t = tile_ids.shape
+    safe_ids = jnp.where(tile_valid, tile_ids, 0)
+    adc = gather_adc_tiles(lut, codes_mt, safe_ids, interpret=interpret)   # [B,T,TILE]
+    coarse = jnp.take_along_axis(coarse_scores, jnp.where(tile_valid, probe_of_tile, 0), axis=1)
+    scores = adc + coarse[:, :, None]
+    rows = row_flat_ids.reshape(-1, TILE)[safe_ids]
+    ok = tile_valid[:, :, None] & (rows >= 0)
+    flat_scores = jnp.where(ok, scores, NEG_INF).reshape(b, t * TILE)
+    flat_rows = jnp.where(ok, rows, -1).reshape(b, t * TILE)
+    kk = min(k, t * TILE)
+    c_s, c_pos = exact_topk_2stage(flat_scores, kk)
+    c_i = jnp.take_along_axis(flat_rows, c_pos, axis=-1)
+    if kk < k:
+        c_s = jnp.pad(c_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        c_i = jnp.pad(c_i, ((0, 0), (0, k - kk)), constant_values=-1)
+    return c_s, c_i

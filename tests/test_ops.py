@@ -150,3 +150,69 @@ def test_exact_topk_2stage_small_rows():
     ref_vals, ref_cols = jax.lax.top_k(jnp.asarray(scores), 10)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
     np.testing.assert_array_equal(np.asarray(cols), np.asarray(ref_cols))
+
+
+def test_ivf_gather_score_kernel_matches_reference():
+    """Pallas probed-tile gather+score == dense reference (interpret mode)."""
+    from retrieval_scaling_tpu.ops.ivf_gather import gather_score_tiles, ivf_scan_topk_pallas
+    from retrieval_scaling_tpu.index.ivf_common import ivf_scan_topk
+
+    rng = np.random.RandomState(3)
+    t_total, tile, d, b, t = 12, 128, 32, 3, 4
+    tiles = rng.randn(t_total, tile, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+    tile_ids = rng.randint(0, t_total, (b, t)).astype(np.int32)
+
+    got = np.asarray(
+        gather_score_tiles(jnp.asarray(q), jnp.asarray(tiles), jnp.asarray(tile_ids), interpret=True)
+    )
+    for bi in range(b):
+        for ti in range(t):
+            want = tiles[tile_ids[bi, ti]] @ q[bi]
+            np.testing.assert_allclose(got[bi, ti], want, atol=1e-4, rtol=1e-4)
+
+    # full scan path matches the XLA implementation
+    row_ids = np.arange(t_total * tile, dtype=np.int32)
+    row_ids[::37] = -1  # sprinkle pads
+    valid = rng.rand(b, t) > 0.25
+    s_p, i_p = ivf_scan_topk_pallas(
+        jnp.asarray(q), jnp.asarray(tiles), jnp.asarray(row_ids),
+        jnp.asarray(tile_ids), jnp.asarray(valid), k=7, interpret=True,
+    )
+    s_x, i_x = ivf_scan_topk(
+        jnp.asarray(q), jnp.asarray(tiles), jnp.asarray(row_ids),
+        jnp.asarray(tile_ids), jnp.asarray(valid), k=7,
+    )
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), atol=1e-4, rtol=1e-4)
+    # ids may differ on exact score ties only; verify score-consistency
+    np.testing.assert_allclose(np.sort(np.asarray(s_p)), np.sort(np.asarray(s_x)), atol=1e-4)
+
+
+def test_pq_adc_kernel_matches_reference():
+    """Pallas ADC kernel == XLA pq_scan_topk (interpret mode)."""
+    from retrieval_scaling_tpu.index.ivf_pq import pq_scan_topk
+    from retrieval_scaling_tpu.ops.ivf_gather import pq_scan_topk_pallas
+
+    rng = np.random.RandomState(5)
+    t_total, tile, m, ksub, b, t, nprobe = 10, 128, 8, 32, 3, 4, 4
+    codes = rng.randint(0, ksub, (t_total, tile, m)).astype(np.uint8)
+    lut = rng.randn(b, m, ksub).astype(np.float32)
+    coarse = rng.randn(b, nprobe).astype(np.float32)
+    row_ids = np.arange(t_total * tile, dtype=np.int32)
+    row_ids[::29] = -1
+    tile_ids = rng.randint(0, t_total, (b, t)).astype(np.int32)
+    valid = rng.rand(b, t) > 0.2
+    probe_of = rng.randint(0, nprobe, (b, t)).astype(np.int32)
+
+    s_p, i_p = pq_scan_topk_pallas(
+        jnp.asarray(lut), jnp.asarray(coarse),
+        jnp.asarray(np.ascontiguousarray(codes.transpose(0, 2, 1))),  # [T, m, TILE]
+        jnp.asarray(row_ids), jnp.asarray(tile_ids), jnp.asarray(valid),
+        jnp.asarray(probe_of), k=6, interpret=True,
+    )
+    s_x, i_x = pq_scan_topk(
+        jnp.asarray(lut), jnp.asarray(coarse), jnp.asarray(codes),
+        jnp.asarray(row_ids), jnp.asarray(tile_ids), jnp.asarray(valid),
+        jnp.asarray(probe_of), k=6,
+    )
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), atol=2e-2, rtol=1e-3)

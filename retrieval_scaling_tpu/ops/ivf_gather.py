@@ -27,14 +27,18 @@ TILE = 128
 
 
 def _kernel(ids_ref, q_ref, tiles_ref, out_ref):
-    # q_ref: [1, D]; tiles_ref: [1, TILE, D]; out_ref: [1, 1, TILE]
+    # q_ref: [B, D] (full, tiny); tiles_ref: [1, TILE, D]; out [1, 1, 1, TILE].
+    # Mosaic tiling: blocks of rank >= 2 need their last two dims divisible
+    # by (8, 128) or equal to the array's — hence the full-q block (indexed
+    # by program_id) and the rank-4 output whose trailing dims are (1, TILE).
+    bi = pl.program_id(0)
     scores = jax.lax.dot_general(
         tiles_ref[0],                      # [TILE, D]
-        q_ref[:],                          # [1, D]
+        q_ref[pl.ds(bi, 1), :],            # [1, D]
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                      # [TILE, 1]
-    out_ref[0, 0, :] = scores[:, 0]
+    out_ref[0, 0, 0, :] = scores[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -53,17 +57,18 @@ def gather_score_tiles(
         num_scalar_prefetch=1,
         grid=(b, t),
         in_specs=[
-            pl.BlockSpec((1, d), lambda bi, ti, ids: (bi, 0)),
+            pl.BlockSpec((b, d), lambda bi, ti, ids: (0, 0)),
             pl.BlockSpec((1, TILE, d), lambda bi, ti, ids: (ids[bi, ti], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, TILE), lambda bi, ti, ids: (bi, ti, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, TILE), lambda bi, ti, ids: (bi, ti, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, t, TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t, 1, TILE), jnp.float32),
         interpret=interpret,
     )(tile_ids, q, tiles)
+    return out[:, :, 0, :]
 
 
 def ivf_scan_topk_pallas(
@@ -102,7 +107,7 @@ def ivf_scan_topk_pallas(
 # IVF-PQ: gathered code tiles + in-kernel ADC
 # --------------------------------------------------------------------------
 def _pq_kernel(ids_ref, lut_ref, codes_ref, out_ref):
-    """codes_ref: [1, m, TILE] uint8; lut_ref: [1, m, ksub] f32; out [1,1,TILE].
+    """codes_ref: [1, m, TILE] uint8; lut_ref: [1, m, ksub] f32; out [1,1,1,TILE].
 
     ADC by one-hot matvec per subquantizer: TPU has no per-lane VMEM
     gather, so score[t] = sum_m lut[m, codes[m, t]] becomes m small
@@ -121,7 +126,7 @@ def _pq_kernel(ids_ref, lut_ref, codes_ref, out_ref):
             onehot, lut_m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[0, 0, :] = acc[:, 0]
+    out_ref[0, 0, 0, :] = acc[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -141,14 +146,15 @@ def gather_adc_tiles(
             pl.BlockSpec((1, m, ksub), lambda bi, ti, ids: (bi, 0, 0)),
             pl.BlockSpec((1, m, TILE), lambda bi, ti, ids: (ids[bi, ti], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, TILE), lambda bi, ti, ids: (bi, ti, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, TILE), lambda bi, ti, ids: (bi, ti, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _pq_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, t, TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t, 1, TILE), jnp.float32),
         interpret=interpret,
     )(tile_ids, lut, codes_mt)
+    return out[:, :, 0, :]
 
 
 def pq_scan_topk_pallas(

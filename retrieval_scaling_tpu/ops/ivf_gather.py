@@ -32,9 +32,12 @@ def _kernel(ids_ref, q_ref, tiles_ref, out_ref):
     # by (8, 128) or equal to the array's — hence the full-q block (indexed
     # by program_id) and the rank-4 output whose trailing dims are (1, TILE).
     bi = pl.program_id(0)
+    # f32 operands: Mosaic rejects the bf16->f32 mixed matvec here
+    # ('vector.broadcast' element-type verification); the op is DMA-bound,
+    # so the compute dtype is free.
     scores = jax.lax.dot_general(
-        tiles_ref[0],                      # [TILE, D]
-        q_ref[pl.ds(bi, 1), :],            # [1, D]
+        tiles_ref[0].astype(jnp.float32),  # [TILE, D]
+        q_ref[pl.ds(bi, 1), :].astype(jnp.float32),  # [1, D]
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                      # [TILE, 1]
@@ -120,8 +123,8 @@ def _pq_kernel(ids_ref, lut_ref, codes_ref, out_ref):
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, ksub), 1)
     acc = jnp.zeros((tile, 1), jnp.float32)
     for mi in range(m):
-        onehot = (codes[mi][:, None] == lanes).astype(jnp.bfloat16)   # [TILE, ksub]
-        lut_m = lut_ref[0, mi].astype(jnp.bfloat16).reshape(ksub, 1)
+        onehot = (codes[mi][:, None] == lanes).astype(jnp.float32)    # [TILE, ksub]
+        lut_m = lut_ref[0, mi].astype(jnp.float32).reshape(ksub, 1)
         acc = acc + jax.lax.dot_general(
             onehot, lut_m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -32,12 +32,18 @@ def _kernel(ids_ref, q_ref, tiles_ref, out_ref):
     # by (8, 128) or equal to the array's — hence the full-q block (indexed
     # by program_id) and the rank-4 output whose trailing dims are (1, TILE).
     bi = pl.program_id(0)
-    # f32 operands: Mosaic rejects the bf16->f32 mixed matvec here
-    # ('vector.broadcast' element-type verification); the op is DMA-bound,
-    # so the compute dtype is free.
+    # Row-select q by one-hot matmul: Mosaic can't prove alignment of a
+    # dynamic vector.load row index, and rejects mixed bf16->f32 matvecs —
+    # so everything is f32 MXU ops on static shapes. DMA-bound regardless.
+    b = q_ref.shape[0]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) == bi).astype(jnp.float32)
+    q_row = jax.lax.dot_general(
+        sel, q_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # [1, D]
     scores = jax.lax.dot_general(
         tiles_ref[0].astype(jnp.float32),  # [TILE, D]
-        q_ref[pl.ds(bi, 1), :].astype(jnp.float32),  # [1, D]
+        q_row,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                      # [TILE, 1]

@@ -197,6 +197,11 @@ class Config:
             key = key.lstrip("+").strip()
             self.set_dotted(key, yaml.safe_load(raw) if raw != "" else None)
 
+    def __deepcopy__(self, memo):
+        # A deep copy re-roots at this node (callers clone whole configs to
+        # tweak task settings); interpolations then resolve within the copy.
+        return Config(copy.deepcopy(self._data, memo))
+
     # -- export ------------------------------------------------------------
     def to_dict(self, resolve: bool = False) -> dict:
         if not resolve:

@@ -138,7 +138,7 @@ def test_stage4_perplexity(pipeline_env):
         if ex["ctxs"]:
             assert prompt.endswith(ex["raw_query"])
             assert len(prompt) > len(ex["raw_query"])
-            # reverse-relevance order:最 relevant doc is immediately before query
+            # reverse-relevance order: most relevant doc is immediately before query
             top_text = ex["ctxs"][0]["retrieval text"]
             assert prompt.rindex(top_text) > -1
 
@@ -162,3 +162,25 @@ def test_reverse_order_prepend_semantics():
     # most relevant (DOC1) closest to the query: "DOC2 \nDOC1 \nquery"
     assert contexts == ["DOC2 \nDOC1 \nquery "]
     assert answers == ["answer"]
+
+
+def test_stage4b_calibration(pipeline_env, tmp_path):
+    """perplexity_calibration: per-doc losses + scores pkl, min-loss PPL
+    (reference: src/evaluate_perplexity.py:219-324)."""
+    import copy
+    import math
+    import pickle
+
+    from retrieval_scaling_tpu.evals.perplexity import evaluate_calibration
+
+    cfg, _, reader, _ = pipeline_env
+    cfg_cal = copy.deepcopy(cfg)
+    cfg_cal.tasks.eval.task_name = "perplexity_calibration"
+    cfg_cal.evaluation.calibration_out_dir = str(tmp_path / "cal")
+    out = evaluate_calibration(cfg_cal, reader=reader)
+    assert out.perplexity > 0 and math.isfinite(out.perplexity)
+    with open(tmp_path / "cal" / "calibration_losses.pkl", "rb") as f:
+        by_example = pickle.load(f)
+    assert by_example
+    for pairs in by_example.values():
+        assert pairs and all(math.isfinite(loss) for loss, _ in pairs)

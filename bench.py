@@ -63,12 +63,18 @@ def main() -> None:
     cfg = BertConfig(attention_impl="auto")
     params = init_bert_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 
-    def timed_loop(label, fn, iters):
-        """Compile, then run the N-iteration device loop once; ms/iter."""
+    def timed_loop(label, fn, iters, big=None):
+        """Compile, then run the N-iteration device loop once; ms/iter.
+
+        Big device arrays MUST be passed as ``big`` (an argument), never
+        closed over: the relay serializes closure constants into the
+        compile payload, shipping GBs through the tunnel.
+        """
         jitted = jax.jit(fn)
-        np.asarray(jitted(params, db_dev))  # compile + first run
+        arg = db_dev if big is None else big
+        np.asarray(jitted(params, arg))  # compile + first run
         t = time.perf_counter()
-        np.asarray(jitted(params, db_dev))
+        np.asarray(jitted(params, arg))
         total_ms = (time.perf_counter() - t) * 1e3
         per = total_ms / iters
         log(f"{label}: {per:.2f} ms/iter (loop total {total_ms:.0f}ms)")
@@ -156,15 +162,15 @@ def main() -> None:
 
     fi = 8
 
-    def ivfflat_loop(params, db):
+    def ivfflat_loop(params, tiles):
         def body(i, acc):
             q = qv + acc * 0
             _, tile_ids, valid, _ = probed_schedule(q)
-            s, _ = ivf_scan_topk_pallas(q.astype(jnp.bfloat16), flat_tiles, row_ids, tile_ids, valid, k)
+            s, _ = ivf_scan_topk_pallas(q.astype(jnp.bfloat16), tiles, row_ids, tile_ids, valid, k)
             return acc + s[0, 0] * 0 + 1
         return jax.lax.fori_loop(0, fi, body, jnp.zeros((), jnp.float32))
 
-    per_ivf = timed_loop(f"ivf-flat scan b{bq} nprobe{nprobe}", ivfflat_loop, fi)
+    per_ivf = timed_loop(f"ivf-flat scan b{bq} nprobe{nprobe}", ivfflat_loop, fi, big=flat_tiles)
     ivf_qps = bq / (per_ivf / 1e3)
     log(f"IVF-Flat throughput: {ivf_qps:.0f} QPS (1M rows, nprobe {nprobe})")
 
@@ -177,7 +183,7 @@ def main() -> None:
     codebooks = jax.random.normal(jax.random.PRNGKey(2), (m, ksub, dsub), jnp.float32)
     code_tiles.block_until_ready()
 
-    def ivfpq_loop(params, db):
+    def ivfpq_loop(params, codes):
         def body(i, acc):
             q = qv + acc * 0
             coarse, tile_ids, valid, probe_of = probed_schedule(q)
@@ -185,11 +191,11 @@ def main() -> None:
                 "bmd,mkd->bmk", q.reshape(bq, m, dsub), codebooks,
                 preferred_element_type=jnp.float32,
             )
-            s, _ = pq_scan_topk_pallas(lut, coarse, code_tiles, row_ids, tile_ids, valid, probe_of, k)
+            s, _ = pq_scan_topk_pallas(lut, coarse, codes, row_ids, tile_ids, valid, probe_of, k)
             return acc + s[0, 0] * 0 + 1
         return jax.lax.fori_loop(0, fi, body, jnp.zeros((), jnp.float32))
 
-    per_pq = timed_loop(f"ivf-pq scan b{bq} nprobe{nprobe} m{m}", ivfpq_loop, fi)
+    per_pq = timed_loop(f"ivf-pq scan b{bq} nprobe{nprobe} m{m}", ivfpq_loop, fi, big=code_tiles)
     pq_qps = bq / (per_pq / 1e3)
     log(f"IVF-PQ throughput: {pq_qps:.0f} QPS (1M codes, nprobe {nprobe}, m={m})")
 

@@ -153,6 +153,13 @@ class Task:
         return _render(self.cfg.doc_to_text, doc)
 
     def doc_target(self, doc: dict) -> str:
+        # Multiple-choice rows carry {choices, gold}; the gold choice text is
+        # the target (used for fewshot assembly and answer export).
+        if self.cfg.output_type == "multiple_choice" and self.cfg.doc_to_target not in doc:
+            try:
+                return self.doc_choices(doc)[int(doc.get("gold", doc.get("label", 0)))]
+            except (KeyError, IndexError, AssertionError):
+                pass
         return _render(self.cfg.doc_to_target, doc)
 
     def doc_choices(self, doc: dict) -> List[str]:

@@ -299,3 +299,18 @@ def test_request_cache_avoids_recompute(tmp_path):
     lm3 = CachingLM(CountingLM(), str(tmp_path / "cache.db"), model_tag="m2")
     lm3.loglikelihood(pairs)
     assert calls["ll"] == 4
+
+
+def test_multiple_choice_fewshot_uses_gold_choice(tmp_path):
+    d = tmp_path / "arc_easy"
+    d.mkdir()
+    with open(d / "test.jsonl", "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"question": f"q{i}", "choices": ["aa", "bb", "cc", "dd"], "gold": i}) + "\n")
+    task = Task(get_task("arc_easy"), data_root=str(tmp_path))
+    ctx = task.fewshot_context(task.docs[0], num_fewshot=2)
+    shots = ctx.split("\n\n")[:-1]
+    assert len(shots) == 2
+    for shot in shots:
+        # each shot ends with its gold choice text
+        assert shot.split()[-1] in {"aa", "bb", "cc", "dd"}

@@ -126,15 +126,16 @@ def _pq_kernel(ids_ref, lut_ref, codes_ref, out_ref):
     m, tile = codes_ref.shape[1], codes_ref.shape[2]
     ksub = lut_ref.shape[2]
     codes = codes_ref[0].astype(jnp.int32)           # [m, TILE]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, ksub), 1)
-    acc = jnp.zeros((tile, 1), jnp.float32)
-    for mi in range(m):
-        onehot = (codes[mi][:, None] == lanes).astype(jnp.float32)    # [TILE, ksub]
-        lut_m = lut_ref[0, mi].astype(jnp.float32).reshape(ksub, 1)
-        acc = acc + jax.lax.dot_general(
-            onehot, lut_m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # One fused matvec instead of m sequential ones: block one-hot
+    # [TILE, m*ksub] (16 ones per row) x flattened LUT [m*ksub, 1].
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, m, ksub), 2)
+    codes_t = codes.T  # [TILE, m]
+    onehot = (lanes == codes_t[:, :, None]).astype(jnp.float32).reshape(tile, m * ksub)
+    lut_flat = lut_ref[0].astype(jnp.float32).reshape(m * ksub, 1)
+    acc = jax.lax.dot_general(
+        onehot, lut_flat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     out_ref[0, 0, 0, :] = acc[:, 0]
 
 

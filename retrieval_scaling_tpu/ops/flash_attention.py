@@ -248,7 +248,12 @@ def multi_head_attention(
     with XLA-recompute backward), so the same model code trains and serves.
     """
     if impl == "auto":
-        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        # Measured on v5e (BERT-base, 512x256): XLA attention is ~25% faster
+        # than the Pallas kernel at short sequences (tiny per-head blocks
+        # underutilize the MXU); the online-softmax kernel wins once the
+        # S x S score tensor stops fitting on-chip.
+        use_flash = jax.default_backend() == "tpu" and q.shape[2] >= 1024
+        impl = "flash" if use_flash else "xla"
     if impl == "xla":
         return xla_attention(q, k, v, kv_mask, causal, sm_scale)
     if impl == "flash":

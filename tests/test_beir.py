@@ -27,10 +27,13 @@ class WordOverlapEncoder:
         self.dim = dim
 
     def encode(self, texts, opts=None):
+        import zlib
+
         out = np.zeros((len(texts), self.dim), np.float32)
         for i, t in enumerate(texts):
             for w in t.lower().split():
-                out[i, hash(w) % self.dim] += 1.0
+                # deterministic hash: builtin hash() is per-process randomized
+                out[i, zlib.crc32(w.encode()) % self.dim] += 1.0
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         return (out / np.clip(norms, 1e-6, None)).astype(np.float16)
 

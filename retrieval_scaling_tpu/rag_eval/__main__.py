@@ -51,7 +51,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", default="jax")
     parser.add_argument("--model_args", default="")
-    parser.add_argument("--tasks", required=True, help="comma-separated task names")
+    parser.add_argument(
+        "--tasks", required=True,
+        help="comma-separated task names; 'list' prints the registry and exits",
+    )
     parser.add_argument("--num_fewshot", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--limit", type=int, default=None)
@@ -74,6 +77,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+
+    if args.tasks == "list":
+        from retrieval_scaling_tpu.rag_eval.tasks import list_tasks
+
+        print("\n".join(list_tasks()))
+        return None
 
     from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
 

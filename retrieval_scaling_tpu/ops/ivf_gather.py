@@ -126,17 +126,19 @@ def _pq_kernel(ids_ref, lut_ref, codes_ref, out_ref):
     m, tile = codes_ref.shape[1], codes_ref.shape[2]
     ksub = lut_ref.shape[2]
     codes = codes_ref[0].astype(jnp.int32)           # [m, TILE]
-    # One fused matvec instead of m sequential ones: block one-hot
-    # [TILE, m*ksub] (16 ones per row) x flattened LUT [m*ksub, 1].
+    # One fused contraction instead of m sequential matvecs: a 3D one-hot
+    # [TILE, m, ksub] (16 ones per row) contracted with the LUT over both
+    # (m, ksub) — expressed as multi-dim dot_general because Mosaic rejects
+    # in-kernel reshapes ('unsupported shape cast').
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, m, ksub), 2)
     codes_t = codes.T  # [TILE, m]
-    onehot = (lanes == codes_t[:, :, None]).astype(jnp.float32).reshape(tile, m * ksub)
-    lut_flat = lut_ref[0].astype(jnp.float32).reshape(m * ksub, 1)
+    onehot = (lanes == codes_t[:, :, None]).astype(jnp.float32)   # [TILE, m, ksub]
     acc = jax.lax.dot_general(
-        onehot, lut_flat, (((1,), (0,)), ((), ())),
+        onehot, lut_ref[0].astype(jnp.float32),                   # [m, ksub]
+        (((1, 2), (0, 1)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    out_ref[0, 0, 0, :] = acc[:, 0]
+    )                                                             # [TILE]
+    out_ref[0, 0, 0, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

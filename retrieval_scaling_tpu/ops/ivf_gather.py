@@ -126,19 +126,20 @@ def _pq_kernel(ids_ref, lut_ref, codes_ref, out_ref):
     m, tile = codes_ref.shape[1], codes_ref.shape[2]
     ksub = lut_ref.shape[2]
     codes = codes_ref[0].astype(jnp.int32)           # [m, TILE]
-    # One fused contraction instead of m sequential matvecs: a 3D one-hot
-    # [TILE, m, ksub] (16 ones per row) contracted with the LUT over both
-    # (m, ksub) — expressed as multi-dim dot_general because Mosaic rejects
-    # in-kernel reshapes ('unsupported shape cast').
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, m, ksub), 2)
-    codes_t = codes.T  # [TILE, m]
-    onehot = (lanes == codes_t[:, :, None]).astype(jnp.float32)   # [TILE, m, ksub]
-    acc = jax.lax.dot_general(
-        onehot, lut_ref[0].astype(jnp.float32),                   # [m, ksub]
-        (((1, 2), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                             # [TILE]
-    out_ref[0, 0, 0, :] = acc
+    # Per-subquantizer one-hot matvecs. Mosaic rejects both in-kernel
+    # reshapes ('unsupported shape cast') and multi-dim contractions
+    # ('lhs contracting dims must be of size 1'), so the m accumulation
+    # stays a static loop of [TILE, ksub] x [ksub, 1] MXU matvecs.
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, ksub), 1)
+    acc = jnp.zeros((tile, 1), jnp.float32)
+    for mi in range(m):
+        onehot = (codes[mi][:, None] == lanes).astype(jnp.float32)    # [TILE, ksub]
+        lut_m = lut_ref[0, mi].astype(jnp.float32).reshape(ksub, 1)
+        acc = acc + jax.lax.dot_general(
+            onehot, lut_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0, 0, 0, :] = acc[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

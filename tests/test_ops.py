@@ -216,3 +216,26 @@ def test_pq_adc_kernel_matches_reference():
         jnp.asarray(probe_of), k=6,
     )
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), atol=2e-2, rtol=1e-3)
+
+
+def test_fused_segmax_scan_exact(rng):
+    """Fused segment-max scan + rescore == exact top-k (interpret mode)."""
+    from retrieval_scaling_tpu.ops.fused_scan import BLOCK, flat_topk_fused, segmax_scan
+
+    n_pad, d, b, k = 2 * BLOCK, 32, 3, 10
+    n_valid = n_pad - 77
+    db = rng.randn(n_pad, d).astype(np.float32)
+    q = rng.randn(b, d).astype(np.float32)
+
+    seg_max = np.asarray(segmax_scan(jnp.asarray(q), jnp.asarray(db), n_valid, interpret=True))
+    ref = (q @ db.T)
+    ref[:, n_valid:] = -np.inf
+    ref_max = ref.reshape(b, -1, 128).max(axis=-1)
+    np.testing.assert_allclose(seg_max, ref_max, atol=1e-3, rtol=1e-4)
+
+    s, ids = flat_topk_fused(jnp.asarray(q), jnp.asarray(db), n_valid, k, interpret=True)
+    exact = q @ db[:n_valid].T
+    for bi in range(b):
+        order = np.argsort(-exact[bi])[:k]
+        np.testing.assert_array_equal(np.asarray(ids[bi]), order)
+        np.testing.assert_allclose(np.asarray(s[bi]), exact[bi][order], atol=1e-3, rtol=1e-4)

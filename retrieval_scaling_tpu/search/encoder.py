@@ -12,8 +12,12 @@ TPU-first redesign of the reference's GPU embed loops
   * bf16 activations feed the MXU; embeddings return as fp16 numpy, the
     reference's storage dtype.
 
-Model-name dispatch keeps the reference's substring conventions:
-"contriever" -> masked mean pooling; other BERT-family -> CLS.
+Retriever-family dispatch (reference: src/embed.py:118-133) covers the
+reference's whole matrix: contriever (mean pooling), dragon/generic BERT
+(CLS), RoBERTa/XLM-R (pad-offset positions), e5/sentence-transformers
+(mean + normalize + query:/passage: prefixes), GTR-T5 (T5 encoder + Dense
+projection), GRIT/ReasonIR/drama (bidirectional llama-family, mean), and
+Qwen3-style causal embedders (last-token pooling + instruction prefix).
 """
 
 from __future__ import annotations

@@ -126,20 +126,18 @@ def _pq_kernel(ids_ref, lut_ref, codes_ref, out_ref):
     m, tile = codes_ref.shape[1], codes_ref.shape[2]
     ksub = lut_ref.shape[2]
     codes = codes_ref[0].astype(jnp.int32)           # [m, TILE]
-    # Per-subquantizer one-hot matvecs. Mosaic rejects both in-kernel
-    # reshapes ('unsupported shape cast') and multi-dim contractions
-    # ('lhs contracting dims must be of size 1'), so the m accumulation
-    # stays a static loop of [TILE, ksub] x [ksub, 1] MXU matvecs.
+    # Per-subquantizer select-and-reduce on the VPU. A [TILE, ksub] x
+    # [ksub, 1] MXU matvec wastes 127/128 of the array (1-wide output);
+    # masking the broadcast LUT row and lane-reducing is ~3x cheaper.
+    # (Mosaic rejects the fused forms: in-kernel reshapes and multi-dim
+    # contractions are unsupported.)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, ksub), 1)
-    acc = jnp.zeros((tile, 1), jnp.float32)
+    acc = jnp.zeros((tile,), jnp.float32)
     for mi in range(m):
-        onehot = (codes[mi][:, None] == lanes).astype(jnp.float32)    # [TILE, ksub]
-        lut_m = lut_ref[0, mi].astype(jnp.float32).reshape(ksub, 1)
-        acc = acc + jax.lax.dot_general(
-            onehot, lut_m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[0, 0, 0, :] = acc[:, 0]
+        lut_m = lut_ref[0, mi].astype(jnp.float32)                    # [ksub]
+        sel = jnp.where(codes[mi][:, None] == lanes, lut_m[None, :], 0.0)
+        acc = acc + jnp.sum(sel, axis=1)
+    out_ref[0, 0, 0, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

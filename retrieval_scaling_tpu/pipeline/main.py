@@ -66,12 +66,16 @@ def main(argv=None) -> None:
     parser.add_argument("overrides", nargs="*", help="dotlist overrides key=value")
     args = parser.parse_args(argv)
 
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
-        stream=sys.stdout,
-    )
+    fmt = "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
+    logging.basicConfig(level=logging.INFO, format=fmt, stream=sys.stdout)
     cfg = load_config(args.config_name, config_dir=args.config_dir, overrides=args.overrides)
+    # Append-file logging analog of the reference's hydra job_logging file
+    # handler (reference: ric/conf/default.yaml:120-137).
+    log_path = cfg.get("logging", {}).get("file", None) if hasattr(cfg, "get") else None
+    if log_path:
+        handler = logging.FileHandler(log_path, mode="a")
+        handler.setFormatter(logging.Formatter(fmt))
+        logging.getLogger().addHandler(handler)
     run_tasks(cfg)
 
 

@@ -133,7 +133,7 @@ def embed_eval_queries(cfg, queries: List[str], encoder: JaxEncoder | None, mesh
             cfg.model.query_encoder, tokenizer_name=cfg.model.query_tokenizer, mesh=mesh
         )
     opts = EncodeOptions(
-        batch_size=search_args.get("per_device_batch_size", 64),
+        batch_size=search_args.get("per_device_batch_size", search_args.get("per_gpu_batch_size", 64)),
         maxlength=search_args.question_maxlength,
         lowercase=search_args.get("lowercase", False),
         normalize_text=search_args.get("normalize_text", False),

@@ -24,6 +24,10 @@ def embedding_shard_path(args, shard_id: int) -> str:
 
 
 def generate_passage_embeddings(cfg, encoder: JaxEncoder | None = None) -> None:
+    if cfg.model.get("sparse_retriever", None):
+        # Sparse retrieval needs no dense embeddings (reference: src/embed.py:112-114).
+        logger.info("sparse retriever configured; skipping the embedding step")
+        return
     args = cfg.datastore.embedding
     os.makedirs(args.embedding_dir, exist_ok=True)
 

@@ -87,3 +87,27 @@ def test_build_bm25_pipeline(tmp_path):
     again = build_bm25_index(cfg)
     s2, i2 = again.search("subject3", k=5)
     np.testing.assert_array_equal(ids, i2)
+
+
+def test_embedding_skipped_for_sparse_retriever(tmp_path):
+    """model.sparse_retriever short-circuits the dense embedding stage
+    (reference: src/embed.py:112-114) — no encoder load, no output dir."""
+    from retrieval_scaling_tpu.config import load_config
+    from retrieval_scaling_tpu.pipeline.embed import generate_passage_embeddings
+
+    cfg = load_config(
+        "default",
+        overrides=[
+            "model.sparse_retriever=bm25",
+            "datastore.domain=d",
+            "evaluation.domain=e",
+            "evaluation.data.eval_data=x",
+            "evaluation.results_only_log_file=r",
+            f"datastore.datastore_root_dir={tmp_path}/out",
+            "datastore.raw_data_path=missing.jsonl",
+        ],
+    )
+    generate_passage_embeddings(cfg)  # must not touch the encoder or data
+    import os
+
+    assert not os.path.exists(f"{tmp_path}/out")

@@ -273,13 +273,7 @@ class IVFPQIndex:
     def _place_on_device(self) -> None:
         total_tiles = max(int(self.layout.tile_count.sum()), 1)
         codes_np = self.layout.sorted_rows.reshape(total_tiles, TILE, self.m)
-        if jax.default_backend() == "tpu":
-            # Pallas ADC kernel wants [T, m, TILE]: TILE on the 128-lane axis.
-            self.code_tiles_mt_dev = jnp.asarray(
-                np.ascontiguousarray(codes_np.transpose(0, 2, 1)), jnp.uint8
-            )
-        else:
-            self.code_tiles_mt_dev = None
+        self.use_pallas_scan = jax.default_backend() == "tpu"
         self.code_tiles_dev = jnp.asarray(
             codes_np, jnp.uint8
         )
@@ -306,13 +300,13 @@ class IVFPQIndex:
             "bmd,mkd->bmk", q_sub, self.codebooks_dev, preferred_element_type=jnp.float32
         )
         k_eff = min(k, self.n_valid)
-        if self.code_tiles_mt_dev is not None:
+        if self.use_pallas_scan:
             # Pallas scalar-prefetch gather + in-kernel ADC (ops/ivf_gather.py):
             # XLA's dynamic tile gather lowers pathologically on TPU.
             from retrieval_scaling_tpu.ops.ivf_gather import pq_scan_topk_pallas
 
             scores, ids = pq_scan_topk_pallas(
-                lut, coarse, self.code_tiles_mt_dev, self.row_ids_dev,
+                lut, coarse, self.code_tiles_dev, self.row_ids_dev,
                 tile_ids, valid, probe_of, k_eff,
             )
         else:

@@ -206,7 +206,7 @@ def test_pq_adc_kernel_matches_reference():
 
     s_p, i_p = pq_scan_topk_pallas(
         jnp.asarray(lut), jnp.asarray(coarse),
-        jnp.asarray(np.ascontiguousarray(codes.transpose(0, 2, 1))),  # [T, m, TILE]
+        jnp.asarray(codes),  # [T, TILE, m] (the index's native layout)
         jnp.asarray(row_ids), jnp.asarray(tile_ids), jnp.asarray(valid),
         jnp.asarray(probe_of), k=6, interpret=True,
     )
@@ -239,22 +239,3 @@ def test_fused_segmax_scan_exact(rng):
         order = np.argsort(-exact[bi])[:k]
         np.testing.assert_array_equal(np.asarray(ids[bi]), order)
         np.testing.assert_allclose(np.asarray(s[bi]), exact[bi][order], atol=1e-3, rtol=1e-4)
-
-
-def test_pq_grouped_kernel_matches_single():
-    """Grouped double-buffered ADC == per-tile kernel (interpret mode)."""
-    from retrieval_scaling_tpu.ops.ivf_gather import (
-        PQ_TG,
-        gather_adc_tiles,
-        gather_adc_tiles_grouped,
-    )
-
-    rng = np.random.RandomState(9)
-    t_total, tile, m, ksub, b = 12, 128, 8, 32, 2
-    codes = rng.randint(0, ksub, (t_total, m, tile)).astype(np.uint8)
-    lut = rng.randn(b, m, ksub).astype(np.float32)
-    tile_ids = rng.randint(0, t_total, (b, PQ_TG * 2)).astype(np.int32)
-
-    a = np.asarray(gather_adc_tiles(jnp.asarray(lut), jnp.asarray(codes), jnp.asarray(tile_ids), interpret=True))
-    g = np.asarray(gather_adc_tiles_grouped(jnp.asarray(lut), jnp.asarray(codes), jnp.asarray(tile_ids), interpret=True))
-    np.testing.assert_allclose(g, a, atol=1e-4, rtol=1e-4)

@@ -178,7 +178,7 @@ def main() -> None:
     m, ksub = 16, 256
     dsub = d // m
     code_tiles = jax.jit(
-        lambda kk: jax.random.randint(kk, (total_tiles, m, TILE), 0, ksub, jnp.uint8)
+        lambda kk: jax.random.randint(kk, (total_tiles, TILE, m), 0, ksub, jnp.uint8)
     )(k4)
     codebooks = jax.random.normal(jax.random.PRNGKey(2), (m, ksub, dsub), jnp.float32)
     code_tiles.block_until_ready()

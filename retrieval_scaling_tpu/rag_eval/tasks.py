@@ -24,6 +24,7 @@ import json
 import os
 import random
 import re
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -103,6 +104,16 @@ def get_task(name: str) -> TaskConfig:
             return TaskConfig.from_yaml(path)
     if os.path.exists(name) and name.endswith((".yaml", ".yml")):
         return TaskConfig.from_yaml(name)
+    if name.startswith("mmlu_"):
+        # Per-subject MMLU subtasks (reference: lm_eval/tasks/mmlu/* — 57
+        # subject tasks, each with its own retrieval file via
+        # --retrieval_dir): derive from the mmlu template, data under
+        # mmlu/<subject>/{split}.jsonl.
+        subject = name[len("mmlu_"):]
+        cfg = get_task("mmlu")
+        return dataclasses.replace(
+            cfg, task=name, dataset_path=os.path.join("mmlu", subject)
+        )
     raise KeyError(f"Unknown task {name!r}; known: {list_tasks()}")
 
 

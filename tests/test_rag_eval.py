@@ -314,3 +314,19 @@ def test_multiple_choice_fewshot_uses_gold_choice(tmp_path):
     for shot in shots:
         # each shot ends with its gold choice text
         assert shot.split()[-1] in {"aa", "bb", "cc", "dd"}
+
+
+def test_mmlu_subject_tasks_derive_from_template(tmp_path):
+    """mmlu_<subject> derives from the mmlu template with per-subject data
+    (reference: lm_eval/tasks/mmlu has 57 subject tasks + --retrieval_dir)."""
+    cfg = get_task("mmlu_abstract_algebra")
+    assert cfg.task == "mmlu_abstract_algebra"
+    assert cfg.dataset_path.endswith("mmlu/abstract_algebra")
+    assert cfg.output_type == "multiple_choice"
+
+    d = tmp_path / "mmlu" / "abstract_algebra"
+    d.mkdir(parents=True)
+    with open(d / "test.jsonl", "w") as f:
+        f.write(json.dumps({"question": "q", "choices": ["a", "b", "c", "d"], "gold": 1}) + "\n")
+    res = simple_evaluate(DummyLM(), ["mmlu_abstract_algebra"], data_root=str(tmp_path))
+    assert "mmlu_abstract_algebra" in res["results"]

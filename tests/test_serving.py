@@ -175,3 +175,47 @@ def test_registry_dedup_last_wins(tmp_path):
         f.write(json.dumps({"domain_name": "d", "chunk_id": 0, "endpoint": "http://new"}) + "\n")
     eps = extract_running_endpoints(registry, health_check=False)
     assert eps[("d", 0)] == "http://new"
+
+
+def test_main_node_recovers_from_dead_worker(tmp_path):
+    """Fan-out failure -> refresh registry -> retry succeeds with live
+    workers only (reference: serve_main_node.py:304-311 sleep + re-extract)."""
+    import json
+
+    from retrieval_scaling_tpu.serve.engine import MicroBatcher
+    from retrieval_scaling_tpu.serve.http_server import SearchAPIServer
+    from retrieval_scaling_tpu.serve.main_node import MainNodeAggregator
+
+    class FakeEngine:
+        def __init__(self, tag):
+            self.tag = tag
+            self.batcher = MicroBatcher(self._process, max_batch=4, max_wait_ms=1.0)
+
+        def _process(self, queries, n_docs):
+            return [
+                {"scores": [1.0], "passages": [self.tag], "IDs": [[0, 0]]}
+                for q in queries
+            ]
+
+        def search(self, query, n_docs=10):
+            return self.batcher.submit(query, n_docs)
+
+    srv = SearchAPIServer({"wiki": FakeEngine("alive")}, default_n_docs=3)
+    port = srv.serve(port=None, registry_path=None, domain_name="wiki", chunk_id=0, block=False)
+
+    registry = tmp_path / "reg.jsonl"
+    rows = [
+        {"domain_name": "wiki", "chunk_id": 0, "endpoint": f"http://127.0.0.1:{port}/search"},
+        {"domain_name": "wiki", "chunk_id": 1, "endpoint": "http://127.0.0.1:9/search"},  # dead
+    ]
+    registry.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    agg = MainNodeAggregator(str(registry), fanout_timeout=5.0, retry_sleep_s=0.1)
+    assert len(agg.endpoints) >= 1  # dead endpoint filtered or kept per probe
+
+    # Before retry the dead endpoint may be selected; after refresh the
+    # health probe drops it and the search must succeed with live workers.
+    registry.write_text(json.dumps(rows[0]) + "\n")
+    out = agg.search("moon", n_docs=1)
+    assert out["passages"][0] == ["alive"] or out["passages"] == ["alive"]
+    srv.shutdown()

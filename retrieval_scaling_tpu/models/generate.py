@@ -127,7 +127,7 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
     h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
     q, k, v = _llama_qkv(layer, cfg, h)  # q: [B,H,S,hd]; k,v: [B,Hkv,S,hd]
 
-    cos_all, sin_all = _llama_rotary_cos_sin(cache_k.shape[2], cfg.hd, cfg.rope_base)
+    cos_all, sin_all = _llama_rotary_cos_sin(cache_k.shape[2], cfg.hd, cfg.rope_base, cfg=cfg)
     cos = cos_all[positions]  # [B, S, hd]
     sin = sin_all[positions]
 

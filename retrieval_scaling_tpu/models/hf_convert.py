@@ -207,7 +207,15 @@ _LLAMA_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3")
 
 def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig:
     model_type = getattr(hf_config, "model_type", "llama")
+    rope_scaling = getattr(hf_config, "rope_scaling", None) or {}
     return LlamaConfig(
+        rope_scaling_type=rope_scaling.get("rope_type", rope_scaling.get("type", None)),
+        rope_factor=float(rope_scaling.get("factor", 1.0)),
+        rope_low_freq_factor=float(rope_scaling.get("low_freq_factor", 1.0)),
+        rope_high_freq_factor=float(rope_scaling.get("high_freq_factor", 4.0)),
+        rope_original_max_pos=int(
+            rope_scaling.get("original_max_position_embeddings", 8192)
+        ),
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
         num_layers=hf_config.num_hidden_layers,

@@ -48,6 +48,12 @@ class LlamaConfig:
     qk_norm: bool = False                # Qwen3 per-head q/k RMSNorm
     tie_embeddings: bool = False
     attention_impl: str = "auto"
+    # RoPE scaling (HF rope_scaling): None | "linear" | "llama3"
+    rope_scaling_type: str | None = None
+    rope_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_pos: int = 8192
 
     @property
     def hd(self) -> int:
@@ -97,8 +103,37 @@ def init_llama_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> Pa
     return params
 
 
-def rotary_cos_sin(seq_len: int, dims: int, base: float) -> Tuple[jax.Array, jax.Array]:
-    inv_freq = 1.0 / (base ** (jnp.arange(0, dims, 2, dtype=jnp.float32) / dims))
+def rope_inv_freq(cfg: LlamaConfig) -> jax.Array:
+    """Base inverse frequencies with optional HF rope_scaling applied."""
+    dims = cfg.hd
+    inv_freq = 1.0 / (cfg.rope_base ** (jnp.arange(0, dims, 2, dtype=jnp.float32) / dims))
+    if cfg.rope_scaling_type == "linear":
+        inv_freq = inv_freq / cfg.rope_factor
+    elif cfg.rope_scaling_type == "llama3":
+        # HF Llama-3.1 NTK-by-parts (transformers modeling_rope_utils
+        # _compute_llama3_parameters): low-frequency bands divide by factor,
+        # high-frequency bands stay, mid bands interpolate smoothly.
+        low_wavelen = cfg.rope_original_max_pos / cfg.rope_low_freq_factor
+        high_wavelen = cfg.rope_original_max_pos / cfg.rope_high_freq_factor
+        wavelen = 2.0 * jnp.pi / inv_freq
+        scaled = inv_freq / cfg.rope_factor
+        smooth = (cfg.rope_original_max_pos / wavelen - cfg.rope_low_freq_factor) / (
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+        )
+        mid = (1 - smooth) * scaled + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen > low_wavelen, scaled, jnp.where(wavelen < high_wavelen, inv_freq, mid)
+        )
+    return inv_freq
+
+
+def rotary_cos_sin(
+    seq_len: int, dims: int, base: float, cfg: LlamaConfig | None = None
+) -> Tuple[jax.Array, jax.Array]:
+    if cfg is not None:
+        inv_freq = rope_inv_freq(cfg)
+    else:
+        inv_freq = 1.0 / (base ** (jnp.arange(0, dims, 2, dtype=jnp.float32) / dims))
     t = jnp.arange(seq_len, dtype=jnp.float32)
     freqs = jnp.outer(t, inv_freq)                      # [S, dims/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)      # [S, dims] (HF layout)
@@ -146,7 +181,7 @@ def llama_forward(
     """Return final hidden states [B, S, D] (pre-lm-head)."""
     x = params["embed"][input_ids]
     s = input_ids.shape[1]
-    cos, sin = rotary_cos_sin(s, cfg.hd, cfg.rope_base)
+    cos, sin = rotary_cos_sin(s, cfg.hd, cfg.rope_base, cfg=cfg)
     n_rep = cfg.num_heads // cfg.num_kv_heads
     kv_mask = None if attention_mask is None else attention_mask.astype(bool)
 

@@ -232,3 +232,35 @@ def test_encoder_out_dim_truncation(tmp_path, rng):
     want = raw[0, :16] / np.linalg.norm(raw[0, :16].astype(np.float32))
     got = trunc[0].astype(np.float32)
     np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-2)
+
+
+def test_llama3_rope_scaling_parity(rng):
+    """HF rope_scaling (Llama-3.1 NTK-by-parts) reproduces in logits."""
+    torch.manual_seed(7)
+    hf = transformers.LlamaForCausalLM(
+        transformers.LlamaConfig(
+            vocab_size=96,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            intermediate_size=48,
+            max_position_embeddings=128,
+            rope_scaling={
+                "rope_type": "llama3",
+                "factor": 4.0,
+                "low_freq_factor": 1.0,
+                "high_freq_factor": 4.0,
+                "original_max_position_embeddings": 32,
+            },
+            tie_word_embeddings=False,
+        )
+    )
+    hf.eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert cfg.rope_scaling_type == "llama3" and cfg.rope_factor == 4.0
+    ids = _ids(rng, b=2, s=48, v=96)  # beyond original_max positions
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids))))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-3)

@@ -198,6 +198,32 @@ def main() -> None:
     per_pq = timed_loop(f"ivf-pq scan b{bq} nprobe{nprobe} m{m}", ivfpq_loop, fi, big=code_tiles)
     pq_qps = bq / (per_pq / 1e3)
     log(f"IVF-PQ throughput: {pq_qps:.0f} QPS (1M codes, nprobe {nprobe}, m={m})")
+    del code_tiles
+
+    # ---- aux: reader scoring throughput (Pythia-1B config, 8 x 1024) ------
+    # The perplexity-inference hot loop (reference runs it at batch 1 on GPU,
+    # src/evaluate_perplexity.py:114-139); here label-masked batched scoring.
+    from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, gpt_neox_lm, init_gpt_neox_params
+
+    rcfg = GPTNeoXConfig()  # pythia-1b shape: 16 layers x 2048 hidden
+    rparams = init_gpt_neox_params(rcfg, jax.random.PRNGKey(3), dtype=jnp.bfloat16)
+    rb, rs = 8, 1024
+    r_ids = jnp.asarray(rng.randint(0, rcfg.vocab_size, (rb, rs)), jnp.int32)
+    r_labels = r_ids.at[:, : rs // 2].set(-100)  # first half = context
+    ri = 4
+
+    def reader_loop(params, reader_params):
+        # reader_params passed as the jit argument (closure pitfall: the
+        # relay serializes closed-over constants into the compile payload).
+        def body(i, acc):
+            ids = r_ids + (acc * 0.0).astype(jnp.int32)
+            loss_sum, n_tok = gpt_neox_lm(reader_params, rcfg, ids, r_labels)
+            return acc + loss_sum * 1e-12
+        return jax.lax.fori_loop(0, ri, body, jnp.zeros((), jnp.float32))
+
+    per_reader = timed_loop(f"reader ppl scoring b{rb}x{rs}", reader_loop, ri, big=rparams)
+    reader_tok_s = rb * rs / (per_reader / 1e3)
+    log(f"reader scoring throughput: {reader_tok_s:.0f} tokens/s (Pythia-1B config)")
 
     print(
         json.dumps(

@@ -237,6 +237,7 @@ def main() -> None:
                     "encoder_passages_per_s": round(psg_per_s, 1),
                     "ivf_flat_qps_nprobe64": round(ivf_qps, 1),
                     "ivf_pq_qps_nprobe64_m16": round(pq_qps, 1),
+                    "reader_tokens_per_s": round(reader_tok_s, 1),
                     "backend": backend,
                     "method": "amortized in-program loops (relay-safe)",
                 },

@@ -145,6 +145,7 @@ class IVFPQIndex:
         mesh: Mesh | None = None,
         probe_slack: float = 1.5,
         adc_mode: str = "gather",
+        fast_layout: bool = False,
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -160,6 +161,9 @@ class IVFPQIndex:
         self.mesh = mesh or single_device_mesh()
         self.probe_slack = probe_slack
         self.adc_mode = adc_mode
+        # Lane-pad code tiles to 128 for the grouped ADC kernel: ~26%% more
+        # QPS at 8x code HBM (datastore.index.pq_fast_layout).
+        self.fast_layout = fast_layout
 
         if index_path and meta_file and os.path.exists(index_path) and os.path.exists(meta_file):
             logger.info("Loading IVF-PQ index from %s", index_path)
@@ -274,6 +278,8 @@ class IVFPQIndex:
         total_tiles = max(int(self.layout.tile_count.sum()), 1)
         codes_np = self.layout.sorted_rows.reshape(total_tiles, TILE, self.m)
         self.use_pallas_scan = jax.default_backend() == "tpu"
+        if self.use_pallas_scan and self.fast_layout and self.n_bits == 8:
+            codes_np = np.pad(codes_np, ((0, 0), (0, 0), (0, 128 - self.m)))
         self.code_tiles_dev = jnp.asarray(
             codes_np, jnp.uint8
         )

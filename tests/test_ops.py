@@ -239,3 +239,24 @@ def test_fused_segmax_scan_exact(rng):
         order = np.argsort(-exact[bi])[:k]
         np.testing.assert_array_equal(np.asarray(ids[bi]), order)
         np.testing.assert_allclose(np.asarray(s[bi]), exact[bi][order], atol=1e-3, rtol=1e-4)
+
+
+def test_pq_fast_layout_matches_compact():
+    """Lane-padded grouped ADC (pq_fast_layout) == compact per-tile kernel."""
+    from retrieval_scaling_tpu.ops.ivf_gather import (
+        PQ_TG,
+        gather_adc_tiles,
+        gather_adc_tiles_fast,
+    )
+
+    rng = np.random.RandomState(11)
+    t_total, tile, m, ksub, b = 20, 128, 16, 256, 2
+    codes = rng.randint(0, ksub, (t_total, tile, m)).astype(np.uint8)
+    codes_pad = np.zeros((t_total, tile, 128), np.uint8)
+    codes_pad[:, :, :m] = codes
+    lut = rng.randn(b, m, ksub).astype(np.float32)
+    tids = rng.randint(0, t_total, (b, PQ_TG * 2)).astype(np.int32)
+
+    compact = np.asarray(gather_adc_tiles(jnp.asarray(lut), jnp.asarray(codes), jnp.asarray(tids), interpret=True))
+    fast = np.asarray(gather_adc_tiles_fast(jnp.asarray(lut), jnp.asarray(codes_pad), jnp.asarray(tids), interpret=True))
+    np.testing.assert_allclose(fast, compact, atol=1e-3, rtol=1e-4)

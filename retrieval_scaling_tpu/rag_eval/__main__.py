@@ -73,6 +73,8 @@ def main(argv=None):
     parser.add_argument("--retrieval_dir", default=None)
     parser.add_argument("--concat_k", type=int, default=0)
     parser.add_argument("--additional_system_prompt", default=None)
+    parser.add_argument("--apply_chat_template", action="store_true")
+    parser.add_argument("--system_instruction", default=None)
     parser.add_argument("--results_only_save_path", default=None)
     args = parser.parse_args(argv)
 
@@ -106,6 +108,8 @@ def main(argv=None):
         concat_k=args.concat_k,
         additional_system_prompt=args.additional_system_prompt,
         results_only_save_path=args.results_only_save_path,
+        apply_chat_template=args.apply_chat_template,
+        system_instruction=args.system_instruction,
     )
     if results is not None:
         print(json.dumps(results, indent=2))

@@ -131,6 +131,8 @@ def simple_evaluate(
     concat_k: int = 0,
     additional_system_prompt: Optional[str] = None,
     results_only_save_path: Optional[str] = None,
+    apply_chat_template: bool = False,
+    system_instruction: Optional[str] = None,
 ) -> Optional[dict]:
     all_results = {"results": {}, "n-doc": concat_k}
 
@@ -193,6 +195,17 @@ def simple_evaluate(
         elif additional_system_prompt:
             for req in requests:
                 req["context"] = additional_system_prompt + req["context"]
+
+        if apply_chat_template:
+            # Wrap each prompt in the model's chat template (reference:
+            # lm_eval --apply_chat_template / --system_instruction).
+            formatter = getattr(lm, "apply_chat_template", None)
+            if formatter is None:
+                raise ValueError(
+                    f"backend {type(lm).__name__} does not support chat templates"
+                )
+            for req in requests:
+                req["context"] = formatter(req["context"], system_instruction)
 
         outputs = _run_requests(lm, requests)
         scores = _score_task(task, requests, outputs)

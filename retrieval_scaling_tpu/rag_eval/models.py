@@ -82,6 +82,7 @@ class JaxReaderLM:
 
         self._row_ll = row_ll_greedy
         self._gen_fns = {}
+        self.apply_chat_template = chat_template_formatter(tokenizer)
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, batch_size: int = 8):
@@ -173,6 +174,22 @@ class JaxReaderLM:
         return results
 
 
+def chat_template_formatter(tokenizer):
+    """Backend helper: render a prompt through the tokenizer's chat template
+    (reference: lm_eval --apply_chat_template)."""
+
+    def fmt(context: str, system_instruction=None) -> str:
+        messages = []
+        if system_instruction:
+            messages.append({"role": "system", "content": system_instruction})
+        messages.append({"role": "user", "content": context})
+        return tokenizer.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+
+    return fmt
+
+
 def _bucket(length: int, cap: int) -> int:
     b = 32
     while b < length:
@@ -191,6 +208,7 @@ class HFTorchLM:
     def __init__(self, model, tokenizer, batch_size: int = 4, max_length: int | None = None):
         self.model = model.eval()
         self.tokenizer = tokenizer
+        self.apply_chat_template = chat_template_formatter(tokenizer)
         self.batch_size = batch_size
         self.max_length = max_length or getattr(model.config, "max_position_embeddings", 2048)
 

@@ -330,3 +330,35 @@ def test_mmlu_subject_tasks_derive_from_template(tmp_path):
         f.write(json.dumps({"question": "q", "choices": ["a", "b", "c", "d"], "gold": 1}) + "\n")
     res = simple_evaluate(DummyLM(), ["mmlu_abstract_algebra"], data_root=str(tmp_path))
     assert "mmlu_abstract_algebra" in res["results"]
+
+
+def test_apply_chat_template(tmp_path):
+    """--apply_chat_template wraps prompts via the tokenizer's template
+    (reference: lm_eval/__main__.py:166-172)."""
+    root = _write_task_data(tmp_path)
+    seen = []
+
+    class TemplLM:
+        def apply_chat_template(self, context, system_instruction=None):
+            sys_part = f"<sys>{system_instruction}</sys>" if system_instruction else ""
+            return f"{sys_part}<user>{context}</user>"
+
+        def generate_until(self, reqs):
+            seen.extend(r["context"] for r in reqs)
+            return ["x"] * len(reqs)
+
+        def loglikelihood(self, pairs):
+            raise NotImplementedError
+
+    simple_evaluate(
+        TemplLM(), ["nq_open"], data_root=root,
+        apply_chat_template=True, system_instruction="be brief",
+    )
+    assert seen and all(c.startswith("<sys>be brief</sys><user>") for c in seen)
+
+    class NoTemplLM:
+        def generate_until(self, reqs):
+            return ["x"] * len(reqs)
+
+    with pytest.raises(ValueError, match="chat template"):
+        simple_evaluate(NoTemplLM(), ["nq_open"], data_root=root, apply_chat_template=True)

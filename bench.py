@@ -113,10 +113,11 @@ def main() -> None:
     qps = 64 / (per_batch / 1e3)
     log(f"batched exact-search throughput: {qps:.0f} QPS (batch 64, 1M scan)")
 
-    # ---- aux: encoder throughput (batch 512 x 256 tokens) ----------------
-    p_ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (512, 256)), jnp.int32)
-    p_mask = jnp.ones((512, 256), jnp.int32)
-    ei = 4
+    # ---- aux: encoder throughput (batch 2048 x 256 tokens, v5e-tuned) ----
+    eb = 2048
+    p_ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (eb, 256)), jnp.int32)
+    p_mask = jnp.ones((eb, 256), jnp.int32)
+    ei = 2
 
     def enc_loop(params, db):
         def body(i, acc):
@@ -125,8 +126,8 @@ def main() -> None:
             return acc + emb[0, 0].astype(jnp.float32) * 1e-12
         return jax.lax.fori_loop(0, ei, body, jnp.zeros((), jnp.float32))
 
-    per_enc = timed_loop("encode 512x256", enc_loop, ei)
-    psg_per_s = 512 / (per_enc / 1e3)
+    per_enc = timed_loop(f"encode {eb}x256", enc_loop, ei)
+    psg_per_s = eb / (per_enc / 1e3)
     # reference: 3,518,123 passages in ~47 min on 1x L40 (README.md:94) ≈ 1248/s
     log(f"encoder throughput: {psg_per_s:.0f} passages/s (ref L40 ~1248/s -> {psg_per_s/1248:.1f}x)")
 

@@ -161,6 +161,12 @@ class JaxEncoder:
         num_data = self.mesh.shape["data"]
         batch = max(opts.batch_size, num_data)
         batch -= batch % num_data  # divisible by data axis
+        if n < batch:
+            # Small inputs: shrink to the next power of two (still a handful
+            # of compiled shapes) instead of padding to the full batch.
+            shrunk = max(num_data, 1 << max(n - 1, 0).bit_length())
+            shrunk += (-shrunk) % num_data
+            batch = min(batch, shrunk)
 
         fn = self._compiled(opts.normalize_emb, opts.out_dim)
         pad_id = self.tokenizer.pad_token_id or 0

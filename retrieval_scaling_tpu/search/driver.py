@@ -102,9 +102,10 @@ def add_passages_to_eval_data(data, passages, scores, db_ids, valid_query_idx, d
     """Attach ctxs records (reference: src/search.py:126-147 — scores are
     stringified there, kept for byte-compatible outputs)."""
     assert len(valid_query_idx) == len(passages)
+    valid = set(valid_query_idx)  # membership test must not be O(n) per row
     idx = 0
     for i, ex in enumerate(data):
-        if i in valid_query_idx:
+        if i in valid:
             k = len(passages[idx])
             ex["ctxs"] = [
                 {

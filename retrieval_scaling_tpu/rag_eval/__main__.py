@@ -75,6 +75,7 @@ def main(argv=None):
     parser.add_argument("--additional_system_prompt", default=None)
     parser.add_argument("--apply_chat_template", action="store_true")
     parser.add_argument("--system_instruction", default=None)
+    parser.add_argument("--fewshot_as_multiturn", action="store_true")
     parser.add_argument("--results_only_save_path", default=None)
     args = parser.parse_args(argv)
 
@@ -110,6 +111,7 @@ def main(argv=None):
         results_only_save_path=args.results_only_save_path,
         apply_chat_template=args.apply_chat_template,
         system_instruction=args.system_instruction,
+        fewshot_as_multiturn=args.fewshot_as_multiturn,
     )
     if results is not None:
         print(json.dumps(results, indent=2))

@@ -133,7 +133,10 @@ def simple_evaluate(
     results_only_save_path: Optional[str] = None,
     apply_chat_template: bool = False,
     system_instruction: Optional[str] = None,
+    fewshot_as_multiturn: bool = False,
 ) -> Optional[dict]:
+    if fewshot_as_multiturn and not apply_chat_template:
+        raise ValueError("fewshot_as_multiturn requires apply_chat_template")
     all_results = {"results": {}, "n-doc": concat_k}
 
     for task_name in tasks:
@@ -141,7 +144,13 @@ def simple_evaluate(
         if limit:
             cfg.limit = limit
         task = Task(cfg, data_root=data_root)
-        requests = task.build_requests(num_fewshot)
+        # Multiturn chat: shots become user/assistant turns instead of being
+        # baked into the prompt string, so build 0-shot requests here.
+        request_fewshot = 0 if fewshot_as_multiturn else num_fewshot
+        requests = task.build_requests(request_fewshot)
+        if fewshot_as_multiturn:
+            for req in requests:
+                req["shots"] = task.fewshot_shots(req["doc"], num_fewshot)
         logger.info("Task %s: %d requests", cfg.task, len(requests))
 
         # --- query export for offline retrieval (step 1 of the RAG pipeline)
@@ -205,7 +214,9 @@ def simple_evaluate(
                     f"backend {type(lm).__name__} does not support chat templates"
                 )
             for req in requests:
-                req["context"] = formatter(req["context"], system_instruction)
+                req["context"] = formatter(
+                    req["context"], system_instruction, req.get("shots")
+                )
 
         outputs = _run_requests(lm, requests)
         scores = _score_task(task, requests, outputs)

@@ -178,10 +178,13 @@ def chat_template_formatter(tokenizer):
     """Backend helper: render a prompt through the tokenizer's chat template
     (reference: lm_eval --apply_chat_template)."""
 
-    def fmt(context: str, system_instruction=None) -> str:
+    def fmt(context: str, system_instruction=None, shots=None) -> str:
         messages = []
         if system_instruction:
             messages.append({"role": "system", "content": system_instruction})
+        for shot_q, shot_a in shots or []:  # fewshot_as_multiturn
+            messages.append({"role": "user", "content": shot_q})
+            messages.append({"role": "assistant", "content": shot_a})
         messages.append({"role": "user", "content": context})
         return tokenizer.apply_chat_template(
             messages, tokenize=False, add_generation_prompt=True

@@ -191,6 +191,17 @@ class Task:
                 return [str(val)]
         return [self.doc_target(doc)]
 
+    def fewshot_shots(self, doc: dict, num_fewshot: int | None = None):
+        """Sampled (prompt, target) pairs for multiturn chat rendering
+        (reference: lm_eval --fewshot_as_multiturn)."""
+        n = self.cfg.num_fewshot if num_fewshot is None else num_fewshot
+        if not n:
+            return []
+        pool = self.fewshot_docs if self.fewshot_docs is not None else self.docs
+        pool = [d for d in pool if d is not doc]
+        shots = self.rng.sample(pool, min(n, len(pool)))
+        return [(self.doc_text(s), self.doc_target(s)) for s in shots]
+
     def fewshot_context(self, doc: dict, num_fewshot: int | None = None) -> str:
         """description + N sampled shots + the doc's own prompt.
 

@@ -339,7 +339,7 @@ def test_apply_chat_template(tmp_path):
     seen = []
 
     class TemplLM:
-        def apply_chat_template(self, context, system_instruction=None):
+        def apply_chat_template(self, context, system_instruction=None, shots=None):
             sys_part = f"<sys>{system_instruction}</sys>" if system_instruction else ""
             return f"{sys_part}<user>{context}</user>"
 
@@ -362,3 +362,32 @@ def test_apply_chat_template(tmp_path):
 
     with pytest.raises(ValueError, match="chat template"):
         simple_evaluate(NoTemplLM(), ["nq_open"], data_root=root, apply_chat_template=True)
+
+
+def test_fewshot_as_multiturn(tmp_path):
+    """Shots render as user/assistant turns (reference: lm_eval
+    --fewshot_as_multiturn, requires --apply_chat_template)."""
+    root = _write_task_data(tmp_path)
+    seen = []
+
+    class TemplLM:
+        def apply_chat_template(self, context, system_instruction=None, shots=None):
+            parts = [f"[u]{q}[a]{a}" for q, a in (shots or [])]
+            parts.append(f"[u]{context}")
+            return "".join(parts)
+
+        def generate_until(self, reqs):
+            seen.extend(r["context"] for r in reqs)
+            return ["x"] * len(reqs)
+
+    simple_evaluate(
+        TemplLM(), ["nq_open"], data_root=root, num_fewshot=2,
+        apply_chat_template=True, fewshot_as_multiturn=True,
+    )
+    assert seen
+    for c in seen:
+        assert c.count("[a]") == 2  # two assistant turns from shots
+        assert c.split("[a]")[-1].count("Q:") == 1  # final prompt is 0-shot
+
+    with pytest.raises(ValueError, match="multiturn"):
+        simple_evaluate(TemplLM(), ["nq_open"], data_root=root, fewshot_as_multiturn=True)

@@ -120,13 +120,16 @@ class MicroBatcher:
 class RetrievalEngine:
     """Encoder + index + passage store for one datastore (or shard group)."""
 
-    def __init__(self, encoder, index, encode_opts=None, max_batch: int = 32, max_wait_ms: float = 5.0):
+    def __init__(
+        self, encoder, index, encode_opts=None, max_batch: int = 32,
+        max_wait_ms: float = 5.0, timeout_s: float = 60.0,
+    ):
         from retrieval_scaling_tpu.search.encoder import EncodeOptions
 
         self.encoder = encoder
         self.index = index
         self.encode_opts = encode_opts or EncodeOptions(batch_size=max_batch, maxlength=512)
-        self.batcher = MicroBatcher(self._process_batch, max_batch, max_wait_ms)
+        self.batcher = MicroBatcher(self._process_batch, max_batch, max_wait_ms, timeout_s=timeout_s)
 
     @classmethod
     def from_config(cls, cfg, index_shard_ids=None, mesh=None, encoder=None):
@@ -144,7 +147,19 @@ class RetrievalEngine:
             lowercase=cfg.evaluation.search.get("lowercase", False),
             normalize_text=cfg.evaluation.search.get("normalize_text", False),
         )
-        return cls(encoder, indexer.datastore, encode_opts=opts)
+        serve_cfg = getattr(cfg, "serve", None)
+
+        def serve_opt(key, default):
+            return getattr(serve_cfg, key, default) if serve_cfg is not None else default
+
+        # Per-request timeout keeps the reference contract (60 s worker
+        # timer, serve_worker_node.py:127-145) configurable via serve.*.
+        return cls(
+            encoder, indexer.datastore, encode_opts=opts,
+            max_batch=int(serve_opt("max_batch_size", 32)),
+            max_wait_ms=float(serve_opt("batch_timeout_ms", 5.0)),
+            timeout_s=float(serve_opt("request_timeout_s", 60.0)),
+        )
 
     def _process_batch(self, queries: List[str], n_docs: int) -> List[Dict[str, list]]:
         embeddings = self.encoder.encode(queries, self.encode_opts)

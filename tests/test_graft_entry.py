@@ -1,0 +1,71 @@
+"""The driver's entry points must work without external provisioning.
+
+Round-1 regression: ``dryrun_multichip`` relied on the caller to provision
+the virtual CPU platform and failed (rc=1) under the driver, which invokes
+it in a process whose JAX backend may already be initialized on one real
+chip. It must now self-provision in both situations.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code: str, strip_xla_flags: bool) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if strip_xla_flags:
+        env.pop("XLA_FLAGS", None)
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def test_dryrun_multichip_fresh_process():
+    # No XLA_FLAGS, no pre-initialized backend: must self-provision.
+    res = _run(
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        strip_xla_flags=True,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip ok" in res.stdout
+
+
+def test_dryrun_multichip_with_preinitialized_backend():
+    # Driver-like situation: backend already up with 1 device before the call.
+    res = _run(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n",
+        strip_xla_flags=True,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip ok" in res.stdout
+
+
+def test_dryrun_multichip_in_process_with_enough_devices():
+    # Under the test conftest this process already has 8 virtual devices;
+    # the in-process path must run (n smaller than available is fine too).
+    import __graft_entry__
+
+    assert len(jax.devices()) >= 4
+    __graft_entry__.dryrun_multichip(4)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[1].shape[0]

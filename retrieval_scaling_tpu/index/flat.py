@@ -46,6 +46,25 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+def filter_pad_hits(scores: np.ndarray, ids: np.ndarray):
+    """Drop pad hits (id < 0) from fixed-shape [b, k] search output.
+
+    ``search_ids`` pads rows with id -1 when k exceeds the number of valid
+    datastore rows. FAISS (reference: src/indicies/flat.py:129-141) returns
+    only real hits, so pads must never reach the passage fetch: Python -1
+    indexing would wrap to the LAST passage and a clamp-to-0 would return
+    passage 0 — both silent phantom hits. Returns ragged per-row lists.
+    """
+    scores = np.asarray(scores)
+    ids = np.asarray(ids)
+    out_scores, out_ids = [], []
+    for row_scores, row_ids in zip(scores, ids):
+        valid = row_ids >= 0
+        out_scores.append([float(s) for s in row_scores[valid]])
+        out_ids.append([int(i) for i in row_ids[valid]])
+    return out_scores, out_ids
+
+
 def load_embedding_shard(path: str) -> Tuple[list, np.ndarray]:
     """Load one ``passages_{i}.pkl`` ``(ids, [N, D] array)`` shard."""
     with open(path, "rb") as f:
@@ -166,21 +185,26 @@ class FlatIndex:
         )
         return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
 
-    def get_retrieved_passages(self, all_indices: np.ndarray):
+    def get_retrieved_passages(self, all_indices):
         """Map flat ids -> (passage texts, db_ids) via the disk-resident store
-        (reference: src/indicies/flat.py:122-136)."""
+        (reference: src/indicies/flat.py:122-136). Accepts ragged rows; ids
+        must already be valid (>= 0) — use :func:`filter_pad_hits` first."""
         assert self.passage_store is not None, "passage store not configured"
         flat = [int(i) for row in all_indices for i in row]
+        assert all(i >= 0 for i in flat), "pad ids must be filtered before fetch"
         pairs = [tuple(int(v) for v in self.index_id_to_db_id[i]) for i in flat]
         records = self.passage_store.fetch_many(pairs)
         texts = [r["text"] for r in records]
-        b, k = np.asarray(all_indices).shape
-        passages = [texts[i * k : (i + 1) * k] for i in range(b)]
-        db_ids = [[list(pairs[i * k + j]) for j in range(k)] for i in range(b)]
+        passages, db_ids, pos = [], [], 0
+        for row in all_indices:
+            passages.append(texts[pos : pos + len(row)])
+            db_ids.append([list(pairs[pos + j]) for j in range(len(row))])
+            pos += len(row)
         return passages, db_ids
 
     def search(self, query_embs: np.ndarray, k: int = 4096):
         """Reference-compatible search: (scores, passages, db_ids) lists."""
         scores, ids = self.search_ids(query_embs, k)
-        passages, db_ids = self.get_retrieved_passages(ids)
-        return scores.tolist(), passages, db_ids
+        scores, id_rows = filter_pad_hits(scores, ids)
+        passages, db_ids = self.get_retrieved_passages(id_rows)
+        return scores, passages, db_ids

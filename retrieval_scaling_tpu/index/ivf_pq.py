@@ -28,7 +28,11 @@ import numpy as np
 from jax.sharding import Mesh
 
 from retrieval_scaling_tpu.data.passages import PassageStore
-from retrieval_scaling_tpu.index.flat import load_embedding_shard, shard_id_from_embedding_path
+from retrieval_scaling_tpu.index.flat import (
+    filter_pad_hits,
+    load_embedding_shard,
+    shard_id_from_embedding_path,
+)
 from retrieval_scaling_tpu.index.ivf_common import (
     TILE,
     build_list_layout,
@@ -322,18 +326,23 @@ class IVFPQIndex:
             )
         return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
 
-    def get_retrieved_passages(self, all_indices: np.ndarray):
+    def get_retrieved_passages(self, all_indices):
+        # Ragged rows of valid (>= 0) ids; see FlatIndex.get_retrieved_passages.
         assert self.passage_store is not None, "passage store not configured"
-        flat = [max(int(i), 0) for row in all_indices for i in row]
+        flat = [int(i) for row in all_indices for i in row]
+        assert all(i >= 0 for i in flat), "pad ids must be filtered before fetch"
         pairs = [tuple(int(v) for v in self.index_id_to_db_id[i]) for i in flat]
         records = self.passage_store.fetch_many(pairs)
         texts = [r["text"] for r in records]
-        b, k = np.asarray(all_indices).shape
-        passages = [texts[i * k : (i + 1) * k] for i in range(b)]
-        db_ids = [[list(pairs[i * k + j]) for j in range(k)] for i in range(b)]
+        passages, db_ids, pos = [], [], 0
+        for row in all_indices:
+            passages.append(texts[pos : pos + len(row)])
+            db_ids.append([list(pairs[pos + j]) for j in range(len(row))])
+            pos += len(row)
         return passages, db_ids
 
     def search(self, query_embs: np.ndarray, k: int = 4096):
         scores, ids = self.search_ids(query_embs, k)
-        passages, db_ids = self.get_retrieved_passages(ids)
-        return scores.tolist(), passages, db_ids
+        scores, id_rows = filter_pad_hits(scores, ids)
+        passages, db_ids = self.get_retrieved_passages(id_rows)
+        return scores, passages, db_ids

@@ -22,6 +22,33 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def encode_pair(tokenizer, ctx: str, cont: str, eos_id: int):
+    """(ctx_ids, cont_ids) — jointly encoded then split, lm-eval style.
+
+    Tokenizing the continuation alone would prepend special tokens (BOS for
+    llama/mistral tokenizers), scoring a spurious mid-sequence BOS as part
+    of the continuation; the reference encodes the pair jointly and splits
+    at the context length (lm_eval/models/huggingface.py ``_encode_pair``).
+    Trailing context whitespace is moved onto the continuation so the split
+    point falls on a token boundary.
+    """
+    n_spaces = len(ctx) - len(ctx.rstrip())
+    if n_spaces > 0:
+        cont = ctx[-n_spaces:] + cont
+        ctx = ctx[:-n_spaces]
+    if not ctx:
+        return [eos_id], tokenizer(cont, add_special_tokens=False)["input_ids"]
+    whole = tokenizer(ctx + cont)["input_ids"]
+    ctx_ids = tokenizer(ctx)["input_ids"]
+    cont_ids = whole[len(ctx_ids):]
+    if not cont_ids:
+        # Retokenization merged the boundary token; fall back to a plain
+        # continuation encode so there is always something to score.
+        cont_ids = tokenizer(cont, add_special_tokens=False)["input_ids"]
+        ctx_ids = whole[: max(len(whole) - len(cont_ids), 1)]
+    return ctx_ids, cont_ids
+
+
 class DummyLM:
     """Deterministic fake: loglikelihoods hash the text; generations echo."""
 
@@ -96,8 +123,7 @@ class JaxReaderLM:
         jnp = self._jnp
         rows = []
         for i, (ctx, cont) in enumerate(pairs):
-            ctx_ids = self.tokenizer(ctx)["input_ids"] if ctx else [self._eos_id()]
-            cont_ids = self.tokenizer(cont)["input_ids"]
+            ctx_ids, cont_ids = encode_pair(self.tokenizer, ctx, cont, self._eos_id())
             ids = (ctx_ids + cont_ids)[-self.max_length :]
             labels = ([-100] * len(ctx_ids) + cont_ids)[-self.max_length :]
             rows.append((i, ids, labels))
@@ -241,8 +267,7 @@ class HFTorchLM:
             batch = pairs[pos : pos + self.batch_size]
             rows = []
             for ctx, cont in batch:
-                ctx_ids = self.tokenizer(ctx)["input_ids"] if ctx else [self._eos_id()]
-                cont_ids = self.tokenizer(cont)["input_ids"]
+                ctx_ids, cont_ids = encode_pair(self.tokenizer, ctx, cont, self._eos_id())
                 ids = (ctx_ids + cont_ids)[-self.max_length:]
                 n_cont = min(len(cont_ids), len(ids) - 1)
                 rows.append((ids, n_cont))

@@ -164,13 +164,36 @@ class Task:
         return _render(self.cfg.doc_to_text, doc)
 
     def doc_target(self, doc: dict) -> str:
-        # Multiple-choice rows carry {choices, gold}; the gold choice text is
-        # the target (used for fewshot assembly and answer export).
-        if self.cfg.output_type == "multiple_choice" and self.cfg.doc_to_target not in doc:
+        # Multiple-choice targets are usually stored as the gold choice
+        # INDEX (a bare key like 'label': 2 or a template '{{answer}}'):
+        # fewshot assembly and answer export need the gold choice TEXT, so
+        # resolve index-valued renders via doc_to_choice (matching lm-eval,
+        # which renders `doc_to_choice[doc_to_target]` for fewshot targets).
+        if self.cfg.output_type == "multiple_choice":
             try:
-                return self.doc_choices(doc)[int(doc.get("gold", doc.get("label", 0)))]
-            except (KeyError, IndexError, AssertionError):
-                pass
+                rendered = _render(self.cfg.doc_to_target, doc)
+            except (KeyError, TypeError):
+                rendered = None
+            try:
+                choices = self.doc_choices(doc)
+            except (KeyError, AssertionError):
+                choices = None
+            if rendered is not None and choices is not None:
+                if rendered in choices:
+                    return rendered
+                try:
+                    idx = int(rendered)
+                    if 0 <= idx < len(choices):
+                        return choices[idx]
+                except ValueError:
+                    pass
+            if choices is not None:
+                try:
+                    return choices[int(doc.get("gold", doc.get("label", 0)))]
+                except (IndexError, TypeError, ValueError):
+                    pass
+            if rendered is not None:
+                return rendered
         return _render(self.cfg.doc_to_target, doc)
 
     def doc_choices(self, doc: dict) -> List[str]:

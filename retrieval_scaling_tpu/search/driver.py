@@ -21,7 +21,12 @@ import numpy as np
 
 from retrieval_scaling_tpu.data.eval_data import load_eval_data
 from retrieval_scaling_tpu.index.base import Indexer
-from retrieval_scaling_tpu.search.encoder import EncodeOptions, JaxEncoder, load_encoder
+from retrieval_scaling_tpu.search.encoder import (
+    EncodeOptions,
+    JaxEncoder,
+    load_encoder,
+    projection_out_dim,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -138,6 +143,7 @@ def embed_eval_queries(cfg, queries: List[str], encoder: JaxEncoder | None, mesh
         maxlength=search_args.question_maxlength,
         lowercase=search_args.get("lowercase", False),
         normalize_text=search_args.get("normalize_text", False),
+        out_dim=projection_out_dim(cfg, encoder),
     )
     embeddings = encoder.encode_queries(queries, opts)
 

@@ -23,6 +23,7 @@ Qwen3-style causal embedders (last-token pooling + instruction prefix).
 from __future__ import annotations
 
 import logging
+import re
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, List, Sequence
@@ -60,6 +61,23 @@ class EncodeOptions:
     # reference's drama ``encode_documents(..., dim=768)``,
     # reference: src/embed.py:61-62). None = full hidden size.
     out_dim: int | None = None
+
+
+def projection_out_dim(cfg, encoder) -> int | None:
+    """out_dim for EncodeOptions from ``datastore.index.projection_size``.
+
+    The reference truncates BOTH sides to the projection dim (passages at
+    src/embed.py:62, queries at src/search.py:78); queries must use the
+    same rule or query dim != index dim whenever projection_size is below
+    the encoder hidden size.
+    """
+    try:
+        proj = cfg.datastore.index.get("projection_size", None)
+    except AttributeError:
+        proj = None
+    if proj and proj < encoder.cfg.hidden_size:
+        return int(proj)
+    return None
 
 
 class JaxEncoder:
@@ -258,11 +276,31 @@ def load_encoder(
         from retrieval_scaling_tpu.models.t5 import t5_embed
 
         hf = transformers.T5EncoderModel.from_pretrained(model_name_or_path)
-        projection = (
-            load_sentence_transformers_projection(model_name_or_path)
-            if os.path.isdir(str(model_name_or_path))
-            else None
-        )
+        projection = None
+        if os.path.isdir(str(model_name_or_path)):
+            projection = load_sentence_transformers_projection(model_name_or_path)
+        else:
+            # Hub id: the ST Dense module lives outside the transformers
+            # checkpoint — try to fetch it so GTR embeddings match the
+            # reference's sentence-transformers space.
+            try:
+                from huggingface_hub import snapshot_download
+
+                local = snapshot_download(
+                    str(model_name_or_path), allow_patterns=["*_Dense/*"]
+                )
+                projection = load_sentence_transformers_projection(local)
+            except Exception:
+                projection = None
+        if projection is None:
+            logger.warning(
+                "No sentence-transformers Dense projection found for %s: "
+                "embeddings use the raw T5 encoder space, which DIFFERS from "
+                "the sentence-transformers space (same dim, different basis). "
+                "Point model.query_encoder at a local ST checkpoint directory "
+                "containing the *_Dense module for exact parity.",
+                model_name_or_path,
+            )
         params, cfg = t5_encoder_from_hf_model(hf, dtype=np.float32, projection=projection)
         return JaxEncoder(
             params, cfg, tokenizer, mesh=mesh, dtype=dtype,
@@ -293,7 +331,10 @@ def load_encoder(
             embed_fn=embed_fn, query_prefix=query_prefix,
         )
 
-    e5_style = "e5" in name.replace("-", "_").split("_") or "sentence-transformers" in name
+    # Token-wise match so hub ids like "intfloat/e5-base-v2" are detected
+    # ('/' is a boundary too); the reference uses a substring test
+    # (src/embed.py:127) but that would also hit names like "opene5less".
+    e5_style = "e5" in re.split(r"[/_-]", name) or "sentence-transformers" in name
     pooling = "mean" if ("contriever" in name or e5_style) else "cls"
     params, cfg = load_hf_encoder(model_name_or_path, pooling=pooling, dtype=np.float32)
     cfg = dataclasses.replace(cfg, attention_impl=attention_impl)

@@ -134,7 +134,11 @@ class RetrievalEngine:
     @classmethod
     def from_config(cls, cfg, index_shard_ids=None, mesh=None, encoder=None):
         from retrieval_scaling_tpu.index.base import Indexer
-        from retrieval_scaling_tpu.search.encoder import EncodeOptions, load_encoder
+        from retrieval_scaling_tpu.search.encoder import (
+            EncodeOptions,
+            load_encoder,
+            projection_out_dim,
+        )
 
         if encoder is None:
             encoder = load_encoder(
@@ -146,6 +150,7 @@ class RetrievalEngine:
             maxlength=cfg.evaluation.search.get("question_maxlength", 512),
             lowercase=cfg.evaluation.search.get("lowercase", False),
             normalize_text=cfg.evaluation.search.get("normalize_text", False),
+            out_dim=projection_out_dim(cfg, encoder),
         )
         serve_cfg = getattr(cfg, "serve", None)
 

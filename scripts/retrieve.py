@@ -53,7 +53,11 @@ def main():
     cfg = load_config(args.config_name, overrides=args.overrides)
 
     from retrieval_scaling_tpu.index.base import Indexer
-    from retrieval_scaling_tpu.search.encoder import EncodeOptions, load_encoder
+    from retrieval_scaling_tpu.search.encoder import (
+        EncodeOptions,
+        load_encoder,
+        projection_out_dim,
+    )
 
     queries = read_queries(args.queries)
     logging.info("retrieving for %d queries", len(queries))
@@ -66,6 +70,7 @@ def main():
         maxlength=cfg.evaluation.search.get("question_maxlength", 512),
         lowercase=cfg.evaluation.search.get("lowercase", False),
         normalize_text=cfg.evaluation.search.get("normalize_text", False),
+        out_dim=projection_out_dim(cfg, encoder),
     )
     embs = encoder.encode_queries(queries, opts)
 

@@ -122,3 +122,47 @@ def test_indexer_facade_and_paths(tmp_path):
     assert len(scores) == 2 and len(passages[0]) == 3
     # artifacts written
     assert os.path.exists(os.path.join(index_dir, "index_Flat.tpu.npz"))
+
+
+def test_k_exceeding_n_valid_returns_only_real_hits(tmp_path):
+    """Round-1 regression: pad ids (-1) wrapped to the LAST passage (Python
+    negative indexing) or clamped to passage 0, silently returning phantom
+    hits. The reference returns only real hits (src/indicies/flat.py:129-141)."""
+    emb_dir, psg_dir, embs = _make_datastore(tmp_path, num_shards=1, per_shard=7)
+    index = FlatIndex(
+        embed_paths=[f"{emb_dir}/passages_00.pkl"],
+        index_path=str(tmp_path / "index" / "index_Flat.tpu.npz"),
+        meta_file=str(tmp_path / "index" / "index_Flat.tpu.ids.npy"),
+        passage_dir=psg_dir,
+        dimension=32,
+    )
+    q = np.random.RandomState(2).randn(2, 32).astype(np.float32)
+    scores, passages, db_ids = index.search(q, k=20)
+    for row in range(2):
+        assert len(passages[row]) == 7  # only the real hits, no pads
+        assert len(scores[row]) == 7
+        assert len(db_ids[row]) == 7
+        assert len({tuple(d) for d in db_ids[row]}) == 7  # no duplicates
+
+
+def test_k_exceeding_n_valid_ivf(tmp_path):
+    from retrieval_scaling_tpu.index.ivf_flat import IVFFlatIndex
+    from retrieval_scaling_tpu.index.ivf_pq import IVFPQIndex
+
+    emb_dir, psg_dir, embs = _make_datastore(tmp_path, num_shards=1, per_shard=9)
+    common = dict(
+        embed_paths=[f"{emb_dir}/passages_00.pkl"],
+        passage_dir=psg_dir,
+        dimension=32,
+        sample_train_size=9,
+        ncentroids=2,
+        probe=2,
+    )
+    q = np.random.RandomState(3).randn(2, 32).astype(np.float32)
+    for cls, extra in [(IVFFlatIndex, {}), (IVFPQIndex, {"n_subquantizers": 4})]:
+        index = cls(**common, **extra)
+        scores, passages, db_ids = index.search(q, k=32)
+        for row in range(2):
+            assert 0 < len(passages[row]) <= 9
+            assert len(scores[row]) == len(passages[row]) == len(db_ids[row])
+            assert len({tuple(d) for d in db_ids[row]}) == len(db_ids[row])

@@ -21,7 +21,12 @@ import os
 from typing import Dict, List, Optional
 
 from retrieval_scaling_tpu.rag_eval.metrics import METRICS, aggregate_mean
-from retrieval_scaling_tpu.rag_eval.tasks import Task, TaskConfig, get_task
+from retrieval_scaling_tpu.rag_eval.tasks import (
+    Task,
+    TaskConfig,
+    expand_task_list,
+    get_task,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -104,15 +109,41 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
         elif req["type"] == "loglikelihood":
             metric_values.setdefault("loglikelihood", []).append(out["loglikelihood"])
             metric_values.setdefault("acc", []).append(float(out["is_greedy"]))
+        elif "gold_mask" in req:  # multiple_choice with multi-true targets
+            # TruthfulQA mc2: probability mass assigned to the true options
+            # (reference: lm_eval/tasks/truthfulqa mc2 aggregation).
+            import math
+
+            lls = out["choice_lls"]
+            probs = [math.exp(ll) for ll in lls]
+            true_mass = sum(p for p, g in zip(probs, req["gold_mask"]) if g)
+            metric_values.setdefault("mc2", []).append(true_mass / max(sum(probs), 1e-30))
         else:  # multiple_choice
-            metric_values.setdefault("acc", []).append(float(out["prediction_idx"] == req["gold"]))
+            pred, gold = out["prediction_idx"], req["gold"]
+            metric_values.setdefault("acc", []).append(float(pred == gold))
             # Byte-length-normalized accuracy (lm-eval's acc_norm): compare
             # per-character loglikelihoods so longer choices aren't penalized.
             lls = out["choice_lls"]
             lengths = [max(len(c), 1) for c in req["choices"]]
             norm_idx = int(max(range(len(lls)), key=lambda j: lls[j] / lengths[j]))
             metric_values.setdefault("acc_norm", []).append(float(norm_idx == req["gold"]))
-    return {name: aggregate_mean(vals) for name, vals in metric_values.items()}
+            if "mcc" in task.cfg.metric_list:
+                # set-level Matthews correlation (GLUE CoLA): collect binary
+                # (pred, gold) pairs, aggregate after the loop.
+                metric_values.setdefault("_mcc_pairs", []).append((pred, gold))
+
+    scores = {}
+    for name, vals in metric_values.items():
+        if name == "_mcc_pairs":
+            tp = sum(1 for p, g in vals if p == 1 and g == 1)
+            tn = sum(1 for p, g in vals if p == 0 and g == 0)
+            fp = sum(1 for p, g in vals if p == 1 and g == 0)
+            fn = sum(1 for p, g in vals if p == 0 and g == 1)
+            denom = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5
+            scores["mcc"] = (tp * tn - fp * fn) / denom if denom else 0.0
+        else:
+            scores[name] = aggregate_mean(vals)
+    return scores
 
 
 def simple_evaluate(
@@ -137,7 +168,12 @@ def simple_evaluate(
 ) -> Optional[dict]:
     if fewshot_as_multiturn and not apply_chat_template:
         raise ValueError("fewshot_as_multiturn requires apply_chat_template")
-    all_results = {"results": {}, "n-doc": concat_k}
+    all_results = {"results": {}, "groups": {}, "versions": {}, "n-doc": concat_k}
+
+    # Group names (e.g. "mmlu" -> 57 subject tasks + 4 category rollups)
+    # expand before evaluation; aggregates are computed afterwards
+    # (reference: lm_eval group tables, evaluator.py:562-765).
+    tasks, group_map = expand_task_list(list(tasks))
 
     for task_name in tasks:
         cfg = get_task(task_name) if isinstance(task_name, str) else task_name
@@ -221,10 +257,32 @@ def simple_evaluate(
         outputs = _run_requests(lm, requests)
         scores = _score_task(task, requests, outputs)
         all_results["results"][cfg.task] = {**scores, "n-doc": concat_k, "samples": len(requests)}
+        all_results["versions"][cfg.task] = cfg.version
         logger.info("Task %s: %s", cfg.task, scores)
 
     if save_inputs_only:
         return None
+
+    # --- group rollups: sample-weighted mean per metric over member tasks
+    for group, members in group_map.items():
+        rows = []
+        for member in members:
+            if member in all_results["results"]:
+                rows.append(all_results["results"][member])
+            elif member in all_results["groups"]:
+                rows.append(all_results["groups"][member])
+        if not rows:
+            continue
+        total = sum(r["samples"] for r in rows)
+        metric_names = set.intersection(
+            *[{k for k in r if k not in ("n-doc", "samples")} for r in rows]
+        )
+        rollup = {
+            name: sum(r[name] * r["samples"] for r in rows) / max(total, 1)
+            for name in metric_names
+        }
+        all_results["groups"][group] = {**rollup, "n-doc": concat_k, "samples": total}
+        logger.info("Group %s (%d tasks): %s", group, len(rows), rollup)
 
     if results_only_save_path:
         with open(results_only_save_path, "a") as f:

@@ -55,6 +55,12 @@ class TaskConfig:
     filter_select: str = "first"      # "first" | "last"
     # Same extraction applied to gold targets (e.g. GSM8K's "#### N").
     target_regex: Optional[str] = None
+    # Task versioning (lm-eval emits a versions table so results are
+    # comparable across config revisions; reference: evaluator.py results).
+    version: float = 1.0
+    # Field holding a 0/1 truth mask over choices (TruthfulQA mc2-style
+    # multi-true multiple choice; scored as probability mass on true).
+    doc_to_gold_list: Optional[str] = None
 
     def apply_filter(self, text: str) -> str:
         if not self.filter_regex:
@@ -84,6 +90,106 @@ class TaskConfig:
 _BUILTIN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "task_configs")
 _EXTRA_DIRS: List[str] = []
 
+# ---------------------------------------------------------------- groups
+# MMLU subject -> category, the standard Hendrycks et al. taxonomy used by
+# the reference's 57 subject tasks + 4 category groups
+# (reference: lm_eval/tasks/mmlu/default/*, group rollups in evaluator.py).
+MMLU_SUBJECT_CATEGORIES: Dict[str, str] = {
+    # STEM
+    "abstract_algebra": "stem", "astronomy": "stem", "college_biology": "stem",
+    "college_chemistry": "stem", "college_computer_science": "stem",
+    "college_mathematics": "stem", "college_physics": "stem",
+    "computer_security": "stem", "conceptual_physics": "stem",
+    "electrical_engineering": "stem", "elementary_mathematics": "stem",
+    "high_school_biology": "stem", "high_school_chemistry": "stem",
+    "high_school_computer_science": "stem", "high_school_mathematics": "stem",
+    "high_school_physics": "stem", "high_school_statistics": "stem",
+    "machine_learning": "stem",
+    # humanities
+    "formal_logic": "humanities", "high_school_european_history": "humanities",
+    "high_school_us_history": "humanities", "high_school_world_history": "humanities",
+    "international_law": "humanities", "jurisprudence": "humanities",
+    "logical_fallacies": "humanities", "moral_disputes": "humanities",
+    "moral_scenarios": "humanities", "philosophy": "humanities",
+    "prehistory": "humanities", "professional_law": "humanities",
+    "world_religions": "humanities",
+    # social sciences
+    "econometrics": "social_sciences", "high_school_geography": "social_sciences",
+    "high_school_government_and_politics": "social_sciences",
+    "high_school_macroeconomics": "social_sciences",
+    "high_school_microeconomics": "social_sciences",
+    "high_school_psychology": "social_sciences", "human_sexuality": "social_sciences",
+    "professional_psychology": "social_sciences", "public_relations": "social_sciences",
+    "security_studies": "social_sciences", "sociology": "social_sciences",
+    "us_foreign_policy": "social_sciences",
+    # other (business, health, misc.)
+    "anatomy": "other", "business_ethics": "other", "clinical_knowledge": "other",
+    "college_medicine": "other", "global_facts": "other", "human_aging": "other",
+    "management": "other", "marketing": "other", "medical_genetics": "other",
+    "miscellaneous": "other", "nutrition": "other",
+    "professional_accounting": "other", "professional_medicine": "other",
+    "virology": "other",
+}
+assert len(MMLU_SUBJECT_CATEGORIES) == 57
+
+GROUPS: Dict[str, List[str]] = {
+    "mmlu": [f"mmlu_{s}" for s in sorted(MMLU_SUBJECT_CATEGORIES)],
+    **{
+        f"mmlu_{cat}": [
+            f"mmlu_{s}"
+            for s in sorted(MMLU_SUBJECT_CATEGORIES)
+            if MMLU_SUBJECT_CATEGORIES[s] == cat
+        ]
+        for cat in ("stem", "humanities", "social_sciences", "other")
+    },
+    "anli": ["anli_r1", "anli_r2", "anli_r3"],
+    "glue": ["cola", "sst2", "mrpc", "qqp", "mnli", "qnli", "rte", "wnli"],
+    "arithmetic": [
+        "arithmetic_2da", "arithmetic_2ds", "arithmetic_3da", "arithmetic_3ds",
+        "arithmetic_4da", "arithmetic_4ds", "arithmetic_5da", "arithmetic_5ds",
+        "arithmetic_2dm", "arithmetic_1dc",
+    ],
+    "lambada": ["lambada_openai", "lambada_standard"],
+    "truthfulqa": ["truthfulqa_mc1", "truthfulqa_mc2"],
+}
+
+
+def get_group(name: str) -> Optional[List[str]]:
+    return GROUPS.get(name)
+
+
+def expand_task_list(names: List[str]):
+    """Expand group names -> (ordered task names, {group: member tasks}).
+
+    A requested group contributes all member tasks plus a rollup entry;
+    category subgroups of "mmlu" are always reported when the full group
+    runs (reference: lm_eval group tables).
+    """
+    ordered: List[str] = []
+    groups: Dict[str, List[str]] = {}
+
+    def add_group(gname: str) -> None:
+        members = GROUPS[gname]
+        groups[gname] = members
+        for member in members:
+            if member in GROUPS:
+                add_group(member)
+            elif member not in ordered:
+                ordered.append(member)
+
+    for name in names:
+        if isinstance(name, str) and name in GROUPS:
+            add_group(name)
+            if name == "mmlu":
+                for cat in ("stem", "humanities", "social_sciences", "other"):
+                    add_group(f"mmlu_{cat}")
+        elif isinstance(name, str):
+            if name not in ordered:
+                ordered.append(name)
+        else:  # TaskConfig passthrough
+            ordered.append(name)
+    return ordered, groups
+
 
 def register_task_dir(path: str) -> None:
     _EXTRA_DIRS.append(path)
@@ -94,10 +200,19 @@ def list_tasks() -> List[str]:
     for d in [_BUILTIN_DIR] + _EXTRA_DIRS:
         for p in glob.glob(os.path.join(d, "*.yaml")):
             names.append(os.path.splitext(os.path.basename(p))[0])
+    names.extend(f"mmlu_{s}" for s in MMLU_SUBJECT_CATEGORIES)
+    names.extend(GROUPS)
     return sorted(set(names))
 
 
 def get_task(name: str) -> TaskConfig:
+    if name in GROUPS and name != "mmlu":
+        # "mmlu" doubles as the subject template yaml; other groups have no
+        # standalone config — they expand via expand_task_list.
+        raise KeyError(
+            f"{name!r} is a task GROUP ({len(GROUPS[name])} members); pass it "
+            "to simple_evaluate/expand_task_list rather than get_task"
+        )
     for d in _EXTRA_DIRS + [_BUILTIN_DIR]:
         path = os.path.join(d, name + ".yaml")
         if os.path.exists(path):
@@ -198,6 +313,10 @@ class Task:
 
     def doc_choices(self, doc: dict) -> List[str]:
         assert self.cfg.doc_to_choice, "multiple_choice task requires doc_to_choice"
+        if isinstance(self.cfg.doc_to_choice, list):
+            # Literal choice list in the YAML (GLUE-style constant labels),
+            # each entry a template over the doc.
+            return [_render(c, doc) for c in self.cfg.doc_to_choice]
         choices = doc[self.cfg.doc_to_choice]
         assert isinstance(choices, list)
         return [str(c) for c in choices]
@@ -275,17 +394,19 @@ class Task:
                     }
                 )
             elif self.cfg.output_type == "multiple_choice":
-                requests.append(
-                    {
-                        "type": "multiple_choice",
-                        "doc": doc,
-                        "context": context,
-                        "choices": [
-                            self.cfg.target_delimiter + c for c in self.doc_choices(doc)
-                        ],
-                        "gold": int(doc.get("gold", doc.get("label", 0))),
-                    }
-                )
+                req = {
+                    "type": "multiple_choice",
+                    "doc": doc,
+                    "context": context,
+                    "choices": [
+                        self.cfg.target_delimiter + c for c in self.doc_choices(doc)
+                    ],
+                    "gold": int(doc.get("gold", doc.get("label", 0))),
+                }
+                if self.cfg.doc_to_gold_list:
+                    # multi-true choices (TruthfulQA mc2): 0/1 mask per choice
+                    req["gold_mask"] = [int(v) for v in doc[self.cfg.doc_to_gold_list]]
+                requests.append(req)
             else:
                 raise ValueError(f"unknown output_type {self.cfg.output_type!r}")
         return requests

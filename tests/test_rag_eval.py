@@ -106,21 +106,26 @@ def test_query_export_and_retrieval_prepend(tmp_path):
     assert res["results"]["nq_open"]["n-doc"] == 2
 
 
-def test_multiple_choice_scoring(tmp_path):
-    d = tmp_path / "mmlu"
-    d.mkdir()
-    with open(d / "test.jsonl", "w") as f:
-        for i in range(4):
-            f.write(
-                json.dumps(
-                    {
-                        "question": f"pick {i}",
-                        "choices": ["alpha", "beta", "gamma", "delta"],
-                        "gold": i % 4,
-                    }
+def test_multiple_choice_scoring_and_mmlu_group(tmp_path):
+    """'mmlu' is a GROUP of 57 subject tasks with category rollups
+    (reference: lm_eval/tasks/mmlu + group tables)."""
+    from retrieval_scaling_tpu.rag_eval.tasks import MMLU_SUBJECT_CATEGORIES
+
+    for subject in MMLU_SUBJECT_CATEGORIES:
+        d = tmp_path / "mmlu" / subject
+        d.mkdir(parents=True)
+        with open(d / "test.jsonl", "w") as f:
+            for i in range(2):
+                f.write(
+                    json.dumps(
+                        {
+                            "question": f"pick {i}",
+                            "choices": ["alpha", "beta", "gamma", "delta"],
+                            "gold": i % 4,
+                        }
+                    )
+                    + "\n"
                 )
-                + "\n"
-            )
 
     class OracleLM:
         def loglikelihood(self, pairs):
@@ -133,8 +138,16 @@ def test_multiple_choice_scoring(tmp_path):
             return out
 
     res = simple_evaluate(OracleLM(), ["mmlu"], data_root=str(tmp_path))
-    assert res["results"]["mmlu"]["acc"] == 1.0
-    assert res["results"]["mmlu"]["acc_norm"] == 1.0
+    assert len([t for t in res["results"] if t.startswith("mmlu_")]) == 57
+    assert res["results"]["mmlu_abstract_algebra"]["acc"] == 1.0
+    assert res["groups"]["mmlu"]["acc"] == 1.0
+    assert res["groups"]["mmlu"]["samples"] == 114
+    assert res["groups"]["mmlu_stem"]["acc"] == 1.0
+    assert res["groups"]["mmlu_stem"]["samples"] == 36  # 18 subjects x 2
+    assert res["groups"]["mmlu_humanities"]["samples"] == 26
+    assert res["groups"]["mmlu_social_sciences"]["samples"] == 24
+    assert res["groups"]["mmlu_other"]["samples"] == 28
+    assert res["versions"]["mmlu_abstract_algebra"] == 1.0
 
 
 def test_acc_norm_length_normalization(tmp_path):

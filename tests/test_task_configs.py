@@ -1,0 +1,114 @@
+"""Every builtin task config must load and build valid requests
+(reference: rag-evaluation-harness/tests/test_tasks.py — parametrized
+config validation over the task registry)."""
+
+import json
+import re
+
+import pytest
+
+from retrieval_scaling_tpu.rag_eval.tasks import (
+    GROUPS,
+    MMLU_SUBJECT_CATEGORIES,
+    Task,
+    get_task,
+    list_tasks,
+)
+
+CONFIG_TASKS = [
+    t for t in list_tasks()
+    if t not in GROUPS and not (t.startswith("mmlu_") and t[5:] in MMLU_SUBJECT_CATEGORIES)
+]
+
+
+def _field_names(template: str):
+    return set(re.findall(r"\{(\w+)", template or ""))
+
+
+def _synth_doc(cfg):
+    """Synthesize one plausible doc from the config's templates."""
+    doc = {}
+    fields = _field_names(cfg.doc_to_text)
+    if isinstance(cfg.doc_to_choice, list):
+        for c in cfg.doc_to_choice:
+            fields |= _field_names(c)
+    if isinstance(cfg.doc_to_target, str):
+        fields |= _field_names(cfg.doc_to_target)
+    templates = [cfg.doc_to_text, cfg.doc_to_target] + (
+        cfg.doc_to_choice if isinstance(cfg.doc_to_choice, list) else []
+    )
+    for f in fields:
+        # dict-style access like {answer[aliases][0]} (TriviaQA)
+        dict_key = None
+        for t in templates:
+            m = t and re.search(r"\{%s\[([a-zA-Z_]+)\]" % re.escape(f), t)
+            if m:
+                dict_key = m.group(1)
+        if dict_key:
+            doc[f] = {dict_key: [f"{f}_item_{i}" for i in range(4)]}
+        elif _is_indexed(cfg, f):
+            doc[f] = [f"{f}_item_{i}" for i in range(4)]
+        else:
+            doc[f] = f"{f}_value"
+    if isinstance(cfg.doc_to_choice, str):
+        doc[cfg.doc_to_choice] = ["choice_a", "choice_b", "choice_c", "choice_d"]
+    if cfg.doc_to_gold_list:
+        doc[cfg.doc_to_gold_list] = [1, 0, 1, 0]
+    # common gold fields
+    doc.setdefault("label", 0)
+    doc.setdefault("gold", 0)
+    if "answer" in _field_names(cfg.doc_to_target or "") and not isinstance(
+        doc.get("answer"), dict
+    ):
+        doc["answer"] = ["gold answer"]
+    return doc
+
+
+def _is_indexed(cfg, field):
+    for template in [cfg.doc_to_text, cfg.doc_to_target] + (
+        cfg.doc_to_choice if isinstance(cfg.doc_to_choice, list) else []
+    ):
+        if template and re.search(r"\{%s\[" % re.escape(field), template):
+            return True
+    return False
+
+
+@pytest.mark.parametrize("name", CONFIG_TASKS)
+def test_task_config_builds_requests(name, tmp_path):
+    cfg = get_task(name)
+    assert cfg.task == name
+    assert cfg.output_type in ("generate_until", "loglikelihood", "multiple_choice")
+
+    doc = _synth_doc(cfg)
+    d = tmp_path / cfg.dataset_path
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / f"{cfg.test_split}.jsonl", "w") as f:
+        f.write(json.dumps(doc) + "\n")
+        f.write(json.dumps(doc) + "\n")
+
+    task = Task(cfg, data_root=str(tmp_path))
+    reqs = task.build_requests()
+    assert len(reqs) == 2
+    req = reqs[0]
+    assert req["context"], f"{name}: empty prompt"
+    if cfg.output_type == "multiple_choice":
+        assert len(req["choices"]) >= 2
+        assert 0 <= req["gold"] < len(req["choices"])
+        if cfg.doc_to_gold_list:
+            assert len(req["gold_mask"]) == len(req["choices"])
+    elif cfg.output_type == "loglikelihood":
+        assert req["continuation"]
+    else:
+        assert req["gen_kwargs"]["until"]
+
+    # fewshot assembly must not crash and must use the delimiter
+    ctx = task.fewshot_context(task.docs[0], num_fewshot=1)
+    assert ctx.endswith(task.doc_text(task.docs[0]))
+
+
+def test_registry_has_reference_scale_coverage():
+    """Breadth gate: >= 60 concrete tasks + the 57 MMLU subjects + groups."""
+    names = list_tasks()
+    assert len(CONFIG_TASKS) >= 60, len(CONFIG_TASKS)
+    assert sum(1 for n in names if n.startswith("mmlu_")) >= 57
+    assert {"mmlu", "glue", "anli", "arithmetic", "truthfulqa"} <= set(GROUPS)

@@ -178,8 +178,14 @@ def main() -> None:
     del flat_tiles
     m, ksub = 16, 256
     dsub = d // m
+    # Transposed tile layout (rows = sublane-padded subquantizers, lanes =
+    # the tile's 128 vectors) for the lane-gather ADC kernel.
+    from retrieval_scaling_tpu.ops.ivf_gather import pq_sublane_pad
+
     code_tiles = jax.jit(
-        lambda kk: jax.random.randint(kk, (total_tiles, TILE, m), 0, ksub, jnp.uint8)
+        lambda kk: jax.random.randint(
+            kk, (total_tiles, pq_sublane_pad(m), TILE), 0, ksub, jnp.uint8
+        )
     )(k4)
     codebooks = jax.random.normal(jax.random.PRNGKey(2), (m, ksub, dsub), jnp.float32)
     code_tiles.block_until_ready()

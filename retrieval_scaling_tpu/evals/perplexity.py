@@ -143,14 +143,13 @@ def _bucketize(length: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-def make_row_loss_fn(cfg):
+def make_row_loss_fn(cfg, mesh=None):
     """Jitted per-row (NLL sum, scored-token count) over a padded batch.
 
     ``cfg`` may be any supported reader config (GPT-NeoX or llama family).
     """
     from retrieval_scaling_tpu.models.hf_convert import reader_logits
 
-    @jax.jit
     def fn(params, ids, labels):
         logits = reader_logits(params, cfg, ids)
         shift_logits = logits[:, :-1]
@@ -161,25 +160,42 @@ def make_row_loss_fn(cfg):
         token_ll = jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
         return -jnp.sum(token_ll * mask, axis=-1), jnp.sum(mask, axis=-1)
 
-    return fn
+    if mesh is None:
+        return jax.jit(fn)
+    # Data-parallel reader eval: batch rows shard over the mesh 'data'
+    # axis, weights replicated — the HF-accelerate DDP analog
+    # (reference: lm_eval/models/huggingface.py:151-333).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    row_sharding = NamedSharding(mesh, P("data", None))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        in_shardings=(replicated, row_sharding, row_sharding),
+        out_shardings=(replicated, replicated),
+    )
 
 
 class JaxReader:
     """Batched scorer around a GPT-NeoX params/config pair."""
 
-    def __init__(self, params, cfg: GPTNeoXConfig, tokenizer, batch_size: int = 8, dtype=jnp.bfloat16):
+    def __init__(self, params, cfg: GPTNeoXConfig, tokenizer, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # Data-parallel eval over the mesh: the fixed scoring batch must
+        # split evenly over the 'data' axis.
+        if mesh is not None and batch_size % mesh.shape["data"]:
+            batch_size = -(-batch_size // mesh.shape["data"]) * mesh.shape["data"]
         self.batch_size = batch_size
         self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
-        self._row_loss = make_row_loss_fn(cfg)
+        self._row_loss = make_row_loss_fn(cfg, mesh=mesh)
 
     @classmethod
-    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, dtype=jnp.bfloat16):
+    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
         params, cfg = load_hf_reader(name_or_path)
-        return cls(params, cfg, load_tokenizer(name_or_path), batch_size, dtype)
+        return cls(params, cfg, load_tokenizer(name_or_path), batch_size, dtype, mesh=mesh)
 
     def score(self, contexts: List[str], targets: List[str]) -> List[float]:
         """Per-sample mean NLL over target tokens.
@@ -244,7 +260,7 @@ def _load_eval_examples(cfg) -> List[dict]:
     return read_jsonl(path)
 
 
-def evaluate_perplexity(cfg, reader: JaxReader | None = None) -> PplEvalOutput:
+def evaluate_perplexity(cfg, reader: JaxReader | None = None, mesh=None) -> PplEvalOutput:
     """Task entry (reference: src/evaluate_perplexity.py:72-149)."""
     if cfg.tasks.eval.task_name == "perplexity_calibration":
         return evaluate_calibration(cfg, reader)
@@ -257,6 +273,7 @@ def evaluate_perplexity(cfg, reader: JaxReader | None = None) -> PplEvalOutput:
         reader = JaxReader.from_pretrained(
             cfg.model.lm_model,
             batch_size=eval_args.get("per_device_eval_batch_size", 8),
+            mesh=mesh,
         )
 
     per_sample = reader.score(contexts, answers)

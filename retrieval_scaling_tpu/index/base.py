@@ -107,7 +107,6 @@ class Indexer:
                 ncentroids=self.args.ncentroids,
                 probe=self.args.probe,
                 n_subquantizers=self.args.n_subquantizers,
-                fast_layout=self.args.get("pq_fast_layout", False),
                 n_bits=self.args.n_bits,
                 **common,
             )

@@ -46,6 +46,7 @@ from retrieval_scaling_tpu.ops.kmeans import (
     pq_encode,
     pq_train_codebooks,
 )
+from retrieval_scaling_tpu.ops.ivf_gather import transpose_code_tiles
 from retrieval_scaling_tpu.ops.topk import merge_topk
 from retrieval_scaling_tpu.parallel.mesh import single_device_mesh
 
@@ -149,7 +150,6 @@ class IVFPQIndex:
         mesh: Mesh | None = None,
         probe_slack: float = 1.5,
         adc_mode: str = "gather",
-        fast_layout: bool = False,
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -165,9 +165,6 @@ class IVFPQIndex:
         self.mesh = mesh or single_device_mesh()
         self.probe_slack = probe_slack
         self.adc_mode = adc_mode
-        # Lane-pad code tiles to 128 for the grouped ADC kernel: ~26%% more
-        # QPS at 8x code HBM (datastore.index.pq_fast_layout).
-        self.fast_layout = fast_layout
 
         if index_path and meta_file and os.path.exists(index_path) and os.path.exists(meta_file):
             logger.info("Loading IVF-PQ index from %s", index_path)
@@ -178,6 +175,7 @@ class IVFPQIndex:
             if index_path and meta_file:
                 self._save(index_path, meta_file)
 
+        self.dimension = int(self.codebooks.shape[0] * self.codebooks.shape[2])
         self._place_on_device()
 
         self.passage_store: PassageStore | None = None
@@ -281,12 +279,14 @@ class IVFPQIndex:
     def _place_on_device(self) -> None:
         total_tiles = max(int(self.layout.tile_count.sum()), 1)
         codes_np = self.layout.sorted_rows.reshape(total_tiles, TILE, self.m)
-        self.use_pallas_scan = jax.default_backend() == "tpu"
-        if self.use_pallas_scan and self.fast_layout and self.n_bits == 8:
-            codes_np = np.pad(codes_np, ((0, 0), (0, 0), (0, 128 - self.m)))
-        self.code_tiles_dev = jnp.asarray(
-            codes_np, jnp.uint8
-        )
+        self.use_pallas_scan = jax.default_backend() == "tpu" and self.n_bits <= 8
+        if self.use_pallas_scan:
+            # Transposed tile layout for the lane-gather ADC kernel: rows =
+            # subquantizers (sublane-padded), lanes = the 128 vectors, so
+            # each probed-tile DMA is lane-aligned at ~m bytes/vector (the
+            # round-1 layout needed 8x lane padding for alignment).
+            codes_np = transpose_code_tiles(codes_np, self.m)
+        self.code_tiles_dev = jnp.asarray(codes_np, jnp.uint8)
         self.row_ids_dev = jnp.asarray(self.layout.row_flat_ids, jnp.int32)
         self.centroids_dev = jnp.asarray(self.centroids, jnp.float32)
         self.codebooks_dev = jnp.asarray(self.codebooks, jnp.float32)
@@ -304,15 +304,19 @@ class IVFPQIndex:
         )
         # query LUT: q_sub . codebooks  -> [B, m, ksub]
         b = q.shape[0]
-        dsub = self.dimension // self.m
+        # actual dim from the trained codebooks (the configured
+        # `dimension` may disagree with the embeddings on disk)
+        dsub = int(self.codebooks.shape[2])
         q_sub = q.reshape(b, self.m, dsub)
         lut = jnp.einsum(
             "bmd,mkd->bmk", q_sub, self.codebooks_dev, preferred_element_type=jnp.float32
         )
         k_eff = min(k, self.n_valid)
         if self.use_pallas_scan:
-            # Pallas scalar-prefetch gather + in-kernel ADC (ops/ivf_gather.py):
-            # XLA's dynamic tile gather lowers pathologically on TPU.
+            # Pallas scalar-prefetch gather + in-kernel lane-gather ADC
+            # (ops/ivf_gather.py): XLA's dynamic tile gather lowers
+            # pathologically on TPU; grouped programs amortize DMA latency
+            # over PQ_TG concurrent tile fetches.
             from retrieval_scaling_tpu.ops.ivf_gather import pq_scan_topk_pallas
 
             scores, ids = pq_scan_topk_pallas(

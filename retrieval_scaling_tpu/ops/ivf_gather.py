@@ -115,78 +115,200 @@ def ivf_scan_topk_pallas(
 # --------------------------------------------------------------------------
 # IVF-PQ: gathered code tiles + in-kernel ADC
 # --------------------------------------------------------------------------
-def _pq_kernel(ids_ref, lutp_ref, codes_ref, out_ref):
-    """codes_ref: [1, TILE, m] uint8; lutp_ref: [1, 1, m*ksub] f32 with the
-    *interleaved* layout j = code_value * m + subquantizer; out [1,1,1,TILE].
+PQ_TG = 8  # tiles per grouped program (concurrent DMAs)
 
-    ADC as ONE [TILE, m*ksub] x [m*ksub, 1] MXU matvec: the block one-hot
-    has m ones per row. Constructed without in-kernel reshapes (Mosaic
-    rejects them) via ``pltpu.repeat`` — which tiles copies along lanes, so
-    position j maps to (value j // m, subquantizer j % m), matching the
-    interleaved LUT. Measured 38% faster than per-m matvec or VPU
-    select-reduce forms (their 16 sequential ops pay 16 setups).
+
+def pq_sublane_pad(m: int) -> int:
+    """Code-tile sublane count: m padded to the uint8 VMEM tile height (32)."""
+    return max(32, -(-m // 32) * 32)
+
+
+def transpose_code_tiles(codes_tm, m: int):
+    """[T, TILE, m] uint8 -> transposed device layout [T, MP, TILE].
+
+    Rows = subquantizers (sublane-padded to MP), lanes = the tile's 128
+    vectors: each tile is a lane-aligned 2D block, so probed-tile DMAs need
+    no lane padding (the round-1 layout burned 8x code HBM for alignment)
+    and the in-kernel ADC can lane-gather per subquantizer row.
     """
-    tile, m = codes_ref.shape[1], codes_ref.shape[2]
-    mk = lutp_ref.shape[2]
-    codes = codes_ref[0].astype(jnp.int32)            # [TILE, m]
-    codes_rep = pltpu.repeat(codes, mk // m, axis=1)  # [TILE, m*ksub] tiled copies
-    value_of_j = jax.lax.broadcasted_iota(jnp.int32, (tile, mk), 1) // m
-    onehot = (codes_rep == value_of_j).astype(jnp.float32)
-    lutp = lutp_ref[0, 0].reshape(mk, 1)
-    acc = jax.lax.dot_general(
-        onehot, lutp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    import numpy as np
+
+    t, tile, _ = codes_tm.shape
+    mp = pq_sublane_pad(m)
+    out = np.zeros((t, mp, tile), np.uint8)
+    out[:, :m, :] = np.transpose(np.asarray(codes_tm), (0, 2, 1))
+    return out
+
+
+def pq_lut_tables(lut):
+    """[B, m, ksub<=256] f32 -> (lo, hi) [B, MP, 128] gather tables.
+
+    Row s of each table is subquantizer s's LUT for code values 0..127
+    (lo) / 128..255 (hi); pad rows are ZERO so padded code sublanes
+    contribute nothing to the score sum.
+    """
+    b, m, ksub = lut.shape
+    assert ksub <= 256, "8-bit PQ codes"
+    mp = pq_sublane_pad(m)
+    lo = jnp.zeros((b, mp, 128), jnp.float32)
+    hi = jnp.zeros((b, mp, 128), jnp.float32)
+    lo = lo.at[:, :m, : min(ksub, 128)].set(lut[:, :, :128])
+    if ksub > 128:
+        hi = hi.at[:, :m, : ksub - 128].set(lut[:, :, 128:])
+    return lo, hi
+
+
+def _adc_gather_block(codes_i32, lo, hi):
+    """[1, TILE] f32 ADC scores for transposed codes [MP, TILE] (int32).
+
+    The heart of the scan: ONE lane-gather per half-LUT
+    (``tpu.dynamic_gather``; Mosaic requires operand/index/output shapes
+    equal and 2D, hence the [MP, 128] tables) + a [1, MP] x [MP, TILE]
+    MXU pass for the subquantizer sum. ~30 VPU ops on [MP, 128] vs the
+    round-1 one-hot construction's ~1.5k cycles on [TILE, m*ksub] — the
+    scan drops from compute-bound to DMA-bound.
+    """
+    mp = codes_i32.shape[0]
+    sel = codes_i32 < 128
+    idx_lo = jnp.where(sel, codes_i32, 0)
+    idx_hi = jnp.where(sel, 0, codes_i32 - 128)
+    v_lo = jnp.take_along_axis(lo, idx_lo, axis=1)    # [MP, TILE]
+    v_hi = jnp.take_along_axis(hi, idx_hi, axis=1)
+    vals = jnp.where(sel, v_lo, v_hi)
+    ones = jnp.full((1, mp), 1.0, jnp.float32)
+    return jax.lax.dot_general(
+        ones, vals, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    out_ref[0, 0, 0, :] = acc[:, 0]
+
+
+def _pq_kernel_t(ids_ref, lo_ref, hi_ref, codes_ref, out_ref):
+    codes = codes_ref[0].astype(jnp.int32)            # [MP, TILE]
+    out_ref[0, 0, 0, :] = _adc_gather_block(codes, lo_ref[0], hi_ref[0])[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_adc_tiles(
     lut: jax.Array,        # [B, m, ksub] f32
-    codes_tm: jax.Array,   # [T_total, TILE, m] uint8 (the index's layout)
+    codes_t: jax.Array,    # [T_total, MP, TILE] uint8 (transposed layout)
     tile_ids: jax.Array,   # [B, T] int32
     interpret: bool = False,
 ) -> jax.Array:
     """ADC scores [B, T, TILE] f32 for each query's probed code tiles."""
-    b, m, ksub = lut.shape
+    b = lut.shape[0]
     t = tile_ids.shape[1]
-    tile = codes_tm.shape[1]
-    # interleave: j = value * m + subquantizer
-    lutp = jnp.transpose(lut, (0, 2, 1)).reshape(b, 1, ksub * m)
+    mp, tile = codes_t.shape[1], codes_t.shape[2]
+    lo, hi = pq_lut_tables(lut)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, t),
         in_specs=[
-            pl.BlockSpec((1, 1, ksub * m), lambda bi, ti, ids: (bi, 0, 0)),
-            pl.BlockSpec((1, tile, m), lambda bi, ti, ids: (ids[bi, ti], 0, 0)),
+            pl.BlockSpec((1, mp, 128), lambda bi, ti, ids: (bi, 0, 0)),
+            pl.BlockSpec((1, mp, 128), lambda bi, ti, ids: (bi, 0, 0)),
+            pl.BlockSpec((1, mp, tile), lambda bi, ti, ids: (ids[bi, ti], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, tile), lambda bi, ti, ids: (bi, ti, 0, 0)),
     )
     out = pl.pallas_call(
-        _pq_kernel,
+        _pq_kernel_t,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, 1, tile), jnp.float32),
         interpret=interpret,
-    )(tile_ids, lutp, codes_tm)
+    )(tile_ids, lo, hi, codes_t)
     return out[:, :, 0, :]
+
+
+def _pq_group_kernel_t(ids_ref, lo_ref, hi_ref, codes_hbm, out_ref, scratch, sems, *, mp):
+    """PQ_TG concurrent tile DMAs into one scratch slab, then PQ_TG cheap
+    gather-ADC blocks — amortizes DMA latency 8x over the per-tile kernel."""
+    bi, gi = pl.program_id(0), pl.program_id(1)
+
+    def dma(j):
+        tid = ids_ref[bi, gi * PQ_TG + j]
+        return pltpu.make_async_copy(
+            codes_hbm.at[tid], scratch.at[pl.ds(j * mp, mp), :], sems.at[j]
+        )
+
+    for j in range(PQ_TG):
+        dma(j).start()
+    for j in range(PQ_TG):
+        dma(j).wait()
+    for j in range(PQ_TG):
+        codes = scratch[j * mp:(j + 1) * mp, :].astype(jnp.int32)
+        out_ref[0, 0, 0, pl.ds(j * TILE, TILE)] = _adc_gather_block(
+            codes, lo_ref[0], hi_ref[0]
+        )[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_adc_tiles_grouped(
+    lut: jax.Array,        # [B, m, ksub] f32
+    codes_t: jax.Array,    # [T_total, MP, TILE] uint8 (transposed layout)
+    tile_ids: jax.Array,   # [B, T] int32, T % PQ_TG == 0
+    interpret: bool = False,
+) -> jax.Array:
+    b = lut.shape[0]
+    t = tile_ids.shape[1]
+    assert t % PQ_TG == 0, t
+    g = t // PQ_TG
+    mp, tile = codes_t.shape[1], codes_t.shape[2]
+    lo, hi = pq_lut_tables(lut)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, g),
+        in_specs=[
+            pl.BlockSpec((1, mp, 128), lambda bi, gi, ids: (bi, 0, 0)),
+            pl.BlockSpec((1, mp, 128), lambda bi, gi, ids: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, PQ_TG * TILE), lambda bi, gi, ids: (bi, gi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((PQ_TG * mp, tile), jnp.uint8),
+            pltpu.SemaphoreType.DMA((PQ_TG,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_pq_group_kernel_t, mp=mp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, g, 1, PQ_TG * TILE), jnp.float32),
+        interpret=interpret,
+    )(tile_ids, lo, hi, codes_t)
+    return out.reshape(b, t, TILE)
 
 
 def pq_scan_topk_pallas(
     lut: jax.Array,            # [B, m, ksub]
     coarse_scores: jax.Array,  # [B, nprobe]
-    codes_tm: jax.Array,       # [T_total, TILE, m] uint8
+    codes_t: jax.Array,        # [T_total, MP, TILE] uint8 (transposed layout)
     row_flat_ids: jax.Array,   # [T_total * TILE] int32
     tile_ids: jax.Array,       # [B, T]
     tile_valid: jax.Array,     # [B, T]
     probe_of_tile: jax.Array,  # [B, T]
     k: int,
     interpret: bool = False,
+    grouped: bool = True,
 ):
-    """Drop-in for ``ivf_pq.pq_scan_topk`` on TPU (Pallas gather + ADC)."""
+    """Drop-in for ``ivf_pq.pq_scan_topk`` on TPU (Pallas gather + ADC).
+
+    ``grouped`` scores PQ_TG tiles per program via concurrent DMAs; the
+    probe schedule is padded to a PQ_TG multiple with invalid slots so any
+    T works.
+    """
     from retrieval_scaling_tpu.ops.topk import NEG_INF, exact_topk_2stage
 
     b, t = tile_ids.shape
+    if grouped and t % PQ_TG:
+        pad = PQ_TG - t % PQ_TG
+        tile_ids = jnp.pad(tile_ids, ((0, 0), (0, pad)))
+        tile_valid = jnp.pad(tile_valid, ((0, 0), (0, pad)))
+        probe_of_tile = jnp.pad(probe_of_tile, ((0, 0), (0, pad)))
+        t += pad
     safe_ids = jnp.where(tile_valid, tile_ids, 0)
-    adc = gather_adc_tiles(lut, codes_tm, safe_ids, interpret=interpret)   # [B,T,TILE]
+    if grouped:
+        adc = gather_adc_tiles_grouped(lut, codes_t, safe_ids, interpret=interpret)
+    else:
+        adc = gather_adc_tiles(lut, codes_t, safe_ids, interpret=interpret)
     coarse = jnp.take_along_axis(coarse_scores, jnp.where(tile_valid, probe_of_tile, 0), axis=1)
     scores = adc + coarse[:, :, None]
     rows = row_flat_ids.reshape(-1, TILE)[safe_ids]
@@ -200,78 +322,3 @@ def pq_scan_topk_pallas(
         c_s = jnp.pad(c_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
         c_i = jnp.pad(c_i, ((0, 0), (0, k - kk)), constant_values=-1)
     return c_s, c_i
-
-
-# --------------------------------------------------------------------------
-# IVF-PQ fast layout: 8 tiles/program, one [TG*TILE, m*ksub] ADC matmul
-# --------------------------------------------------------------------------
-PQ_TG = 8
-
-
-def _pq_group_kernel(ids_ref, lutp_ref, codes_hbm, out_ref, scratch, sems):
-    """codes_hbm: [T, TILE, 128] uint8, first m lanes real (lane-padded so
-    destination DMA slices are 128-aligned). TG tiles DMA concurrently into
-    one scratch slab, then ONE [TG*TILE, m*ksub] one-hot matmul scores all
-    of them — amortizing both DMA latency and MXU setup 8x (measured
-    17.9 -> 13.2 ms at b64 nprobe64 on 1M codes).
-    """
-    bi, gi = pl.program_id(0), pl.program_id(1)
-    mk = lutp_ref.shape[2]
-
-    def dma(j):
-        tid = ids_ref[bi, gi * PQ_TG + j]
-        return pltpu.make_async_copy(
-            codes_hbm.at[tid], scratch.at[pl.ds(j * TILE, TILE), :], sems.at[j]
-        )
-
-    for j in range(PQ_TG):
-        dma(j).start()
-    for j in range(PQ_TG):
-        dma(j).wait()
-
-    # m is static via the interleave ratio: mk = m * ksub with ksub = 256.
-    m_sub = mk // 256
-    codes = scratch[:, :m_sub].astype(jnp.int32)          # [TG*TILE, m]
-    codes_rep = pltpu.repeat(codes, mk // m_sub, axis=1)  # [TG*TILE, mk]
-    value_of_j = jax.lax.broadcasted_iota(jnp.int32, (PQ_TG * TILE, mk), 1) // m_sub
-    onehot = (codes_rep == value_of_j).astype(jnp.float32)
-    lutp = lutp_ref[0, 0].reshape(mk, 1)
-    acc = jax.lax.dot_general(
-        onehot, lutp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    out_ref[0, 0, 0, :] = acc[:, 0]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gather_adc_tiles_fast(
-    lut: jax.Array,          # [B, m, ksub] f32 (ksub must be 256)
-    codes_padded: jax.Array,  # [T_total, TILE, 128] uint8 (first m lanes real)
-    tile_ids: jax.Array,     # [B, T] int32, T % PQ_TG == 0
-    interpret: bool = False,
-) -> jax.Array:
-    b, m, ksub = lut.shape
-    assert ksub == 256, "fast ADC layout assumes 8-bit codes"
-    t = tile_ids.shape[1]
-    assert t % PQ_TG == 0, t
-    g = t // PQ_TG
-    lutp = jnp.transpose(lut, (0, 2, 1)).reshape(b, 1, ksub * m)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, g),
-        in_specs=[
-            pl.BlockSpec((1, 1, ksub * m), lambda bi, gi, ids: (bi, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 1, PQ_TG * TILE), lambda bi, gi, ids: (bi, gi, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((PQ_TG * TILE, 128), jnp.uint8),
-            pltpu.SemaphoreType.DMA((PQ_TG,)),
-        ],
-    )
-    out = pl.pallas_call(
-        _pq_group_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, g, 1, PQ_TG * TILE), jnp.float32),
-        interpret=interpret,
-    )(tile_ids, lutp, codes_padded)
-    return out.reshape(b, t, TILE)

@@ -47,7 +47,7 @@ def run_tasks(cfg, mesh=None) -> None:
         if task_name in ("perplexity", "perplexity_calibration"):
             from retrieval_scaling_tpu.evals.perplexity import evaluate_perplexity
 
-            outputs = evaluate_perplexity(cfg)
+            outputs = evaluate_perplexity(cfg, mesh=mesh)
             log_file = cfg.evaluation.get("results_only_log_file", None)
             if outputs is not None and log_file:
                 with open(log_file, "a") as f:

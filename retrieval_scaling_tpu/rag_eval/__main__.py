@@ -27,7 +27,7 @@ def parse_model_args(spec: str) -> dict:
     return out
 
 
-def build_lm(model: str, model_args: dict, batch_size: int):
+def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int = 1):
     if model == "dummy":
         from retrieval_scaling_tpu.rag_eval.models import DummyLM
 
@@ -35,7 +35,16 @@ def build_lm(model: str, model_args: dict, batch_size: int):
     if model in ("jax", "jax-reader", "hf"):
         from retrieval_scaling_tpu.rag_eval.models import JaxReaderLM
 
-        return JaxReaderLM.from_pretrained(model_args["pretrained"], batch_size=batch_size)
+        mesh = None
+        if data_parallel > 1:
+            # DDP analog: batches shard over the mesh 'data' axis
+            # (reference: accelerate multi-GPU, lm_eval/models/huggingface.py:151-333).
+            from retrieval_scaling_tpu.parallel.mesh import build_mesh
+
+            mesh = build_mesh(data_axis=data_parallel, model_axis=1)
+        return JaxReaderLM.from_pretrained(
+            model_args["pretrained"], batch_size=batch_size, mesh=mesh
+        )
     if model == "hf-torch":
         from retrieval_scaling_tpu.rag_eval.models import HFTorchLM
 
@@ -57,6 +66,10 @@ def main(argv=None):
     )
     parser.add_argument("--num_fewshot", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument(
+        "--data_parallel", type=int, default=1,
+        help="shard reader batches over this many devices (DDP analog)",
+    )
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--data_root", default=None)
     parser.add_argument("--output_path", default=None)
@@ -89,7 +102,7 @@ def main(argv=None):
 
     from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
 
-    lm = build_lm(args.model, parse_model_args(args.model_args), args.batch_size)
+    lm = build_lm(args.model, parse_model_args(args.model_args), args.batch_size, args.data_parallel)
     if args.use_cache:
         from retrieval_scaling_tpu.rag_eval.caching import CachingLM
 

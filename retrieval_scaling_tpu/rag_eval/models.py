@@ -79,7 +79,7 @@ class EchoAnswerLM:
 class JaxReaderLM:
     """GPT-NeoX reader backend."""
 
-    def __init__(self, params, cfg, tokenizer, batch_size: int = 8, max_length: int | None = None):
+    def __init__(self, params, cfg, tokenizer, batch_size: int = 8, max_length: int | None = None, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -87,13 +87,17 @@ class JaxReaderLM:
 
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # Data-parallel eval: the fixed batch splits over the mesh 'data'
+        # axis (reference analog: HF-accelerate DDP,
+        # lm_eval/models/huggingface.py:151-333).
+        if mesh is not None and batch_size % mesh.shape["data"]:
+            batch_size = -(-batch_size // mesh.shape["data"]) * mesh.shape["data"]
         self.batch_size = batch_size
         self.max_length = max_length or cfg.max_position_embeddings
         self.params = params
         self._jnp = jnp
         self._jax = jax
 
-        @jax.jit
         def row_ll_greedy(params, ids, labels):
             logits = reader_logits(params, cfg, ids)
             shift_logits = logits[:, :-1]
@@ -107,16 +111,27 @@ class JaxReaderLM:
             is_greedy = jnp.all(jnp.where(mask, greedy, True), axis=-1)
             return ll, is_greedy
 
-        self._row_ll = row_ll_greedy
+        if mesh is None:
+            self._row_ll = jax.jit(row_ll_greedy)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rows = NamedSharding(mesh, P("data", None))
+            rep = NamedSharding(mesh, P())
+            self._row_ll = jax.jit(
+                row_ll_greedy,
+                in_shardings=(rep, rows, rows),
+                out_shardings=(rep, rep),
+            )
         self._gen_fns = {}
         self.apply_chat_template = chat_template_formatter(tokenizer)
 
     @classmethod
-    def from_pretrained(cls, name_or_path: str, batch_size: int = 8):
+    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, mesh=None):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
         params, cfg = load_hf_reader(name_or_path)
-        return cls(params, cfg, load_tokenizer(name_or_path), batch_size)
+        return cls(params, cfg, load_tokenizer(name_or_path), batch_size, mesh=mesh)
 
     # ------------------------------------------------------------ ll
     def loglikelihood(self, pairs: Sequence[Tuple[str, str]]):

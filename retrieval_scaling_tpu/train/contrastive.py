@@ -117,9 +117,20 @@ def inbatch_loss(
     temperature: float = 0.05,
     label_smoothing: float = 0.0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Symmetric-free InBatch CE (reference: contriever/src/inbatch.py:43-75)."""
+    """Symmetric-free InBatch CE (reference: contriever/src/inbatch.py:43-75).
+
+    When the batch carries explicit negatives (``n_tokens``/``n_mask``,
+    produced by ``finetuning_batches`` with ``negative_ctxs > 0``) they are
+    appended to the key pool, so each query scores against B in-batch
+    positives + all explicit/hard negatives while the gold stays the
+    diagonal (reference: contriever/src/finetuning_data.py:15-25,
+    src/inbatch.py gold/negatives assembly).
+    """
     q = contriever_embed(params, cfg, batch["q_tokens"], batch["q_mask"])
     k = contriever_embed(params, cfg, batch["k_tokens"], batch["k_mask"])
+    if "n_tokens" in batch:
+        n = contriever_embed(params, cfg, batch["n_tokens"], batch["n_mask"])
+        k = jnp.concatenate([k, n], axis=0)
     logits = jnp.einsum("id,jd->ij", q, k) / temperature
     labels = jnp.arange(q.shape[0])
     loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
@@ -144,11 +155,10 @@ def make_inbatch_train_step(cfg: BertConfig, optimizer, mesh: Mesh | None = None
 
     if mesh is None:
         return jax.jit(step_fn)
+    # Prefix pytree: one sharding applies to every batch leaf (incl. the
+    # optional explicit-negative tensors).
     batch_sharding = NamedSharding(mesh, P(("data",), None))
-    return jax.jit(
-        step_fn,
-        in_shardings=(None, jax.tree.map(lambda _: batch_sharding, {"q_tokens": 0, "q_mask": 0, "k_tokens": 0, "k_mask": 0})),
-    )
+    return jax.jit(step_fn, in_shardings=(None, batch_sharding))
 
 
 def inbatch_train_step(state, batch, cfg, optimizer, temperature: float = 0.05):

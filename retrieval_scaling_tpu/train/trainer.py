@@ -57,6 +57,15 @@ class TrainConfig:
     # self-supervised cropping (contriever pretraining data augmentation)
     crop_min_words: int = 5
     crop_max_words: int = 50
+    # supervised fine-tuning negatives (reference:
+    # contriever/src/finetuning_data.py:15-25): explicit negatives per
+    # query appended to the in-batch key pool; negative_hard_ratio is the
+    # probability a negative is drawn from hard_negative_ctxs (mined) vs
+    # negative_ctxs, with hard negatives taken from index
+    # negative_hard_min_idx onwards (skip the very top false positives).
+    negative_ctxs: int = 0
+    negative_hard_ratio: float = 0.0
+    negative_hard_min_idx: int = 0
 
 
 # ---------------------------------------------------------------- data
@@ -97,27 +106,51 @@ def finetuning_batches(
     {question, positive_ctxs|positives} records (reference:
     contriever/src/finetuning_data.py)."""
     rng = random.Random(cfg.seed)
+
+    def _text(ctx) -> str:
+        return ctx["text"] if isinstance(ctx, dict) else str(ctx)
+
+    def _sample_negative(ex) -> str:
+        hard = ex.get("hard_negative_ctxs") or []
+        hard = hard[cfg.negative_hard_min_idx:]
+        plain = ex.get("negative_ctxs") or ex.get("negatives") or []
+        if hard and (not plain or rng.random() < cfg.negative_hard_ratio):
+            return _text(rng.choice(hard))
+        if plain:
+            return _text(rng.choice(plain))
+        # fall back to a random other example's positive (random negative)
+        other = pairs[rng.randrange(len(pairs))]
+        pool = other.get("positive_ctxs") or other.get("positives") or [other.get("positive", "")]
+        return _text(rng.choice(pool) if isinstance(pool, list) else pool)
+
     while True:
         batch = [pairs[rng.randrange(len(pairs))] for _ in range(cfg.batch_size)]
-        qs, ks = [], []
+        qs, ks, ns = [], [], []
         for ex in batch:
             qs.append(ex.get("question", ex.get("query")))
             positives = ex.get("positive_ctxs") or ex.get("positives") or []
             pos = rng.choice(positives) if positives else ex.get("positive", "")
-            ks.append(pos["text"] if isinstance(pos, dict) else str(pos))
-        yield tokenize_pair_batch(qs, ks, tokenizer, cfg.max_length)
+            ks.append(_text(pos))
+            for _ in range(cfg.negative_ctxs):
+                ns.append(_sample_negative(ex))
+        out = tokenize_pair_batch(qs, ks, tokenizer, cfg.max_length)
+        if ns:
+            n_ids, n_mask = _encode_texts(ns, tokenizer, cfg.max_length)
+            out["n_tokens"], out["n_mask"] = n_ids, n_mask
+        yield out
+
+
+def _encode_texts(texts: List[str], tokenizer, max_length: int):
+    out = tokenizer(texts, max_length=max_length, truncation=True, padding="max_length")
+    return (
+        jnp.asarray(np.asarray(out["input_ids"]), jnp.int32),
+        jnp.asarray(np.asarray(out["attention_mask"]), jnp.int32),
+    )
 
 
 def tokenize_pair_batch(queries: List[str], keys: List[str], tokenizer, max_length: int):
-    def enc(texts):
-        out = tokenizer(texts, max_length=max_length, truncation=True, padding="max_length")
-        return (
-            jnp.asarray(np.asarray(out["input_ids"]), jnp.int32),
-            jnp.asarray(np.asarray(out["attention_mask"]), jnp.int32),
-        )
-
-    q_ids, q_mask = enc(queries)
-    k_ids, k_mask = enc(keys)
+    q_ids, q_mask = _encode_texts(queries, tokenizer, max_length)
+    k_ids, k_mask = _encode_texts(keys, tokenizer, max_length)
     return {"q_tokens": q_ids, "q_mask": q_mask, "k_tokens": k_ids, "k_mask": k_mask}
 
 

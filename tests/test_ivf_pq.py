@@ -132,3 +132,28 @@ def test_adc_modes_agree(pq_index_env):
         index.adc_mode = "gather"
     np.testing.assert_array_equal(i_gather, i_onehot)
     np.testing.assert_allclose(s_gather, s_onehot, rtol=2e-2, atol=2e-2)
+
+
+def test_configured_dimension_mismatch_is_ignored(tmp_path):
+    """search must use the dimension of the embeddings actually indexed,
+    not the configured default (768), which may disagree."""
+    import pickle
+
+    rng = np.random.RandomState(7)
+    emb = rng.randn(64, 32).astype(np.float16)
+    path = tmp_path / "passages_00.pkl"
+    with open(path, "wb") as f:
+        pickle.dump((list(range(64)), emb), f)
+    index = IVFPQIndex(
+        embed_paths=[str(path)],
+        dimension=768,  # wrong on purpose
+        sample_train_size=64,
+        ncentroids=2,
+        probe=2,
+        n_subquantizers=4,
+        kmeans_iters=3,
+        pq_iters=3,
+    )
+    assert index.dimension == 32
+    scores, ids = index.search_ids(rng.randn(3, 32).astype(np.float32), 5)
+    assert ids.shape == (3, 5)

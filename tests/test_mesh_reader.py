@@ -1,0 +1,94 @@
+"""Mesh data-parallel reader eval == single-device numbers.
+
+VERDICT round-1 item 4: the reference evaluates readers under accelerate
+DDP/FSDP (lm_eval/models/huggingface.py:151-333); the TPU analog shards
+scoring batches over the mesh 'data' axis with replicated weights, and
+must produce identical numbers on 1 and 8 virtual devices.
+"""
+
+import numpy as np
+import pytest
+
+from retrieval_scaling_tpu.parallel.mesh import build_mesh
+from tests.helpers import make_word_tokenizer
+
+
+def _texts(n=24):
+    rng = np.random.RandomState(0)
+    return [" ".join(f"w{rng.randint(0, 80)}" for _ in range(12)) for _ in range(n)]
+
+
+def test_jax_reader_mesh_matches_single_device():
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.evals.perplexity import JaxReader
+    from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, init_gpt_neox_params
+    import jax
+
+    tok = make_word_tokenizer(_texts())
+    cfg = GPTNeoXConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=64, max_position_embeddings=64,
+        attention_impl="xla",
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(0))
+    texts = _texts()
+    contexts = texts[:12]
+    targets = texts[12:]
+
+    single = JaxReader(params, cfg, tok, batch_size=8, dtype=jnp.float32)
+    mesh = build_mesh()  # 8 virtual devices
+    sharded = JaxReader(params, cfg, tok, batch_size=8, dtype=jnp.float32, mesh=mesh)
+    np.testing.assert_allclose(
+        single.score(contexts, targets), sharded.score(contexts, targets),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_jax_reader_lm_mesh_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, init_gpt_neox_params
+    from retrieval_scaling_tpu.rag_eval.models import JaxReaderLM
+
+    tok = make_word_tokenizer(_texts())
+    cfg = GPTNeoXConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=64, max_position_embeddings=64,
+        attention_impl="xla",
+    )
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        init_gpt_neox_params(cfg, jax.random.PRNGKey(1)),
+    )
+    texts = _texts()
+    pairs = list(zip(texts[:10], [" " + t for t in texts[10:20]]))
+
+    single = JaxReaderLM(params, cfg, tok, batch_size=8)
+    mesh = build_mesh()
+    sharded = JaxReaderLM(params, cfg, tok, batch_size=8, mesh=mesh)
+    ll_s = single.loglikelihood(pairs)
+    ll_m = sharded.loglikelihood(pairs)
+    np.testing.assert_allclose(
+        [v for v, _ in ll_s], [v for v, _ in ll_m], rtol=1e-5, atol=1e-6
+    )
+    assert [g for _, g in ll_s] == [g for _, g in ll_m]
+
+
+def test_reader_batch_size_rounds_up_to_mesh():
+    import jax
+
+    from retrieval_scaling_tpu.evals.perplexity import JaxReader
+    from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, init_gpt_neox_params
+
+    tok = make_word_tokenizer(_texts())
+    cfg = GPTNeoXConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=1,
+        num_heads=4, intermediate_size=64, max_position_embeddings=64,
+        attention_impl="xla",
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(0))
+    mesh = build_mesh()
+    reader = JaxReader(params, cfg, tok, batch_size=3, mesh=mesh)
+    assert reader.batch_size % mesh.shape["data"] == 0

@@ -204,9 +204,11 @@ def test_pq_adc_kernel_matches_reference():
     valid = rng.rand(b, t) > 0.2
     probe_of = rng.randint(0, nprobe, (b, t)).astype(np.int32)
 
+    from retrieval_scaling_tpu.ops.ivf_gather import transpose_code_tiles
+
     s_p, i_p = pq_scan_topk_pallas(
         jnp.asarray(lut), jnp.asarray(coarse),
-        jnp.asarray(codes),  # [T, TILE, m] (the index's native layout)
+        jnp.asarray(transpose_code_tiles(codes, m)),  # device layout
         jnp.asarray(row_ids), jnp.asarray(tile_ids), jnp.asarray(valid),
         jnp.asarray(probe_of), k=6, interpret=True,
     )
@@ -241,22 +243,73 @@ def test_fused_segmax_scan_exact(rng):
         np.testing.assert_allclose(np.asarray(s[bi]), exact[bi][order], atol=1e-3, rtol=1e-4)
 
 
-def test_pq_fast_layout_matches_compact():
-    """Lane-padded grouped ADC (pq_fast_layout) == compact per-tile kernel."""
+def test_pq_lut_tables_and_transpose_layout():
+    """pq_lut_tables + transpose_code_tiles roundtrip the ADC inputs."""
     from retrieval_scaling_tpu.ops.ivf_gather import (
-        PQ_TG,
-        gather_adc_tiles,
-        gather_adc_tiles_fast,
+        pq_lut_tables,
+        pq_sublane_pad,
+        transpose_code_tiles,
     )
 
     rng = np.random.RandomState(11)
+    t_total, tile, m, ksub, b = 5, 128, 16, 256, 2
+    codes = rng.randint(0, ksub, (t_total, tile, m)).astype(np.uint8)
+    codes_t = transpose_code_tiles(codes, m)
+    mp = pq_sublane_pad(m)
+    assert codes_t.shape == (t_total, mp, tile)
+    np.testing.assert_array_equal(codes_t[:, :m, :], np.transpose(codes, (0, 2, 1)))
+    assert (codes_t[:, m:, :] == 0).all()
+
+    lut = rng.randn(b, m, ksub).astype(np.float32)
+    lo, hi = pq_lut_tables(jnp.asarray(lut))
+    assert lo.shape == hi.shape == (b, mp, 128)
+    np.testing.assert_array_equal(np.asarray(lo)[:, :m, :], lut[:, :, :128])
+    np.testing.assert_array_equal(np.asarray(hi)[:, :m, :], lut[:, :, 128:])
+    assert (np.asarray(lo)[:, m:, :] == 0).all()
+
+
+def test_pq_gather_adc_matches_numpy():
+    """Lane-gather ADC kernels (per-tile + grouped) == numpy ADC,
+    including schedule padding to a PQ_TG multiple inside pq_scan_topk_pallas."""
+    from retrieval_scaling_tpu.ops.ivf_gather import (
+        gather_adc_tiles,
+        gather_adc_tiles_grouped,
+        pq_scan_topk_pallas,
+        transpose_code_tiles,
+    )
+
+    rng = np.random.RandomState(12)
     t_total, tile, m, ksub, b = 20, 128, 16, 256, 2
     codes = rng.randint(0, ksub, (t_total, tile, m)).astype(np.uint8)
-    codes_pad = np.zeros((t_total, tile, 128), np.uint8)
-    codes_pad[:, :, :m] = codes
+    codes_t = jnp.asarray(transpose_code_tiles(codes, m))
     lut = rng.randn(b, m, ksub).astype(np.float32)
-    tids = rng.randint(0, t_total, (b, PQ_TG * 2)).astype(np.int32)
+    tids = rng.randint(0, t_total, (b, 16)).astype(np.int32)
 
-    compact = np.asarray(gather_adc_tiles(jnp.asarray(lut), jnp.asarray(codes), jnp.asarray(tids), interpret=True))
-    fast = np.asarray(gather_adc_tiles_fast(jnp.asarray(lut), jnp.asarray(codes_pad), jnp.asarray(tids), interpret=True))
-    np.testing.assert_allclose(fast, compact, atol=1e-3, rtol=1e-4)
+    gt = np.zeros((b, 16, tile), np.float32)
+    for bi in range(b):
+        for ti, tid in enumerate(tids[bi]):
+            for r in range(tile):
+                gt[bi, ti, r] = sum(lut[bi, j, int(codes[tid, r, j])] for j in range(m))
+
+    per_tile = np.asarray(gather_adc_tiles(jnp.asarray(lut), codes_t, jnp.asarray(tids), interpret=True))
+    np.testing.assert_allclose(per_tile, gt, atol=1e-4, rtol=1e-5)
+    grouped = np.asarray(gather_adc_tiles_grouped(jnp.asarray(lut), codes_t, jnp.asarray(tids), interpret=True))
+    np.testing.assert_allclose(grouped, gt, atol=1e-4, rtol=1e-5)
+
+    # full scan wrapper with T=13 (not a PQ_TG multiple) and pads
+    t = 13
+    coarse = rng.randn(b, 4).astype(np.float32)
+    row_ids = np.arange(t_total * tile, dtype=np.int32)
+    row_ids[::31] = -1
+    tile_ids = rng.randint(0, t_total, (b, t)).astype(np.int32)
+    valid = rng.rand(b, t) > 0.2
+    probe_of = rng.randint(0, 4, (b, t)).astype(np.int32)
+    args = (
+        jnp.asarray(lut), jnp.asarray(coarse), codes_t,
+        jnp.asarray(row_ids), jnp.asarray(tile_ids), jnp.asarray(valid),
+        jnp.asarray(probe_of),
+    )
+    s_g, i_g = pq_scan_topk_pallas(*args, k=6, interpret=True, grouped=True)
+    s_c, i_c = pq_scan_topk_pallas(*args, k=6, interpret=True, grouped=False)
+    np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_c), atol=1e-4, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_c))

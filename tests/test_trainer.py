@@ -100,3 +100,87 @@ def test_train_moco_objective():
     state, history = train(CFG, params, pretraining_batches(texts, tok, tcfg), tcfg)
     assert int(state.step) == 3
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_finetuning_batches_with_hard_negatives():
+    """negative_ctxs/negative_hard_ratio sampling (reference:
+    contriever/src/finetuning_data.py:15-25)."""
+    pairs = [
+        {
+            "question": f"q{i}",
+            "positive_ctxs": [{"text": f"pos{i}"}],
+            "negative_ctxs": [{"text": f"neg{i}"}],
+            "hard_negative_ctxs": [{"text": f"hardTOP{i}"}, {"text": f"hard{i}"}],
+        }
+        for i in range(10)
+    ]
+    vocab = [f"q{i} pos{i} neg{i} hard{i} hardTOP{i}" for i in range(10)]
+    tok = make_word_tokenizer(vocab)
+
+    # all-hard sampling, skipping the top mined negative
+    cfg = TrainConfig(
+        batch_size=4, max_length=8, negative_ctxs=2,
+        negative_hard_ratio=1.0, negative_hard_min_idx=1,
+    )
+    batch = next(finetuning_batches(pairs, tok, cfg))
+    assert batch["n_tokens"].shape == (8, 8)  # B * negative_ctxs
+    assert batch["n_mask"].shape == (8, 8)
+    decoded = [tok.decode(row, skip_special_tokens=True) for row in np.asarray(batch["n_tokens"])]
+    assert all(t.startswith("hard") for t in decoded)
+    assert not any("hardTOP" in t for t in decoded)  # min_idx skipped
+
+    # ratio 0: plain negatives only
+    cfg0 = TrainConfig(batch_size=4, max_length=8, negative_ctxs=1, negative_hard_ratio=0.0)
+    batch0 = next(finetuning_batches(pairs, tok, cfg0))
+    decoded0 = [tok.decode(row, skip_special_tokens=True) for row in np.asarray(batch0["n_tokens"])]
+    assert all(t.startswith("neg") for t in decoded0)
+
+    # no negative fields at all: falls back to random other positives
+    bare = [{"question": f"q{i}", "positive_ctxs": [{"text": f"pos{i}"}]} for i in range(10)]
+    cfgr = TrainConfig(batch_size=4, max_length=8, negative_ctxs=1)
+    batchr = next(finetuning_batches(bare, tok, cfgr))
+    assert batchr["n_tokens"].shape == (4, 8)
+
+
+def test_hard_negatives_sharpen_training():
+    """With explicit negatives in the key pool the InBatch loss sees more
+    contrast; a few steps must run sharded and reduce the loss
+    (reference: contriever/finetuning.py)."""
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.parallel.mesh import build_mesh
+    from retrieval_scaling_tpu.train.contrastive import (
+        inbatch_init,
+        inbatch_loss,
+        make_inbatch_train_step,
+        make_optimizer,
+        shard_params,
+    )
+
+    pairs = [
+        {
+            "question": f"q{i} topic{i % 4}",
+            "positive_ctxs": [{"text": f"pos{i} topic{i % 4}"}],
+            "hard_negative_ctxs": [{"text": f"pos{i} topic{(i + 1) % 4}"}],
+        }
+        for i in range(16)
+    ]
+    vocab = [p["question"] + " " + p["positive_ctxs"][0]["text"] + " " + p["hard_negative_ctxs"][0]["text"] for p in pairs]
+    tok = make_word_tokenizer(vocab)
+    tcfg = TrainConfig(batch_size=8, max_length=8, negative_ctxs=1, negative_hard_ratio=1.0)
+    batches = finetuning_batches(pairs, tok, tcfg)
+
+    mesh = build_mesh()
+    params = shard_params(mesh, init_bert_params(CFG, jax.random.PRNGKey(0)))
+    opt = make_optimizer(lr=3e-3, warmup_steps=1, total_steps=20)
+    state = inbatch_init(params, opt)
+    step = make_inbatch_train_step(CFG, opt, mesh=mesh)
+
+    first_batch = next(batches)
+    assert first_batch["n_tokens"].shape[0] == 8
+    loss0, _ = inbatch_loss(state.params, CFG, first_batch)
+    for _ in range(10):
+        state, metrics = step(state, next(batches))
+        assert np.isfinite(float(metrics["loss"]))
+    loss1, _ = inbatch_loss(state.params, CFG, first_batch)
+    assert float(loss1) < float(loss0)

@@ -9,8 +9,8 @@ pyserini defaults) over a compact numpy postings layout:
   * CSR postings: one ``int32`` doc-id array + ``uint16`` term-frequency
     array per vocabulary slice, concatenated with offsets — memory-lean and
     mmap-able from ``.npz``.
-  * Lucene-style analysis: lowercase, split on non-alphanumerics, Porter
-    light stemming (s/es/ed/ing suffix strip) + english stopwords.
+  * Lucene-style analysis: lowercase, split on non-alphanumerics, the
+    full Porter stemmer (utils/porter.py) + Lucene's english stopwords.
   * Query scoring accumulates ``idf * tf*(k1+1) / (tf + k1*(1-b+b*len/avg))``
     over posting lists with numpy scatter-adds.
 
@@ -27,6 +27,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from retrieval_scaling_tpu.utils.porter import porter_stem
+
 logger = logging.getLogger(__name__)
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -37,17 +39,9 @@ _STOPWORDS = frozenset(
 )
 
 
-def _light_stem(token: str) -> str:
-    """Minimal suffix stripper (approximates Lucene's default stemming)."""
-    for suffix in ("ing", "edly", "ed", "es", "s"):
-        if token.endswith(suffix) and len(token) - len(suffix) >= 3:
-            return token[: -len(suffix)]
-    return token
-
-
 def analyze(text: str) -> List[str]:
     return [
-        _light_stem(tok)
+        porter_stem(tok)
         for tok in _TOKEN_RE.findall(text.lower())
         if tok not in _STOPWORDS
     ]

@@ -111,3 +111,47 @@ def test_embedding_skipped_for_sparse_retriever(tmp_path):
     import os
 
     assert not os.path.exists(f"{tmp_path}/out")
+
+
+def test_porter_stemmer_classic_vectors():
+    """Canonical examples from Porter (1980) — the analysis chain must match
+    Lucene's Porter stemmer (reference: pyserini default analyzer,
+    src/index.py:118-155)."""
+    from retrieval_scaling_tpu.utils.porter import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "conformabli": "conform", "radicalli": "radic", "differentli": "differ",
+        "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+        "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+        "homologou": "homolog", "communism": "commun", "activate": "activ",
+        "angulariti": "angular", "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    for word, expect in vectors.items():
+        assert porter_stem(word) == expect, (word, porter_stem(word), expect)
+
+
+def test_analysis_uses_porter():
+    from retrieval_scaling_tpu.search.bm25 import analyze
+
+    assert analyze("The conflated operators are hopping") == ["conflat", "oper", "hop"]

@@ -84,3 +84,197 @@ def plot_scaling_curve(
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------- calibration
+def load_calibration(path: str) -> dict:
+    """{example -> [(lm_loss, retrieval_score or None), ...]} written by
+    evals/perplexity.evaluate_calibration (reference pkl:
+    out_calibration/..._samples.pkl)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def calibration_matrices(by_example: dict, k: int | None = None):
+    """(lm_losses [N, k], retrieval_scores [N, k]) over examples with >= k
+    scored docs (reference: utils/extract_results.py:262-283)."""
+    import numpy as np
+
+    rows = [
+        pairs for pairs in by_example.values()
+        if pairs and all(s is not None for _, s in pairs)
+    ]
+    if not rows:
+        raise ValueError("no calibration rows with retrieval scores")
+    k = k or min(len(r) for r in rows)
+    rows = [r[:k] for r in rows if len(r) >= k]
+    losses = np.asarray([[l for l, _ in r] for r in rows], float)
+    scores = np.asarray([[s for _, s in r] for r in rows], float)
+    return losses, scores
+
+
+def calibration_summary(by_example: dict) -> dict:
+    """Top-1-doc PPL vs best ('gold') doc PPL from the scored candidates
+    (reference: utils/extract_results.py:264-274)."""
+    import math
+
+    import numpy as np
+
+    top1 = [pairs[0][0] for pairs in by_example.values() if pairs]
+    best = [min(l for l, _ in pairs) for pairs in by_example.values() if pairs]
+    return {
+        "ppl_top1": math.exp(float(np.mean(top1))),
+        "ppl_gold": math.exp(float(np.mean(best))),
+        "n_examples": len(best),
+    }
+
+
+def plot_calibration(
+    by_example: dict,
+    out_path: str,
+    mode: str = "ci",        # "ci" | "mean" | "all"
+    title: str = "Calibration",
+) -> None:
+    """LM loss vs retrieval score, per candidate rank
+    (reference: utils/extract_results.py:277-331)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    losses, scores = calibration_matrices(by_example)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    if mode == "all":
+        ax.plot(losses.flatten(), scores.flatten(), "o", alpha=0.3, markersize=3)
+    elif mode == "ci":
+        n = losses.shape[0]
+        z = 1.96
+        l_mean, s_mean = losses.mean(0), scores.mean(0)
+        l_ci = z * losses.std(0, ddof=1) / np.sqrt(n)
+        s_ci = z * scores.std(0, ddof=1) / np.sqrt(n)
+        ax.errorbar(
+            l_mean, s_mean, xerr=l_ci, yerr=s_ci,
+            fmt="o", ecolor="lightgray", alpha=0.7, capsize=4,
+        )
+    else:
+        ax.plot(losses.mean(0), scores.mean(0), "o")
+    ax.set_xlabel("LM loss")
+    ax.set_ylabel("retrieval score")
+    ax.set_title(title)
+    ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_top1_vs_gold(
+    calibration_paths: dict,
+    out_path: str,
+    closed_book_ppl: float | None = None,
+) -> "pandas.DataFrame":  # noqa: F821
+    """PPL of the top-1 doc vs the per-sample best doc as the datastore
+    grows ({n_shards: calibration pkl path};
+    reference: utils/extract_results.py:331-361)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    rows = []
+    for n_shards in sorted(calibration_paths):
+        summary = calibration_summary(load_calibration(calibration_paths[n_shards]))
+        rows.append({"n_shards": n_shards, **summary})
+    df = pd.DataFrame(rows)
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    if closed_book_ppl is not None:
+        ax.axhline(y=closed_book_ppl, color="r", linestyle="-", label="Closed-book")
+    ax.plot(df["n_shards"], df["ppl_top1"], marker="o", label="Top-1 doc")
+    ax.plot(df["n_shards"], df["ppl_gold"], marker="o", label="Gold doc")
+    ax.set_xlabel("number of shards")
+    ax.set_ylabel("perplexity")
+    ax.legend()
+    ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return df
+
+
+def plot_per_sample_losses(by_example: dict, out_path: str, show_top_k: int = 10) -> None:
+    """Per-sample losses of the k highest-retrieval-score docs
+    (reference: utils/extract_results.py:362-384)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    losses, scores = calibration_matrices(by_example)
+    order = np.argsort(-scores, axis=1)
+    sorted_losses = np.take_along_axis(losses, order, axis=1)
+    k = min(show_top_k, sorted_losses.shape[1])
+    fig, ax = plt.subplots(figsize=(14, 5))
+    x = np.arange(sorted_losses.shape[0])
+    for i in range(k - 1, -1, -1):
+        ax.plot(x, sorted_losses[:, i], "o", markersize=3, label=f"top-{i+1} doc")
+    ax.set_xlabel("evaluation sample")
+    ax.set_ylabel("loss")
+    ax.legend(loc="upper left", bbox_to_anchor=(1, 1))
+    ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+
+
+# ---------------------------------------------------------------- variance
+def per_shard_variance(
+    df: "pandas.DataFrame",  # noqa: F821
+    y: str = "perplexity",
+    shard_col: str = "all shards",
+    group: tuple = (),
+) -> "pandas.DataFrame":  # noqa: F821
+    """Variance of a metric across different shard subsets of equal size —
+    the sampling-noise analysis for datastore-scaling curves
+    (reference: utils/extract_results.py:386-425 computes the spread of
+    lm-eval values across shard subdirectories)."""
+    import pandas as pd
+
+    sub = df.dropna(subset=[y]).copy()
+    if shard_col in sub.columns:
+        sub["n_shards"] = sub[shard_col].astype(str).map(
+            lambda s: len([p for p in re.split(r"[^0-9]+", s) if p])
+        )
+    elif "sampled shards" in sub.columns:
+        sub["n_shards"] = sub["sampled shards"]
+    else:
+        raise KeyError("no shard column found")
+    keys = ["n_shards", *[g for g in group if g in sub.columns]]
+    agg = sub.groupby(keys)[y].agg(["mean", "std", "var", "count"]).reset_index()
+    return agg
+
+
+def plot_per_shard_variance(
+    df: "pandas.DataFrame",  # noqa: F821
+    out_path: str,
+    y: str = "perplexity",
+    **kwargs,
+) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    table = per_shard_variance(df, y=y, **kwargs)
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.errorbar(table["n_shards"], table["mean"], yerr=table["std"].fillna(0.0), marker="o", capsize=4)
+    ax.set_xlabel("number of shards")
+    ax.set_ylabel(f"{y} (mean ± std over shard subsets)")
+    ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)

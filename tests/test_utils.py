@@ -100,3 +100,62 @@ def test_dedup_eval_data(tmp_path):
     removed = dedup_file(str(p), str(out))
     assert removed == 1  # key order doesn't defeat exact dedup
     assert len(out.read_text().splitlines()) == 2
+
+
+def test_calibration_analysis(tmp_path):
+    """Calibration summary/plots + per-shard variance
+    (reference: utils/extract_results.py:251-425)."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from retrieval_scaling_tpu.utils.extract_results import (
+        calibration_matrices,
+        calibration_summary,
+        load_calibration,
+        per_shard_variance,
+        plot_calibration,
+        plot_per_sample_losses,
+        plot_per_shard_variance,
+        plot_top1_vs_gold,
+    )
+
+    rng = np.random.RandomState(0)
+    by_example = {
+        i: [(float(2.0 + rng.rand()), float(40 - j)) for j in range(5)]
+        for i in range(20)
+    }
+    losses, scores = calibration_matrices(by_example)
+    assert losses.shape == (20, 5) and scores.shape == (20, 5)
+
+    summary = calibration_summary(by_example)
+    assert summary["ppl_gold"] <= summary["ppl_top1"]
+    assert summary["n_examples"] == 20
+
+    for mode in ("ci", "mean", "all"):
+        out = tmp_path / f"cal_{mode}.png"
+        plot_calibration(by_example, str(out), mode=mode)
+        assert out.exists()
+    plot_per_sample_losses(by_example, str(tmp_path / "per_sample.png"))
+    assert (tmp_path / "per_sample.png").exists()
+
+    paths = {}
+    for n in (1, 2, 4):
+        p = tmp_path / f"cal_{n}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(by_example, f)
+        paths[n] = str(p)
+    df = plot_top1_vs_gold(paths, str(tmp_path / "scaling.png"), closed_book_ppl=15.0)
+    assert list(df["n_shards"]) == [1, 2, 4]
+    assert load_calibration(paths[1]).keys() == by_example.keys()
+
+    # per-shard variance over shard subsets of the same size
+    rows = []
+    for shards in ("[0]", "[1]", "[2]", "[0, 1]", "[2, 3]"):
+        rows.append({"perplexity": 10 + len(shards), "all shards": shards})
+    vdf = per_shard_variance(pd.DataFrame(rows))
+    assert set(vdf["n_shards"]) == {1, 2}
+    assert (vdf[vdf["n_shards"] == 1]["count"] == 3).all()
+    plot_per_shard_variance(pd.DataFrame(rows), str(tmp_path / "var.png"))
+    assert (tmp_path / "var.png").exists()

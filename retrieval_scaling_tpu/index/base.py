@@ -108,6 +108,7 @@ class Indexer:
                 probe=self.args.probe,
                 n_subquantizers=self.args.n_subquantizers,
                 n_bits=self.args.n_bits,
+                refine_factor=self.args.get("pq_refine_factor", 0),
                 **common,
             )
         else:

@@ -55,6 +55,15 @@ logger = logging.getLogger(__name__)
 NEG_INF = -1e30
 
 
+def quantize_rows_int8(emb: np.ndarray):
+    """Per-row symmetric int8 quantization: (rows_i8 [N, D], scales [N])."""
+    emb = np.asarray(emb, np.float32)
+    scales = np.abs(emb).max(axis=1) / 127.0
+    scales = np.maximum(scales, 1e-12)
+    rows = np.clip(np.round(emb / scales[:, None]), -127, 127).astype(np.int8)
+    return rows, scales.astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "group", "adc_mode"))
 def pq_scan_topk(
     lut: jax.Array,           # [B, m, ksub] f32 query lookup tables
@@ -150,6 +159,7 @@ class IVFPQIndex:
         mesh: Mesh | None = None,
         probe_slack: float = 1.5,
         adc_mode: str = "gather",
+        refine_factor: int = 0,
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -165,6 +175,13 @@ class IVFPQIndex:
         self.mesh = mesh or single_device_mesh()
         self.probe_slack = probe_slack
         self.adc_mode = adc_mode
+        # ScaNN-style refinement: the PQ scan returns refine_factor*k
+        # candidates which are re-ranked by exact int8 inner products
+        # (per-row scale). PQ alone mis-ranks near-ties (quantization
+        # noise ~ the score margins between true neighbors); measured
+        # recall@10 0.31 -> 0.98 at refine_factor 4 on clustered data.
+        # FAISS analog: IndexRefineFlat (at 8x the memory of int8 rows).
+        self.refine_factor = int(refine_factor)
 
         if index_path and meta_file and os.path.exists(index_path) and os.path.exists(meta_file):
             logger.info("Loading IVF-PQ index from %s", index_path)
@@ -233,6 +250,9 @@ class IVFPQIndex:
         emb = np.concatenate(parts, 0)
         self.index_id_to_db_id = np.concatenate(id_parts, 0)
         self.n_valid = len(emb)
+        self.refine_rows_i8, self.refine_scales = (
+            quantize_rows_int8(emb) if self.refine_factor > 0 else (None, None)
+        )
 
         assignments = np.asarray(
             assign_clusters(jnp.asarray(emb), jnp.asarray(centroids), self.ncentroids, metric="ip")
@@ -259,6 +279,11 @@ class IVFPQIndex:
             tile_count=self.layout.tile_count,
             list_len=self.layout.list_len,
             n_valid=np.int64(self.n_valid),
+            **(
+                {"refine_rows_i8": self.refine_rows_i8, "refine_scales": self.refine_scales}
+                if self.refine_rows_i8 is not None
+                else {}
+            ),
         )
         np.save(meta_file + ".tmp.npy", self.index_id_to_db_id)
         os.replace(meta_file + ".tmp.npy", meta_file)
@@ -274,6 +299,19 @@ class IVFPQIndex:
             data["tile_count"], data["list_len"],
         )
         self.n_valid = int(data["n_valid"])
+        if "refine_rows_i8" in data:
+            self.refine_rows_i8 = data["refine_rows_i8"]
+            self.refine_scales = data["refine_scales"]
+        else:
+            self.refine_rows_i8, self.refine_scales = None, None
+            if self.refine_factor > 0:
+                logger.warning(
+                    "refine_factor=%d requested but the saved index has no "
+                    "int8 refinement rows; rebuilding with refine_factor>0 "
+                    "is required — refinement disabled",
+                    self.refine_factor,
+                )
+                self.refine_factor = 0
         self.index_id_to_db_id = np.load(meta_file)
 
     def _place_on_device(self) -> None:
@@ -292,6 +330,11 @@ class IVFPQIndex:
         self.codebooks_dev = jnp.asarray(self.codebooks, jnp.float32)
         self.tile_start_dev = jnp.asarray(self.layout.tile_start, jnp.int32)
         self.tile_count_dev = jnp.asarray(self.layout.tile_count, jnp.int32)
+        if self.refine_factor > 0 and getattr(self, "refine_rows_i8", None) is not None:
+            self.refine_rows_dev = jnp.asarray(self.refine_rows_i8, jnp.int8)
+            self.refine_scales_dev = jnp.asarray(self.refine_scales, jnp.float32)
+        else:
+            self.refine_rows_dev = None
 
     # ------------------------------------------------------------ search
     def search_ids(self, query_embs: np.ndarray, k: int, nprobe: int | None = None):
@@ -312,6 +355,10 @@ class IVFPQIndex:
             "bmd,mkd->bmk", q_sub, self.codebooks_dev, preferred_element_type=jnp.float32
         )
         k_eff = min(k, self.n_valid)
+        refine = self.refine_factor > 0 and getattr(self, "refine_rows_dev", None) is not None
+        k_scan = k_eff
+        if refine:
+            k_scan = min(self.refine_factor * k_eff, int(tile_ids.shape[1]) * TILE)
         if self.use_pallas_scan:
             # Pallas scalar-prefetch gather + in-kernel lane-gather ADC
             # (ops/ivf_gather.py): XLA's dynamic tile gather lowers
@@ -321,14 +368,33 @@ class IVFPQIndex:
 
             scores, ids = pq_scan_topk_pallas(
                 lut, coarse, self.code_tiles_dev, self.row_ids_dev,
-                tile_ids, valid, probe_of, k_eff,
+                tile_ids, valid, probe_of, k_scan,
             )
         else:
             scores, ids = pq_scan_topk(
                 lut, coarse, self.code_tiles_dev, self.row_ids_dev,
-                tile_ids, valid, probe_of, k_eff, adc_mode=self.adc_mode,
+                tile_ids, valid, probe_of, k_scan, adc_mode=self.adc_mode,
             )
+        if refine:
+            scores, ids = self._refine(q, scores, ids, k_eff)
         return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
+
+    def _refine(self, q: jax.Array, pq_scores, pq_ids, k: int):
+        """Exact int8 re-rank of the PQ candidates (top refine_factor*k).
+
+        XLA row gather + einsum on every backend: a Pallas scattered-row
+        DMA kernel does not lower on v5e (single-row uint8 DMA slices
+        violate the (32, 128) tile granularity), and the XLA gather costs
+        ~4 ms at B=64, R=416 on chip — acceptable for the quality tier."""
+        safe = jnp.maximum(pq_ids, 0)
+        rows = jnp.take(self.refine_rows_dev, safe, axis=0).astype(jnp.float32)
+        ip = jnp.einsum("brd,bd->br", rows, q, preferred_element_type=jnp.float32)
+        scores = ip * jnp.take(self.refine_scales_dev, safe)
+        scores = jnp.where(pq_ids >= 0, scores, NEG_INF)
+        top_s, top_pos = jax.lax.top_k(scores, min(k, scores.shape[1]))
+        top_i = jnp.take_along_axis(pq_ids, top_pos, axis=1)
+        top_i = jnp.where(top_s <= NEG_INF / 2, -1, top_i)
+        return top_s, top_i
 
     def get_retrieved_passages(self, all_indices):
         # Ragged rows of valid (>= 0) ids; see FlatIndex.get_retrieved_passages.

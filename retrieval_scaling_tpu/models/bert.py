@@ -41,6 +41,11 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     pooling: str = "mean"  # "mean" (contriever) | "cls"
     attention_impl: str = "auto"
+    # gelu flavor: "exact" (erf — HF BertIntermediate), "tanh", or "auto".
+    # "auto" uses tanh when activations are bf16: the tanh approximation's
+    # ~1e-3 error is below bf16 quantization noise (~4e-3), and the exact
+    # erf costs ~190 ms/2048x256 batch on a v5e (24%% of the forward).
+    gelu: str = "auto"
     # RoBERTa/XLM-R (the reference's XLMRetriever variant, reference:
     # contriever/src/contriever.py:58-100): positions are pad-offset —
     # position_id = cumsum(mask) * mask + padding_idx (padding_idx = 1).
@@ -138,7 +143,8 @@ def _bert_layer(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array
     x = _layer_norm(x + attn_out, layer["attn_ln_scale"], layer["attn_ln_bias"], cfg.layer_norm_eps)
 
     h = jnp.dot(x, layer["mlp_in_w"]) + layer["mlp_in_b"]
-    h = jax.nn.gelu(h, approximate=False)
+    approx = cfg.gelu == "tanh" or (cfg.gelu == "auto" and h.dtype == jnp.bfloat16)
+    h = jax.nn.gelu(h, approximate=approx)
     h = jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
     x = _layer_norm(x + h, layer["mlp_ln_scale"], layer["mlp_ln_bias"], cfg.layer_norm_eps)
     return x

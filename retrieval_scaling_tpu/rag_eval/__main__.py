@@ -107,10 +107,14 @@ def main(argv=None):
         from retrieval_scaling_tpu.rag_eval.caching import CachingLM
 
         lm = CachingLM(lm, args.use_cache, model_tag=f"{args.model}:{args.model_args}")
+    from retrieval_scaling_tpu.rag_eval.loggers import build_loggers
+
     results = simple_evaluate(
         lm,
         tasks=args.tasks.split(","),
         num_fewshot=args.num_fewshot,
+        decontamination_ngrams=args.decontamination_ngrams,
+        loggers=build_loggers(args.log_to),
         data_root=args.data_root,
         limit=args.limit,
         save_inputs_only=args.save_inputs_only,

@@ -40,9 +40,13 @@ def extract_question_from_fewshot_prompt(prompt: str) -> str:
 def hash_retrieval_results(path: str, concat_k: int) -> Dict[str, str]:
     """{query -> k ctx texts concatenated most-relevant-last}
     (reference: evaluator.py:812-843)."""
-    hashed: Dict[str, str] = {}
     with open(path) as f:
         rows = [json.loads(line) for line in f if line.strip()]
+    return hash_retrieval_rows(rows, concat_k)
+
+
+def hash_retrieval_rows(rows, concat_k: int) -> Dict[str, str]:
+    hashed: Dict[str, str] = {}
     for row in rows:
         if "raw_query" in row or "query" in row:
             raw_query = row.get("raw_query", row.get("query"))
@@ -165,6 +169,8 @@ def simple_evaluate(
     apply_chat_template: bool = False,
     system_instruction: Optional[str] = None,
     fewshot_as_multiturn: bool = False,
+    decontamination_ngrams: int = 0,
+    loggers: Optional[list] = None,
 ) -> Optional[dict]:
     if fewshot_as_multiturn and not apply_chat_template:
         raise ValueError("fewshot_as_multiturn requires apply_chat_template")
@@ -223,7 +229,26 @@ def simple_evaluate(
             rfile = retrieval_file or os.path.join(
                 retrieval_dir, f"{cfg.task}_retrieved_results.jsonl"
             )
-            hashed = hash_retrieval_results(rfile, concat_k)
+            if decontamination_ngrams:
+                # request-level n-gram janitor: drop retrieved ctxs sharing
+                # an n-gram with the eval set (reference:
+                # lm_eval/decontamination/ 13-gram janitor).
+                from retrieval_scaling_tpu.rag_eval.janitor import decontaminate_ctxs
+
+                with open(rfile) as f:
+                    rows = [json.loads(line) for line in f if line.strip()]
+                contaminants = [
+                    task.doc_text(req["doc"]) + " " + " ".join(task.references(req["doc"]))
+                    for req in requests
+                ]
+                rows, n_removed = decontaminate_ctxs(
+                    contaminants, rows, ngram_n=decontamination_ngrams
+                )
+                if n_removed:
+                    logger.info("janitor removed %d contaminated ctxs", n_removed)
+                hashed = hash_retrieval_rows(rows, concat_k)
+            else:
+                hashed = hash_retrieval_results(rfile, concat_k)
             missing = 0
             for req in requests:
                 query = extract_question_from_fewshot_prompt(req["context"])
@@ -287,4 +312,6 @@ def simple_evaluate(
     if results_only_save_path:
         with open(results_only_save_path, "a") as f:
             f.write(json.dumps(all_results) + "\n")
+    for lg in loggers or []:
+        lg.log_results(all_results)
     return all_results

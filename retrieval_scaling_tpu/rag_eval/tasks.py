@@ -61,6 +61,10 @@ class TaskConfig:
     # Field holding a 0/1 truth mask over choices (TruthfulQA mc2-style
     # multi-true multiple choice; scored as probability mass on true).
     doc_to_gold_list: Optional[str] = None
+    # Fewshot shot selection (reference: lm_eval/api/samplers.py):
+    # "default" = random without replacement, "first_n" = the first N docs,
+    # "balanced" = round-robin over distinct targets (classification).
+    fewshot_sampler: str = "default"
 
     def apply_filter(self, text: str) -> str:
         if not self.filter_regex:
@@ -353,14 +357,34 @@ class Task:
         n = self.cfg.num_fewshot if num_fewshot is None else num_fewshot
         parts = []
         if n:
-            pool = self.fewshot_docs if self.fewshot_docs is not None else self.docs
-            pool = [d for d in pool if d is not doc]
-            shots = self.rng.sample(pool, min(n, len(pool)))
+            shots = self.sample_shots(doc, n)
             for shot in shots:
                 parts.append(self.doc_text(shot) + self.cfg.target_delimiter + self.doc_target(shot))
         parts.append(self.doc_text(doc))
         body = self.cfg.fewshot_delimiter.join(parts)
         return self.cfg.description + body
+
+    def sample_shots(self, doc: dict, n: int) -> List[dict]:
+        pool = self.fewshot_docs if self.fewshot_docs is not None else self.docs
+        pool = [d for d in pool if d is not doc]
+        n = min(n, len(pool))
+        sampler = self.cfg.fewshot_sampler
+        if sampler == "first_n":
+            return pool[:n]
+        if sampler == "balanced":
+            # round-robin over distinct targets so class priors stay flat
+            by_target: Dict[str, List[dict]] = {}
+            for d in pool:
+                by_target.setdefault(self.doc_target(d), []).append(d)
+            buckets = list(by_target.values())
+            shots, i = [], 0
+            while len(shots) < n and any(buckets):
+                bucket = buckets[i % len(buckets)]
+                if bucket:
+                    shots.append(bucket.pop(0))
+                i += 1
+            return shots
+        return self.rng.sample(pool, n)
 
     # ---------------- requests
     def build_requests(self, num_fewshot: int | None = None) -> List[dict]:

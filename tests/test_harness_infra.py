@@ -1,0 +1,147 @@
+"""Harness infra: n-gram janitor, fewshot samplers, result loggers
+(reference: lm_eval/decontamination/, lm_eval/api/samplers.py,
+lm_eval/loggers/)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- janitor
+def test_janitor_detects_and_cleans():
+    from retrieval_scaling_tpu.rag_eval.janitor import Janitor
+
+    contaminant = "the quick brown fox jumps over the lazy dog every single day"
+    jan = Janitor(ngram_n=5, window_to_remove=10, minimum_slice_length=5)
+    jan.register_contaminant(contaminant)
+
+    # normalization: punctuation/case must not block the match
+    dirty = "Prefix words here. The QUICK, brown fox JUMPS over... the lazy dog and more trailing words follow here"
+    assert jan.is_contaminated(dirty)
+    slices = jan.clean(dirty)
+    assert all("quick" not in s.lower() or "jumps" not in s.lower() for s in slices)
+    assert jan.ngrams_removed > 0
+
+    clean_text = "completely unrelated content about mountains and rivers flowing"
+    assert not jan.is_contaminated(clean_text)
+    assert jan.clean(clean_text) == [clean_text]
+
+
+def test_janitor_too_dirty_drops_document():
+    from retrieval_scaling_tpu.rag_eval.janitor import Janitor
+
+    words = [f"w{i}" for i in range(100)]
+    text = " ".join(words)
+    jan = Janitor(ngram_n=3, too_dirty_cutoff=5)
+    jan.register_contaminant(text)
+    assert jan.clean(text) == []  # every 3-gram matches -> dropped
+
+
+def test_decontaminate_ctxs():
+    from retrieval_scaling_tpu.rag_eval.janitor import decontaminate_ctxs
+
+    eval_doc = "what is the capital city of the republic of france exactly"
+    rows = [
+        {
+            "raw_query": "q1",
+            "ctxs": [
+                {"retrieval text": "the capital city of the republic of france exactly matches"},
+                {"retrieval text": "unrelated passage about something else entirely different"},
+            ],
+        }
+    ]
+    out, removed = decontaminate_ctxs([eval_doc], rows, ngram_n=5)
+    assert removed == 1
+    assert len(out[0]["ctxs"]) == 1
+    assert "unrelated" in out[0]["ctxs"][0]["retrieval text"]
+
+
+def test_evaluator_decontamination_flag(tmp_path):
+    from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+    from retrieval_scaling_tpu.rag_eval.models import EchoAnswerLM
+
+    d = tmp_path / "nq_open"
+    d.mkdir()
+    q = "alpha beta gamma delta epsilon zeta eta theta"
+    with open(d / "validation.jsonl", "w") as f:
+        f.write(json.dumps({"question": q, "answer": ["iota"]}) + "\n")
+    # ctx contains the full question -> contaminated at n=5
+    rfile = tmp_path / "retrieval.jsonl"
+    with open(rfile, "w") as f:
+        f.write(json.dumps({
+            "raw_query": f"Q: {q}?\nA:",
+            "ctxs": [{"retrieval text": f"Q {q} A iota", "retrieval score": "9"}],
+        }) + "\n")
+
+    seen = []
+
+    class SpyLM:
+        def generate_until(self, reqs):
+            seen.extend(r["context"] for r in reqs)
+            return ["iota" for _ in reqs]
+
+        def loglikelihood(self, pairs):
+            return [(0.0, True) for _ in pairs]
+
+    simple_evaluate(
+        SpyLM(), ["nq_open"], data_root=str(tmp_path),
+        retrieval_file=str(rfile), concat_k=1, decontamination_ngrams=5,
+    )
+    assert seen and all("iota" not in ctx.split("?")[0] for ctx in seen)
+
+
+# ---------------------------------------------------------------- samplers
+def _mc_task(tmp_path, sampler):
+    from retrieval_scaling_tpu.rag_eval.tasks import Task, TaskConfig
+
+    d = tmp_path / "toy"
+    d.mkdir(exist_ok=True)
+    with open(d / "test.jsonl", "w") as f:
+        for i in range(12):
+            f.write(json.dumps({"question": f"q{i}", "choices": ["no", "yes"], "gold": i % 2}) + "\n")
+    cfg = TaskConfig(
+        task="toy", dataset_path="toy", output_type="multiple_choice",
+        doc_to_text="Q: {question}\nA:", doc_to_choice="choices",
+        fewshot_sampler=sampler,
+    )
+    return Task(cfg, data_root=str(tmp_path))
+
+
+def test_first_n_sampler(tmp_path):
+    task = _mc_task(tmp_path, "first_n")
+    shots = task.sample_shots(task.docs[5], 3)
+    assert [s["question"] for s in shots] == ["q0", "q1", "q2"]
+
+
+def test_balanced_sampler(tmp_path):
+    task = _mc_task(tmp_path, "balanced")
+    shots = task.sample_shots(task.docs[0], 4)
+    golds = [s["gold"] for s in shots]
+    assert golds.count(0) == 2 and golds.count(1) == 2
+
+
+# ---------------------------------------------------------------- loggers
+def test_jsonl_logger(tmp_path):
+    from retrieval_scaling_tpu.rag_eval.loggers import JsonlLogger, build_loggers
+
+    path = tmp_path / "res.jsonl"
+    lg = JsonlLogger(str(path))
+    lg.log_results({"results": {"nq_open": {"exact_match": 0.5}}})
+    lg.log_results({"results": {"nq_open": {"exact_match": 0.7}}})
+    rows = [json.loads(line) for line in open(path)]
+    assert len(rows) == 2
+    assert rows[1]["results"]["nq_open"]["exact_match"] == 0.7
+
+    out = build_loggers(f"jsonl:{path}")
+    assert len(out) == 1
+
+
+def test_wandb_zeno_stubs_degrade_gracefully():
+    from retrieval_scaling_tpu.rag_eval.loggers import WandbLogger, ZenoLogger
+
+    w = WandbLogger()
+    w.log_results({"results": {}})  # no-op without wandb installed
+    w.finish()
+    z = ZenoLogger()
+    z.log_results({"results": {}})

@@ -157,3 +157,50 @@ def test_configured_dimension_mismatch_is_ignored(tmp_path):
     assert index.dimension == 32
     scores, ids = index.search_ids(rng.randn(3, 32).astype(np.float32), 5)
     assert ids.shape == (3, 5)
+
+
+def test_refine_factor_improves_recall(tmp_path):
+    """ScaNN-style int8 refinement: PQ alone mis-ranks near-ties; exact
+    int8 re-rank of the top refine_factor*k must dominate it
+    (FAISS analog: IndexRefineFlat)."""
+    import pickle
+
+    rng = np.random.RandomState(3)
+    n, d = 4000, 64
+    centers = rng.randn(32, d).astype(np.float32) * 2
+    data = centers[rng.randint(0, 32, n)] + rng.randn(n, d).astype(np.float32) * 0.7
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    path = tmp_path / "passages_00.pkl"
+    with open(path, "wb") as f:
+        pickle.dump((list(range(n)), data.astype(np.float16)), f)
+
+    q = centers[rng.randint(0, 32, 8)] + rng.randn(8, d).astype(np.float32) * 0.7
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    exact = np.argsort(-(q @ data.T), axis=1)[:, :10]
+
+    common = dict(
+        embed_paths=[str(path)], dimension=d, sample_train_size=n,
+        ncentroids=16, probe=16, n_subquantizers=8, kmeans_iters=5, pq_iters=5,
+    )
+    plain = IVFPQIndex(**common)
+    refined = IVFPQIndex(**common, refine_factor=16)
+
+    def recall(index):
+        _, ids = index.search_ids(q, 10)
+        return np.mean([
+            len(set(map(int, ids[i])) & set(map(int, exact[i]))) / 10 for i in range(8)
+        ])
+
+    r_plain, r_refined = recall(plain), recall(refined)
+    assert r_refined >= r_plain
+    assert r_refined >= 0.85, (r_plain, r_refined)
+
+    # persistence roundtrip keeps the refinement rows
+    idx_path = str(tmp_path / "idx" / "index.npz")
+    meta = str(tmp_path / "idx" / "index.ids.npy")
+    saved = IVFPQIndex(**common, refine_factor=16, index_path=idx_path, meta_file=meta)
+    loaded = IVFPQIndex(**common, refine_factor=16, index_path=idx_path, meta_file=meta)
+    assert loaded.refine_rows_i8 is not None
+    _, i1 = saved.search_ids(q, 10)
+    _, i2 = loaded.search_ids(q, 10)
+    np.testing.assert_array_equal(i1, i2)

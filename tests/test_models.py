@@ -206,3 +206,36 @@ def test_roberta_parity_with_padding():
     # with identical pos ids; pads are excluded from pooling anyway)
     np.testing.assert_allclose(got[0], ref[0], atol=2e-4, rtol=2e-3)
     np.testing.assert_allclose(got[1, :7], ref[1, :7], atol=2e-4, rtol=2e-3)
+
+
+def test_gelu_auto_matches_exact_within_bf16_noise(tiny_hf_bert):
+    """gelu='auto' uses tanh for bf16 activations; the approximation error
+    (~1e-3) must stay below bf16 quantization noise, so embeddings from
+    exact-vs-tanh bf16 forwards are indistinguishable at bf16 tolerance."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.bert import contriever_embed
+
+    params, cfg = bert_from_hf_model(tiny_hf_bert, pooling="mean")
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (4, 32)), jnp.int32)
+    mask = jnp.ones((4, 32), jnp.int32)
+    params_bf16 = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+
+    cfg_exact = dataclasses.replace(cfg, gelu="exact")
+    cfg_tanh = dataclasses.replace(cfg, gelu="tanh")
+    e_exact = np.asarray(contriever_embed(params_bf16, cfg_exact, ids, mask), np.float32)
+    e_tanh = np.asarray(contriever_embed(params_bf16, cfg_tanh, ids, mask), np.float32)
+    cos = np.sum(e_exact * e_tanh, -1) / (
+        np.linalg.norm(e_exact, axis=-1) * np.linalg.norm(e_tanh, axis=-1)
+    )
+    assert cos.min() > 0.9995, cos.min()
+
+    # f32 'auto' stays exact (HF parity unaffected)
+    cfg_auto = dataclasses.replace(cfg, gelu="auto")
+    e_auto32 = np.asarray(contriever_embed(params, cfg_auto, ids, mask))
+    e_exact32 = np.asarray(contriever_embed(params, cfg_exact, ids, mask))
+    np.testing.assert_array_equal(e_auto32, e_exact32)

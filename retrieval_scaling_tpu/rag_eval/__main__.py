@@ -89,6 +89,14 @@ def main(argv=None):
     parser.add_argument("--apply_chat_template", action="store_true")
     parser.add_argument("--system_instruction", default=None)
     parser.add_argument("--fewshot_as_multiturn", action="store_true")
+    parser.add_argument(
+        "--decontamination_ngrams", type=int, default=0,
+        help="drop retrieved ctxs sharing an n-gram with the eval set",
+    )
+    parser.add_argument(
+        "--log_to", default=None,
+        help="result sinks, e.g. jsonl:out.jsonl,wandb:myproject",
+    )
     parser.add_argument("--results_only_save_path", default=None)
     args = parser.parse_args(argv)
 

@@ -143,7 +143,7 @@ def _bucketize(length: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-def make_row_loss_fn(cfg, mesh=None):
+def make_row_loss_fn(cfg, mesh=None, tensor_parallel=False, params=None):
     """Jitted per-row (NLL sum, scored-token count) over a padded batch.
 
     ``cfg`` may be any supported reader config (GPT-NeoX or llama family).
@@ -163,15 +163,24 @@ def make_row_loss_fn(cfg, mesh=None):
     if mesh is None:
         return jax.jit(fn)
     # Data-parallel reader eval: batch rows shard over the mesh 'data'
-    # axis, weights replicated — the HF-accelerate DDP analog
-    # (reference: lm_eval/models/huggingface.py:151-333).
+    # axis — the HF-accelerate DDP analog
+    # (reference: lm_eval/models/huggingface.py:151-333). With
+    # tensor_parallel, weights shard over 'model' (Megatron layout,
+    # parallel/reader_tp.py — the vLLM tensor_parallel_size analog);
+    # otherwise they replicate.
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     row_sharding = NamedSharding(mesh, P("data", None))
     replicated = NamedSharding(mesh, P())
+    if tensor_parallel and params is not None:
+        from retrieval_scaling_tpu.parallel.reader_tp import reader_param_shardings
+
+        param_sharding = reader_param_shardings(mesh, params)
+    else:
+        param_sharding = replicated
     return jax.jit(
         fn,
-        in_shardings=(replicated, row_sharding, row_sharding),
+        in_shardings=(param_sharding, row_sharding, row_sharding),
         out_shardings=(replicated, replicated),
     )
 
@@ -179,7 +188,7 @@ def make_row_loss_fn(cfg, mesh=None):
 class JaxReader:
     """Batched scorer around a GPT-NeoX params/config pair."""
 
-    def __init__(self, params, cfg: GPTNeoXConfig, tokenizer, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None):
+    def __init__(self, params, cfg: GPTNeoXConfig, tokenizer, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None, tensor_parallel=False):
         self.cfg = cfg
         self.tokenizer = tokenizer
         # Data-parallel eval over the mesh: the fixed scoring batch must
@@ -188,7 +197,13 @@ class JaxReader:
             batch_size = -(-batch_size // mesh.shape["data"]) * mesh.shape["data"]
         self.batch_size = batch_size
         self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
-        self._row_loss = make_row_loss_fn(cfg, mesh=mesh)
+        if mesh is not None and tensor_parallel:
+            from retrieval_scaling_tpu.parallel.reader_tp import shard_reader_params
+
+            self.params = shard_reader_params(mesh, self.params)
+        self._row_loss = make_row_loss_fn(
+            cfg, mesh=mesh, tensor_parallel=tensor_parallel, params=self.params
+        )
 
     @classmethod
     def from_pretrained(cls, name_or_path: str, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None):

@@ -1,0 +1,96 @@
+"""Tensor-parallel parameter layouts for reader LMs.
+
+The reference reaches reader TP through vLLM (``tensor_parallel_size``,
+reference: lm_eval/models/vllm_causallms.py:34). TPU-native: a
+PartitionSpec tree over the mesh ``model`` axis — attention heads and the
+FFN hidden dim shard, LayerNorms/embeddings replicate, and the vocab
+projection shards its output dim. XLA's SPMD partitioner inserts the
+all-reduces (one after attention out-proj, one after mlp down-proj per
+layer), exactly the Megatron layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def gpt_neox_reader_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    def layer_spec(layer):
+        spec = {
+            "ln1_scale": P(), "ln1_bias": P(),
+            "qkv_w": P(None, None, "model", None),
+            "qkv_b": P(None, "model", None),
+            "attn_out_w": P("model", None, None),
+            "attn_out_b": P(),
+            "ln2_scale": P(), "ln2_bias": P(),
+            "mlp_in_w": P(None, "model"),
+            "mlp_in_b": P("model"),
+            "mlp_out_w": P("model", None),
+            "mlp_out_b": P(),
+        }
+        return {k: spec[k] for k in layer}
+
+    return {
+        "embed_in": P(),
+        "final_ln_scale": P(),
+        "final_ln_bias": P(),
+        "embed_out": P(None, "model"),
+        "layers": [layer_spec(l) for l in params["layers"]],
+    }
+
+
+def llama_reader_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    def layer_spec(layer):
+        spec = {
+            "input_norm": P(),
+            "q_w": P(None, "model", None),
+            "k_w": P(None, "model", None),
+            "v_w": P(None, "model", None),
+            "q_b": P("model", None),
+            "k_b": P("model", None),
+            "v_b": P("model", None),
+            "q_norm": P(),
+            "k_norm": P(),
+            "o_w": P("model", None, None),
+            "post_norm": P(),
+            "gate_w": P(None, "model"),
+            "up_w": P(None, "model"),
+            "down_w": P("model", None),
+        }
+        return {k: spec[k] for k in layer}
+
+    out = {
+        "embed": P(),
+        "final_norm": P(),
+        "layers": [layer_spec(l) for l in params["layers"]],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = P(None, "model")
+    return out
+
+
+def reader_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Dispatch on the param-tree structure (GPT-NeoX vs llama family)."""
+    if "embed_in" in params:
+        return gpt_neox_reader_specs(params)
+    if "embed" in params:
+        return llama_reader_specs(params)
+    raise ValueError(f"unknown reader param tree: {sorted(params)[:5]}")
+
+
+def shard_reader_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    specs = reader_param_specs(params)
+    return jax.device_put(
+        params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    )
+
+
+def reader_param_shardings(mesh: Mesh, params: Dict[str, Any]):
+    specs = reader_param_specs(params)
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
+    )

@@ -45,6 +45,15 @@ def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int =
         return JaxReaderLM.from_pretrained(
             model_args["pretrained"], batch_size=batch_size, mesh=mesh
         )
+    if model in ("openai", "openai-completions", "local-completions"):
+        from retrieval_scaling_tpu.rag_eval.models import OpenAICompatLM
+
+        return OpenAICompatLM(
+            base_url=model_args.get("base_url", "https://api.openai.com"),
+            model=model_args.get("model", model_args.get("pretrained", "")),
+            api_key=model_args.get("api_key", None),
+            batch_size=batch_size,
+        )
     if model == "hf-torch":
         from retrieval_scaling_tpu.rag_eval.models import HFTorchLM
 

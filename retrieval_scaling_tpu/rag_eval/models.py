@@ -324,3 +324,93 @@ class HFTorchLM:
                     text = text[:idx]
             results.append(text)
         return results
+
+
+class OpenAICompatLM:
+    """Backend for OpenAI-compatible completion APIs (vLLM serve, llama.cpp,
+    OpenAI, ...) — the reference's API-model backends analog
+    (reference: lm_eval/models/openai_completions.py, anthropic_llms.py).
+
+    Uses the legacy /v1/completions surface because loglikelihood scoring
+    needs ``echo=True`` + ``logprobs``; generation works on any server.
+    No SDK dependency — plain urllib against ``base_url``.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str,
+        api_key: str | None = None,
+        batch_size: int = 8,
+        timeout_s: float = 120.0,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.batch_size = batch_size
+        self.timeout_s = timeout_s
+
+    # ------------------------------------------------------------ http
+    def _post(self, route: str, payload: dict) -> dict:
+        import json as _json
+        import urllib.request
+
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            self.base_url + route, data=_json.dumps(payload).encode(), headers=headers
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return _json.loads(resp.read())
+
+    # ------------------------------------------------------------ api
+    def loglikelihood(self, pairs: Sequence[Tuple[str, str]]):
+        """Sum of continuation-token logprobs via echo=True + logprobs.
+
+        The continuation's token span is located by character offset —
+        the lm-eval approach for completion APIs."""
+        out = []
+        for ctx, cont in pairs:
+            resp = self._post(
+                "/v1/completions",
+                {
+                    "model": self.model,
+                    "prompt": ctx + cont,
+                    "max_tokens": 0,
+                    "echo": True,
+                    "logprobs": 1,
+                    "temperature": 0.0,
+                },
+            )
+            lp = resp["choices"][0]["logprobs"]
+            offsets = lp["text_offset"]
+            token_lps = lp["token_logprobs"]
+            top = lp.get("top_logprobs") or [None] * len(token_lps)
+            start = len(ctx)
+            ll, greedy = 0.0, True
+            for i, off in enumerate(offsets):
+                if off >= start and token_lps[i] is not None:
+                    ll += token_lps[i]
+                    if top[i]:
+                        best = max(top[i].values())
+                        greedy = greedy and token_lps[i] >= best - 1e-8
+            out.append((ll, greedy))
+        return out
+
+    def generate_until(self, reqs: Sequence[dict]):
+        results = []
+        for req in reqs:
+            gen = req["gen_kwargs"]
+            resp = self._post(
+                "/v1/completions",
+                {
+                    "model": self.model,
+                    "prompt": req["context"],
+                    "max_tokens": gen.get("max_gen_toks", 32),
+                    "temperature": 0.0,
+                    "stop": gen.get("until", None),
+                },
+            )
+            results.append(resp["choices"][0]["text"])
+        return results

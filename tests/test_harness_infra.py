@@ -145,3 +145,69 @@ def test_wandb_zeno_stubs_degrade_gracefully():
     w.finish()
     z = ZenoLogger()
     z.log_results({"results": {}})
+
+
+# ---------------------------------------------------------------- api backend
+def test_openai_compat_backend_against_mock_server():
+    """OpenAICompatLM drives any /v1/completions server (reference analog:
+    lm_eval/models/openai_completions.py); verified against a local mock."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from retrieval_scaling_tpu.rag_eval.models import OpenAICompatLM
+
+    requests_seen = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            payload = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            requests_seen.append((self.path, payload))
+            if payload.get("echo"):
+                # echo scoring: tokenize the prompt as words; continuation
+                # tokens get logprob -0.5 each, greedy for all
+                prompt = payload["prompt"]
+                offsets, pos = [], 0
+                for w in prompt.split(" "):
+                    offsets.append(pos)
+                    pos += len(w) + 1
+                resp = {
+                    "choices": [{
+                        "text": prompt,
+                        "logprobs": {
+                            "text_offset": offsets,
+                            "token_logprobs": [None] + [-0.5] * (len(offsets) - 1),
+                            "top_logprobs": [None] + [{"x": -0.5}] * (len(offsets) - 1),
+                        },
+                    }]
+                }
+            else:
+                resp = {"choices": [{"text": " mocked answer"}]}
+            blob = json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        lm = OpenAICompatLM(f"http://127.0.0.1:{server.server_port}", model="mock", api_key="k")
+        # "alpha beta" = context; " gamma delta" = continuation (2 tokens)
+        ll = lm.loglikelihood([("alpha beta", " gamma delta")])
+        assert abs(ll[0][0] - (-1.0)) < 1e-9
+        assert ll[0][1] is True
+
+        outs = lm.generate_until([
+            {"context": "q?", "gen_kwargs": {"until": ["\n"], "max_gen_toks": 8}}
+        ])
+        assert outs == [" mocked answer"]
+        assert requests_seen[0][0] == "/v1/completions"
+        assert requests_seen[0][1]["echo"] is True
+        assert requests_seen[1][1]["max_tokens"] == 8
+    finally:
+        server.shutdown()

@@ -92,3 +92,51 @@ def test_reader_batch_size_rounds_up_to_mesh():
     mesh = build_mesh()
     reader = JaxReader(params, cfg, tok, batch_size=3, mesh=mesh)
     assert reader.batch_size % mesh.shape["data"] == 0
+
+
+def test_jax_reader_tensor_parallel_matches_single_device():
+    """Megatron-layout reader TP over the mesh 'model' axis (the vLLM
+    tensor_parallel_size analog) must reproduce single-device numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.evals.perplexity import JaxReader
+    from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, init_gpt_neox_params
+
+    tok = make_word_tokenizer(_texts())
+    cfg = GPTNeoXConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=64, max_position_embeddings=64,
+        attention_impl="xla",
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(0))
+    texts = _texts()
+    contexts, targets = texts[:8], texts[8:16]
+
+    single = JaxReader(params, cfg, tok, batch_size=4, dtype=jnp.float32)
+    mesh = build_mesh(data_axis=4, model_axis=2)
+    tp = JaxReader(
+        params, cfg, tok, batch_size=4, dtype=jnp.float32,
+        mesh=mesh, tensor_parallel=True,
+    )
+    np.testing.assert_allclose(
+        single.score(contexts, targets), tp.score(contexts, targets),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_llama_reader_tp_specs_cover_params():
+    import jax
+
+    from retrieval_scaling_tpu.models.llama import LlamaConfig, init_llama_params
+    from retrieval_scaling_tpu.parallel.reader_tp import reader_param_specs
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, max_position_embeddings=64,
+    )
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    specs = reader_param_specs(params)
+    # every param leaf has a spec leaf
+    jax.tree.map(lambda p, s: None, params, specs,
+                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))

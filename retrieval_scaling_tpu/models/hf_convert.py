@@ -202,7 +202,7 @@ def gpt_neox_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "au
 # --------------------------------------------------------------------------
 # Llama family (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, TinyLlama)
 # --------------------------------------------------------------------------
-_LLAMA_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3")
+_LLAMA_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "gemma", "olmo", "olmo2")
 
 
 def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig:
@@ -225,12 +225,25 @@ def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig
         max_position_embeddings=hf_config.max_position_embeddings,
         head_dim=getattr(hf_config, "head_dim", None),
         rope_base=getattr(hf_config, "rope_theta", 10000.0),
-        rms_eps=hf_config.rms_norm_eps,
+        rms_eps=getattr(hf_config, "rms_norm_eps", 1e-5),
         # Qwen2's QKV bias predates the attention_bias config field.
         attention_bias=getattr(hf_config, "attention_bias", model_type == "qwen2"),
         qk_norm=model_type == "qwen3",
         tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
         attention_impl=attention_impl,
+        # Gemma deltas: gelu-tanh MLP, zero-centered RMSNorm weights,
+        # sqrt(d) embedding scaling, always-tied head.
+        hidden_act="gelu_tanh" if model_type == "gemma" else "silu",
+        rms_norm_offset=model_type == "gemma",
+        embedding_multiplier=(
+            float(hf_config.hidden_size) ** 0.5 if model_type == "gemma" else 1.0
+        ),
+        # OLMo-1: non-parametric LayerNorm + optional QKV clipping;
+        # OLMo-2: post-output RMSNorm + full-width q/k norm.
+        norm_type="layernorm_np" if model_type == "olmo" else "rms",
+        norm_placement="post_output" if model_type == "olmo2" else "pre",
+        clip_qkv=getattr(hf_config, "clip_qkv", None),
+        qk_norm_full=model_type == "olmo2",
     )
 
 
@@ -250,7 +263,11 @@ def llama_params_from_state_dict(
 
     params: Dict[str, Any] = {
         "embed": g("embed_tokens.weight"),
-        "final_norm": g("norm.weight"),
+        # OLMo-1's norms are non-parametric: no weights in the checkpoint.
+        "final_norm": (
+            g("norm.weight") if "norm.weight" in sd
+            else np.ones((d,), dtype)
+        ),
         "layers": [],
     }
     if not cfg.tie_embeddings:
@@ -260,24 +277,38 @@ def llama_params_from_state_dict(
             # Base model (AutoModel) checkpoints carry no head — fine for
             # embedding use; fall back to tied weights for logits.
             params["lm_head"] = params["embed"].T
+    ones_d = np.ones((d,), dtype)
     for i in range(cfg.num_layers):
         p = f"layers.{i}."
         layer = {
-            "input_norm": g(p + "input_layernorm.weight"),
+            "input_norm": (
+                g(p + "input_layernorm.weight")
+                if p + "input_layernorm.weight" in sd else ones_d
+            ),
             "q_w": g(p + "self_attn.q_proj.weight").T.reshape(d, h, hd),
             "k_w": g(p + "self_attn.k_proj.weight").T.reshape(d, hkv, hd),
             "v_w": g(p + "self_attn.v_proj.weight").T.reshape(d, hkv, hd),
             "o_w": g(p + "self_attn.o_proj.weight").T.reshape(h, hd, d),
-            "post_norm": g(p + "post_attention_layernorm.weight"),
+            "post_norm": (
+                g(p + "post_attention_layernorm.weight")
+                if cfg.norm_placement == "pre" and p + "post_attention_layernorm.weight" in sd
+                else ones_d
+            ),
             "gate_w": g(p + "mlp.gate_proj.weight").T,
             "up_w": g(p + "mlp.up_proj.weight").T,
             "down_w": g(p + "mlp.down_proj.weight").T,
         }
+        if cfg.norm_placement == "post_output":  # OLMo-2
+            layer["post_attn_norm"] = g(p + "post_attention_layernorm.weight")
+            layer["post_mlp_norm"] = g(p + "post_feedforward_layernorm.weight")
         if cfg.attention_bias:
             layer["q_b"] = g(p + "self_attn.q_proj.bias").reshape(h, hd)
             layer["k_b"] = g(p + "self_attn.k_proj.bias").reshape(hkv, hd)
             layer["v_b"] = g(p + "self_attn.v_proj.bias").reshape(hkv, hd)
-        if cfg.qk_norm:
+        if cfg.qk_norm_full:  # OLMo-2: weights over the flattened width
+            layer["q_norm"] = g(p + "self_attn.q_norm.weight").reshape(h, hd)
+            layer["k_norm"] = g(p + "self_attn.k_norm.weight").reshape(hkv, hd)
+        elif cfg.qk_norm:
             layer["q_norm"] = g(p + "self_attn.q_norm.weight")
             layer["k_norm"] = g(p + "self_attn.k_norm.weight")
         params["layers"].append(layer)

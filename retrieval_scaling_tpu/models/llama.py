@@ -1,4 +1,4 @@
-"""Llama-family transformer (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, TinyLlama).
+"""Llama-family transformer (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, Gemma, OLMo-1/2).
 
 The reference treats the reader LM as an arbitrary HF ``AutoModelForCausalLM``
 (reference: src/evaluate_perplexity.py:97-108) — the paper's readers are
@@ -9,7 +9,10 @@ functional JAX implementation:
 
   * RMSNorm (fp32 accumulation), full-head-dim rotary embeddings, SwiGLU
     MLP, grouped-query attention (``num_kv_heads`` < ``num_heads``).
-  * Optional attention QKV bias (Qwen2) and per-head q/k RMSNorm (Qwen3).
+  * Optional attention QKV bias (Qwen2), per-head q/k RMSNorm (Qwen3),
+    full-width q/k RMSNorm + post-output norm placement (OLMo-2),
+    non-parametric LayerNorm + QKV clipping (OLMo-1), gelu-tanh MLP +
+    zero-centered RMSNorm + sqrt(d) embedding scaling (Gemma).
   * Causal attention for reading; ``bidirectional=True`` turns the same
     weights into a GRIT-style embedder (mean/last-token pooling).
   * The Pallas flash-attention kernel on TPU via ``multi_head_attention``.
@@ -54,16 +57,41 @@ class LlamaConfig:
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_original_max_pos: int = 8192
+    # Gemma-family deltas (reference reader contract is any HF causal LM,
+    # src/evaluate_perplexity.py:97-108): gelu-tanh MLP instead of SiLU,
+    # RMSNorm scales stored as (weight) with an implicit +1, and embeddings
+    # multiplied by sqrt(hidden_size).
+    hidden_act: str = "silu"             # "silu" | "gelu_tanh"
+    rms_norm_offset: bool = False        # Gemma: norm scale = 1 + weight
+    embedding_multiplier: float = 1.0    # Gemma: sqrt(hidden_size)
+    # OLMo-family deltas: OLMo-1 uses non-parametric (weightless) LayerNorm
+    # and optional QKV clipping; OLMo-2 applies RMSNorm to the attention /
+    # MLP OUTPUTS (post-norm) and full-width q/k RMSNorm.
+    norm_type: str = "rms"               # "rms" | "layernorm_np"
+    norm_placement: str = "pre"          # "pre" | "post_output" (OLMo-2)
+    clip_qkv: float | None = None        # OLMo-1
+    qk_norm_full: bool = False           # OLMo-2: RMSNorm over h*hd, not per head
 
     @property
     def hd(self) -> int:
         return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
 
 
-def _rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+def _layer_norm_np(x: jax.Array, eps: float) -> jax.Array:
+    """Non-parametric LayerNorm (OLMo-1: no scale, no bias)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _rms_norm(x: jax.Array, scale: jax.Array, eps: float, offset: bool = False) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+    normed = xf * jax.lax.rsqrt(var + eps)
+    if offset:  # Gemma stores scale - 1 ("zero-centered" weights)
+        return (normed * (1.0 + scale.astype(jnp.float32))).astype(x.dtype)
+    return normed.astype(x.dtype) * scale
 
 
 def init_llama_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> Params:
@@ -96,9 +124,15 @@ def init_llama_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> Pa
             layer["q_b"] = jnp.zeros((h, hd), dtype)
             layer["k_b"] = jnp.zeros((hkv, hd), dtype)
             layer["v_b"] = jnp.zeros((hkv, hd), dtype)
-        if cfg.qk_norm:
+        if cfg.qk_norm_full:
+            layer["q_norm"] = jnp.ones((h, hd), dtype)
+            layer["k_norm"] = jnp.ones((hkv, hd), dtype)
+        elif cfg.qk_norm:
             layer["q_norm"] = jnp.ones((hd,), dtype)
             layer["k_norm"] = jnp.ones((hd,), dtype)
+        if cfg.norm_placement == "post_output":
+            layer["post_attn_norm"] = jnp.ones((d,), dtype)
+            layer["post_mlp_norm"] = jnp.ones((d,), dtype)
         params["layers"].append(layer)
     return params
 
@@ -158,10 +192,26 @@ def _qkv(layer: Params, cfg: LlamaConfig, x: jax.Array):
         q = q + layer["q_b"][None, :, None, :]
         k = k + layer["k_b"][None, :, None, :]
         v = v + layer["v_b"][None, :, None, :]
-    if cfg.qk_norm:
+    if cfg.clip_qkv is not None:  # OLMo-1
+        q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+        k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+        v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
+    if cfg.qk_norm_full:
+        # OLMo-2: RMSNorm over the FULL flattened projection (h*hd), weight
+        # stored per (head, hd); variance pools across heads.
+        q = _rms_norm_full(q, layer["q_norm"], cfg.rms_eps)
+        k = _rms_norm_full(k, layer["k_norm"], cfg.rms_eps)
+    elif cfg.qk_norm:
         q = _rms_norm(q, layer["q_norm"], cfg.rms_eps)
         k = _rms_norm(k, layer["k_norm"], cfg.rms_eps)
     return q, k, v
+
+
+def _rms_norm_full(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm over (heads, hd) jointly; x [B, H, S, hd], scale [H, hd]."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=(1, 3), keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale[None, :, None, :]
 
 
 def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
@@ -180,13 +230,21 @@ def llama_forward(
 ) -> jax.Array:
     """Return final hidden states [B, S, D] (pre-lm-head)."""
     x = params["embed"][input_ids]
+    if cfg.embedding_multiplier != 1.0:
+        x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
     s = input_ids.shape[1]
     cos, sin = rotary_cos_sin(s, cfg.hd, cfg.rope_base, cfg=cfg)
     n_rep = cfg.num_heads // cfg.num_kv_heads
     kv_mask = None if attention_mask is None else attention_mask.astype(bool)
 
+    def norm(v, scale):
+        if cfg.norm_type == "layernorm_np":
+            return _layer_norm_np(v, cfg.rms_eps)
+        return _rms_norm(v, scale, cfg.rms_eps, cfg.rms_norm_offset)
+
+    post = cfg.norm_placement == "post_output"
     for layer in params["layers"]:
-        h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
+        h = x if post else norm(x, layer["input_norm"])
         q, k, v = _qkv(layer, cfg, h)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
@@ -194,13 +252,24 @@ def llama_forward(
         attn = multi_head_attention(
             q, k, v, kv_mask=kv_mask, causal=not bidirectional, impl=cfg.attention_impl
         )
-        x = x + jnp.einsum("bnsk,nkd->bsd", attn, layer["o_w"])
+        attn_out = jnp.einsum("bnsk,nkd->bsd", attn, layer["o_w"])
+        if post:  # OLMo-2: norm the sublayer OUTPUT
+            attn_out = norm(attn_out, layer["post_attn_norm"])
+        x = x + attn_out
 
-        h = _rms_norm(x, layer["post_norm"], cfg.rms_eps)
-        gate = jax.nn.silu(jnp.dot(h, layer["gate_w"]))
-        x = x + jnp.dot(gate * jnp.dot(h, layer["up_w"]), layer["down_w"])
+        h = x if post else norm(x, layer["post_norm"])
+        pre = jnp.dot(h, layer["gate_w"])
+        gate = (
+            jax.nn.gelu(pre, approximate=True)
+            if cfg.hidden_act == "gelu_tanh"
+            else jax.nn.silu(pre)
+        )
+        mlp_out = jnp.dot(gate * jnp.dot(h, layer["up_w"]), layer["down_w"])
+        if post:
+            mlp_out = norm(mlp_out, layer["post_mlp_norm"])
+        x = x + mlp_out
 
-    return _rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return norm(x, params["final_norm"])
 
 
 def llama_logits(params: Params, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:

@@ -264,3 +264,83 @@ def test_llama3_rope_scaling_parity(rng):
         ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
     got = np.asarray(llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids))))
     np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-3)
+
+
+def test_gemma_parity(rng):
+    """Gemma deltas: gelu-tanh MLP, zero-centered RMSNorm (+1 offset),
+    sqrt(d) embedding scaling, tied head (reference reader contract:
+    any HF causal LM, src/evaluate_perplexity.py:97-108)."""
+    torch.manual_seed(3)
+    hf = transformers.GemmaForCausalLM(
+        transformers.GemmaConfig(
+            vocab_size=96,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            intermediate_size=48,
+            max_position_embeddings=64,
+            hidden_act="gelu_pytorch_tanh",
+        )
+    )
+    hf.eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert cfg.hidden_act == "gelu_tanh"
+    assert cfg.rms_norm_offset
+    assert abs(cfg.embedding_multiplier - 32 ** 0.5) < 1e-6
+    assert cfg.tie_embeddings
+    ids = _ids(rng, v=96)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(
+        llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids)))
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_olmo1_parity(rng):
+    """OLMo-1: non-parametric LayerNorm + QKV clipping."""
+    torch.manual_seed(4)
+    hf = transformers.OlmoForCausalLM(
+        transformers.OlmoConfig(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4,
+            intermediate_size=48, max_position_embeddings=64,
+            clip_qkv=8.0,
+        )
+    )
+    hf.eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert cfg.norm_type == "layernorm_np"
+    assert cfg.clip_qkv == 8.0
+    ids = _ids(rng, v=96)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(
+        llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids)))
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_olmo2_parity(rng):
+    """OLMo-2: post-output RMSNorm placement + full-width q/k RMSNorm."""
+    torch.manual_seed(5)
+    hf = transformers.Olmo2ForCausalLM(
+        transformers.Olmo2Config(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=48, max_position_embeddings=64,
+        )
+    )
+    hf.eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert cfg.norm_placement == "post_output"
+    assert cfg.qk_norm_full
+    ids = _ids(rng, v=96)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(
+        llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids)))
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -40,10 +40,26 @@ def f1_score(prediction: str, references: Sequence[str]) -> float:
     return best
 
 
+def regex_match(prediction: str, references: Sequence[str]) -> float:
+    """CuratedTREC-style answer matching: references ARE regex patterns
+    (the DPR/contriever evaluation convention the reference inherits via
+    contriever/src/evaluation.py `regex` match mode)."""
+    for ref in references:
+        try:
+            if re.search(ref, prediction, flags=re.IGNORECASE | re.UNICODE):
+                return 1.0
+        except re.error:
+            # malformed pattern: fall back to normalized containment
+            if normalize_squad(ref) in normalize_squad(prediction):
+                return 1.0
+    return 0.0
+
+
 METRICS = {
     "exact_match": exact_match,
     "contains": contains_match,
     "f1": f1_score,
+    "regex_match": regex_match,
 }
 
 

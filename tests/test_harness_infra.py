@@ -211,3 +211,15 @@ def test_openai_compat_backend_against_mock_server():
         assert requests_seen[1][1]["max_tokens"] == 8
     finally:
         server.shutdown()
+
+
+def test_regex_match_metric():
+    """CuratedTREC references are regex patterns (DPR convention,
+    reference: contriever/src/evaluation.py regex mode)."""
+    from retrieval_scaling_tpu.rag_eval.metrics import regex_match
+
+    assert regex_match("He was born in 1809.", [r"18[0-9]{2}"]) == 1.0
+    assert regex_match("no date here", [r"18[0-9]{2}"]) == 0.0
+    assert regex_match("WASHINGTON D.C.", [r"washington"]) == 1.0  # case-insensitive
+    # malformed regex falls back to containment
+    assert regex_match("the answer is foo(", ["foo("]) == 1.0

@@ -223,3 +223,34 @@ def test_regex_match_metric():
     assert regex_match("WASHINGTON D.C.", [r"washington"]) == 1.0  # case-insensitive
     # malformed regex falls back to containment
     assert regex_match("the answer is foo(", ["foo("]) == 1.0
+
+
+def test_janitor_native_matches_python():
+    """The C++ scanner (native/rstpu_janitor.cpp) must agree with the pure
+    python path span-for-span, including punctuation-only tokens and
+    non-ascii text."""
+    from retrieval_scaling_tpu.rag_eval.janitor import Janitor, _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("no C++ toolchain")
+
+    contaminants = [
+        "the quick brown fox jumps over the lazy dog",
+        "voici une phrase assez longue pour etre detectee sans doute",
+    ]
+    docs = [
+        "prefix The QUICK, brown fox --- jumps over the LAZY dog suffix words",
+        "nothing matching here at all in this one really",
+        "bla voici une phrase assez longue pour etre detectee sans doute bla",
+        "café unicode préfix the quick brown fox jumps over the lazy dog!",
+    ]
+    for n in (3, 5, 9):
+        jn = Janitor(ngram_n=n, use_native=True)
+        jp = Janitor(ngram_n=n, use_native=False)
+        assert jn._native is not None and jp._native is None
+        for c in contaminants:
+            jn.register_contaminant(c)
+            jp.register_contaminant(c)
+        for doc in docs:
+            assert jn.contamination_spans(doc) == jp.contamination_spans(doc), (n, doc)
+            assert jn.clean(doc) == jp.clean(doc)

@@ -188,6 +188,8 @@ def train(
     batches: Iterator[Dict[str, jnp.ndarray]],
     cfg: TrainConfig,
     mesh=None,
+    preemption_guard=None,
+    requeue_cmd: Optional[str] = None,
 ) -> tuple:
     """Run the training loop; returns (final_state, metrics_history)."""
     optimizer = make_optimizer(
@@ -218,6 +220,16 @@ def train(
 
     history = []
     for step in range(start_step, cfg.total_steps):
+        # Preemption drain (reference: contriever/src/slurm.py:18-40 SLURM
+        # requeue): checkpoint at the step boundary, requeue, stop.
+        if preemption_guard is not None and preemption_guard.preempted:
+            if cfg.checkpoint_dir:
+                save_checkpoint(cfg.checkpoint_dir, step, state)
+                logger.info("preempted: checkpointed step %d", step)
+            from retrieval_scaling_tpu.train.preemption import requeue
+
+            requeue(requeue_cmd)
+            return state, history
         batch = next(batches)
         state, metrics = step_fn(state, batch)
         if (step + 1) % cfg.log_freq == 0 or step == cfg.total_steps - 1:

@@ -184,3 +184,36 @@ def test_hard_negatives_sharpen_training():
         assert np.isfinite(float(metrics["loss"]))
     loss1, _ = inbatch_loss(state.params, CFG, first_batch)
     assert float(loss1) < float(loss0)
+
+
+def test_preemption_checkpoint_and_stop(tmp_path):
+    """Signal-latched preemption saves a checkpoint at the step boundary
+    and stops; restart resumes (reference: contriever/src/slurm.py:18-40)."""
+    import os
+    import signal
+
+    from retrieval_scaling_tpu.train.preemption import PreemptionGuard
+
+    texts = _texts()
+    tok = make_word_tokenizer(texts)
+    tcfg = TrainConfig(
+        batch_size=2, max_length=16, total_steps=50, warmup_steps=1,
+        log_freq=100, save_freq=100, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    params = init_bert_params(CFG, jax.random.PRNGKey(0))
+    batches = pretraining_batches(texts, tok, tcfg)
+
+    guard = PreemptionGuard()
+    with guard:
+        # deliver a real signal to this process
+        os.kill(os.getpid(), signal.SIGUSR1)
+        assert guard.preempted
+        state, history = train(CFG, params, batches, tcfg, preemption_guard=guard)
+    step = latest_checkpoint_step(str(tmp_path / "ckpt"))
+    assert step == 0  # drained before the first step
+
+    # a fresh run resumes from that checkpoint and keeps training
+    guard2 = PreemptionGuard()
+    tcfg2 = TrainConfig(**{**tcfg.__dict__, "total_steps": 2})
+    state2, hist2 = train(CFG, params, batches, tcfg2, preemption_guard=guard2)
+    assert latest_checkpoint_step(str(tmp_path / "ckpt")) == 2

@@ -47,15 +47,26 @@ class MicroBatcher:
         max_batch: int = 32,
         max_wait_ms: float = 5.0,
         timeout_s: float = 60.0,
+        finish_fn: Optional[Callable[[List[str], int, Any], List[Any]]] = None,
     ):
         self._process = process_fn
+        # Two-stage pipelining: when ``finish_fn`` is given, ``process_fn``
+        # returns a staged intermediate (device work: encode + scan) and
+        # ``finish_fn`` completes it on a separate thread (host work:
+        # disk passage fetch) — so batch N's passage fetch overlaps batch
+        # N+1's device program instead of serializing behind it.
+        self._finish = finish_fn
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.timeout_s = timeout_s
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._finish_queue: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        if finish_fn is not None:
+            self._finish_thread = threading.Thread(target=self._finish_loop, daemon=True)
+            self._finish_thread.start()
         self.current: Optional[str] = None
 
     @property
@@ -100,10 +111,11 @@ class MicroBatcher:
             self.current = batch[0].query
             n_docs = max(item.n_docs for item in batch)
             try:
-                results = self._process([item.query for item in batch], n_docs)
-                for item, res in zip(batch, results):
-                    item.result = self._truncate(res, item.n_docs)
-                    item.done.set()
+                staged = self._process([item.query for item in batch], n_docs)
+                if self._finish is not None:
+                    self._finish_queue.put((batch, n_docs, staged))
+                else:
+                    self._complete(batch, staged)
             except BaseException as e:  # propagate to waiters
                 logger.exception("batch search failed")
                 for item in batch:
@@ -111,6 +123,26 @@ class MicroBatcher:
                     item.done.set()
             finally:
                 self.current = None
+
+    def _finish_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                batch, n_docs, staged = self._finish_queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                results = self._finish([item.query for item in batch], n_docs, staged)
+                self._complete(batch, results)
+            except BaseException as e:
+                logger.exception("batch finish failed")
+                for item in batch:
+                    item.error = e
+                    item.done.set()
+
+    def _complete(self, batch: List[_Pending], results: List[Any]) -> None:
+        for item, res in zip(batch, results):
+            item.result = self._truncate(res, item.n_docs)
+            item.done.set()
 
     @staticmethod
     def _truncate(res: Dict[str, list], n_docs: int) -> Dict[str, list]:
@@ -129,7 +161,12 @@ class RetrievalEngine:
         self.encoder = encoder
         self.index = index
         self.encode_opts = encode_opts or EncodeOptions(batch_size=max_batch, maxlength=512)
-        self.batcher = MicroBatcher(self._process_batch, max_batch, max_wait_ms, timeout_s=timeout_s)
+        # device stage (encode + ANN scan) pipelines with the host stage
+        # (disk passage fetch) across consecutive batches
+        self.batcher = MicroBatcher(
+            self._device_batch, max_batch, max_wait_ms, timeout_s=timeout_s,
+            finish_fn=self._finish_batch,
+        )
 
     @classmethod
     def from_config(cls, cfg, index_shard_ids=None, mesh=None, encoder=None):
@@ -166,9 +203,25 @@ class RetrievalEngine:
             timeout_s=float(serve_opt("request_timeout_s", 60.0)),
         )
 
-    def _process_batch(self, queries: List[str], n_docs: int) -> List[Dict[str, list]]:
+    def _device_batch(self, queries: List[str], n_docs: int):
         embeddings = self.encoder.encode(queries, self.encode_opts)
-        scores, passages, ids = self.index.search(embeddings, n_docs)
+        if not hasattr(self.index, "search_ids"):
+            # single-stage index (no separable passage fetch): finish inline
+            scores, passages, ids = self.index.search(embeddings, n_docs)
+            return [
+                {"scores": list(s), "passages": list(p), "IDs": list(i)}
+                for s, p, i in zip(scores, passages, ids)
+            ]
+        return self.index.search_ids(embeddings, n_docs)
+
+    def _finish_batch(self, queries: List[str], n_docs: int, staged) -> List[Dict[str, list]]:
+        if isinstance(staged, list):  # already finished by the device stage
+            return staged
+        from retrieval_scaling_tpu.index.flat import filter_pad_hits
+
+        raw_scores, raw_ids = staged
+        scores, id_rows = filter_pad_hits(raw_scores, raw_ids)
+        passages, ids = self.index.get_retrieved_passages(id_rows)
         return [
             {"scores": list(s), "passages": list(p), "IDs": list(i)}
             for s, p, i in zip(scores, passages, ids)

@@ -219,3 +219,52 @@ def test_main_node_recovers_from_dead_worker(tmp_path):
     out = agg.search("moon", n_docs=1)
     assert out["passages"][0] == ["alive"] or out["passages"] == ["alive"]
     srv.shutdown()
+
+
+def test_engine_pipelines_fetch_with_device_stage(tmp_path):
+    """Passage fetch (host) must overlap the next batch's device stage:
+    with device=20ms and fetch=20ms per batch, 4 sequential batches take
+    ~5 stage-slots pipelined (~100ms) vs ~8 serialized (~160ms)."""
+    import threading
+    import time
+
+    from retrieval_scaling_tpu.serve.engine import MicroBatcher
+
+    DEV, FETCH = 0.02, 0.02
+    timeline = []
+
+    def device(queries, n_docs):
+        timeline.append(("dev_start", time.monotonic()))
+        time.sleep(DEV)
+        timeline.append(("dev_end", time.monotonic()))
+        return [f"staged:{q}" for q in queries]
+
+    def finish(queries, n_docs, staged):
+        timeline.append(("fetch_start", time.monotonic()))
+        time.sleep(FETCH)
+        timeline.append(("fetch_end", time.monotonic()))
+        return [{"scores": [1.0], "passages": [s], "IDs": [[0, 0]]} for s in staged]
+
+    # max_batch=1 so each request is its own batch
+    mb = MicroBatcher(device, max_batch=1, max_wait_ms=0.1, finish_fn=finish)
+    t0 = time.monotonic()
+    threads = []
+    results = [None] * 4
+    for i in range(4):
+        def run(i=i):
+            results[i] = mb.submit(f"q{i}", 1)
+        th = threading.Thread(target=run)
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join()
+    elapsed = time.monotonic() - t0
+    mb.shutdown()
+    assert all(r is not None for r in results)
+    # serialized would be >= 8 * 0.02 = 0.16s; pipelined ~0.1s. Generous
+    # bound to absorb scheduler noise while still proving overlap.
+    assert elapsed < 0.15, elapsed
+    # device stage of batch N+1 must start before fetch of batch N ends
+    dev_starts = [t for k, t in timeline if k == "dev_start"]
+    fetch_ends = [t for k, t in timeline if k == "fetch_end"]
+    assert dev_starts[1] < fetch_ends[0]

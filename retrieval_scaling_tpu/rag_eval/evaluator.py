@@ -107,9 +107,18 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
         doc = req["doc"]
         if req["type"] == "generate_until":
             refs = [task.cfg.extract_target(r) for r in task.references(doc)]
-            prediction = task.cfg.apply_filter(out["prediction"])
-            for name in task.cfg.metric_list:
-                metric_values.setdefault(name, []).append(METRICS[name](prediction, refs))
+            if task.cfg.filters:
+                # named filter pipelines -> per-filter metric columns
+                # (reference: lm_eval "exact_match,strict-match" naming)
+                for filt in task.cfg.filters:
+                    pred = task.cfg.apply_filter_steps(out["prediction"], filt["steps"])
+                    for name in task.cfg.metric_list:
+                        col = f"{name},{filt['name']}"
+                        metric_values.setdefault(col, []).append(METRICS[name](pred, refs))
+            else:
+                prediction = task.cfg.apply_filter(out["prediction"])
+                for name in task.cfg.metric_list:
+                    metric_values.setdefault(name, []).append(METRICS[name](prediction, refs))
         elif req["type"] == "loglikelihood":
             metric_values.setdefault("loglikelihood", []).append(out["loglikelihood"])
             metric_values.setdefault("acc", []).append(float(out["is_greedy"]))

@@ -65,6 +65,35 @@ class TaskConfig:
     # "default" = random without replacement, "first_n" = the first N docs,
     # "balanced" = round-robin over distinct targets (classification).
     fewshot_sampler: str = "default"
+    # Named multi-step filter pipelines (reference: lm_eval/filters/ —
+    # e.g. GSM8K's strict-match vs flexible-extract): each entry
+    # {name, steps: [{type: regex|take_first|lowercase|strip|remove_commas,
+    # ...}]} produces its own metric column "metric,name".
+    filters: List[Dict[str, Any]] = field(default_factory=list)
+
+    def apply_filter_steps(self, text: str, steps: List[Dict[str, Any]]) -> str:
+        for step in steps:
+            kind = step.get("type", "regex")
+            if kind == "regex":
+                matches = re.findall(step["pattern"], text)
+                if matches:
+                    pick = matches[-1] if step.get("select", "first") == "last" else matches[0]
+                    if isinstance(pick, tuple):
+                        pick = next((g for g in pick if g), "")
+                    text = pick
+                else:
+                    text = step.get("fallback", "[invalid]")
+            elif kind == "take_first":
+                text = text.split(step.get("sep", "\n"))[0]
+            elif kind == "lowercase":
+                text = text.lower()
+            elif kind == "strip":
+                text = text.strip()
+            elif kind == "remove_commas":
+                text = text.replace(",", "")
+            else:
+                raise ValueError(f"unknown filter step {kind!r}")
+        return text.strip()
 
     def apply_filter(self, text: str) -> str:
         if not self.filter_regex:

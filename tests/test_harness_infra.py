@@ -254,3 +254,38 @@ def test_janitor_native_matches_python():
         for doc in docs:
             assert jn.contamination_spans(doc) == jp.contamination_spans(doc), (n, doc)
             assert jn.clean(doc) == jp.clean(doc)
+
+
+def test_named_filter_pipelines_gsm8k_style(tmp_path):
+    """Named filter pipelines produce per-filter metric columns
+    (reference: lm_eval gsm8k strict-match vs flexible-extract)."""
+    from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+    from retrieval_scaling_tpu.rag_eval.tasks import get_task
+
+    d = tmp_path / "gsm8k"
+    d.mkdir()
+    with open(d / "test.jsonl", "w") as f:
+        f.write(json.dumps({"question": "2+2?", "answer": "It is four.\n#### 4"}) + "\n")
+        f.write(json.dumps({"question": "3+4?", "answer": "Seven.\n#### 7"}) + "\n")
+
+    class LM:
+        def generate_until(self, reqs):
+            outs = []
+            for r in reqs:
+                if "2+2" in r["context"]:
+                    outs.append("The answer is 4. #### 4")     # both filters hit
+                else:
+                    outs.append("I think it is 7")             # only flexible hits
+            return outs
+
+        def loglikelihood(self, pairs):
+            return [(0.0, True) for _ in pairs]
+
+    res = simple_evaluate(LM(), ["gsm8k"], data_root=str(tmp_path), num_fewshot=0)
+    row = res["results"]["gsm8k"]
+    assert row["exact_match,strict-match"] == 0.5
+    assert row["exact_match,flexible-extract"] == 1.0
+
+    cfg = get_task("gsm8k")
+    assert cfg.apply_filter_steps("x #### 1,234", cfg.filters[0]["steps"]) == "1234"
+    assert cfg.apply_filter_steps("no canonical", cfg.filters[0]["steps"]) == "[invalid]"

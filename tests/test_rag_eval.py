@@ -277,7 +277,9 @@ def test_generation_filters_gsm8k_style(tmp_path):
             return ["First, 2 + 2 = 4. The answer is 4"]
 
     res = simple_evaluate(ReasoningLM(), ["gsm8k"], data_root=str(tmp_path), num_fewshot=0)
-    assert res["results"]["gsm8k"]["exact_match"] == 1.0
+    # gsm8k now reports per-filter columns (strict needs '#### N')
+    assert res["results"]["gsm8k"]["exact_match,flexible-extract"] == 1.0
+    assert res["results"]["gsm8k"]["exact_match,strict-match"] == 0.0
 
 
 def test_request_cache_avoids_recompute(tmp_path):

@@ -71,6 +71,7 @@ def _run_requests(lm, requests: List[dict]) -> List[dict]:
     gen_idx = [i for i, r in enumerate(requests) if r["type"] == "generate_until"]
     ll_idx = [i for i, r in enumerate(requests) if r["type"] == "loglikelihood"]
     mc_idx = [i for i, r in enumerate(requests) if r["type"] == "multiple_choice"]
+    roll_idx = [i for i, r in enumerate(requests) if r["type"] == "loglikelihood_rolling"]
     results: List[dict] = [None] * len(requests)  # type: ignore[list-item]
 
     if gen_idx:
@@ -83,6 +84,11 @@ def _run_requests(lm, requests: List[dict]) -> List[dict]:
         outs = lm.loglikelihood(pairs)
         for i, (ll, greedy) in zip(ll_idx, outs):
             results[i] = {"loglikelihood": ll, "is_greedy": greedy}
+
+    if roll_idx:
+        outs = lm.loglikelihood_rolling([requests[i]["text"] for i in roll_idx])
+        for i, ll in zip(roll_idx, outs):
+            results[i] = {"loglikelihood": ll}
 
     if mc_idx:
         flat_pairs, owners = [], []
@@ -122,6 +128,12 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
         elif req["type"] == "loglikelihood":
             metric_values.setdefault("loglikelihood", []).append(out["loglikelihood"])
             metric_values.setdefault("acc", []).append(float(out["is_greedy"]))
+        elif req["type"] == "loglikelihood_rolling":
+            # corpus-level weighted aggregation (lm-eval wikitext metrics)
+            text = req["text"]
+            metric_values.setdefault("_rolling", []).append(
+                (out["loglikelihood"], max(len(text.split()), 1), max(len(text.encode()), 1))
+            )
         elif "gold_mask" in req:  # multiple_choice with multi-true targets
             # TruthfulQA mc2: probability mass assigned to the true options
             # (reference: lm_eval/tasks/truthfulqa mc2 aggregation).
@@ -147,7 +159,16 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
 
     scores = {}
     for name, vals in metric_values.items():
-        if name == "_mcc_pairs":
+        if name == "_rolling":
+            import math
+
+            ll = sum(v[0] for v in vals)
+            words = sum(v[1] for v in vals)
+            bytes_ = sum(v[2] for v in vals)
+            scores["word_perplexity"] = math.exp(-ll / words)
+            scores["byte_perplexity"] = math.exp(-ll / bytes_)
+            scores["bits_per_byte"] = -ll / bytes_ / math.log(2)
+        elif name == "_mcc_pairs":
             tp = sum(1 for p, g in vals if p == 1 and g == 1)
             tn = sum(1 for p, g in vals if p == 0 and g == 0)
             fp = sum(1 for p, g in vals if p == 1 and g == 0)

@@ -62,6 +62,9 @@ class DummyLM:
     def generate_until(self, reqs: Sequence[dict]):
         return ["dummy answer" for _ in reqs]
 
+    def loglikelihood_rolling(self, texts: Sequence[str]):
+        return [-(len(t.split())) * 1.0 for t in texts]
+
 
 class EchoAnswerLM:
     """Test backend that 'knows' answers embedded in the prompt context."""
@@ -161,6 +164,31 @@ class JaxReaderLM:
             for r, (orig, _, _) in enumerate(batch):
                 out[orig] = (float(ll[r]), bool(greedy[r]))
             pos += self.batch_size
+        return out
+
+    def loglikelihood_rolling(self, texts: Sequence[str]):
+        """Full-document loglikelihood in disjoint max_length windows
+        (reference: lm-eval loglikelihood_rolling for wikitext-style
+        word/byte perplexity): every token is scored exactly once, each
+        window anchored by the previous token (EOS for the first)."""
+        jnp = self._jnp
+        out = []
+        for text in texts:
+            ids = self.tokenizer(text)["input_ids"]
+            total, pos = 0.0, 0
+            while pos < len(ids):
+                prev = self._eos_id() if pos == 0 else ids[pos - 1]
+                window = ids[pos : pos + self.max_length - 1]
+                row = [prev] + window
+                width = _bucket(len(row), self.max_length)
+                ids_np = np.full((self.batch_size, width), self._eos_id(), np.int32)
+                lab_np = np.full((self.batch_size, width), -100, np.int32)
+                ids_np[0, : len(row)] = row
+                lab_np[0, 1 : len(row)] = window
+                ll, _ = self._row_ll(self.params, jnp.asarray(ids_np), jnp.asarray(lab_np))
+                total += float(np.asarray(ll)[0])
+                pos += len(window)
+            out.append(total)
         return out
 
     # ------------------------------------------------------------ gen
@@ -301,6 +329,26 @@ class HFTorchLM:
                 greedy = bool((pred_rows.argmax(-1) == tgt).all())
                 results.append((float(token_ll.sum()), greedy))
         return results
+
+    def loglikelihood_rolling(self, texts: Sequence[str]):
+        import torch
+
+        out = []
+        for text in texts:
+            ids = self.tokenizer(text)["input_ids"]
+            total, pos = 0.0, 0
+            while pos < len(ids):
+                prev = self._eos_id() if pos == 0 else ids[pos - 1]
+                window = ids[pos : pos + self.max_length - 1]
+                row = torch.tensor([[prev] + window])
+                with torch.no_grad():
+                    logits = self.model(row).logits.float()
+                logprobs = torch.log_softmax(logits, dim=-1)
+                tgt = torch.tensor(window)
+                total += float(logprobs[0, :-1].gather(-1, tgt[:, None]).sum())
+                pos += len(window)
+            out.append(total)
+        return out
 
     def generate_until(self, reqs: Sequence[dict]):
         import torch

@@ -460,6 +460,16 @@ class Task:
                     # multi-true choices (TruthfulQA mc2): 0/1 mask per choice
                     req["gold_mask"] = [int(v) for v in doc[self.cfg.doc_to_gold_list]]
                 requests.append(req)
+            elif self.cfg.output_type == "loglikelihood_rolling":
+                # full-document perplexity (wikitext-style; reference:
+                # lm_eval loglikelihood_rolling + word/byte perplexity)
+                requests.append(
+                    {
+                        "type": "loglikelihood_rolling",
+                        "doc": doc,
+                        "text": self.doc_target(doc),
+                    }
+                )
             else:
                 raise ValueError(f"unknown output_type {self.cfg.output_type!r}")
         return requests

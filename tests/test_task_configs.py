@@ -77,7 +77,9 @@ def _is_indexed(cfg, field):
 def test_task_config_builds_requests(name, tmp_path):
     cfg = get_task(name)
     assert cfg.task == name
-    assert cfg.output_type in ("generate_until", "loglikelihood", "multiple_choice")
+    assert cfg.output_type in (
+        "generate_until", "loglikelihood", "multiple_choice", "loglikelihood_rolling"
+    )
 
     doc = _synth_doc(cfg)
     d = tmp_path / cfg.dataset_path
@@ -98,6 +100,8 @@ def test_task_config_builds_requests(name, tmp_path):
             assert len(req["gold_mask"]) == len(req["choices"])
     elif cfg.output_type == "loglikelihood":
         assert req["continuation"]
+    elif cfg.output_type == "loglikelihood_rolling":
+        assert req["text"]
     else:
         assert req["gen_kwargs"]["until"]
 

@@ -92,7 +92,8 @@ def test_task_config_builds_requests(name, tmp_path):
     reqs = task.build_requests()
     assert len(reqs) == 2
     req = reqs[0]
-    assert req["context"], f"{name}: empty prompt"
+    if cfg.output_type != "loglikelihood_rolling":
+        assert req["context"], f"{name}: empty prompt"
     if cfg.output_type == "multiple_choice":
         assert len(req["choices"]) >= 2
         assert 0 <= req["gold"] < len(req["choices"])

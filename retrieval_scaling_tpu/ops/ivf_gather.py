@@ -88,17 +88,31 @@ def ivf_scan_topk_pallas(
     tile_valid: jax.Array,    # [B, T] bool
     k: int,
     interpret: bool = False,
+    grouped: bool = False,
 ):
     """Drop-in for ``ivf_common.ivf_scan_topk`` on TPU.
 
-    Pallas gather+score kernel, then masked exact top-k over the [B, T*TILE]
-    candidate scores (two-stage select — T*TILE is at most a few tens of K).
+    Pallas gather+score kernel, then masked exact top-k over the
+    [B, T*TILE] candidate scores (two-stage select — T*TILE is at most a
+    few tens of K). ``grouped`` batches FL_TG tile DMAs per program like
+    the PQ scan; measured SLOWER for flat on a v5e (9.7 vs 8.0 ms at b64
+    nprobe64 — 196KB tile fetches are bandwidth-bound, not latency-bound,
+    and the grouped kernel pays an extra [FL_TG*TILE, D] f32 cast), so
+    per-tile stays the default.
     """
     from retrieval_scaling_tpu.ops.topk import NEG_INF, exact_topk_2stage
 
     b, t = tile_ids.shape
+    if grouped and t % FL_TG:
+        pad = FL_TG - t % FL_TG
+        tile_ids = jnp.pad(tile_ids, ((0, 0), (0, pad)))
+        tile_valid = jnp.pad(tile_valid, ((0, 0), (0, pad)))
+        t += pad
     safe_ids = jnp.where(tile_valid, tile_ids, 0)
-    scores = gather_score_tiles(queries, tiles, safe_ids, interpret=interpret)  # [B,T,TILE]
+    if grouped:
+        scores = gather_score_tiles_grouped(queries, tiles, safe_ids, interpret=interpret)
+    else:
+        scores = gather_score_tiles(queries, tiles, safe_ids, interpret=interpret)  # [B,T,TILE]
     rows = row_flat_ids.reshape(-1, TILE)[safe_ids]                             # [B,T,TILE]
     ok = tile_valid[:, :, None] & (rows >= 0)
     flat_scores = jnp.where(ok, scores, NEG_INF).reshape(b, t * TILE)
@@ -322,3 +336,69 @@ def pq_scan_topk_pallas(
         c_s = jnp.pad(c_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
         c_i = jnp.pad(c_i, ((0, 0), (0, k - kk)), constant_values=-1)
     return c_s, c_i
+
+
+# --------------------------------------------------------------------------
+# IVF-Flat grouped scan: FL_TG concurrent tile DMAs + one matmul per program
+# --------------------------------------------------------------------------
+FL_TG = 4
+
+
+def _flat_group_kernel(ids_ref, q_ref, tiles_hbm, out_ref, scratch, sems):
+    """Gather FL_TG probed [TILE, D] tiles concurrently, score them against
+    query b with ONE [FL_TG*TILE, D] x [D, 1] MXU pass — amortizes DMA
+    latency like the PQ grouped kernel (the per-tile pipeline stalls on
+    each 196KB fetch's latency; four in flight hide it)."""
+    bi, gi = pl.program_id(0), pl.program_id(1)
+
+    def dma(j):
+        tid = ids_ref[bi, gi * FL_TG + j]
+        return pltpu.make_async_copy(
+            tiles_hbm.at[tid], scratch.at[pl.ds(j * TILE, TILE), :], sems.at[j]
+        )
+
+    for j in range(FL_TG):
+        dma(j).start()
+    for j in range(FL_TG):
+        dma(j).wait()
+
+    d = q_ref.shape[2]
+    q = q_ref[0, 0].astype(jnp.float32).reshape(d, 1)
+    scores = jax.lax.dot_general(
+        scratch[:, :].astype(jnp.float32), q,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0, 0, :] = scores[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_score_tiles_grouped(
+    queries: jax.Array,    # [B, D]
+    tiles: jax.Array,      # [T_total, TILE, D] bf16/f32
+    tile_ids: jax.Array,   # [B, T] int32, T % FL_TG == 0
+    interpret: bool = False,
+) -> jax.Array:
+    b, d = queries.shape
+    t = tile_ids.shape[1]
+    assert t % FL_TG == 0, t
+    g = t // FL_TG
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, g),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda bi, gi, ids: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, FL_TG * TILE), lambda bi, gi, ids: (bi, gi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((FL_TG * TILE, d), tiles.dtype),
+            pltpu.SemaphoreType.DMA((FL_TG,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _flat_group_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, g, 1, FL_TG * TILE), jnp.float32),
+        interpret=interpret,
+    )(tile_ids, queries.astype(jnp.float32).reshape(b, 1, d), tiles)
+    return out.reshape(b, t, TILE)

@@ -313,3 +313,25 @@ def test_pq_gather_adc_matches_numpy():
     s_c, i_c = pq_scan_topk_pallas(*args, k=6, interpret=True, grouped=False)
     np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_c), atol=1e-4, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_c))
+
+
+def test_ivf_flat_grouped_matches_per_tile(rng):
+    """Grouped concurrent-DMA flat scan == per-tile kernel, including
+    schedule padding to an FL_TG multiple."""
+    from retrieval_scaling_tpu.ops.ivf_gather import ivf_scan_topk_pallas
+
+    t_total, tile, d, b, t = 12, 128, 64, 3, 7  # t not a multiple of FL_TG
+    tiles = rng.randn(t_total, tile, d).astype(np.float32)
+    row_ids = np.arange(t_total * tile, dtype=np.int32)
+    row_ids[::17] = -1
+    q = rng.randn(b, d).astype(np.float32)
+    tile_ids = rng.randint(0, t_total, (b, t)).astype(np.int32)
+    valid = rng.rand(b, t) > 0.2
+    args = (
+        jnp.asarray(q), jnp.asarray(tiles), jnp.asarray(row_ids),
+        jnp.asarray(tile_ids), jnp.asarray(valid),
+    )
+    s_g, i_g = ivf_scan_topk_pallas(*args, k=9, interpret=True, grouped=True)
+    s_p, i_p = ivf_scan_topk_pallas(*args, k=9, interpret=True, grouped=False)
+    np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_p), atol=1e-4, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_p))

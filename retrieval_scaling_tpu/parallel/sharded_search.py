@@ -20,9 +20,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from retrieval_scaling_tpu.ops.topk import chunked_topk_scores
 
 
-def shard_rows(mesh: Mesh, array: jax.Array) -> jax.Array:
-    """Place a [N, D] array row-sharded over the mesh's data axis."""
-    return jax.device_put(array, NamedSharding(mesh, P(("data",), None)))
+def shard_rows(mesh: Mesh, array: jax.Array, row_axes: tuple = ("data",)) -> jax.Array:
+    """Place a [N, D] array row-sharded over the mesh's row axes (the
+    data axis, plus the leading DCN axis on a hybrid multi-slice mesh)."""
+    return jax.device_put(array, NamedSharding(mesh, P(row_axes, None)))
 
 
 def replicate(mesh: Mesh, array: jax.Array) -> jax.Array:
@@ -30,36 +31,48 @@ def replicate(mesh: Mesh, array: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "chunk_size", "rows_per_shard")
+    jax.jit, static_argnames=("mesh", "k", "chunk_size", "rows_per_shard", "row_axes")
 )
 def sharded_flat_search(
     mesh: Mesh,
     queries: jax.Array,    # [B, D] replicated
-    database: jax.Array,   # [S * rows_per_shard, D] sharded over "data"
+    database: jax.Array,   # [S * rows_per_shard, D] sharded over row_axes
     n_valid: jax.Array,    # scalar int32: global count of real rows
     k: int,
     rows_per_shard: int,
     chunk_size: int = 131072,
     approx_recall: float | None = None,
+    row_axes: tuple = ("data",),
 ):
     """Global top-k over a row-sharded database. Returns replicated
     (scores [B, k], global_ids [B, k]). Exact by default;
     ``approx_recall`` switches the per-shard scan to ``lax.approx_max_k``
-    at the given recall target (serving fast path)."""
+    at the given recall target (serving fast path).
 
-    num_shards = mesh.shape["data"]
+    ``row_axes``: mesh axes the rows shard over — ``("data",)`` within a
+    slice, ``("dcn", "data")`` on a hybrid multi-slice mesh (the
+    candidate all_gather then makes one slow DCN hop after the fast ICI
+    gather; each shard still contributes only k candidates).
+    """
+
+    num_shards = 1
+    for ax in row_axes:
+        num_shards *= mesh.shape[ax]
 
     def local_search(q, db_local, n_valid_arr):
-        rank = jax.lax.axis_index("data")
+        rank = jnp.zeros((), jnp.int32)
+        for ax in row_axes:  # row-major rank over the row axes
+            rank = rank * mesh.shape[ax] + jax.lax.axis_index(ax)
         base = rank * rows_per_shard
         local_valid = jnp.clip(n_valid_arr[0] - base, 0, rows_per_shard)
         s, i = chunked_topk_scores(
             q, db_local, local_valid, k, chunk_size=chunk_size, approx_recall=approx_recall
         )
         gi = jnp.where(i >= 0, i + base, -1)
-        # Cross-shard merge over ICI: gather all candidates, global top-k.
-        all_s = jax.lax.all_gather(s, "data", axis=0)   # [S, B, k]
-        all_i = jax.lax.all_gather(gi, "data", axis=0)
+        # Cross-shard merge: gather all candidates (ICI within the slice,
+        # one DCN hop across slices on a hybrid mesh), global top-k.
+        all_s = jax.lax.all_gather(s, row_axes, axis=0)   # [S, B, k]
+        all_i = jax.lax.all_gather(gi, row_axes, axis=0)
         b = q.shape[0]
         cat_s = jnp.moveaxis(all_s, 0, 1).reshape(b, num_shards * k)
         cat_i = jnp.moveaxis(all_i, 0, 1).reshape(b, num_shards * k)
@@ -70,7 +83,7 @@ def sharded_flat_search(
     fn = jax.shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P(("data",), None), P()),
+        in_specs=(P(), P(row_axes, None), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -166,3 +166,52 @@ def test_k_exceeding_n_valid_ivf(tmp_path):
             assert 0 < len(passages[row]) <= 9
             assert len(scores[row]) == len(passages[row]) == len(db_ids[row])
             assert len({tuple(d) for d in db_ids[row]}) == len(db_ids[row])
+
+
+def test_hybrid_dcn_mesh_sharded_search():
+    """Multi-slice story: rows shard over ("dcn", "data") on a hybrid mesh;
+    the cross-shard merge gathers over both axes (ICI within a slice, one
+    DCN hop across slices) and must match the single-axis mesh exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.parallel.distributed import (
+        build_hybrid_mesh,
+        row_shard_axes,
+    )
+    from retrieval_scaling_tpu.parallel.sharded_search import (
+        replicate,
+        shard_rows,
+        sharded_flat_search,
+    )
+
+    # single process: treat 2 virtual "slices" x (2 data x 2 model)
+    mesh = build_hybrid_mesh(model_axis=2, dcn_data_axis=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    axes = row_shard_axes(mesh)
+    assert axes == ("dcn", "data")
+    n_row_shards = mesh.shape["dcn"] * mesh.shape["data"]
+
+    rng = np.random.RandomState(0)
+    rows_per_shard = 64
+    n = rows_per_shard * n_row_shards
+    db = rng.randn(n, 32).astype(np.float32)
+    q = rng.randn(3, 32).astype(np.float32)
+
+    scores, ids = sharded_flat_search(
+        mesh,
+        replicate(mesh, jnp.asarray(q)),
+        shard_rows(mesh, jnp.asarray(db), row_axes=axes),
+        n,
+        k=7,
+        rows_per_shard=rows_per_shard,
+        chunk_size=rows_per_shard,
+        row_axes=axes,
+    )
+    exact = q @ db.T
+    for r in range(3):
+        order = np.argsort(-exact[r])[:7]
+        np.testing.assert_array_equal(np.sort(np.asarray(ids)[r]), np.sort(order))
+        np.testing.assert_allclose(
+            np.asarray(scores)[r], exact[r][np.asarray(ids)[r]], rtol=1e-5
+        )

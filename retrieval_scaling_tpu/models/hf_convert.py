@@ -202,7 +202,7 @@ def gpt_neox_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "au
 # --------------------------------------------------------------------------
 # Llama family (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, TinyLlama)
 # --------------------------------------------------------------------------
-_LLAMA_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "gemma", "olmo", "olmo2")
+_LLAMA_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "olmo", "olmo2")
 
 
 def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig:
@@ -233,15 +233,24 @@ def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig
         attention_impl=attention_impl,
         # Gemma deltas: gelu-tanh MLP, zero-centered RMSNorm weights,
         # sqrt(d) embedding scaling, always-tied head.
-        hidden_act="gelu_tanh" if model_type == "gemma" else "silu",
-        rms_norm_offset=model_type == "gemma",
+        hidden_act="gelu_tanh" if model_type in ("gemma", "gemma2") else "silu",
+        rms_norm_offset=model_type in ("gemma", "gemma2"),
         embedding_multiplier=(
-            float(hf_config.hidden_size) ** 0.5 if model_type == "gemma" else 1.0
+            float(hf_config.hidden_size) ** 0.5
+            if model_type in ("gemma", "gemma2") else 1.0
         ),
+        # Gemma-2: pre+post norms, logit soft-capping, attn scale override.
+        attn_logit_softcap=getattr(hf_config, "attn_logit_softcapping", None),
+        final_logit_softcap=getattr(hf_config, "final_logit_softcapping", None),
+        query_pre_attn_scalar=getattr(hf_config, "query_pre_attn_scalar", None),
         # OLMo-1: non-parametric LayerNorm + optional QKV clipping;
         # OLMo-2: post-output RMSNorm + full-width q/k norm.
         norm_type="layernorm_np" if model_type == "olmo" else "rms",
-        norm_placement="post_output" if model_type == "olmo2" else "pre",
+        norm_placement=(
+            "post_output" if model_type == "olmo2"
+            else "pre_post" if model_type == "gemma2"
+            else "pre"
+        ),
         clip_qkv=getattr(hf_config, "clip_qkv", None),
         qk_norm_full=model_type == "olmo2",
     )
@@ -301,6 +310,10 @@ def llama_params_from_state_dict(
         if cfg.norm_placement == "post_output":  # OLMo-2
             layer["post_attn_norm"] = g(p + "post_attention_layernorm.weight")
             layer["post_mlp_norm"] = g(p + "post_feedforward_layernorm.weight")
+        elif cfg.norm_placement == "pre_post":  # Gemma-2
+            layer["post_attn_norm"] = g(p + "post_attention_layernorm.weight")
+            layer["post_mlp_norm"] = g(p + "post_feedforward_layernorm.weight")
+            layer["post_norm"] = g(p + "pre_feedforward_layernorm.weight")
         if cfg.attention_bias:
             layer["q_b"] = g(p + "self_attn.q_proj.bias").reshape(h, hd)
             layer["k_b"] = g(p + "self_attn.k_proj.bias").reshape(hkv, hd)

@@ -68,9 +68,15 @@ class LlamaConfig:
     # and optional QKV clipping; OLMo-2 applies RMSNorm to the attention /
     # MLP OUTPUTS (post-norm) and full-width q/k RMSNorm.
     norm_type: str = "rms"               # "rms" | "layernorm_np"
-    norm_placement: str = "pre"          # "pre" | "post_output" (OLMo-2)
+    # "pre" (llama) | "post_output" (OLMo-2) | "pre_post" (Gemma-2: norm
+    # both the sublayer INPUT and its OUTPUT — 4 norms per layer)
+    norm_placement: str = "pre"
     clip_qkv: float | None = None        # OLMo-1
     qk_norm_full: bool = False           # OLMo-2: RMSNorm over h*hd, not per head
+    # Gemma-2 soft-capping + attention scale override
+    attn_logit_softcap: float | None = None
+    final_logit_softcap: float | None = None
+    query_pre_attn_scalar: float | None = None
 
     @property
     def hd(self) -> int:
@@ -130,7 +136,7 @@ def init_llama_params(cfg: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> Pa
         elif cfg.qk_norm:
             layer["q_norm"] = jnp.ones((hd,), dtype)
             layer["k_norm"] = jnp.ones((hd,), dtype)
-        if cfg.norm_placement == "post_output":
+        if cfg.norm_placement in ("post_output", "pre_post"):
             layer["post_attn_norm"] = jnp.ones((d,), dtype)
             layer["post_mlp_norm"] = jnp.ones((d,), dtype)
         params["layers"].append(layer)
@@ -242,22 +248,30 @@ def llama_forward(
             return _layer_norm_np(v, cfg.rms_eps)
         return _rms_norm(v, scale, cfg.rms_eps, cfg.rms_norm_offset)
 
-    post = cfg.norm_placement == "post_output"
+    post_only = cfg.norm_placement == "post_output"   # OLMo-2
+    pre_post = cfg.norm_placement == "pre_post"       # Gemma-2
+    sm_scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None
+        else None
+    )
     for layer in params["layers"]:
-        h = x if post else norm(x, layer["input_norm"])
+        h = x if post_only else norm(x, layer["input_norm"])
         q, k, v = _qkv(layer, cfg, h)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
         k, v = repeat_kv(k, n_rep), repeat_kv(v, n_rep)
         attn = multi_head_attention(
-            q, k, v, kv_mask=kv_mask, causal=not bidirectional, impl=cfg.attention_impl
+            q, k, v, kv_mask=kv_mask, causal=not bidirectional,
+            impl=cfg.attention_impl, sm_scale=sm_scale,
+            logit_cap=cfg.attn_logit_softcap,
         )
         attn_out = jnp.einsum("bnsk,nkd->bsd", attn, layer["o_w"])
-        if post:  # OLMo-2: norm the sublayer OUTPUT
+        if post_only or pre_post:  # norm the sublayer OUTPUT
             attn_out = norm(attn_out, layer["post_attn_norm"])
         x = x + attn_out
 
-        h = x if post else norm(x, layer["post_norm"])
+        h = x if post_only else norm(x, layer["post_norm"])
         pre = jnp.dot(h, layer["gate_w"])
         gate = (
             jax.nn.gelu(pre, approximate=True)
@@ -265,7 +279,7 @@ def llama_forward(
             else jax.nn.silu(pre)
         )
         mlp_out = jnp.dot(gate * jnp.dot(h, layer["up_w"]), layer["down_w"])
-        if post:
+        if post_only or pre_post:
             mlp_out = norm(mlp_out, layer["post_mlp_norm"])
         x = x + mlp_out
 
@@ -274,7 +288,10 @@ def llama_forward(
 
 def llama_logits(params: Params, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+    logits = jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcap:  # Gemma-2
+        logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
+    return logits
 
 
 def llama_lm(

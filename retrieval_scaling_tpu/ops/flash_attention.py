@@ -41,12 +41,16 @@ def xla_attention(
     kv_mask: jax.Array | None = None,
     causal: bool = False,
     sm_scale: float | None = None,
+    logit_cap: float | None = None,
 ) -> jax.Array:
-    """Plain XLA attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] (True=keep)."""
+    """Plain XLA attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] (True=keep).
+    ``logit_cap``: Gemma-2 soft-capping, cap*tanh(scores/cap) pre-mask."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * sm_scale
+    if logit_cap:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
     if kv_mask is not None:
         scores = jnp.where(kv_mask[:, None, None, :], scores, NEG_INF)
     if causal:
@@ -239,6 +243,7 @@ def multi_head_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     impl: str = "auto",
+    logit_cap: float | None = None,
 ) -> jax.Array:
     """Dispatching attention entry point. q,k,v: [B, H, S, D].
 
@@ -254,8 +259,11 @@ def multi_head_attention(
         # S x S score tensor stops fitting on-chip.
         use_flash = jax.default_backend() == "tpu" and q.shape[2] >= 1024
         impl = "flash" if use_flash else "xla"
+    if logit_cap:
+        # soft-capping (Gemma-2) is not fused into the flash kernel yet
+        impl = "xla"
     if impl == "xla":
-        return xla_attention(q, k, v, kv_mask, causal, sm_scale)
+        return xla_attention(q, k, v, kv_mask, causal, sm_scale, logit_cap)
     if impl == "flash":
         if sm_scale is None:
             sm_scale = q.shape[-1] ** -0.5

@@ -344,3 +344,33 @@ def test_olmo2_parity(rng):
         llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids)))
     )
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_gemma2_parity(rng):
+    """Gemma-2: pre+post sublayer norms, attention/final logit
+    soft-capping, query_pre_attn_scalar attention scale. (Sliding-window
+    layers degenerate to full causal attention at S < window, which holds
+    for every sequence this reader serves at 4096-token windows.)"""
+    torch.manual_seed(6)
+    hf = transformers.Gemma2ForCausalLM(
+        transformers.Gemma2Config(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            intermediate_size=48, max_position_embeddings=64,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            query_pre_attn_scalar=16,
+        )
+    )
+    hf.eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert cfg.norm_placement == "pre_post"
+    assert cfg.attn_logit_softcap == 50.0
+    assert cfg.final_logit_softcap == 30.0
+    assert cfg.query_pre_attn_scalar == 16
+    ids = _ids(rng, v=96)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(
+        llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids)))
+    )
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

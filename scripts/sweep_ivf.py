@@ -48,6 +48,10 @@ def main():
     parser.add_argument("--queries", type=int, default=128)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--n-subquantizers", type=int, default=8)
+    parser.add_argument(
+        "--refine-factor", type=int, default=0,
+        help="IVFPQ: rerank PQ top (factor*k) with exact int8 rows",
+    )
     parser.add_argument("--n-bits", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -113,6 +117,7 @@ def main():
             probe=probes[0],
             n_subquantizers=args.n_subquantizers,
             n_bits=args.n_bits,
+            refine_factor=args.refine_factor,
             **common,
         )
 
@@ -133,6 +138,7 @@ def main():
                 {
                     "index": args.index_type,
                     "probe": probe,
+                    **({"refine_factor": args.refine_factor} if args.refine_factor else {}),
                     f"recall@{args.k}": round(float(np.mean(hits)), 4),
                     "ms_per_batch": round(ms, 2),
                     "qps": round(args.queries / (ms / 1e3), 1),

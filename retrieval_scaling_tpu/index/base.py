@@ -109,6 +109,7 @@ class Indexer:
                 n_subquantizers=self.args.n_subquantizers,
                 n_bits=self.args.n_bits,
                 refine_factor=self.args.get("pq_refine_factor", 0),
+                opq=self.args.get("pq_opq", False),
                 **common,
             )
         else:

@@ -160,6 +160,7 @@ class IVFPQIndex:
         probe_slack: float = 1.5,
         adc_mode: str = "gather",
         refine_factor: int = 0,
+        opq: bool = False,
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -182,6 +183,12 @@ class IVFPQIndex:
         # recall@10 0.31 -> 0.98 at refine_factor 4 on clustered data.
         # FAISS analog: IndexRefineFlat (at 8x the memory of int8 rows).
         self.refine_factor = int(refine_factor)
+        # OPQ (Ge et al.; FAISS 'OPQ{m}' transform): an orthogonal rotation
+        # trained to minimize PQ quantization error. Residuals rotate at
+        # encode time; queries rotate at LUT-build time (scores preserved
+        # by orthogonality). Measured on clustered data: meaningful raw-PQ
+        # recall gains at identical bytes/vector.
+        self.opq = bool(opq)
 
         if index_path and meta_file and os.path.exists(index_path) and os.path.exists(meta_file):
             logger.info("Loading IVF-PQ index from %s", index_path)
@@ -214,6 +221,7 @@ class IVFPQIndex:
     def _load_or_train(self, embed_paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         if self.trained_index_path and os.path.exists(self.trained_index_path):
             data = np.load(self.trained_index_path)
+            self.opq_rotation = data["opq_rotation"] if "opq_rotation" in data else None
             return data["centroids"], data["codebooks"]
         sample = self._sample(embed_paths)
         t0 = time.time()
@@ -223,9 +231,19 @@ class IVFPQIndex:
             assign_clusters(jnp.asarray(sample), jnp.asarray(centroids), self.ncentroids, metric="ip")
         )
         residuals = sample - centroids[assign]
-        codebooks = np.asarray(
-            pq_train_codebooks(residuals, self.m, self.n_bits, iters=self.pq_iters), np.float32
-        )
+        if self.opq:
+            from retrieval_scaling_tpu.ops.kmeans import opq_train
+
+            rotation, codebooks = opq_train(
+                residuals, self.m, self.n_bits, pq_iters=self.pq_iters
+            )
+            self.opq_rotation = rotation
+            codebooks = np.asarray(codebooks, np.float32)
+        else:
+            self.opq_rotation = None
+            codebooks = np.asarray(
+                pq_train_codebooks(residuals, self.m, self.n_bits, iters=self.pq_iters), np.float32
+            )
         logger.info(
             "Trained %d centroids + %dx%d PQ codebooks in %.1fs",
             self.ncentroids, self.m, 1 << self.n_bits, time.time() - t0,
@@ -233,7 +251,11 @@ class IVFPQIndex:
         if self.trained_index_path:
             os.makedirs(os.path.dirname(self.trained_index_path), exist_ok=True)
             base = self.trained_index_path[:-4] if self.trained_index_path.endswith(".npz") else self.trained_index_path
-            np.savez(base, centroids=centroids, codebooks=codebooks)
+            extra = (
+                {"opq_rotation": self.opq_rotation}
+                if self.opq_rotation is not None else {}
+            )
+            np.savez(base, centroids=centroids, codebooks=codebooks, **extra)
         return centroids, codebooks
 
     # ------------------------------------------------------------ build
@@ -258,6 +280,8 @@ class IVFPQIndex:
             assign_clusters(jnp.asarray(emb), jnp.asarray(centroids), self.ncentroids, metric="ip")
         )
         residuals = emb - centroids[assignments]
+        if getattr(self, "opq_rotation", None) is not None:
+            residuals = residuals @ self.opq_rotation
         codes = np.asarray(pq_encode(jnp.asarray(residuals), jnp.asarray(codebooks)))
         # lay codes out in the tiled CSR (layout works on any row payload)
         layout = build_list_layout(codes, assignments, self.ncentroids, TILE)
@@ -284,6 +308,11 @@ class IVFPQIndex:
                 if self.refine_rows_i8 is not None
                 else {}
             ),
+            **(
+                {"opq_rotation": self.opq_rotation}
+                if getattr(self, "opq_rotation", None) is not None
+                else {}
+            ),
         )
         np.save(meta_file + ".tmp.npy", self.index_id_to_db_id)
         os.replace(meta_file + ".tmp.npy", meta_file)
@@ -299,6 +328,7 @@ class IVFPQIndex:
             data["tile_count"], data["list_len"],
         )
         self.n_valid = int(data["n_valid"])
+        self.opq_rotation = data["opq_rotation"] if "opq_rotation" in data else None
         if "refine_rows_i8" in data:
             self.refine_rows_i8 = data["refine_rows_i8"]
             self.refine_scales = data["refine_scales"]
@@ -335,6 +365,11 @@ class IVFPQIndex:
             self.refine_scales_dev = jnp.asarray(self.refine_scales, jnp.float32)
         else:
             self.refine_rows_dev = None
+        self.opq_rotation_dev = (
+            jnp.asarray(self.opq_rotation, jnp.float32)
+            if getattr(self, "opq_rotation", None) is not None
+            else None
+        )
 
     # ------------------------------------------------------------ search
     def search_ids(self, query_embs: np.ndarray, k: int, nprobe: int | None = None):
@@ -346,11 +381,16 @@ class IVFPQIndex:
             probe_ids, self.tile_start_dev, self.tile_count_dev, max_tiles
         )
         # query LUT: q_sub . codebooks  -> [B, m, ksub]
+        # (queries rotate into OPQ space first: q.r == (qR).(rR))
+        if self.opq_rotation_dev is not None:
+            q_lut = jnp.dot(q, self.opq_rotation_dev, preferred_element_type=jnp.float32)
+        else:
+            q_lut = q
         b = q.shape[0]
         # actual dim from the trained codebooks (the configured
         # `dimension` may disagree with the embeddings on disk)
         dsub = int(self.codebooks.shape[2])
-        q_sub = q.reshape(b, self.m, dsub)
+        q_sub = q_lut.reshape(b, self.m, dsub)
         lut = jnp.einsum(
             "bmd,mkd->bmk", q_sub, self.codebooks_dev, preferred_element_type=jnp.float32
         )

@@ -206,3 +206,38 @@ def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
     m, ksub, dsub = codebooks.shape
     parts = [codebooks[j][codes[:, j].astype(jnp.int32)] for j in range(m)]
     return jnp.concatenate(parts, axis=-1)
+
+
+def opq_train(
+    data,
+    n_subquantizers: int,
+    n_bits: int = 8,
+    opq_iters: int = 8,
+    pq_iters: int = 10,
+    seed: int = 1,
+):
+    """OPQ: learn an orthogonal rotation R minimizing PQ quantization error
+    (Ge et al., Optimized Product Quantization; FAISS's 'OPQ{m}' transform).
+
+    Alternating optimization: train PQ codebooks on the rotated data, then
+    solve the orthogonal Procrustes problem R = U V^T from the SVD of
+    X^T X_hat. Scores are preserved because R is orthogonal:
+    q.r == (qR).(rR), so queries rotate at LUT-build time.
+
+    Returns (R [D, D], codebooks [m, ksub, dsub] trained on data @ R).
+    """
+    import numpy as np
+
+    x = np.asarray(data, np.float32)
+    d = x.shape[1]
+    r = np.eye(d, dtype=np.float32)
+    codebooks = None
+    for _ in range(max(opq_iters, 1)):
+        z = x @ r
+        codebooks = pq_train_codebooks(z, n_subquantizers, n_bits, iters=pq_iters, seed=seed)
+        codes = pq_encode(jnp.asarray(z), codebooks)
+        z_hat = np.asarray(pq_decode(codes, codebooks), np.float32)
+        # min_R ||X R - Z_hat||_F with R orthogonal: SVD of X^T Z_hat
+        u, _, vt = np.linalg.svd(x.T @ z_hat, full_matrices=False)
+        r = (u @ vt).astype(np.float32)
+    return r, codebooks

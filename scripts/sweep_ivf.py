@@ -52,6 +52,10 @@ def main():
         "--refine-factor", type=int, default=0,
         help="IVFPQ: rerank PQ top (factor*k) with exact int8 rows",
     )
+    parser.add_argument(
+        "--opq", action="store_true",
+        help="IVFPQ: train an OPQ rotation (same bytes/vector, better recall)",
+    )
     parser.add_argument("--n-bits", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -118,6 +122,7 @@ def main():
             n_subquantizers=args.n_subquantizers,
             n_bits=args.n_bits,
             refine_factor=args.refine_factor,
+            opq=args.opq,
             **common,
         )
 
@@ -139,6 +144,7 @@ def main():
                     "index": args.index_type,
                     "probe": probe,
                     **({"refine_factor": args.refine_factor} if args.refine_factor else {}),
+                    **({"opq": True} if args.opq else {}),
                     f"recall@{args.k}": round(float(np.mean(hits)), 4),
                     "ms_per_batch": round(ms, 2),
                     "qps": round(args.queries / (ms / 1e3), 1),

@@ -204,3 +204,53 @@ def test_refine_factor_improves_recall(tmp_path):
     _, i1 = saved.search_ids(q, 10)
     _, i2 = loaded.search_ids(q, 10)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_opq_rotation_improves_raw_pq_recall(tmp_path):
+    """OPQ (orthogonal rotation trained to minimize PQ error — FAISS's
+    OPQ{m} transform) must not hurt, and on correlated data should beat,
+    raw PQ recall at identical bytes/vector; persistence keeps R."""
+    import pickle
+
+    rng = np.random.RandomState(4)
+    n, d, intrinsic = 6000, 64, 12
+    w = rng.randn(intrinsic, d).astype(np.float32) / np.sqrt(intrinsic)
+    z = rng.randn(n, intrinsic).astype(np.float32)
+    data = (z @ w) + 0.02 * rng.randn(n, d).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    path = tmp_path / "passages_00.pkl"
+    with open(path, "wb") as f:
+        pickle.dump((list(range(n)), data.astype(np.float16)), f)
+
+    q = data[rng.choice(n, 8, replace=False)] + 0.01 * rng.randn(8, d).astype(np.float32)
+    exact = np.argsort(-(q @ data.T), axis=1)[:, :10]
+
+    common = dict(
+        embed_paths=[str(path)], dimension=d, sample_train_size=n,
+        ncentroids=16, probe=16, n_subquantizers=8, kmeans_iters=5, pq_iters=5,
+    )
+
+    def recall(index):
+        _, ids = index.search_ids(q, 10)
+        return np.mean([
+            len(set(map(int, ids[i])) & set(map(int, exact[i]))) / 10 for i in range(8)
+        ])
+
+    r_plain = recall(IVFPQIndex(**common))
+    opq_index = IVFPQIndex(**common, opq=True)
+    r_opq = recall(opq_index)
+    # R must be (numerically) orthogonal
+    rot = opq_index.opq_rotation
+    np.testing.assert_allclose(rot @ rot.T, np.eye(d), atol=1e-4)
+    assert r_opq >= r_plain - 0.05, (r_plain, r_opq)
+
+    # roundtrip keeps the rotation and reproduces results
+    idx_path = str(tmp_path / "idx" / "index.npz")
+    meta = str(tmp_path / "idx" / "index.ids.npy")
+    saved = IVFPQIndex(**common, opq=True, index_path=idx_path, meta_file=meta)
+    loaded = IVFPQIndex(**common, opq=True, index_path=idx_path, meta_file=meta)
+    assert loaded.opq_rotation is not None
+    _, i1 = saved.search_ids(q, 10)
+    _, i2 = loaded.search_ids(q, 10)
+    np.testing.assert_array_equal(i1, i2)
+    print("plain:", r_plain, "opq:", r_opq)

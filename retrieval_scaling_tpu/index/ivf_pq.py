@@ -8,10 +8,18 @@ layout as IVF-Flat but at ``m`` bytes/vector instead of ``2*D``.
 ADC on TPU: for inner product with residual encoding the score decomposes
 as ``q.c_list + sum_m LUT[m, code_m]`` where ``LUT = q_sub . codebooks`` is
 query-only — one [m, ksub] matmul per query, shared across all probed
-lists. The list scan streams uint8 code tiles (16-96x less HBM traffic
-than raw vectors — the reason PQ wins at datastore scale) and evaluates
-the LUT sum either by vectorized gather or as a one-hot MXU matmul
-(``adc_mode``).
+lists. On TPU the scan streams TRANSPOSED uint8 code tiles ([MP, TILE]:
+sublane-padded subquantizer rows x the tile's 128 vectors, lane-aligned
+at ~m bytes/vector) and evaluates the LUT sum with two
+``tpu.dynamic_gather`` lane-gathers against per-query [MP, 128] tables +
+one tiny MXU pass (ops/ivf_gather.py) — 16-96x less HBM traffic than raw
+vectors and ADC cheaper than the DMA, the reason PQ wins at datastore
+scale. The XLA fallback (CPU) keeps ``adc_mode`` gather/one-hot variants.
+
+Quality levers, both persisted with the index: ``opq`` trains an
+orthogonal OPQ rotation (FAISS OPQ transform analog) and
+``refine_factor`` re-ranks the PQ top (factor*k) candidates with exact
+per-row-scaled int8 inner products (FAISS IndexRefineFlat analog).
 """
 
 from __future__ import annotations

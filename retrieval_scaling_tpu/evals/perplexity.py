@@ -206,11 +206,14 @@ class JaxReader:
         )
 
     @classmethod
-    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None):
+    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None, tensor_parallel=False):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
         params, cfg = load_hf_reader(name_or_path)
-        return cls(params, cfg, load_tokenizer(name_or_path), batch_size, dtype, mesh=mesh)
+        return cls(
+            params, cfg, load_tokenizer(name_or_path), batch_size, dtype,
+            mesh=mesh, tensor_parallel=tensor_parallel,
+        )
 
     def score(self, contexts: List[str], targets: List[str]) -> List[float]:
         """Per-sample mean NLL over target tokens.
@@ -278,7 +281,7 @@ def _load_eval_examples(cfg) -> List[dict]:
 def evaluate_perplexity(cfg, reader: JaxReader | None = None, mesh=None) -> PplEvalOutput:
     """Task entry (reference: src/evaluate_perplexity.py:72-149)."""
     if cfg.tasks.eval.task_name == "perplexity_calibration":
-        return evaluate_calibration(cfg, reader)
+        return evaluate_calibration(cfg, reader, mesh=mesh)
 
     eval_args = cfg.evaluation
     eval_data = _load_eval_examples(cfg)
@@ -289,6 +292,7 @@ def evaluate_perplexity(cfg, reader: JaxReader | None = None, mesh=None) -> PplE
             cfg.model.lm_model,
             batch_size=eval_args.get("per_device_eval_batch_size", 8),
             mesh=mesh,
+            tensor_parallel=eval_args.get("reader_tensor_parallel", False),
         )
 
     per_sample = reader.score(contexts, answers)
@@ -301,7 +305,7 @@ def evaluate_perplexity(cfg, reader: JaxReader | None = None, mesh=None) -> PplE
     return out
 
 
-def evaluate_calibration(cfg, reader: JaxReader | None = None) -> PplEvalOutput:
+def evaluate_calibration(cfg, reader: JaxReader | None = None, mesh=None) -> PplEvalOutput:
     """Per-document calibration: score the answer under each retrieved doc
     separately and report the min-loss mixture
     (reference: src/evaluate_perplexity.py:219-324)."""
@@ -312,6 +316,8 @@ def evaluate_calibration(cfg, reader: JaxReader | None = None) -> PplEvalOutput:
         reader = JaxReader.from_pretrained(
             cfg.model.lm_model,
             batch_size=eval_args.get("per_device_eval_batch_size", 8),
+            mesh=mesh,
+            tensor_parallel=eval_args.get("reader_tensor_parallel", False),
         )
 
     k = eval_args.concate_k

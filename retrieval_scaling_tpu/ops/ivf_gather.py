@@ -140,10 +140,12 @@ def pq_sublane_pad(m: int) -> int:
 def transpose_code_tiles(codes_tm, m: int):
     """[T, TILE, m] uint8 -> transposed device layout [T, MP, TILE].
 
-    Rows = subquantizers (sublane-padded to MP), lanes = the tile's 128
-    vectors: each tile is a lane-aligned 2D block, so probed-tile DMAs need
-    no lane padding (the round-1 layout burned 8x code HBM for alignment)
-    and the in-kernel ADC can lane-gather per subquantizer row.
+    Rows = subquantizers (sublane-padded to MP = the uint8 VMEM tile
+    height 32), lanes = the tile's 128 vectors: each tile is a
+    lane-aligned 2D block, so probed-tile DMAs need no LANE padding. The
+    sublane pad costs 2x code HBM at m=16 (32 B/row) and nothing at
+    m >= 32 — vs the round-1 lane-padded layout's 8x (128 B/row) and
+    flat bf16's 1536 B/row.
     """
     import numpy as np
 

@@ -91,3 +91,12 @@ class CachingLM:
             for i, out in zip(missing, fresh):
                 cached[i] = out
         return list(cached)
+
+    def loglikelihood_rolling(self, texts):
+        keys, cached, missing = self._lookup("llr", [[t] for t in texts])
+        if missing:
+            fresh = self.lm.loglikelihood_rolling([texts[i] for i in missing])
+            self.cache.put_many([(keys[i], float(out)) for i, out in zip(missing, fresh)])
+            for i, out in zip(missing, fresh):
+                cached[i] = float(out)
+        return [float(v) for v in cached]

@@ -464,3 +464,20 @@ def test_jax_reader_rolling_matches_direct_scoring():
         pos += len(window)
     # cross-check at least the total token coverage invariant
     assert pos == len(ids)
+
+
+def test_caching_lm_rolling(tmp_path):
+    from retrieval_scaling_tpu.rag_eval.caching import CachingLM
+
+    calls = []
+
+    class LM:
+        def loglikelihood_rolling(self, texts):
+            calls.append(list(texts))
+            return [-1.5 * len(t.split()) for t in texts]
+
+    lm = CachingLM(LM(), str(tmp_path / "cache.db"))
+    out1 = lm.loglikelihood_rolling(["a b c", "d e"])
+    out2 = lm.loglikelihood_rolling(["a b c", "d e"])  # fully cached
+    assert out1 == out2 == [-4.5, -3.0]
+    assert len(calls) == 1

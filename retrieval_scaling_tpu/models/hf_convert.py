@@ -243,6 +243,10 @@ def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig
         attn_logit_softcap=getattr(hf_config, "attn_logit_softcapping", None),
         final_logit_softcap=getattr(hf_config, "final_logit_softcapping", None),
         query_pre_attn_scalar=getattr(hf_config, "query_pre_attn_scalar", None),
+        sliding_window=(
+            getattr(hf_config, "sliding_window", None)
+            if model_type == "gemma2" else None
+        ),
         # OLMo-1: non-parametric LayerNorm + optional QKV clipping;
         # OLMo-2: post-output RMSNorm + full-width q/k norm.
         norm_type="layernorm_np" if model_type == "olmo" else "rms",

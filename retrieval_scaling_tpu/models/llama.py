@@ -77,6 +77,10 @@ class LlamaConfig:
     attn_logit_softcap: float | None = None
     final_logit_softcap: float | None = None
     query_pre_attn_scalar: float | None = None
+    # Gemma-2 interleaves 4096-token sliding-window layers; local masks are
+    # NOT implemented, so forwards guard against sequences past the window
+    # (below it, sliding == full causal and HF parity holds exactly).
+    sliding_window: int | None = None
 
     @property
     def hd(self) -> int:
@@ -235,6 +239,13 @@ def llama_forward(
     bidirectional: bool = False,
 ) -> jax.Array:
     """Return final hidden states [B, S, D] (pre-lm-head)."""
+    if cfg.sliding_window is not None and input_ids.shape[1] > cfg.sliding_window:
+        raise ValueError(
+            f"sequence length {input_ids.shape[1]} exceeds the model's "
+            f"sliding window ({cfg.sliding_window}); interleaved local "
+            "attention is not implemented, so logits would silently "
+            "diverge from HF past the window"
+        )
     x = params["embed"][input_ids]
     if cfg.embedding_multiplier != 1.0:
         x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)

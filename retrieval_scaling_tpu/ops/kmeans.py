@@ -231,7 +231,6 @@ def opq_train(
     x = np.asarray(data, np.float32)
     d = x.shape[1]
     r = np.eye(d, dtype=np.float32)
-    codebooks = None
     for _ in range(max(opq_iters, 1)):
         z = x @ r
         codebooks = pq_train_codebooks(z, n_subquantizers, n_bits, iters=pq_iters, seed=seed)
@@ -240,4 +239,8 @@ def opq_train(
         # min_R ||X R - Z_hat||_F with R orthogonal: SVD of X^T Z_hat
         u, _, vt = np.linalg.svd(x.T @ z_hat, full_matrices=False)
         r = (u @ vt).astype(np.float32)
+    # final codebook fit on the FINAL rotation, so the returned (R,
+    # codebooks) pair is matched (the loop's last step updates R after
+    # fitting codebooks on the previous one)
+    codebooks = pq_train_codebooks(x @ r, n_subquantizers, n_bits, iters=pq_iters, seed=seed)
     return r, codebooks

@@ -56,6 +56,8 @@ def llama_reader_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             "k_norm": P(),
             "o_w": P("model", None, None),
             "post_norm": P(),
+            "post_attn_norm": P(),
+            "post_mlp_norm": P(),
             "gate_w": P(None, "model"),
             "up_w": P(None, "model"),
             "down_w": P("model", None),

@@ -79,16 +79,6 @@ def word_ngrams(s: str, n: int) -> Iterator[str]:
         yield " ".join(tokens[i : i + n])
 
 
-def word_ngrams_indices(s: str, n: int) -> Iterator[Tuple[str, Tuple[int, int]]]:
-    """(ngram, (char_start, char_end)) pairs over the original string."""
-    import re
-
-    words = [(m.group(0), m.start(), m.end() - 1) for m in re.finditer(r"\S+", s)]
-    for i in range(len(words) - n + 1):
-        chunk = words[i : i + n]
-        yield " ".join(w for w, _, _ in chunk), (chunk[0][1], chunk[-1][2])
-
-
 class Janitor:
     def __init__(
         self,

@@ -170,26 +170,43 @@ class JaxReaderLM:
         """Full-document loglikelihood in disjoint max_length windows
         (reference: lm-eval loglikelihood_rolling for wikitext-style
         word/byte perplexity): every token is scored exactly once, each
-        window anchored by the previous token (EOS for the first)."""
+        window anchored by the previous token (EOS for the first).
+
+        Windows from ALL documents pack together into length-sorted full
+        batches, like ``loglikelihood`` does — one row per device forward
+        would waste (batch_size-1)/batch_size of every pass."""
         jnp = self._jnp
-        out = []
-        for text in texts:
-            ids = self.tokenizer(text)["input_ids"]
-            total, pos = 0.0, 0
+        rows = []  # (doc_idx, row_ids, labels)
+        for di, text in enumerate(texts):
+            # no special tokens: a BOS would be scored as the first
+            # "predicted" token of every document (lm-eval encodes rolling
+            # text plain and anchors the first window with EOS)
+            ids = self.tokenizer(text, add_special_tokens=False)["input_ids"]
+            pos = 0
             while pos < len(ids):
                 prev = self._eos_id() if pos == 0 else ids[pos - 1]
                 window = ids[pos : pos + self.max_length - 1]
-                row = [prev] + window
-                width = _bucket(len(row), self.max_length)
-                ids_np = np.full((self.batch_size, width), self._eos_id(), np.int32)
-                lab_np = np.full((self.batch_size, width), -100, np.int32)
-                ids_np[0, : len(row)] = row
-                lab_np[0, 1 : len(row)] = window
-                ll, _ = self._row_ll(self.params, jnp.asarray(ids_np), jnp.asarray(lab_np))
-                total += float(np.asarray(ll)[0])
+                rows.append((di, [prev] + window, [-100] + window))
                 pos += len(window)
-            out.append(total)
-        return out
+
+        rows.sort(key=lambda r: len(r[1]))
+        totals = np.zeros(len(texts), np.float64)
+        pad_id = self._eos_id()
+        pos = 0
+        while pos < len(rows):
+            batch = rows[pos : pos + self.batch_size]
+            width = _bucket(max(len(r[1]) for r in batch), self.max_length)
+            ids_np = np.full((self.batch_size, width), pad_id, np.int32)
+            lab_np = np.full((self.batch_size, width), -100, np.int32)
+            for r, (_, row_ids, labels) in enumerate(batch):
+                ids_np[r, : len(row_ids)] = row_ids
+                lab_np[r, : len(labels)] = labels
+            ll, _ = self._row_ll(self.params, jnp.asarray(ids_np), jnp.asarray(lab_np))
+            ll = np.asarray(ll, np.float64)
+            for r, (di, _, _) in enumerate(batch):
+                totals[di] += ll[r]
+            pos += self.batch_size
+        return totals.tolist()
 
     # ------------------------------------------------------------ gen
     def _eos_id(self) -> int:
@@ -335,7 +352,7 @@ class HFTorchLM:
 
         out = []
         for text in texts:
-            ids = self.tokenizer(text)["input_ids"]
+            ids = self.tokenizer(text, add_special_tokens=False)["input_ids"]
             total, pos = 0.0, 0
             while pos < len(ids):
                 prev = self._eos_id() if pos == 0 else ids[pos - 1]

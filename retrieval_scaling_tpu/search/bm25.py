@@ -33,6 +33,12 @@ logger = logging.getLogger(__name__)
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
+# Bump whenever the analysis chain (tokenizer / stemmer / stopwords)
+# changes: a persisted index stores analyzed terms, so loading one built
+# with a different analyzer silently breaks term matching. 2 = full
+# Porter stemmer (1 was the round-1 light suffix-stripper).
+ANALYZER_VERSION = 2
+
 _STOPWORDS = frozenset(
     """a an and are as at be but by for if in into is it no not of on or such
     that the their then there these they this to was will with""".split()
@@ -113,11 +119,20 @@ class BM25Index:
             post_tfs=self.post_tfs,
             doc_lens=self.doc_lens,
             params=np.asarray([self.k1, self.b], np.float32),
+            analyzer_version=np.int64(ANALYZER_VERSION),
         )
 
     @classmethod
     def load(cls, path: str) -> "BM25Index":
         data = np.load(path)
+        saved_version = int(data["analyzer_version"]) if "analyzer_version" in data else 1
+        if saved_version != ANALYZER_VERSION:
+            raise ValueError(
+                f"BM25 index at {path} was built with analyzer version "
+                f"{saved_version}, but this build analyzes queries with "
+                f"version {ANALYZER_VERSION} (Porter stemmer) — stored terms "
+                "would not match query terms. Rebuild the index."
+            )
         vocab = json.loads(bytes(data["vocab"]).decode())
         k1, b = data["params"]
         return cls(

@@ -234,7 +234,8 @@ class RetrievalEngine:
 
     def search_batch(self, queries: List[str], n_docs: int = 10) -> List[Dict[str, list]]:
         """Direct batched search (bypasses the batcher; for bulk clients)."""
-        return self._process_batch(queries, n_docs)
+        staged = self._device_batch(queries, n_docs)
+        return self._finish_batch(queries, n_docs, staged)
 
     def smoke_test(self, query: str = "when was the moon landing?") -> Dict[str, list]:
         """Startup self-check (reference: api/api_index.py:70-86)."""

@@ -1,6 +1,7 @@
 import json
 import os
 
+import pytest
 import numpy as np
 
 from retrieval_scaling_tpu.config import config_from_dict
@@ -155,3 +156,29 @@ def test_analysis_uses_porter():
     from retrieval_scaling_tpu.search.bm25 import analyze
 
     assert analyze("The conflated operators are hopping") == ["conflat", "oper", "hop"]
+
+
+def test_analyzer_version_mismatch_rejected(tmp_path):
+    """A persisted index stores analyzed terms; loading one built with a
+    different analyzer (e.g. the round-1 light stemmer) must fail loudly
+    instead of silently missing every stem-divergent term."""
+    import numpy as np
+    import pytest
+
+    docs = [f"running dogs {i}" for i in range(4)]
+    index = BM25Index.build(docs)
+    path = str(tmp_path / "bm25.npz")
+    index.save(path)
+    assert BM25Index.load(path).n_docs == 4  # same version loads
+
+    data = dict(np.load(path))
+    data["analyzer_version"] = np.int64(1)
+    np.savez(path[:-4], **data)
+    with pytest.raises(ValueError, match="analyzer version"):
+        BM25Index.load(path)
+
+    # pre-versioning files (no field) are treated as version 1
+    del data["analyzer_version"]
+    np.savez(path[:-4], **data)
+    with pytest.raises(ValueError, match="analyzer version"):
+        BM25Index.load(path)

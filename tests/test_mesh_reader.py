@@ -131,12 +131,20 @@ def test_llama_reader_tp_specs_cover_params():
     from retrieval_scaling_tpu.models.llama import LlamaConfig, init_llama_params
     from retrieval_scaling_tpu.parallel.reader_tp import reader_param_specs
 
-    cfg = LlamaConfig(
-        vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
-        num_kv_heads=2, intermediate_size=64, max_position_embeddings=64,
-    )
-    params = init_llama_params(cfg, jax.random.PRNGKey(0))
-    specs = reader_param_specs(params)
-    # every param leaf has a spec leaf
-    jax.tree.map(lambda p, s: None, params, specs,
-                 is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+    # plain llama, OLMo-2-style (post-output norms + full qk norm), and
+    # Gemma-2-style (pre_post norms) trees must all be covered
+    for kw in (
+        {},
+        {"norm_placement": "post_output", "qk_norm_full": True},
+        {"norm_placement": "pre_post", "hidden_act": "gelu_tanh"},
+    ):
+        cfg = LlamaConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=64, max_position_embeddings=64,
+            **kw,
+        )
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+        specs = reader_param_specs(params)
+        # every param leaf has a spec leaf
+        jax.tree.map(lambda p, s: None, params, specs,
+                     is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))

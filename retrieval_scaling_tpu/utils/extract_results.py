@@ -278,3 +278,36 @@ def plot_per_shard_variance(
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------- lm-eval
+def lm_eval_results_table(result_dir: str, task_filter: str | None = None):
+    """Collect rag_eval --output_path jsons under a directory into one
+    table with (file, task, n-doc, metric columns) rows — the reference's
+    ``extract_lm_eval_results`` walker (utils/extract_results.py:160-224)
+    over its results tree."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+
+    rows = []
+    for path in sorted(_glob.glob(_os.path.join(result_dir, "**", "*.json"), recursive=True)):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        if not isinstance(rec, dict) or "results" not in rec:
+            continue
+        for task, metrics in rec["results"].items():
+            if task_filter and task_filter not in task:
+                continue
+            rows.append({"file": _os.path.relpath(path, result_dir), "task": task, **metrics})
+        for group, metrics in rec.get("groups", {}).items():
+            if task_filter and task_filter not in group:
+                continue
+            rows.append(
+                {"file": _os.path.relpath(path, result_dir), "task": f"group:{group}", **metrics}
+            )
+    return pd.DataFrame(rows)

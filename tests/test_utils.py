@@ -159,3 +159,28 @@ def test_calibration_analysis(tmp_path):
     assert (vdf[vdf["n_shards"] == 1]["count"] == 3).all()
     plot_per_shard_variance(pd.DataFrame(rows), str(tmp_path / "var.png"))
     assert (tmp_path / "var.png").exists()
+
+
+def test_lm_eval_results_table(tmp_path):
+    import json as _json
+
+    from retrieval_scaling_tpu.utils.extract_results import lm_eval_results_table
+
+    for sub, acc in (("run1", 0.5), ("run2", 0.7)):
+        d = tmp_path / sub
+        d.mkdir()
+        with open(d / "out.json", "w") as f:
+            _json.dump(
+                {
+                    "results": {"nq_open": {"exact_match": acc, "n-doc": 3, "samples": 10}},
+                    "groups": {"mmlu": {"acc": acc / 2, "n-doc": 3, "samples": 20}},
+                },
+                f,
+            )
+    df = lm_eval_results_table(str(tmp_path))
+    assert len(df) == 4
+    assert set(df["task"]) == {"nq_open", "group:mmlu"}
+    nq = df[df["task"] == "nq_open"].sort_values("exact_match")
+    assert list(nq["exact_match"]) == [0.5, 0.7]
+    only_mmlu = lm_eval_results_table(str(tmp_path), task_filter="mmlu")
+    assert set(only_mmlu["task"]) == {"group:mmlu"}

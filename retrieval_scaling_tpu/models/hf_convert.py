@@ -247,6 +247,11 @@ def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig
             getattr(hf_config, "sliding_window", None)
             if model_type == "gemma2" else None
         ),
+        sliding_pattern=(
+            tuple(t == "sliding_attention" for t in hf_config.layer_types)
+            if model_type == "gemma2" and getattr(hf_config, "layer_types", None)
+            else None
+        ),
         # OLMo-1: non-parametric LayerNorm + optional QKV clipping;
         # OLMo-2: post-output RMSNorm + full-width q/k norm.
         norm_type="layernorm_np" if model_type == "olmo" else "rms",

@@ -77,10 +77,11 @@ class LlamaConfig:
     attn_logit_softcap: float | None = None
     final_logit_softcap: float | None = None
     query_pre_attn_scalar: float | None = None
-    # Gemma-2 interleaves 4096-token sliding-window layers; local masks are
-    # NOT implemented, so forwards guard against sequences past the window
-    # (below it, sliding == full causal and HF parity holds exactly).
+    # Gemma-2 interleaves sliding-window layers with full-attention ones;
+    # layers where sliding_pattern is True mask keys outside
+    # (q - sliding_window, q] (HF layer_types semantics).
     sliding_window: int | None = None
+    sliding_pattern: tuple | None = None  # per-layer bool, True = sliding
 
     @property
     def hd(self) -> int:
@@ -239,13 +240,6 @@ def llama_forward(
     bidirectional: bool = False,
 ) -> jax.Array:
     """Return final hidden states [B, S, D] (pre-lm-head)."""
-    if cfg.sliding_window is not None and input_ids.shape[1] > cfg.sliding_window:
-        raise ValueError(
-            f"sequence length {input_ids.shape[1]} exceeds the model's "
-            f"sliding window ({cfg.sliding_window}); interleaved local "
-            "attention is not implemented, so logits would silently "
-            "diverge from HF past the window"
-        )
     x = params["embed"][input_ids]
     if cfg.embedding_multiplier != 1.0:
         x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
@@ -266,7 +260,15 @@ def llama_forward(
         if cfg.query_pre_attn_scalar is not None
         else None
     )
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
+        window = None
+        if (
+            cfg.sliding_window is not None
+            and cfg.sliding_pattern is not None
+            and cfg.sliding_pattern[li]
+            and not bidirectional
+        ):
+            window = cfg.sliding_window
         h = x if post_only else norm(x, layer["input_norm"])
         q, k, v = _qkv(layer, cfg, h)
         q = apply_rotary(q, cos, sin)
@@ -276,6 +278,7 @@ def llama_forward(
             q, k, v, kv_mask=kv_mask, causal=not bidirectional,
             impl=cfg.attention_impl, sm_scale=sm_scale,
             logit_cap=cfg.attn_logit_softcap,
+            window=window,
         )
         attn_out = jnp.einsum("bnsk,nkd->bsd", attn, layer["o_w"])
         if post_only or pre_post:  # norm the sublayer OUTPUT

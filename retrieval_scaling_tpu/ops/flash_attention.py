@@ -42,9 +42,12 @@ def xla_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     logit_cap: float | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Plain XLA attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] (True=keep).
-    ``logit_cap``: Gemma-2 soft-capping, cap*tanh(scores/cap) pre-mask."""
+    ``logit_cap``: Gemma-2 soft-capping, cap*tanh(scores/cap) pre-mask.
+    ``window``: causal sliding window — key j visible to query i iff
+    i - window < j <= i (HF's sliding_window semantics)."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -53,11 +56,14 @@ def xla_attention(
         scores = logit_cap * jnp.tanh(scores / logit_cap)
     if kv_mask is not None:
         scores = jnp.where(kv_mask[:, None, None, :], scores, NEG_INF)
-    if causal:
+    if causal or window is not None:
         sq, sk = q.shape[2], k.shape[2]
         qi = jnp.arange(sq)[:, None] + (sk - sq)
         ki = jnp.arange(sk)[None, :]
-        scores = jnp.where((ki <= qi)[None, None], scores, NEG_INF)
+        keep = ki <= qi
+        if window is not None:
+            keep = keep & (ki > qi - window)
+        scores = jnp.where(keep[None, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
 
@@ -244,6 +250,7 @@ def multi_head_attention(
     sm_scale: float | None = None,
     impl: str = "auto",
     logit_cap: float | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Dispatching attention entry point. q,k,v: [B, H, S, D].
 
@@ -259,11 +266,12 @@ def multi_head_attention(
         # S x S score tensor stops fitting on-chip.
         use_flash = jax.default_backend() == "tpu" and q.shape[2] >= 1024
         impl = "flash" if use_flash else "xla"
-    if logit_cap:
-        # soft-capping (Gemma-2) is not fused into the flash kernel yet
+    if logit_cap or window is not None:
+        # soft-capping / sliding windows (Gemma-2) are not fused into the
+        # flash kernel yet
         impl = "xla"
     if impl == "xla":
-        return xla_attention(q, k, v, kv_mask, causal, sm_scale, logit_cap)
+        return xla_attention(q, k, v, kv_mask, causal, sm_scale, logit_cap, window)
     if impl == "flash":
         if sm_scale is None:
             sm_scale = q.shape[-1] ** -0.5

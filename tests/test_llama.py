@@ -376,21 +376,36 @@ def test_gemma2_parity(rng):
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
 
 
-def test_gemma2_sliding_window_guard(rng):
-    """Sequences past the sliding window must fail loudly (interleaved
-    local attention is not implemented; silence would mean divergence)."""
+def test_gemma2_sliding_window_parity(rng):
+    """Interleaved sliding-window layers (HF layer_types) must match HF
+    logits for sequences LONGER than the window — the local mask really
+    masks."""
     torch.manual_seed(7)
     hf = transformers.Gemma2ForCausalLM(
         transformers.Gemma2Config(
             vocab_size=96, hidden_size=32, num_hidden_layers=2,
             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
             intermediate_size=48, max_position_embeddings=64,
-            sliding_window=16,
+            sliding_window=8,
         )
     )
+    hf.eval()
     params, cfg = llama_from_hf_model(hf)
-    assert cfg.sliding_window == 16
-    ok_ids = jnp.asarray(_ids(rng, s=16, v=96))
-    llama_forward(params, cfg, ok_ids)  # at the window: fine
-    with pytest.raises(ValueError, match="sliding window"):
-        llama_forward(params, cfg, jnp.asarray(_ids(rng, s=20, v=96)))
+    assert cfg.sliding_window == 8
+    assert cfg.sliding_pattern == (True, False)  # even layers sliding
+    ids = _ids(rng, s=24, v=96)  # 3x the window
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(
+        llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids)))
+    )
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+    # sanity: with the pattern disabled, long-range logits would differ
+    import dataclasses
+
+    cfg_nowin = dataclasses.replace(cfg, sliding_pattern=None)
+    got_nowin = np.asarray(
+        llama_logits(params, cfg_nowin, llama_forward(params, cfg_nowin, jnp.asarray(ids)))
+    )
+    assert np.abs(got_nowin - ref).max() > 1e-3

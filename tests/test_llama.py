@@ -409,3 +409,28 @@ def test_gemma2_sliding_window_parity(rng):
         llama_logits(params, cfg_nowin, llama_forward(params, cfg_nowin, jnp.asarray(ids)))
     )
     assert np.abs(got_nowin - ref).max() > 1e-3
+
+
+def test_mistral_sliding_window_parity(rng):
+    """Mistral v0.1 slides on EVERY layer; logits must match HF beyond
+    the window."""
+    torch.manual_seed(8)
+    hf = transformers.MistralForCausalLM(
+        transformers.MistralConfig(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=48, max_position_embeddings=64,
+            sliding_window=8,
+        )
+    )
+    hf.eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert cfg.sliding_window == 8
+    assert cfg.sliding_pattern == (True, True)
+    ids = _ids(rng, s=24, v=96)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(
+        llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids)))
+    )
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

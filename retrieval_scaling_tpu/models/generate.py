@@ -29,6 +29,7 @@ from retrieval_scaling_tpu.models.gpt_neox import (
 )
 from retrieval_scaling_tpu.models.llama import (
     LlamaConfig,
+    _layer_norm_np,
     _qkv as _llama_qkv,
     _rms_norm,
     repeat_kv,
@@ -56,14 +57,23 @@ def init_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def _attention_with_cache(q, keys, values, q_pos, key_valid):
+def _attention_with_cache(
+    q, keys, values, q_pos, key_valid,
+    sm_scale=None, logit_cap=None, window=None,
+):
     """q: [B, H, S, hd]; keys/values: [B, H, M, hd]; q_pos: [B, S];
-    key_valid: [B, M] — full mask attention (keys beyond q_pos excluded)."""
+    key_valid: [B, M] — full mask attention (keys beyond q_pos excluded;
+    ``window`` additionally hides keys at positions <= q_pos - window;
+    ``logit_cap`` = Gemma-2 tanh soft-capping)."""
     scores = jnp.einsum("bhsd,bhmd->bhsm", q.astype(jnp.float32), keys.astype(jnp.float32))
-    scores = scores * (q.shape[-1] ** -0.5)
+    scores = scores * (sm_scale if sm_scale is not None else q.shape[-1] ** -0.5)
+    if logit_cap:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
     m = keys.shape[2]
     key_pos = jnp.arange(m)[None, None, None, :]             # [1,1,1,M]
     ok = key_valid[:, None, None, :] & (key_pos <= q_pos[:, None, :, None])
+    if window is not None:
+        ok = ok & (key_pos > q_pos[:, None, :, None] - window)
     scores = jnp.where(ok, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhsm,bhmd->bhsd", probs.astype(values.dtype), values)
@@ -119,12 +129,22 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
     return x, new_k, new_v
 
 
-def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positions, key_valid, write_onehot):
-    """Llama-family block writing grouped K/V into the cache.
+def _llama_norm(cfg: LlamaConfig, v, scale):
+    if cfg.norm_type == "layernorm_np":
+        return _layer_norm_np(v, cfg.rms_eps)
+    return _rms_norm(v, scale, cfg.rms_eps, cfg.rms_norm_offset)
+
+
+def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positions, key_valid, write_onehot, window=None):
+    """Llama-family block writing grouped K/V into the cache — mirrors
+    ``llama_forward`` across the family variants (Gemma/Gemma-2/OLMo-1/2:
+    norm type/placement, gelu-tanh MLP, soft-capping, sliding windows).
 
     Cache holds ``num_kv_heads``; queries repeat them at attention time.
     """
-    h = _rms_norm(x, layer["input_norm"], cfg.rms_eps)
+    post_only = cfg.norm_placement == "post_output"
+    pre_post = cfg.norm_placement == "pre_post"
+    h = x if post_only else _llama_norm(cfg, x, layer["input_norm"])
     q, k, v = _llama_qkv(layer, cfg, h)  # q: [B,H,S,hd]; k,v: [B,Hkv,S,hd]
 
     cos_all, sin_all = _llama_rotary_cos_sin(cache_k.shape[2], cfg.hd, cfg.rope_base, cfg=cfg)
@@ -144,12 +164,30 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
     new_v = cache_v + jnp.einsum("bms,bhsd->bhmd", write_onehot, v.astype(cache_v.dtype))
 
     n_rep = cfg.num_heads // cfg.num_kv_heads
-    attn = _attention_with_cache(q, repeat_kv(new_k, n_rep), repeat_kv(new_v, n_rep), positions, key_valid)
-    x = x + jnp.einsum("bhsk,hkd->bsd", attn, layer["o_w"])
+    sm_scale = (
+        cfg.query_pre_attn_scalar ** -0.5
+        if cfg.query_pre_attn_scalar is not None else None
+    )
+    attn = _attention_with_cache(
+        q, repeat_kv(new_k, n_rep), repeat_kv(new_v, n_rep), positions, key_valid,
+        sm_scale=sm_scale, logit_cap=cfg.attn_logit_softcap, window=window,
+    )
+    attn_out = jnp.einsum("bhsk,hkd->bsd", attn, layer["o_w"])
+    if post_only or pre_post:
+        attn_out = _llama_norm(cfg, attn_out, layer["post_attn_norm"])
+    x = x + attn_out
 
-    h = _rms_norm(x, layer["post_norm"], cfg.rms_eps)
-    gate = jax.nn.silu(jnp.dot(h, layer["gate_w"]))
-    x = x + jnp.dot(gate * jnp.dot(h, layer["up_w"]), layer["down_w"])
+    h = x if post_only else _llama_norm(cfg, x, layer["post_norm"])
+    pre = jnp.dot(h, layer["gate_w"])
+    gate = (
+        jax.nn.gelu(pre, approximate=True)
+        if cfg.hidden_act == "gelu_tanh"
+        else jax.nn.silu(pre)
+    )
+    mlp_out = jnp.dot(gate * jnp.dot(h, layer["up_w"]), layer["down_w"])
+    if post_only or pre_post:
+        mlp_out = _llama_norm(cfg, mlp_out, layer["post_mlp_norm"])
+    x = x + mlp_out
     return x, new_k, new_v
 
 
@@ -172,25 +210,41 @@ def forward_with_cache(
     max_len = cache.k.shape[3]
     is_llama = isinstance(cfg, LlamaConfig)
     x = params["embed"][input_ids] if is_llama else params["embed_in"][input_ids]
+    if is_llama and cfg.embedding_multiplier != 1.0:
+        x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
 
     slots = jnp.arange(max_len)[None, :, None]                      # [1, M, 1]
     write_onehot = (slots == positions[:, None, :]).astype(cache.k.dtype)  # [B, M, S]
     if write_mask is not None:
         write_onehot = write_onehot * write_mask[:, None, :].astype(cache.k.dtype)
 
-    block = _llama_block_with_cache if is_llama else _block_with_cache
     new_ks, new_vs = [], []
     for li, layer in enumerate(params["layers"]):
-        x, nk, nv = block(
-            layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid, write_onehot
-        )
+        if is_llama:
+            window = None
+            if (
+                cfg.sliding_window is not None
+                and cfg.sliding_pattern is not None
+                and cfg.sliding_pattern[li]
+            ):
+                window = cfg.sliding_window
+            x, nk, nv = _llama_block_with_cache(
+                layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid,
+                write_onehot, window=window,
+            )
+        else:
+            x, nk, nv = _block_with_cache(
+                layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid, write_onehot
+            )
         new_ks.append(nk)
         new_vs.append(nv)
 
     if is_llama:
-        x = _rms_norm(x, params["final_norm"], cfg.rms_eps)
+        x = _llama_norm(cfg, x, params["final_norm"])
         head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
         logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+        if cfg.final_logit_softcap:
+            logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
     else:
         x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
         logits = jnp.dot(x, params["embed_out"], preferred_element_type=jnp.float32)

@@ -102,3 +102,51 @@ def test_sampled_generation_varies_with_seed(params):
     a = np.asarray(gen(params, ids, jnp.asarray([6], jnp.int32), 0))
     b = np.asarray(gen(params, ids, jnp.asarray([6], jnp.int32), 1))
     assert not np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("family", ["gemma2", "olmo2", "gemma", "mistral_swa"])
+def test_family_variant_generation_matches_hf(family):
+    """Greedy KV-cache generation must reproduce HF .generate for the
+    architecture variants (soft-capping, pre/post norms, norm offsets,
+    embedding scaling, sliding windows) — a silently-wrong cache block
+    would otherwise only show up as bad generations."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from retrieval_scaling_tpu.models.hf_convert import llama_from_hf_model
+
+    torch.manual_seed(11)
+    kw = dict(
+        vocab_size=96, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=48, max_position_embeddings=64,
+    )
+    if family == "gemma2":
+        hf = transformers.Gemma2ForCausalLM(
+            transformers.Gemma2Config(head_dim=16, sliding_window=8, **kw)
+        )
+    elif family == "gemma":
+        hf = transformers.GemmaForCausalLM(
+            transformers.GemmaConfig(head_dim=16, **kw)
+        )
+    elif family == "olmo2":
+        hf = transformers.Olmo2ForCausalLM(transformers.Olmo2Config(**kw))
+    else:  # mistral with sliding window
+        hf = transformers.MistralForCausalLM(
+            transformers.MistralConfig(sliding_window=8, **kw)
+        )
+    hf.eval()
+    params, cfg = llama_from_hf_model(hf)
+
+    rng = np.random.RandomState(4)
+    prompt = rng.randint(2, 96, (1, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor(prompt.astype(np.int64)), max_new_tokens=5,
+            do_sample=False, pad_token_id=0, eos_token_id=None,
+        )[0, 12:].numpy()
+
+    gen = make_generate_fn(cfg, max_new_tokens=5, eos_id=0)
+    params_j = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+    out = np.asarray(gen(params_j, jnp.asarray(prompt), jnp.asarray([12], jnp.int32), 0))
+    np.testing.assert_array_equal(out[0], ref)

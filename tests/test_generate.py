@@ -104,7 +104,7 @@ def test_sampled_generation_varies_with_seed(params):
     assert not np.array_equal(a, b)
 
 
-@pytest.mark.parametrize("family", ["gemma2", "olmo2", "gemma", "mistral_swa"])
+@pytest.mark.parametrize("family", ["gemma2", "olmo2", "olmo1", "gemma", "mistral_swa"])
 def test_family_variant_generation_matches_hf(family):
     """Greedy KV-cache generation must reproduce HF .generate for the
     architecture variants (soft-capping, pre/post norms, norm offsets,
@@ -131,6 +131,10 @@ def test_family_variant_generation_matches_hf(family):
         )
     elif family == "olmo2":
         hf = transformers.Olmo2ForCausalLM(transformers.Olmo2Config(**kw))
+    elif family == "olmo1":
+        hf = transformers.OlmoForCausalLM(
+            transformers.OlmoConfig(clip_qkv=8.0, **{**kw, "num_key_value_heads": 4})
+        )
     else:  # mistral with sliding window
         hf = transformers.MistralForCausalLM(
             transformers.MistralConfig(sliding_window=8, **kw)

@@ -156,6 +156,29 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
                 # set-level Matthews correlation (GLUE CoLA): collect binary
                 # (pred, gold) pairs, aggregate after the loop.
                 metric_values.setdefault("_mcc_pairs", []).append((pred, gold))
+            if "f1" in task.cfg.metric_list:
+                # set-level binary F1 (MC-TACO; reference: lm_eval f1
+                # aggregation over yes/no predictions).
+                metric_values.setdefault("_f1_pairs", []).append((pred, gold))
+            if {"r@1", "r@2", "mrr"} & set(task.cfg.metric_list):
+                # likelihood-ranking metrics (MuTual; reference:
+                # lm_eval/tasks/mutual/utils.py process_results).
+                rank = 1 + sum(1 for ll in lls if ll > lls[gold])
+                if "r@1" in task.cfg.metric_list:
+                    metric_values.setdefault("r@1", []).append(float(rank == 1))
+                if "r@2" in task.cfg.metric_list:
+                    metric_values.setdefault("r@2", []).append(float(rank <= 2))
+                if "mrr" in task.cfg.metric_list:
+                    metric_values.setdefault("mrr", []).append(1.0 / rank)
+            if "pct_stereotype" in task.cfg.metric_list:
+                # CrowS-Pairs bias probe: choices = [sent_more, sent_less]
+                # (reference: lm_eval/tasks/crows_pairs/utils.py).
+                metric_values.setdefault("pct_stereotype", []).append(
+                    float(lls[0] > lls[1])
+                )
+                metric_values.setdefault("likelihood_diff", []).append(
+                    abs(lls[0] - lls[1])
+                )
 
     scores = {}
     for name, vals in metric_values.items():
@@ -168,6 +191,12 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             scores["word_perplexity"] = math.exp(-ll / words)
             scores["byte_perplexity"] = math.exp(-ll / bytes_)
             scores["bits_per_byte"] = -ll / bytes_ / math.log(2)
+        elif name == "_f1_pairs":
+            tp = sum(1 for p, g in vals if p == 1 and g == 1)
+            fp = sum(1 for p, g in vals if p == 1 and g == 0)
+            fn = sum(1 for p, g in vals if p == 0 and g == 1)
+            denom = 2 * tp + fp + fn
+            scores["f1"] = 2 * tp / denom if denom else 0.0
         elif name == "_mcc_pairs":
             tp = sum(1 for p, g in vals if p == 1 and g == 1)
             tn = sum(1 for p, g in vals if p == 0 and g == 0)
@@ -177,6 +206,12 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             scores["mcc"] = (tp * tn - fp * fn) / denom if denom else 0.0
         else:
             scores[name] = aggregate_mean(vals)
+    if "perplexity" in task.cfg.metric_list and "loglikelihood" in metric_values:
+        # lm-eval's `perplexity` aggregation over loglikelihood requests
+        # (LAMBADA): exp of the negated mean target loglikelihood.
+        import math
+
+        scores["perplexity"] = math.exp(-aggregate_mean(metric_values["loglikelihood"]))
     return scores
 
 

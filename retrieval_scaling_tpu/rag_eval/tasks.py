@@ -30,6 +30,14 @@ from typing import Any, Dict, List, Optional
 
 import yaml
 
+from retrieval_scaling_tpu.rag_eval.task_families import (
+    AGIEVAL_EN_SUBSETS,
+    BBH_ZEROSHOT_DESCRIPTIONS,
+    BLIMP_PARADIGMS,
+    WMDP_TOPICS,
+    build_derived_families,
+)
+
 
 @dataclass
 class TaskConfig:
@@ -165,6 +173,14 @@ MMLU_SUBJECT_CATEGORIES: Dict[str, str] = {
 }
 assert len(MMLU_SUBJECT_CATEGORIES) == 57
 
+# Derived task families: `<family>_<subtask>` tasks materialize from the
+# `<family>.yaml` template with `dataset_path=<family>/<subtask>` plus the
+# recorded per-subtask overrides (reference: one generated YAML per subtask,
+# e.g. lm_eval/tasks/blimp/*.yaml from _template_yaml).
+DERIVED_FAMILIES: Dict[str, Dict[str, Dict[str, Any]]] = build_derived_families(
+    MMLU_SUBJECT_CATEGORIES
+)
+
 GROUPS: Dict[str, List[str]] = {
     "mmlu": [f"mmlu_{s}" for s in sorted(MMLU_SUBJECT_CATEGORIES)],
     **{
@@ -184,6 +200,28 @@ GROUPS: Dict[str, List[str]] = {
     ],
     "lambada": ["lambada_openai", "lambada_standard"],
     "truthfulqa": ["truthfulqa_mc1", "truthfulqa_mc2"],
+    "blimp": [f"blimp_{p}" for p in BLIMP_PARADIGMS],
+    "bbh_zeroshot": [f"bbh_zeroshot_{t}" for t in sorted(BBH_ZEROSHOT_DESCRIPTIONS)],
+    "wmdp": [f"wmdp_{s}" for s in sorted(WMDP_TOPICS)],
+    "agieval_en": [f"agieval_{s}" for s in AGIEVAL_EN_SUBSETS],
+    # English-only build: the full agieval rollup equals the _en subset
+    # (reference also defines gaokao/Chinese members we don't ship).
+    "agieval": [f"agieval_{s}" for s in AGIEVAL_EN_SUBSETS],
+    "hendrycks_ethics": [
+        "ethics_cm", "ethics_deontology", "ethics_justice",
+        "ethics_utilitarianism", "ethics_virtue",
+    ],
+    "lambada_cloze": ["lambada_openai_cloze", "lambada_standard_cloze"],
+    "qa4mre": ["qa4mre_2011", "qa4mre_2012", "qa4mre_2013"],
+    "gpqa": ["gpqa_main", "gpqa_extended", "gpqa_diamond"],
+    "crows_pairs": ["crows_pairs_english"],
+    "pawsx": ["paws_en"],
+    "storycloze": ["storycloze_2016"],
+    "super_glue": ["boolq", "cb", "copa", "multirc", "rte", "wic", "wsc"],
+    "unscramble": [
+        "anagrams1", "anagrams2", "cycle_letters", "random_insertion",
+        "reversed_words",
+    ],
 }
 
 
@@ -233,15 +271,17 @@ def list_tasks() -> List[str]:
     for d in [_BUILTIN_DIR] + _EXTRA_DIRS:
         for p in glob.glob(os.path.join(d, "*.yaml")):
             names.append(os.path.splitext(os.path.basename(p))[0])
-    names.extend(f"mmlu_{s}" for s in MMLU_SUBJECT_CATEGORIES)
+    for family, subs in DERIVED_FAMILIES.items():
+        names.extend(f"{family}_{s}" for s in subs)
     names.extend(GROUPS)
     return sorted(set(names))
 
 
 def get_task(name: str) -> TaskConfig:
-    if name in GROUPS and name != "mmlu":
-        # "mmlu" doubles as the subject template yaml; other groups have no
-        # standalone config — they expand via expand_task_list.
+    if name in GROUPS and name not in DERIVED_FAMILIES:
+        # Family names (mmlu, blimp, …) double as the subtask template yaml;
+        # other groups have no standalone config — they expand via
+        # expand_task_list.
         raise KeyError(
             f"{name!r} is a task GROUP ({len(GROUPS[name])} members); pass it "
             "to simple_evaluate/expand_task_list rather than get_task"
@@ -252,20 +292,37 @@ def get_task(name: str) -> TaskConfig:
             return TaskConfig.from_yaml(path)
     if os.path.exists(name) and name.endswith((".yaml", ".yml")):
         return TaskConfig.from_yaml(name)
-    if name.startswith("mmlu_"):
-        # Per-subject MMLU subtasks (reference: lm_eval/tasks/mmlu/* — 57
-        # subject tasks, each with its own retrieval file via
-        # --retrieval_dir): derive from the mmlu template, data under
-        # mmlu/<subject>/{split}.jsonl.
-        subject = name[len("mmlu_"):]
-        cfg = get_task("mmlu")
-        return dataclasses.replace(
-            cfg, task=name, dataset_path=os.path.join("mmlu", subject)
-        )
+    for family, subs in DERIVED_FAMILIES.items():
+        # Derived subtasks (reference: lm_eval/tasks/<family>/* — one
+        # generated yaml per subtask, each with its own retrieval file via
+        # --retrieval_dir): derive from the family template, data under
+        # <family>/<subtask>/{split}.jsonl.
+        prefix = family + "_"
+        if name.startswith(prefix) and name[len(prefix):] in subs:
+            sub = name[len(prefix):]
+            cfg = get_task(family)
+            return dataclasses.replace(
+                cfg,
+                task=name,
+                dataset_path=os.path.join(family, sub),
+                **subs[sub],
+            )
     raise KeyError(f"Unknown task {name!r}; known: {list_tasks()}")
 
 
 # ---------------------------------------------------------------- documents
+def _gold_index(doc: dict) -> int:
+    """Gold choice index from the doc's `gold`/`label` field.
+
+    List-valued golds (AGIEval stores `gold: [idx]`) resolve to their first
+    element, matching the reference's `{{gold[0]}}`-style accessors.
+    """
+    gold = doc.get("gold", doc.get("label", 0))
+    if isinstance(gold, list):
+        gold = gold[0] if gold else 0
+    return int(gold)
+
+
 def _render(template: str, doc: dict) -> str:
     """str.format with list indexing ({answer[0]}) and bare-field fallback."""
     if template in doc:  # bare field name
@@ -337,7 +394,7 @@ class Task:
                     pass
             if choices is not None:
                 try:
-                    return choices[int(doc.get("gold", doc.get("label", 0)))]
+                    return choices[_gold_index(doc)]
                 except (IndexError, TypeError, ValueError):
                     pass
             if rendered is not None:
@@ -454,7 +511,7 @@ class Task:
                     "choices": [
                         self.cfg.target_delimiter + c for c in self.doc_choices(doc)
                     ],
-                    "gold": int(doc.get("gold", doc.get("label", 0))),
+                    "gold": _gold_index(doc),
                 }
                 if self.cfg.doc_to_gold_list:
                     # multi-true choices (TruthfulQA mc2): 0/1 mask per choice

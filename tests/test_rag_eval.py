@@ -481,3 +481,92 @@ def test_caching_lm_rolling(tmp_path):
     out2 = lm.loglikelihood_rolling(["a b c", "d e"])  # fully cached
     assert out1 == out2 == [-4.5, -3.0]
     assert len(calls) == 1
+
+
+# ------------------------------------------------- new-family metrics
+class _ScriptedLL:
+    """loglikelihood driven by a (ctx, cont) -> ll callable (tests only)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def loglikelihood(self, pairs):
+        return [(float(self.fn(ctx, cont)), False) for ctx, cont in pairs]
+
+
+def test_mutual_ranking_metrics(tmp_path):
+    d = tmp_path / "mutual" / "mutual"
+    d.mkdir(parents=True)
+    doc = {"article": "M: hello. F: hi.", "options": ["a", "b", "c", "d"], "gold": 1}
+    (d / "validation.jsonl").write_text(json.dumps(doc) + "\n")
+    # gold option "b" ranks 2nd behind "d": r@1=0, r@2=1, mrr=1/2
+    lls = {" a": -5.0, " b": -2.0, " c": -6.0, " d": -1.0}
+    lm = _ScriptedLL(lambda ctx, cont: lls[cont])
+    res = simple_evaluate(lm, ["mutual"], data_root=str(tmp_path))
+    scores = res["results"]["mutual"]
+    assert scores["r@1"] == 0.0
+    assert scores["r@2"] == 1.0
+    assert scores["mrr"] == 0.5
+
+
+def test_crows_pairs_metrics(tmp_path):
+    d = tmp_path / "crows_pairs" / "english"
+    d.mkdir(parents=True)
+    doc = {"sent_more": "stereo sentence", "sent_less": "astereo sentence"}
+    (d / "test.jsonl").write_text(json.dumps(doc) + "\n")
+    lm = _ScriptedLL(lambda ctx, cont: -1.0 if cont.startswith("stereo") else -3.0)
+    res = simple_evaluate(lm, ["crows_pairs_english"], data_root=str(tmp_path))
+    scores = res["results"]["crows_pairs_english"]
+    assert scores["pct_stereotype"] == 1.0
+    assert scores["likelihood_diff"] == pytest.approx(2.0)
+
+
+def test_mc_taco_binary_f1(tmp_path):
+    d = tmp_path / "mc_taco"
+    d.mkdir()
+    rows = [
+        {"sentence": "s0", "question": "q", "answer": "a", "label": 1},
+        {"sentence": "s1", "question": "q", "answer": "a", "label": 1},
+        {"sentence": "s2", "question": "q", "answer": "a", "label": 0},
+    ]
+    with open(d / "test.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    # predict yes for s0/s2, no for s1: tp=1, fp=1, fn=1 -> f1 = 2/4
+    def fn(ctx, cont):
+        say_yes = "s0" in ctx or "s2" in ctx
+        return -1.0 if (cont == " yes") == say_yes else -2.0
+
+    res = simple_evaluate(_ScriptedLL(fn), ["mc_taco"], data_root=str(tmp_path))
+    scores = res["results"]["mc_taco"]
+    assert scores["f1"] == pytest.approx(0.5)
+    assert scores["acc"] == pytest.approx(1 / 3)
+
+
+def test_lambada_perplexity_metric(tmp_path):
+    import math
+
+    d = tmp_path / "lambada_openai"
+    d.mkdir()
+    rows = [{"context": "a b c", "answer": "d"}, {"context": "e f g", "answer": "h"}]
+    with open(d / "test.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    lm = _ScriptedLL(lambda ctx, cont: -2.0 if " d" == cont else -4.0)
+    res = simple_evaluate(lm, ["lambada_openai"], data_root=str(tmp_path))
+    assert res["results"]["lambada_openai"]["perplexity"] == pytest.approx(math.exp(3.0))
+
+
+def test_blimp_group_rollup(tmp_path):
+    for paradigm, flip in [("adjunct_island", False), ("causative", True)]:
+        d = tmp_path / "blimp" / paradigm
+        d.mkdir(parents=True)
+        doc = {"sentence_good": "good one", "sentence_bad": "bad one"}
+        (d / "train.jsonl").write_text(json.dumps(doc) + "\n")
+    lm = _ScriptedLL(lambda ctx, cont: -1.0 if "good" in cont else -2.0)
+    res = simple_evaluate(
+        lm, ["blimp_adjunct_island", "blimp_causative"], data_root=str(tmp_path)
+    )
+    assert res["results"]["blimp_adjunct_island"]["acc"] == 1.0
+    assert res["results"]["blimp_causative"]["acc"] == 1.0

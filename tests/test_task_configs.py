@@ -8,6 +8,7 @@ import re
 import pytest
 
 from retrieval_scaling_tpu.rag_eval.tasks import (
+    DERIVED_FAMILIES,
     GROUPS,
     MMLU_SUBJECT_CATEGORIES,
     Task,
@@ -15,10 +16,12 @@ from retrieval_scaling_tpu.rag_eval.tasks import (
     list_tasks,
 )
 
+DERIVED_NAMES = {
+    f"{family}_{sub}" for family, subs in DERIVED_FAMILIES.items() for sub in subs
+}
 CONFIG_TASKS = [
-    t for t in list_tasks()
-    if t not in GROUPS and not (t.startswith("mmlu_") and t[5:] in MMLU_SUBJECT_CATEGORIES)
-]
+    t for t in list_tasks() if t not in GROUPS and t not in DERIVED_NAMES
+] + sorted(DERIVED_FAMILIES)  # family templates double as group names
 
 
 def _field_names(template: str):
@@ -54,9 +57,10 @@ def _synth_doc(cfg):
         doc[cfg.doc_to_choice] = ["choice_a", "choice_b", "choice_c", "choice_d"]
     if cfg.doc_to_gold_list:
         doc[cfg.doc_to_gold_list] = [1, 0, 1, 0]
-    # common gold fields
-    doc.setdefault("label", 0)
-    doc.setdefault("gold", 0)
+    # common gold fields (always index-valued by data-prep convention,
+    # even when doc_to_target templates over them)
+    doc["label"] = 0
+    doc["gold"] = 0
     if "answer" in _field_names(cfg.doc_to_target or "") and not isinstance(
         doc.get("answer"), dict
     ):
@@ -92,7 +96,9 @@ def test_task_config_builds_requests(name, tmp_path):
     reqs = task.build_requests()
     assert len(reqs) == 2
     req = reqs[0]
-    if cfg.output_type != "loglikelihood_rolling":
+    if cfg.output_type != "loglikelihood_rolling" and cfg.doc_to_text != "":
+        # empty doc_to_text is legitimate for whole-sequence scoring tasks
+        # (BLiMP, CrowS-Pairs, PAWS: the choices carry the full sentence)
         assert req["context"], f"{name}: empty prompt"
     if cfg.output_type == "multiple_choice":
         assert len(req["choices"]) >= 2
@@ -112,8 +118,61 @@ def test_task_config_builds_requests(name, tmp_path):
 
 
 def test_registry_has_reference_scale_coverage():
-    """Breadth gate: >= 60 concrete tasks + the 57 MMLU subjects + groups."""
+    """Breadth gate: >= 85 concrete configs + >= 160 derived subtasks."""
     names = list_tasks()
-    assert len(CONFIG_TASKS) >= 60, len(CONFIG_TASKS)
+    assert len(CONFIG_TASKS) >= 85, len(CONFIG_TASKS)
     assert sum(1 for n in names if n.startswith("mmlu_")) >= 57
-    assert {"mmlu", "glue", "anli", "arithmetic", "truthfulqa"} <= set(GROUPS)
+    assert sum(1 for n in names if n.startswith("blimp_")) == 67
+    assert sum(1 for n in names if n.startswith("bbh_zeroshot_")) == 27
+    assert len(DERIVED_NAMES) >= 160
+    assert {
+        "mmlu", "glue", "anli", "arithmetic", "truthfulqa", "blimp",
+        "bbh_zeroshot", "wmdp", "agieval_en", "hendrycks_ethics",
+        "super_glue", "unscramble", "gpqa", "qa4mre", "lambada_cloze",
+    } <= set(GROUPS)
+
+
+@pytest.mark.parametrize(
+    "name,dataset_path",
+    [
+        ("blimp_adjunct_island", "blimp/adjunct_island"),
+        ("bbh_zeroshot_word_sorting", "bbh_zeroshot/word_sorting"),
+        ("wmdp_bio", "wmdp/bio"),
+        ("agieval_lsat_ar", "agieval/lsat_ar"),
+        ("mmlu_astronomy", "mmlu/astronomy"),
+    ],
+)
+def test_derived_task_resolution(name, dataset_path):
+    cfg = get_task(name)
+    assert cfg.task == name
+    assert cfg.dataset_path == dataset_path
+
+
+def test_derived_task_overrides_apply():
+    assert "Boolean expression" in get_task("bbh_zeroshot_boolean_expressions").description
+    assert "biology" in get_task("wmdp_bio").description
+    assert "chemistry" in get_task("wmdp_chem").description
+
+
+def test_blimp_requests_score_good_vs_bad(tmp_path):
+    d = tmp_path / "blimp" / "adjunct_island"
+    d.mkdir(parents=True)
+    doc = {"sentence_good": "The cat sleeps.", "sentence_bad": "The cat sleep."}
+    (d / "train.jsonl").write_text(json.dumps(doc) + "\n")
+    task = Task(get_task("blimp_adjunct_island"), data_root=str(tmp_path))
+    (req,) = task.build_requests()
+    assert req["type"] == "multiple_choice"
+    assert req["context"] == ""
+    assert req["gold"] == 0
+    assert req["choices"] == [" The cat sleeps.", " The cat sleep."]
+
+
+def test_agieval_list_gold_resolves(tmp_path):
+    d = tmp_path / "agieval" / "aqua_rat"
+    d.mkdir(parents=True)
+    doc = {"query": "Q: 1+1? A:", "choices": ["1", "2", "3"], "gold": [1]}
+    (d / "test.jsonl").write_text(json.dumps(doc) + "\n")
+    task = Task(get_task("agieval_aqua_rat"), data_root=str(tmp_path))
+    (req,) = task.build_requests()
+    assert req["gold"] == 1
+    assert task.doc_target(doc) == "2"

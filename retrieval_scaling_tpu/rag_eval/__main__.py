@@ -54,6 +54,15 @@ def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int =
             api_key=model_args.get("api_key", None),
             batch_size=batch_size,
         )
+    if model in ("anthropic", "anthropic-chat", "local-chat-completions"):
+        from retrieval_scaling_tpu.rag_eval.models import AnthropicCompatLM
+
+        return AnthropicCompatLM(
+            base_url=model_args.get("base_url", "https://api.anthropic.com"),
+            model=model_args.get("model", model_args.get("pretrained", "")),
+            api_key=model_args.get("api_key", None),
+            batch_size=batch_size,
+        )
     if model == "hf-torch":
         from retrieval_scaling_tpu.rag_eval.models import HFTorchLM
 

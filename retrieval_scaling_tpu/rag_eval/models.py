@@ -479,3 +479,90 @@ class OpenAICompatLM:
             )
             results.append(resp["choices"][0]["text"])
         return results
+
+
+class AnthropicCompatLM:
+    """Backend for Anthropic-compatible Messages APIs — the reference's
+    anthropic_llms.py analog (reference: lm_eval/models/anthropic_llms.py).
+
+    The Messages surface exposes no logprobs, so like the reference this
+    backend supports ``generate_until`` only and raises on loglikelihood
+    requests. No SDK dependency — plain urllib against ``base_url``.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str,
+        api_key: str | None = None,
+        batch_size: int = 8,
+        timeout_s: float = 120.0,
+        anthropic_version: str = "2023-06-01",
+        system: str | None = None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.batch_size = batch_size
+        self.timeout_s = timeout_s
+        self.anthropic_version = anthropic_version
+        self.system = system
+
+    def _post(self, route: str, payload: dict) -> dict:
+        import json as _json
+        import urllib.request
+
+        headers = {
+            "Content-Type": "application/json",
+            "anthropic-version": self.anthropic_version,
+        }
+        if self.api_key:
+            headers["x-api-key"] = self.api_key
+        req = urllib.request.Request(
+            self.base_url + route, data=_json.dumps(payload).encode(), headers=headers
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return _json.loads(resp.read())
+
+    def loglikelihood(self, pairs: Sequence[Tuple[str, str]]):
+        raise NotImplementedError(
+            "Anthropic Messages API exposes no logprobs; loglikelihood/"
+            "multiple_choice tasks need a logits backend (reference parity: "
+            "lm_eval/models/anthropic_llms.py raises the same)"
+        )
+
+    def loglikelihood_rolling(self, texts: Sequence[str]):
+        raise NotImplementedError(
+            "Anthropic Messages API exposes no logprobs (see loglikelihood)"
+        )
+
+    def generate_until(self, reqs: Sequence[dict]):
+        results = []
+        for req in reqs:
+            gen = req["gen_kwargs"]
+            payload = {
+                "model": self.model,
+                "max_tokens": gen.get("max_gen_toks", 32),
+                "temperature": 0.0,
+                "messages": [{"role": "user", "content": req["context"]}],
+            }
+            if self.system:
+                payload["system"] = self.system
+            until = [s for s in gen.get("until", []) if s.strip()]
+            if until:
+                # the API rejects whitespace-only stop sequences
+                payload["stop_sequences"] = until
+            resp = self._post("/v1/messages", payload)
+            text = "".join(
+                block.get("text", "")
+                for block in resp.get("content", [])
+                if block.get("type", "text") == "text"
+            )
+            # API stops BEFORE emitting the stop sequence, but lm-eval
+            # semantics truncate at the first occurrence anyway in case the
+            # server echoed it.
+            for stop in gen.get("until", []):
+                if stop and stop in text:
+                    text = text.split(stop)[0]
+            results.append(text)
+        return results

@@ -289,3 +289,60 @@ def test_named_filter_pipelines_gsm8k_style(tmp_path):
     cfg = get_task("gsm8k")
     assert cfg.apply_filter_steps("x #### 1,234", cfg.filters[0]["steps"]) == "1234"
     assert cfg.apply_filter_steps("no canonical", cfg.filters[0]["steps"]) == "[invalid]"
+
+
+def test_anthropic_compat_backend_against_mock_server():
+    """AnthropicCompatLM drives any /v1/messages server (reference analog:
+    lm_eval/models/anthropic_llms.py); verified against a local mock."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from retrieval_scaling_tpu.rag_eval.models import AnthropicCompatLM
+
+    requests_seen = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            payload = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            requests_seen.append((self.path, dict(self.headers), payload))
+            resp = {
+                "content": [{"type": "text", "text": "Paris\nextra trailing"}],
+                "stop_reason": "end_turn",
+            }
+            blob = json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        lm = AnthropicCompatLM(
+            f"http://127.0.0.1:{server.server_port}", model="mock-model", api_key="k"
+        )
+        outs = lm.generate_until([
+            {"context": "Q: capital of France?\nA:",
+             "gen_kwargs": {"until": ["\n", "Q:"], "max_gen_toks": 16}}
+        ])
+        assert outs == ["Paris"]  # client-side truncation at "\n"
+        path, headers, payload = requests_seen[0]
+        assert path == "/v1/messages"
+        assert headers["x-api-key".title()] == "k" or headers.get("x-api-key") == "k"
+        assert payload["model"] == "mock-model"
+        assert payload["max_tokens"] == 16
+        assert payload["messages"] == [
+            {"role": "user", "content": "Q: capital of France?\nA:"}
+        ]
+        # whitespace-only stop sequences are filtered out
+        assert payload["stop_sequences"] == ["Q:"]
+
+        with pytest.raises(NotImplementedError):
+            lm.loglikelihood([("a", "b")])
+    finally:
+        server.shutdown()

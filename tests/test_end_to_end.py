@@ -65,6 +65,12 @@ def pipeline_env(tmp_path_factory):
     )
     encoder = tiny_encoder(tokenizer)
     reader = tiny_reader(tokenizer)
+    # Run the build stages once up front (each is idempotent via
+    # skip-if-exists) so every test in this module is self-contained —
+    # required when pytest-xdist schedules tests on different workers.
+    generate_passage_embeddings(cfg, encoder=encoder)
+    build_dense_index(cfg)
+    search_dense_topk(cfg, encoder=encoder, tokenizer=tokenizer)
     return cfg, encoder, reader, tokenizer
 
 
@@ -72,7 +78,7 @@ def test_stage1_embedding(pipeline_env):
     cfg, encoder, _, _ = pipeline_env
     generate_passage_embeddings(cfg, encoder=encoder)
     emb_dir = cfg.datastore.embedding.embedding_dir
-    files = sorted(os.listdir(emb_dir))
+    files = sorted(f for f in os.listdir(emb_dir) if f.endswith(".pkl"))
     assert files == ["passages_00.pkl", "passages_01.pkl"]
     import pickle
 

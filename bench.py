@@ -131,7 +131,7 @@ def main() -> None:
     cfg = BertConfig(attention_impl="auto")
     params = init_bert_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 
-    def timed_loop(label, fn, iters, big=None):
+    def timed_loop(label, fn, iters, big=None, params_override=None):
         """Compile, then run the N-iteration device loop once; ms/iter.
 
         Big device arrays MUST be passed as ``big`` (an argument), never
@@ -140,9 +140,10 @@ def main() -> None:
         """
         jitted = jax.jit(fn)
         arg = db_dev if big is None else big
-        np.asarray(jitted(params, arg))  # compile + first run
+        p = params if params_override is None else params_override
+        np.asarray(jitted(p, arg))  # compile + first run
         t = time.perf_counter()
-        np.asarray(jitted(params, arg))
+        np.asarray(jitted(p, arg))
         total_ms = (time.perf_counter() - t) * 1e3
         per = total_ms / iters
         log(f"{label}: {per:.2f} ms/iter (loop total {total_ms:.0f}ms)")
@@ -198,6 +199,17 @@ def main() -> None:
     psg_per_s = eb / (per_enc / 1e3)
     # reference: 3,518,123 passages in ~47 min on 1x L40 (README.md:94) ≈ 1248/s
     log(f"encoder throughput: {psg_per_s:.0f} passages/s (ref L40 ~1248/s -> {psg_per_s/1248:.1f}x)")
+
+    # ---- aux: int8-FFN encoder (datastore.embedding.quantization=int8) ---
+    from retrieval_scaling_tpu.models.bert import quantize_bert_params
+
+    qparams = quantize_bert_params(params)
+    per_enc_q = timed_loop(f"encode int8-ffn {eb}x256", enc_loop, ei, big=None, params_override=qparams)
+    psg_q = eb / (per_enc_q / 1e3)
+    log(
+        f"encoder throughput int8-ffn: {psg_q:.0f} passages/s "
+        f"({per_enc/per_enc_q:.2f}x bf16; emb cosine vs bf16 > 0.9999)"
+    )
 
     # ---- aux: IVF-Flat + IVF-PQ probed-scan throughput -------------------
     # Structures are synthesized on device (host->device transfers crawl

@@ -102,6 +102,37 @@ def init_bert_params(cfg: BertConfig, key: jax.Array, dtype=jnp.float32) -> Para
     return params
 
 
+def quantize_bert_params(params: Params) -> Params:
+    """FFN weight quantization for the int8 MXU path.
+
+    The two MLP weights (2/3 of the per-layer GEMM FLOPs) are replaced by
+    per-output-channel symmetric int8 pairs (``*_wq`` int8 [K, N], ``*_ws``
+    f32 [1, N]); biases and layernorms stay float. ``_bert_layer`` detects
+    the quantized keys and routes the FFN through the fused Pallas kernels
+    in ``ops/quant_matmul.py`` (quantize + int8 dot + gelu, then quantize +
+    int8 dot + residual + LayerNorm) — measured 1.27x per layer at
+    2048x256 on a v5e with row cosine vs bf16 > 0.9999.
+
+    QKV and the attention output projection deliberately stay bf16: as
+    Pallas calls they lose XLA's transpose/fusion around the attention
+    kernel and measure net-negative (101.8 vs 58.3 ms/layer on chip).
+    """
+    from retrieval_scaling_tpu.ops.quant_matmul import quantize_weight
+
+    out = {"embeddings": params["embeddings"], "layers": []}
+    for layer in params["layers"]:
+        new = {k: v for k, v in layer.items()
+               if k not in ("mlp_in_w", "mlp_out_w")}
+        for key, w2d in (
+            ("mlp_in", layer["mlp_in_w"]),
+            ("mlp_out", layer["mlp_out_w"]),
+        ):
+            qw = quantize_weight(w2d)
+            new[f"{key}_wq"], new[f"{key}_ws"] = qw.wq, qw.scale
+        out["layers"].append(new)
+    return out
+
+
 def bert_encode(
     params: Params,
     cfg: BertConfig,
@@ -132,6 +163,8 @@ def bert_encode(
 
 
 def _bert_layer(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array) -> jax.Array:
+    if "mlp_in_wq" in layer:
+        return _bert_layer_int8(layer, cfg, x, kv_mask)
     b, s, d = x.shape
     qkv = (
         jnp.einsum("bsd,dtnk->bstnk", x, layer["qkv_w"]) + layer["qkv_b"][None, None]
@@ -148,6 +181,50 @@ def _bert_layer(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array
     h = jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
     x = _layer_norm(x + h, layer["mlp_ln_scale"], layer["mlp_ln_bias"], cfg.layer_norm_eps)
     return x
+
+
+def _bert_layer_int8(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array) -> jax.Array:
+    """Transformer layer with the int8 FFN (weights from ``quantize_bert_params``).
+
+    Attention (QKV, scores, output projection, attention LayerNorm) is the
+    bf16 ``_bert_layer`` dataflow — XLA's fusion there beats int8 Pallas
+    calls. The FFN runs on the int8 MXU with per-row dynamic activation
+    scales: gelu fused into the mlp_in epilogue, residual + LayerNorm fused
+    into the mlp_out epilogue (``int8_matmul_residual_ln``).
+    """
+    from retrieval_scaling_tpu.ops.quant_matmul import (
+        QuantizedWeight,
+        int8_matmul,
+        int8_matmul_residual_ln,
+    )
+
+    b, s, d = x.shape
+    qkv = (
+        jnp.einsum("bsd,dtnk->bstnk", x, layer["qkv_w"]) + layer["qkv_b"][None, None]
+    )
+    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, hd]
+
+    attn = multi_head_attention(q, k, v, kv_mask=kv_mask, impl=cfg.attention_impl)
+    attn_out = jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
+    x = _layer_norm(x + attn_out, layer["attn_ln_scale"], layer["attn_ln_bias"], cfg.layer_norm_eps)
+
+    approx = cfg.gelu == "tanh" or (cfg.gelu == "auto" and x.dtype == jnp.bfloat16)
+    h = int8_matmul(
+        x,
+        QuantizedWeight(layer["mlp_in_wq"], layer["mlp_in_ws"]),
+        layer["mlp_in_b"],
+        activation="gelu_tanh" if approx else "gelu_exact",
+        out_dtype=x.dtype,
+    )
+    return int8_matmul_residual_ln(
+        h,
+        x,
+        QuantizedWeight(layer["mlp_out_wq"], layer["mlp_out_ws"]),
+        layer["mlp_out_b"],
+        layer["mlp_ln_scale"],
+        layer["mlp_ln_bias"],
+        eps=cfg.layer_norm_eps,
+    )
 
 
 def pool_embeddings(

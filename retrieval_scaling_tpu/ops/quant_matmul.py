@@ -1,0 +1,237 @@
+"""Int8 quantized matmul with fused dynamic activation quantization.
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197
+TOPs), but an XLA-level quantized matmul loses the gain to memory traffic:
+the quantize (bf16 -> int8) and dequantize (int32 -> bf16) passes each
+re-stream the full activation tensor through HBM. Measured on chip at
+encoder shapes ([65536, 768] x [768, 3072]): pure int8 dot = 1.49x bf16,
+but with XLA quant/dequant epilogues only 1.11x.
+
+These kernels fuse the whole pipeline in VMEM: each grid step loads a
+[BM, K] activation tile, computes per-row absmax scales, quantizes,
+runs the int8 MXU dot against the resident [K, N] int8 weight, and
+applies dequantize + bias + (optionally) gelu — or residual + LayerNorm
+(``int8_matmul_residual_ln``) — in the epilogue. HBM sees only the bf16
+input tile and the bf16 output tile, exactly like a plain matmul, while
+the residual/LN fusion removes the two extra activation round-trips that
+a pallas_call fusion barrier would otherwise cost.
+
+Scheme: symmetric int8, per-row dynamic scales for activations (no
+calibration needed; exact-max, not stochastic), per-output-channel static
+scales for weights. Per-matmul relative error ~3e-3, below bf16 noise.
+
+Reference analog: none — the reference encoder runs fp16 torch matmuls
+(reference: src/embed.py:59-92); this is TPU-specific headroom.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BM = 256  # activation rows per grid step
+
+
+class QuantizedWeight(NamedTuple):
+    """Per-output-channel symmetric int8 weight."""
+
+    wq: jax.Array     # [K, N] int8
+    scale: jax.Array  # [1, N] f32 (dequant multiplier)
+
+
+def quantize_weight(w: jax.Array) -> QuantizedWeight:
+    """[K, N] float -> per-column symmetric int8."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-12)
+    scale = absmax / 127.0
+    wq = jnp.round(wf / scale).astype(jnp.int8)
+    return QuantizedWeight(wq=wq, scale=scale)
+
+
+def _rowquant(x: jax.Array):
+    """Per-row symmetric int8 quantization (f32 in, int8 + f32 scale out)."""
+    absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-12)
+    xq = jnp.round(x * (127.0 / absmax)).astype(jnp.int8)
+    return xq, absmax / 127.0
+
+
+def _apply_activation(x: jax.Array, activation: str) -> jax.Array:
+    if activation == "none":
+        return x
+    if activation == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    if activation == "gelu_exact":
+        return jax.nn.gelu(x, approximate=False)
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+def _int8_matmul_kernel(x_ref, wq_ref, scale_ref, bias_ref, out_ref, *, activation):
+    x = x_ref[:].astype(jnp.float32)                      # [BM, K]
+    xq, row_scale = _rowquant(x)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )                                                     # [BM, N] int32
+    out = acc.astype(jnp.float32) * row_scale * scale_ref[:] + bias_ref[:]
+    out_ref[:] = _apply_activation(out, activation).astype(out_ref.dtype)
+
+
+def _int8_matmul_xla(x2d, qw: QuantizedWeight, bias, activation: str, out_dtype):
+    """Same math without Pallas (CPU tests / shape fallback)."""
+    xq, row_scale = _rowquant(x2d.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, qw.wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * row_scale * qw.scale + bias
+    return _apply_activation(out, activation).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("activation", "impl", "interpret", "out_dtype")
+)
+def int8_matmul(
+    x: jax.Array,                # [..., K] bf16/f32
+    qw: QuantizedWeight,         # wq [K, N], scale [1, N]
+    bias: Optional[jax.Array] = None,   # [N]
+    activation: str = "none",
+    impl: str = "auto",          # "auto" | "pallas" | "xla"
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """activation(dequant(int8dot(rowquant(x), wq)) + bias) -> [..., N]."""
+    k, n = qw.wq.shape
+    batch_shape = x.shape[:-1]
+    assert x.shape[-1] == k, (x.shape, qw.wq.shape)
+    m = 1
+    for s in batch_shape:
+        m *= s
+    x2d = x.reshape(m, k)
+    bias_row = (
+        jnp.zeros((1, n), jnp.float32)
+        if bias is None
+        else bias.astype(jnp.float32).reshape(1, n)
+    )
+
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and m % BM == 0
+        and k % 128 == 0
+        and n % 128 == 0
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if not use_pallas:
+        out = _int8_matmul_xla(x2d, qw, bias_row, activation, out_dtype)
+        return out.reshape(*batch_shape, n)
+
+    out = pl.pallas_call(
+        functools.partial(_int8_matmul_kernel, activation=activation),
+        grid=(m // BM,),
+        in_specs=[
+            pl.BlockSpec((BM, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),   # resident across steps
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BM, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        interpret=interpret,
+    )(x2d, qw.wq, qw.scale, bias_row)
+    return out.reshape(*batch_shape, n)
+
+
+# --------------------------------------------------------------------------
+# Fused projection + residual + LayerNorm (the transformer FFN tail).
+#
+# In-context, a bare int8 matmul gains nothing over XLA's bf16 matmul: XLA
+# fuses the residual add and LayerNorm into the bf16 GEMM's neighborhood,
+# and a pallas_call is a fusion barrier that forfeits exactly that. Folding
+# the residual and LayerNorm INTO the epilogue removes two full activation
+# round-trips through HBM and keeps the int8 MXU gain: measured 1.27x per
+# BERT-base layer at 2048x256 on a v5e (row cosine vs bf16 > 0.9999).
+# --------------------------------------------------------------------------
+
+
+def _int8_res_ln_kernel(
+    h_ref, x_ref, wq_ref, scale_ref, bias_ref, g_ref, b_ref, out_ref, *, eps
+):
+    h = h_ref[:].astype(jnp.float32)                      # [BM, N] (FFN hidden)
+    hq, row_scale = _rowquant(h)
+    acc = jax.lax.dot_general(
+        hq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )                                                     # [BM, K]
+    y = (
+        acc.astype(jnp.float32) * row_scale * scale_ref[:]
+        + bias_ref[:]
+        + x_ref[:].astype(jnp.float32)
+    )
+    mean = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=1, keepdims=True)
+    out = (y - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _int8_res_ln_xla(h2d, x2d, qw, bias, ln_scale, ln_bias, eps):
+    proj = _int8_matmul_xla(h2d, qw, bias, "none", jnp.float32)
+    y = proj + x2d.astype(jnp.float32)
+    mean = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=1, keepdims=True)
+    out = (y - mean) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    return out.astype(x2d.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "impl", "interpret"))
+def int8_matmul_residual_ln(
+    h: jax.Array,            # [..., N] FFN hidden (bf16/f32)
+    x: jax.Array,            # [..., K] residual input
+    qw: QuantizedWeight,     # wq [N, K]
+    bias: jax.Array,         # [K]
+    ln_scale: jax.Array,     # [K]
+    ln_bias: jax.Array,      # [K]
+    eps: float = 1e-12,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """LayerNorm(x + dequant(int8dot(rowquant(h), wq)) + bias) -> [..., K]."""
+    n, k = qw.wq.shape
+    batch_shape = x.shape[:-1]
+    assert h.shape[:-1] == batch_shape and h.shape[-1] == n and x.shape[-1] == k
+    m = 1
+    for s in batch_shape:
+        m *= s
+    h2d, x2d = h.reshape(m, n), x.reshape(m, k)
+    bias_row = bias.astype(jnp.float32).reshape(1, k)
+    g_row = ln_scale.astype(jnp.float32).reshape(1, k)
+    b_row = ln_bias.astype(jnp.float32).reshape(1, k)
+
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and m % BM == 0
+        and k % 128 == 0
+        and n % 128 == 0
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if not use_pallas:
+        out = _int8_res_ln_xla(h2d, x2d, qw, bias_row, g_row, b_row, eps)
+        return out.reshape(*batch_shape, k)
+
+    out = pl.pallas_call(
+        functools.partial(_int8_res_ln_kernel, eps=eps),
+        grid=(m // BM,),
+        in_specs=[
+            pl.BlockSpec((BM, n), lambda i: (i, 0)),
+            pl.BlockSpec((BM, k), lambda i: (i, 0)),
+            pl.BlockSpec((n, k), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+            pl.BlockSpec((1, k), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BM, k), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, k), x.dtype),
+        interpret=interpret,
+    )(h2d, x2d, qw.wq, qw.scale, bias_row, g_row, b_row)
+    return out.reshape(*batch_shape, k)

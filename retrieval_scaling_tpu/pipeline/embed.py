@@ -46,6 +46,7 @@ def generate_passage_embeddings(cfg, encoder: JaxEncoder | None = None) -> None:
         encoder = load_encoder(
             args.model_name_or_path,
             tokenizer_name=args.get("tokenizer", None),
+            quantize=args.get("quantization", "none") or "none",
         )
 
     # Truncate embeddings to the index's projection size when the encoder's

@@ -99,6 +99,7 @@ class JaxEncoder:
         query_prefix: str = "",
         passage_prefix: str = "",
         force_normalize: bool = False,
+        quantize: str = "none",
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -110,10 +111,27 @@ class JaxEncoder:
         # Models whose contract includes L2 normalization (sentence-
         # transformers / e5 / GTR) normalize regardless of EncodeOptions.
         self.force_normalize = force_normalize
-        self.params = jax.device_put(
-            jax.tree.map(lambda x: jnp.asarray(x, dtype), params),
-            NamedSharding(self.mesh, P()),
-        )
+        host_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        if quantize == "int8":
+            # int8 MXU projections (datastore.embedding.quantization=int8):
+            # per-channel weight + per-row dynamic activation quantization,
+            # fused in a Pallas kernel (ops/quant_matmul.py).
+            if (
+                isinstance(host_params, dict)
+                and host_params.get("layers")
+                and "qkv_w" in host_params["layers"][0]
+            ):
+                from retrieval_scaling_tpu.models.bert import quantize_bert_params
+
+                host_params = quantize_bert_params(host_params)
+            else:
+                logger.warning(
+                    "quantization=int8 is supported for BERT-family encoders "
+                    "only; keeping %s weights", dtype,
+                )
+        elif quantize not in ("none", None, ""):
+            raise ValueError(f"unknown encoder quantization {quantize!r}")
+        self.params = jax.device_put(host_params, NamedSharding(self.mesh, P()))
         self._encode_jit = {}
 
     # ------------------------------------------------------------------
@@ -231,6 +249,7 @@ def load_encoder(
     mesh: Mesh | None = None,
     dtype=jnp.bfloat16,
     attention_impl: str = "auto",
+    quantize: str = "none",
 ) -> JaxEncoder:
     """Load + convert an HF retriever checkpoint into a JaxEncoder.
 
@@ -304,7 +323,7 @@ def load_encoder(
         params, cfg = t5_encoder_from_hf_model(hf, dtype=np.float32, projection=projection)
         return JaxEncoder(
             params, cfg, tokenizer, mesh=mesh, dtype=dtype,
-            embed_fn=t5_embed, force_normalize=True,
+            embed_fn=t5_embed, force_normalize=True, quantize=quantize,
         )
 
     if model_type in _DECODER_MODEL_TYPES:
@@ -328,7 +347,7 @@ def load_encoder(
             tokenizer.pad_token = tokenizer.eos_token
         return JaxEncoder(
             params, cfg, tokenizer, mesh=mesh, dtype=dtype,
-            embed_fn=embed_fn, query_prefix=query_prefix,
+            embed_fn=embed_fn, query_prefix=query_prefix, quantize=quantize,
         )
 
     # Token-wise match so hub ids like "intfloat/e5-base-v2" are detected
@@ -343,4 +362,5 @@ def load_encoder(
         query_prefix="query: " if e5_style else "",
         passage_prefix="passage: " if e5_style else "",
         force_normalize=e5_style,
+        quantize=quantize,
     )

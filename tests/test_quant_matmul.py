@@ -1,0 +1,166 @@
+"""Int8 fused quantized matmul: numerics vs f32 reference, Pallas-interpret
+vs XLA-fallback parity, shape fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retrieval_scaling_tpu.ops.quant_matmul import (
+    BM,
+    QuantizedWeight,
+    int8_matmul,
+    quantize_weight,
+)
+
+
+def _cosine_rows(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    num = (a * b).sum(axis=-1)
+    den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-30
+    return num / den
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(128, 256).astype(np.float32))
+    qw = quantize_weight(w)
+    assert qw.wq.dtype == jnp.int8 and qw.wq.shape == (128, 256)
+    deq = qw.wq.astype(jnp.float32) * qw.scale
+    rel = np.abs(np.asarray(deq - w)) / np.abs(np.asarray(w)).max()
+    assert rel.max() < 1 / 127
+
+
+@pytest.mark.parametrize("activation", ["none", "gelu_tanh"])
+def test_int8_matmul_matches_f32_reference(activation):
+    rng = np.random.RandomState(1)
+    m, k, n = 2 * BM, 256, 384
+    x = jnp.asarray(rng.randn(m, k).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(n).astype(np.float32) * 0.1)
+
+    ref = jnp.dot(x.astype(jnp.float32), w) + bias
+    if activation == "gelu_tanh":
+        ref = jax.nn.gelu(ref, approximate=True)
+
+    out = int8_matmul(
+        x, quantize_weight(w), bias, activation=activation, impl="xla",
+        out_dtype=jnp.float32,
+    )
+    cos = _cosine_rows(out, ref)
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_pallas_interpret_matches_xla_fallback():
+    rng = np.random.RandomState(2)
+    m, k, n = BM, 128, 256
+    x = jnp.asarray(rng.randn(m, k).astype(np.float32), jnp.bfloat16)
+    qw = quantize_weight(jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.05))
+    bias = jnp.asarray(rng.randn(n).astype(np.float32) * 0.1)
+
+    out_xla = int8_matmul(x, qw, bias, impl="xla", out_dtype=jnp.float32)
+    out_pl = int8_matmul(
+        x, qw, bias, impl="pallas", interpret=True, out_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_xla), np.asarray(out_pl), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_residual_ln_interpret_matches_xla():
+    from retrieval_scaling_tpu.ops.quant_matmul import int8_matmul_residual_ln
+
+    rng = np.random.RandomState(4)
+    m, n, k = BM, 256, 128
+    h = jnp.asarray(rng.randn(m, n).astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.randn(m, k).astype(np.float32), jnp.bfloat16)
+    qw = quantize_weight(jnp.asarray(rng.randn(n, k).astype(np.float32) * 0.05))
+    bias = jnp.asarray(rng.randn(k).astype(np.float32) * 0.1)
+    g = jnp.asarray(1.0 + 0.1 * rng.randn(k).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(k).astype(np.float32))
+
+    out_xla = int8_matmul_residual_ln(h, x, qw, bias, g, b, impl="xla")
+    out_pl = int8_matmul_residual_ln(h, x, qw, bias, g, b, impl="pallas", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_xla, np.float32), np.asarray(out_pl, np.float32),
+        rtol=2e-2, atol=2e-2,  # bf16 outputs
+    )
+
+    # reference math: LayerNorm(x + h @ deq(w) + bias)
+    y = (
+        jnp.dot(h.astype(jnp.float32), qw.wq.astype(jnp.float32) * qw.scale)
+        + bias
+        + x.astype(jnp.float32)
+    )
+    mu = y.mean(axis=1, keepdims=True)
+    var = ((y - mu) ** 2).mean(axis=1, keepdims=True)
+    ref = (y - mu) / jnp.sqrt(var + 1e-12) * g + b
+    cos = _cosine_rows(np.asarray(out_xla, np.float32), np.asarray(ref))
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_batch_shape_and_fallback():
+    """Leading dims flatten; M not divisible by BM takes the XLA path."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(3, 7, 64).astype(np.float32), jnp.bfloat16)
+    qw = quantize_weight(jnp.asarray(rng.randn(64, 96).astype(np.float32)))
+    out = int8_matmul(x, qw, out_dtype=jnp.float32)
+    assert out.shape == (3, 7, 96)
+    ref = jnp.einsum(
+        "bsk,kn->bsn", x.astype(jnp.float32), qw.wq.astype(jnp.float32) * qw.scale
+    )
+    assert _cosine_rows(out.reshape(-1, 96), ref.reshape(-1, 96)).min() > 0.999
+
+
+def test_quantized_bert_embeddings_match_float():
+    """int8-projection BERT embeddings stay in the float model's space."""
+    from retrieval_scaling_tpu.models.bert import (
+        BertConfig,
+        contriever_embed,
+        init_bert_params,
+        quantize_bert_params,
+    )
+
+    cfg = BertConfig(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position_embeddings=64,
+    )
+    params = init_bert_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_bert_params(params)
+    assert qparams["layers"][0]["mlp_in_wq"].dtype == jnp.int8
+    assert "mlp_in_w" not in qparams["layers"][0]
+    # attention stays bf16 (int8 Pallas there measures net-negative)
+    assert "qkv_w" in qparams["layers"][0]
+
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 128, (4, 24)), jnp.int32)
+    mask = jnp.asarray(rng.rand(4, 24) < 0.9, jnp.int32).at[:, 0].set(1)
+
+    ref = contriever_embed(params, cfg, ids, mask)
+    out = contriever_embed(qparams, cfg, ids, mask)
+    cos = _cosine_rows(out, ref)
+    assert cos.min() > 0.995, cos.min()
+
+
+def test_encoder_quantize_wiring():
+    """JaxEncoder(quantize='int8') quantizes BERT params and still encodes."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from helpers import make_word_tokenizer
+
+    from retrieval_scaling_tpu.models.bert import BertConfig, init_bert_params
+    from retrieval_scaling_tpu.search.encoder import EncodeOptions, JaxEncoder
+
+    tok = make_word_tokenizer(["alpha beta gamma delta epsilon"])
+    cfg = BertConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=1,
+        num_heads=2, intermediate_size=64, max_position_embeddings=64,
+    )
+    params = init_bert_params(cfg, jax.random.PRNGKey(1))
+    enc_f = JaxEncoder(params, cfg, tok)
+    enc_q = JaxEncoder(params, cfg, tok, quantize="int8")
+    texts = ["alpha beta gamma", "delta epsilon"]
+    a = enc_f.encode(texts, EncodeOptions(batch_size=2, maxlength=32))
+    b = enc_q.encode(texts, EncodeOptions(batch_size=2, maxlength=32))
+    assert _cosine_rows(a, b).min() > 0.99

@@ -373,6 +373,7 @@ def main() -> None:
                 "aux": {
                     "batch64_exact_qps": round(qps, 1),
                     "encoder_passages_per_s": round(psg_per_s, 1),
+                    "encoder_int8_passages_per_s": round(psg_q, 1),
                     "ivf_flat_qps_nprobe64": round(ivf_qps, 1),
                     "ivf_pq_qps_nprobe64_m16": round(pq_qps, 1),
                     "ivf_pq_refine_qps_recall098": round(pqr_qps, 1),

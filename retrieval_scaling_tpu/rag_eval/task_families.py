@@ -116,6 +116,34 @@ AGIEVAL_EN_SUBSETS = [
     "sat_en", "sat_en_without_passage", "sat_math",
 ]
 
+# Multilingual families with per-language data splits and one shared prompt
+# format (reference: generated per-language yamls under lm_eval/tasks/).
+XCOPA_LANGS = ["et", "ht", "id", "it", "qu", "sw", "ta", "th", "tr", "vi", "zh"]
+XSTORYCLOZE_LANGS = ["ar", "en", "es", "eu", "hi", "id", "my", "ru", "sw", "te", "zh"]
+XWINOGRAD_LANGS = ["en", "fr", "jp", "pt", "ru", "zh"]
+LAMBADA_MT_LANGS = ["de", "en", "es", "fr", "it"]
+PAWSX_LANGS = ["de", "en", "es", "fr", "ja", "ko", "zh"]
+
+# Belebele: 122 FLORES-200 language/script codes (reference:
+# lm_eval/tasks/belebele — one generated config per code).
+BELEBELE_CODES = """acm_Arab afr_Latn als_Latn amh_Ethi apc_Arab arb_Arab arb_Latn ars_Arab
+ary_Arab arz_Arab asm_Beng azj_Latn bam_Latn ben_Beng ben_Latn bod_Tibt
+bul_Cyrl cat_Latn ceb_Latn ces_Latn ckb_Arab dan_Latn deu_Latn ell_Grek
+eng_Latn est_Latn eus_Latn fin_Latn fra_Latn fuv_Latn gaz_Latn grn_Latn
+guj_Gujr hat_Latn hau_Latn heb_Hebr hin_Deva hin_Latn hrv_Latn hun_Latn
+hye_Armn ibo_Latn ilo_Latn ind_Latn isl_Latn ita_Latn jav_Latn jpn_Jpan
+kac_Latn kan_Knda kat_Geor kaz_Cyrl kea_Latn khk_Cyrl khm_Khmr kin_Latn
+kir_Cyrl kor_Hang lao_Laoo lin_Latn lit_Latn lug_Latn luo_Latn lvs_Latn
+mal_Mlym mar_Deva mkd_Cyrl mlt_Latn mri_Latn mya_Mymr nld_Latn nob_Latn
+npi_Deva npi_Latn nso_Latn nya_Latn ory_Orya pan_Guru pbt_Arab pes_Arab
+plt_Latn pol_Latn por_Latn ron_Latn rus_Cyrl shn_Mymr sin_Latn sin_Sinh
+slk_Latn slv_Latn sna_Latn snd_Arab som_Latn sot_Latn spa_Latn srp_Cyrl
+ssw_Latn sun_Latn swe_Latn swh_Latn tam_Taml tel_Telu tgk_Cyrl tgl_Latn
+tha_Thai tir_Ethi tsn_Latn tso_Latn tur_Latn ukr_Cyrl urd_Arab urd_Latn
+uzn_Latn vie_Latn war_Latn wol_Latn xho_Latn yor_Latn zho_Hans zho_Hant
+zsm_Latn zul_Latn""".split()
+assert len(BELEBELE_CODES) == 122
+
 
 def _mc_instruction(topic: str) -> str:
     return (
@@ -138,4 +166,10 @@ def build_derived_families(mmlu_subjects) -> Dict[str, Dict[str, Dict[str, Any]]
             for s, topic in WMDP_TOPICS.items()
         },
         "agieval": {s: {} for s in AGIEVAL_EN_SUBSETS},
+        "xcopa": {s: {} for s in XCOPA_LANGS},
+        "xstorycloze": {s: {} for s in XSTORYCLOZE_LANGS},
+        "xwinograd": {s: {} for s in XWINOGRAD_LANGS},
+        "lambada_mt": {s: {} for s in LAMBADA_MT_LANGS},
+        "paws": {s: {} for s in PAWSX_LANGS},
+        "belebele": {s: {} for s in BELEBELE_CODES},
     }

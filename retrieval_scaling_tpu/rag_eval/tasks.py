@@ -33,8 +33,14 @@ import yaml
 from retrieval_scaling_tpu.rag_eval.task_families import (
     AGIEVAL_EN_SUBSETS,
     BBH_ZEROSHOT_DESCRIPTIONS,
+    BELEBELE_CODES,
     BLIMP_PARADIGMS,
+    LAMBADA_MT_LANGS,
+    PAWSX_LANGS,
     WMDP_TOPICS,
+    XCOPA_LANGS,
+    XSTORYCLOZE_LANGS,
+    XWINOGRAD_LANGS,
     build_derived_families,
 )
 
@@ -215,7 +221,12 @@ GROUPS: Dict[str, List[str]] = {
     "qa4mre": ["qa4mre_2011", "qa4mre_2012", "qa4mre_2013"],
     "gpqa": ["gpqa_main", "gpqa_extended", "gpqa_diamond"],
     "crows_pairs": ["crows_pairs_english"],
-    "pawsx": ["paws_en"],
+    "pawsx": [f"paws_{s}" for s in PAWSX_LANGS],
+    "xcopa": [f"xcopa_{s}" for s in XCOPA_LANGS],
+    "xstorycloze": [f"xstorycloze_{s}" for s in XSTORYCLOZE_LANGS],
+    "xwinograd": [f"xwinograd_{s}" for s in XWINOGRAD_LANGS],
+    "lambada_multilingual": [f"lambada_mt_{s}" for s in LAMBADA_MT_LANGS],
+    "belebele": [f"belebele_{s}" for s in BELEBELE_CODES],
     "storycloze": ["storycloze_2016"],
     "super_glue": ["boolq", "cb", "copa", "multirc", "rte", "wic", "wsc"],
     "unscramble": [

@@ -124,11 +124,14 @@ def test_registry_has_reference_scale_coverage():
     assert sum(1 for n in names if n.startswith("mmlu_")) >= 57
     assert sum(1 for n in names if n.startswith("blimp_")) == 67
     assert sum(1 for n in names if n.startswith("bbh_zeroshot_")) == 27
-    assert len(DERIVED_NAMES) >= 160
+    assert sum(1 for n in names if n.startswith("belebele_")) == 122
+    assert len(DERIVED_NAMES) >= 320
     assert {
         "mmlu", "glue", "anli", "arithmetic", "truthfulqa", "blimp",
         "bbh_zeroshot", "wmdp", "agieval_en", "hendrycks_ethics",
         "super_glue", "unscramble", "gpqa", "qa4mre", "lambada_cloze",
+        "xcopa", "xstorycloze", "xwinograd", "lambada_multilingual",
+        "belebele", "pawsx",
     } <= set(GROUPS)
 
 
@@ -140,6 +143,12 @@ def test_registry_has_reference_scale_coverage():
         ("wmdp_bio", "wmdp/bio"),
         ("agieval_lsat_ar", "agieval/lsat_ar"),
         ("mmlu_astronomy", "mmlu/astronomy"),
+        ("belebele_eng_Latn", "belebele/eng_Latn"),
+        ("xstorycloze_eu", "xstorycloze/eu"),
+        ("paws_ja", "paws/ja"),
+        ("xcopa_sw", "xcopa/sw"),
+        ("xwinograd_jp", "xwinograd/jp"),
+        ("lambada_mt_de", "lambada_mt/de"),
     ],
 )
 def test_derived_task_resolution(name, dataset_path):

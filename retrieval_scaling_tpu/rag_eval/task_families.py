@@ -116,6 +116,13 @@ AGIEVAL_EN_SUBSETS = [
     "sat_en", "sat_en_without_passage", "sat_math",
 ]
 
+# MATH subjects (reference: lm_eval/tasks/{hendrycks_math,minerva_math} —
+# 7 subtasks each, same subject split).
+MATH_SUBJECTS = [
+    "algebra", "counting_and_prob", "geometry", "intermediate_algebra",
+    "num_theory", "prealgebra", "precalc",
+]
+
 # Multilingual families with per-language data splits and one shared prompt
 # format (reference: generated per-language yamls under lm_eval/tasks/).
 XCOPA_LANGS = ["et", "ht", "id", "it", "qu", "sw", "ta", "th", "tr", "vi", "zh"]
@@ -172,4 +179,6 @@ def build_derived_families(mmlu_subjects) -> Dict[str, Dict[str, Dict[str, Any]]
         "lambada_mt": {s: {} for s in LAMBADA_MT_LANGS},
         "paws": {s: {} for s in PAWSX_LANGS},
         "belebele": {s: {} for s in BELEBELE_CODES},
+        "minerva_math": {s: {} for s in MATH_SUBJECTS},
+        "hendrycks_math": {s: {} for s in MATH_SUBJECTS},
     }

@@ -36,6 +36,7 @@ from retrieval_scaling_tpu.rag_eval.task_families import (
     BELEBELE_CODES,
     BLIMP_PARADIGMS,
     LAMBADA_MT_LANGS,
+    MATH_SUBJECTS,
     PAWSX_LANGS,
     WMDP_TOPICS,
     XCOPA_LANGS,
@@ -105,6 +106,12 @@ class TaskConfig:
                 text = text.strip()
             elif kind == "remove_commas":
                 text = text.replace(",", "")
+            elif kind == "boxed":
+                # hendrycks/minerva MATH answer extraction: the contents of
+                # the last \boxed{...} / \fbox{...} (balanced braces; regex
+                # cannot nest). Reference: lm_eval/tasks/hendrycks_math/
+                # utils.py last_boxed_only_string + remove_boxed.
+                text = extract_boxed_answer(text) or step.get("fallback", text)
             else:
                 raise ValueError(f"unknown filter step {kind!r}")
         return text.strip()
@@ -227,6 +234,8 @@ GROUPS: Dict[str, List[str]] = {
     "xwinograd": [f"xwinograd_{s}" for s in XWINOGRAD_LANGS],
     "lambada_multilingual": [f"lambada_mt_{s}" for s in LAMBADA_MT_LANGS],
     "belebele": [f"belebele_{s}" for s in BELEBELE_CODES],
+    "minerva_math": [f"minerva_math_{s}" for s in MATH_SUBJECTS],
+    "hendrycks_math": [f"hendrycks_math_{s}" for s in MATH_SUBJECTS],
     "storycloze": ["storycloze_2016"],
     "super_glue": ["boolq", "cb", "copa", "multirc", "rte", "wic", "wsc"],
     "unscramble": [
@@ -322,6 +331,34 @@ def get_task(name: str) -> TaskConfig:
 
 
 # ---------------------------------------------------------------- documents
+def extract_boxed_answer(text: str) -> Optional[str]:
+    """Contents of the last ``\\boxed{...}``/``\\fbox{...}``, brace-balanced.
+
+    ``\\boxed x`` (no braces) returns the single token; an ``=`` inside the
+    box resolves to its right-hand side, matching the MATH convention.
+    """
+    idx = max(text.rfind("\\boxed"), text.rfind("\\fbox"))
+    if idx < 0:
+        return None
+    open_idx = text.find("{", idx)
+    if open_idx < 0:
+        token = text[idx:].split("$")[0].strip()
+        token = token.replace("\\boxed", "").replace("\\fbox", "").strip()
+        return token.split()[0] if token.split() else None
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                answer = text[open_idx + 1 : i]
+                if "=" in answer:
+                    answer = answer.split("=")[-1]
+                return answer.strip()
+    return None
+
+
 def _gold_index(doc: dict) -> int:
     """Gold choice index from the doc's `gold`/`label` field.
 

@@ -185,3 +185,39 @@ def test_agieval_list_gold_resolves(tmp_path):
     (req,) = task.build_requests()
     assert req["gold"] == 1
     assert task.doc_target(doc) == "2"
+
+
+def test_boxed_answer_extraction():
+    from retrieval_scaling_tpu.rag_eval.tasks import extract_boxed_answer
+
+    assert extract_boxed_answer(r"so we get \boxed{42}.") == "42"
+    assert extract_boxed_answer(r"\boxed{\frac{1}{2}}") == r"\frac{1}{2}"
+    # nested braces balance; the LAST box wins; '=' keeps the RHS
+    assert extract_boxed_answer(r"\boxed{x=3} then \boxed{y = \sqrt{2}}") == r"\sqrt{2}"
+    assert extract_boxed_answer(r"\fbox{7}") == "7"
+    assert extract_boxed_answer("no box here") is None
+
+    cfg = get_task("minerva_math_algebra")
+    assert cfg.dataset_path == "minerva_math/algebra"
+    pred = cfg.apply_filter_steps(
+        "We compute. Final: $\\boxed{\\dfrac{3}{4}}$", cfg.filters[0]["steps"]
+    )
+    assert pred == "\\dfrac{3}{4}"
+
+
+def test_math_family_scoring(tmp_path):
+    import json as _json
+
+    from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+
+    d = tmp_path / "hendrycks_math" / "geometry"
+    d.mkdir(parents=True)
+    doc = {"problem": "Area of a 2x3 rectangle?", "answer": "6"}
+    (d / "test.jsonl").write_text(_json.dumps(doc) + "\n")
+
+    class BoxedLM:
+        def generate_until(self, reqs):
+            return ["The area is $\\boxed{6}$."] * len(reqs)
+
+    res = simple_evaluate(BoxedLM(), ["hendrycks_math_geometry"], data_root=str(tmp_path))
+    assert res["results"]["hendrycks_math_geometry"]["exact_match,boxed"] == 1.0

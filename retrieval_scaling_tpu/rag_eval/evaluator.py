@@ -111,7 +111,20 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
     metric_values: Dict[str, List[float]] = {}
     for req, out in zip(requests, outputs):
         doc = req["doc"]
-        if req["type"] == "generate_until":
+        if req["type"] == "generate_until" and "prompt_level_strict_acc" in task.cfg.metric_list:
+            # IFEval verifiable-instruction scoring (reference:
+            # lm_eval/tasks/ifeval/utils.py process_results): docs carry
+            # instruction_id_list + per-instruction kwargs.
+            from retrieval_scaling_tpu.rag_eval.ifeval import score_response
+
+            ids = doc["instruction_id_list"]
+            kwargs_list = doc.get("kwargs") or [{} for _ in ids]
+            strict, loose = score_response(out["prediction"], ids, kwargs_list)
+            metric_values.setdefault("prompt_level_strict_acc", []).append(float(all(strict)))
+            metric_values.setdefault("prompt_level_loose_acc", []).append(float(all(loose)))
+            metric_values.setdefault("inst_level_strict_acc", []).extend(map(float, strict))
+            metric_values.setdefault("inst_level_loose_acc", []).extend(map(float, loose))
+        elif req["type"] == "generate_until":
             refs = [task.cfg.extract_target(r) for r in task.references(doc)]
             if task.cfg.filters:
                 # named filter pipelines -> per-filter metric columns

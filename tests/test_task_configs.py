@@ -110,7 +110,8 @@ def test_task_config_builds_requests(name, tmp_path):
     elif cfg.output_type == "loglikelihood_rolling":
         assert req["text"]
     else:
-        assert req["gen_kwargs"]["until"]
+        # until may be explicitly empty (IFEval: generate to EOS/max tokens)
+        assert req["gen_kwargs"]["until"] or cfg.generation_kwargs.get("until") == []
 
     # fewshot assembly must not crash and must use the delimiter
     ctx = task.fewshot_context(task.docs[0], num_fewshot=1)

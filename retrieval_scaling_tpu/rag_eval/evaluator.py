@@ -137,6 +137,14 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             else:
                 prediction = task.cfg.apply_filter(out["prediction"])
                 for name in task.cfg.metric_list:
+                    if name == "bleu":
+                        # corpus-level aggregation (sacrebleu semantics):
+                        # pool n-gram counts over all segments, not a mean
+                        # of per-segment scores.
+                        metric_values.setdefault("_bleu_pairs", []).append(
+                            (prediction, refs)
+                        )
+                        continue
                     metric_values.setdefault(name, []).append(METRICS[name](prediction, refs))
         elif req["type"] == "loglikelihood":
             metric_values.setdefault("loglikelihood", []).append(out["loglikelihood"])
@@ -204,6 +212,10 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             scores["word_perplexity"] = math.exp(-ll / words)
             scores["byte_perplexity"] = math.exp(-ll / bytes_)
             scores["bits_per_byte"] = -ll / bytes_ / math.log(2)
+        elif name == "_bleu_pairs":
+            from retrieval_scaling_tpu.rag_eval.metrics import corpus_bleu
+
+            scores["bleu"] = corpus_bleu(vals)
         elif name == "_f1_pairs":
             tp = sum(1 for p, g in vals if p == 1 and g == 1)
             fp = sum(1 for p, g in vals if p == 1 and g == 0)

@@ -237,6 +237,7 @@ GROUPS: Dict[str, List[str]] = {
     "minerva_math": [f"minerva_math_{s}" for s in MATH_SUBJECTS],
     "hendrycks_math": [f"hendrycks_math_{s}" for s in MATH_SUBJECTS],
     "storycloze": ["storycloze_2016"],
+    "qasper": ["qasper_bool", "qasper_freeform"],
     "super_glue": ["boolq", "cb", "copa", "multirc", "rte", "wic", "wsc"],
     "unscramble": [
         "anagrams1", "anagrams2", "cycle_letters", "random_insertion",

@@ -570,3 +570,29 @@ def test_blimp_group_rollup(tmp_path):
     )
     assert res["results"]["blimp_adjunct_island"]["acc"] == 1.0
     assert res["results"]["blimp_causative"]["acc"] == 1.0
+
+
+def test_wmt_bleu_corpus_aggregation(tmp_path):
+    d = tmp_path / "wmt16" / "ro_en"
+    d.mkdir(parents=True)
+    rows = [
+        {"translation": {"en": "the cat", "ro": "pisica neagra sta"}},
+        {"translation": {"en": "a dog", "ro": "un caine mare alb"}},
+    ]
+    with open(d / "validation.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    class PerfectTranslator:
+        def generate_until(self, reqs):
+            table = {"the cat": "pisica neagra sta", "a dog": "un caine mare alb"}
+            outs = []
+            for r in reqs:
+                src = r["context"].split("translate English to Romanian: ")[-1]
+                outs.append(table[src.split("\n")[0]])
+            return outs
+
+    res = simple_evaluate(PerfectTranslator(), ["wmt_ro_en_t5_prompt"], data_root=str(tmp_path))
+    scores = res["results"]["wmt_ro_en_t5_prompt"]
+    assert scores["bleu"] == pytest.approx(100.0)
+    assert scores["wer"] == 0.0

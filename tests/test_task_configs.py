@@ -41,14 +41,14 @@ def _synth_doc(cfg):
         cfg.doc_to_choice if isinstance(cfg.doc_to_choice, list) else []
     )
     for f in fields:
-        # dict-style access like {answer[aliases][0]} (TriviaQA)
-        dict_key = None
+        # dict-style access like {answer[aliases][0]} (TriviaQA) or
+        # {translation[en]} + {translation[ro]} (WMT) — collect every key
+        dict_keys = set()
         for t in templates:
-            m = t and re.search(r"\{%s\[([a-zA-Z_]+)\]" % re.escape(f), t)
-            if m:
-                dict_key = m.group(1)
-        if dict_key:
-            doc[f] = {dict_key: [f"{f}_item_{i}" for i in range(4)]}
+            if t:
+                dict_keys |= set(re.findall(r"\{%s\[([a-zA-Z_]+)\]" % re.escape(f), t))
+        if dict_keys:
+            doc[f] = {k: [f"{f}_item_{i}" for i in range(4)] for k in sorted(dict_keys)}
         elif _is_indexed(cfg, f):
             doc[f] = [f"{f}_item_{i}" for i in range(4)]
         else:

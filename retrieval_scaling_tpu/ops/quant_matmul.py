@@ -127,6 +127,9 @@ def int8_matmul(
         out = _int8_matmul_xla(x2d, qw, bias_row, activation, out_dtype)
         return out.reshape(*batch_shape, n)
 
+    # forced impl="pallas" must not silently truncate: grid=(m // BM,)
+    # leaves remainder rows unwritten
+    assert m % BM == 0 and k % 128 == 0 and n % 128 == 0, (m, k, n)
     out = pl.pallas_call(
         functools.partial(_int8_matmul_kernel, activation=activation),
         grid=(m // BM,),
@@ -218,6 +221,7 @@ def int8_matmul_residual_ln(
         out = _int8_res_ln_xla(h2d, x2d, qw, bias_row, g_row, b_row, eps)
         return out.reshape(*batch_shape, k)
 
+    assert m % BM == 0 and k % 128 == 0 and n % 128 == 0, (m, k, n)
     out = pl.pallas_call(
         functools.partial(_int8_res_ln_kernel, eps=eps),
         grid=(m // BM,),

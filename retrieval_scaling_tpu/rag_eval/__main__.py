@@ -54,7 +54,7 @@ def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int =
             api_key=model_args.get("api_key", None),
             batch_size=batch_size,
         )
-    if model in ("anthropic", "anthropic-chat", "local-chat-completions"):
+    if model in ("anthropic", "anthropic-chat"):
         from retrieval_scaling_tpu.rag_eval.models import AnthropicCompatLM
 
         return AnthropicCompatLM(

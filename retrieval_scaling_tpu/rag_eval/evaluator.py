@@ -133,6 +133,11 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
                     pred = task.cfg.apply_filter_steps(out["prediction"], filt["steps"])
                     for name in task.cfg.metric_list:
                         col = f"{name},{filt['name']}"
+                        if name == "bleu":
+                            metric_values.setdefault(f"_bleu_pairs,{filt['name']}", []).append(
+                                (pred, refs)
+                            )
+                            continue
                         metric_values.setdefault(col, []).append(METRICS[name](pred, refs))
             else:
                 prediction = task.cfg.apply_filter(out["prediction"])
@@ -212,10 +217,12 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             scores["word_perplexity"] = math.exp(-ll / words)
             scores["byte_perplexity"] = math.exp(-ll / bytes_)
             scores["bits_per_byte"] = -ll / bytes_ / math.log(2)
-        elif name == "_bleu_pairs":
+        elif name.startswith("_bleu_pairs"):
             from retrieval_scaling_tpu.rag_eval.metrics import corpus_bleu
 
-            scores["bleu"] = corpus_bleu(vals)
+            _, _, filt_name = name.partition(",")
+            col = f"bleu,{filt_name}" if filt_name else "bleu"
+            scores[col] = corpus_bleu(vals)
         elif name == "_f1_pairs":
             tp = sum(1 for p, g in vals if p == 1 and g == 1)
             fp = sum(1 for p, g in vals if p == 1 and g == 0)

@@ -63,6 +63,15 @@ _LANG_STOPWORDS = {
     "sw": {"ya", "na", "kwa", "ni", "katika", "wa", "hii", "za", "kama", "hiyo"},
     "fi": {"ja", "on", "ei", "se", "että", "olla", "joka", "mutta", "kun", "myös"},
     "vi": {"là", "của", "và", "có", "không", "những", "một", "cho", "bạn", "với"},
+    "ro": {"și", "este", "de", "la", "un", "o", "în", "pentru", "care", "nu"},
+    "pl": {"i", "w", "nie", "jest", "na", "się", "do", "że", "ale", "jak"},
+    "tr": {"ve", "bir", "bu", "için", "ile", "değil", "çok", "daha", "gibi", "ben"},
+    "cs": {"a", "je", "na", "se", "to", "není", "ale", "jako", "pro", "že"},
+    "da": {"og", "er", "det", "en", "at", "ikke", "for", "på", "med", "jeg"},
+    "sv": {"och", "är", "det", "en", "att", "inte", "för", "på", "med", "jag"},
+    "no": {"og", "er", "det", "en", "å", "ikke", "for", "på", "med", "jeg"},
+    "hu": {"és", "a", "az", "nem", "hogy", "egy", "van", "de", "is", "ez"},
+    "id": {"yang", "dan", "di", "ini", "untuk", "dengan", "tidak", "adalah", "itu", "dari"},
 }
 _SCRIPT_RANGES = {
     "ar": (0x0600, 0x06FF), "fa": (0x0600, 0x06FF), "ur": (0x0600, 0x06FF),
@@ -86,9 +95,10 @@ def _response_language_ok(text: str, language: str) -> bool:
     words = set(re.findall(r"[^\W\d_]+", text.lower(), flags=re.UNICODE))
     table = _LANG_STOPWORDS.get(language)
     if table is None:
-        # unknown Latin-script language: accept if the text is mostly Latin
-        # letters and matches NO other known stopword table better
-        return bool(words)
+        # Latin-script language with no stopword table: the dominant real
+        # failure mode is answering in English, so require the text NOT to
+        # look English (and to be non-empty).
+        return bool(words) and len(words & _LANG_STOPWORDS["en"]) < 2
     hits = len(words & table)
     other = max(
         (len(words & t) for lang, t in _LANG_STOPWORDS.items() if lang != language),
@@ -124,8 +134,13 @@ def _number_sentences(text: str, *, num_sentences: int, relation: str, **_) -> b
 
 
 def _number_paragraphs(text: str, *, num_paragraphs: int, **_) -> bool:
-    # paragraphs are separated by the markdown divider *** (IFEval spec)
-    paragraphs = [p for p in re.split(r"\s?\*\*\*\s?", text) if p.strip()]
+    # paragraphs are separated by the markdown divider *** (IFEval spec);
+    # a blank INTERIOR paragraph is a violation (edge blanks from leading/
+    # trailing dividers are tolerated, matching the reference checker)
+    segments = re.split(r"\s?\*\*\*\s?", text)
+    if any(not s.strip() for s in segments[1:-1]):
+        return False
+    paragraphs = [s for s in segments if s.strip()]
     return len(paragraphs) == num_paragraphs
 
 
@@ -148,8 +163,11 @@ def _number_placeholders(text: str, *, num_placeholders: int, **_) -> bool:
 
 
 def _postscript(text: str, *, postscript_marker: str, **_) -> bool:
-    marker = postscript_marker.lower().replace(".", r"\.?")
-    return re.search(rf"(^|\n)\s*{marker}", text.lower()) is not None
+    # marker may appear anywhere, with optional spaces between the dotted
+    # letters ("P.S." also matches "p. s.") — the reference's unanchored
+    # r"\s*p\.\s?s\..*$" behavior
+    pattern = re.escape(postscript_marker.lower()).replace(r"\.", r"\.\s?")
+    return re.search(pattern, text.lower()) is not None
 
 
 def _number_bullet_lists(text: str, *, num_bullets: int, **_) -> bool:
@@ -166,7 +184,11 @@ def _constrained_response(text: str, **_) -> bool:
 
 
 def _number_highlighted_sections(text: str, *, num_highlights: int, **_) -> bool:
-    single = [m for m in re.findall(r"\*[^\n*]+\*", text) if m.strip("*").strip()]
+    # *single* sections must not double-count the interior of **double**
+    # sections, hence the lookaround guards
+    single = [
+        m for m in re.findall(r"(?<!\*)\*[^\n*]+\*(?!\*)", text) if m.strip("*").strip()
+    ]
     double = [m for m in re.findall(r"\*\*[^\n*]+\*\*", text) if m.strip("*").strip()]
     return len(single) + len(double) >= num_highlights
 
@@ -298,6 +320,9 @@ def score_response(response: str, instruction_ids: List[str], kwargs_list: List[
     """
     strict, loose = [], []
     variants = _loose_variants(response)
+    if len(kwargs_list) < len(instruction_ids):
+        # malformed row: never silently drop instructions via zip truncation
+        kwargs_list = list(kwargs_list) + [{}] * (len(instruction_ids) - len(kwargs_list))
     for iid, kw in zip(instruction_ids, kwargs_list):
         strict.append(follows_instruction(response, iid, kw))
         loose.append(any(follows_instruction(v, iid, kw) for v in variants))

@@ -122,9 +122,21 @@ def corpus_bleu(pairs: List[tuple], max_n: int = 4) -> float:
                     max_ref[g] = max(max_ref[g], c)
             match[n - 1] += sum(min(c, max_ref[g]) for g, c in pgrams.items())
             total[n - 1] += sum(pgrams.values())
-    if not pred_len or any(t == 0 for t in total) or any(m == 0 for m in match):
+    if not pred_len or total[0] == 0 or match[0] == 0:
         return 0.0
-    log_prec = sum(math.log(m / t) for m, t in zip(match, total)) / max_n
+    # exponential smoothing for zero higher-order matches (sacrebleu's
+    # default smooth_method="exp": the k-th zero precision becomes
+    # 1 / (2^k * total_n) instead of collapsing the whole score to 0)
+    log_prec, smooth_k = 0.0, 0
+    for m, t in zip(match, total):
+        if t == 0:
+            t = 1
+        if m == 0:
+            smooth_k += 1
+            log_prec += math.log(1.0 / (2**smooth_k * t))
+        else:
+            log_prec += math.log(m / t)
+    log_prec /= max_n
     bp = 1.0 if pred_len > ref_len else math.exp(1 - ref_len / max(pred_len, 1))
     return 100.0 * bp * math.exp(log_prec)
 

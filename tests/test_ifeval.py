@@ -139,3 +139,37 @@ def test_ifeval_end_to_end(tmp_path):
     assert scores["prompt_level_strict_acc"] == 0.5
     assert scores["inst_level_strict_acc"] == pytest.approx(2 / 3)
     assert scores["prompt_level_loose_acc"] == 0.5
+
+
+MORE_CASES = [
+    # a single **double** section must not double-count via the *single* regex
+    ("detectable_format:number_highlighted_sections", {"num_highlights": 2},
+     "see **that** only", False),
+    # postscript matches mid-line and with spaced dotted letters
+    ("detectable_content:postscript", {"postscript_marker": "P.S."},
+     "thanks for reading. p.s. bring snacks", True),
+    ("detectable_content:postscript", {"postscript_marker": "P.S."},
+     "end.\nP. S. spaced letters", True),
+    # a blank INTERIOR ***-separated paragraph is a violation
+    ("length_constraints:number_paragraphs", {"num_paragraphs": 2},
+     "para one *** *** para two", False),
+    ("length_constraints:number_paragraphs", {"num_paragraphs": 2},
+     "*** para one *** para two", True),
+    # unknown Latin-script language: English answers must fail
+    ("language:response_language", {"language": "et"},
+     "The weather is nice and it is a good day.", False),
+    ("language:response_language", {"language": "ro"},
+     "Vremea este frumoasă și este o zi bună pentru plimbare în parc.", True),
+]
+
+
+@pytest.mark.parametrize("iid,kwargs,response,expected", MORE_CASES)
+def test_instruction_checkers_regressions(iid, kwargs, response, expected):
+    assert follows_instruction(response, iid, kwargs) is expected
+
+
+def test_short_kwargs_list_pads_instead_of_truncating():
+    strict, loose = score_response(
+        "no commas, wait", ["punctuation:no_comma", "change_case:english_lowercase"], [{}]
+    )
+    assert len(strict) == 2 and len(loose) == 2

@@ -596,3 +596,43 @@ def test_wmt_bleu_corpus_aggregation(tmp_path):
     scores = res["results"]["wmt_ro_en_t5_prompt"]
     assert scores["bleu"] == pytest.approx(100.0)
     assert scores["wer"] == 0.0
+
+
+def test_bleu_smoothing_and_filter_column(tmp_path):
+    from retrieval_scaling_tpu.rag_eval.metrics import corpus_bleu
+
+    # partial overlap with zero 4-gram matches: exp smoothing keeps a
+    # nonzero score (sacrebleu default), not a hard 0
+    score = corpus_bleu([("the big cat sat", ["the small cat sat down"])])
+    assert 0.0 < score < 100.0
+
+    # bleu combined with a filter pipeline produces a per-filter column
+    d = tmp_path / "wmt16" / "ro_en"
+    d.mkdir(parents=True)
+    (d / "validation.jsonl").write_text(
+        json.dumps({"translation": {"en": "hi", "ro": "salut prietene drag al meu"}}) + "\n"
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        get_task("wmt_ro_en_t5_prompt"),
+        filters=[{"name": "strip", "steps": [{"type": "strip"}]}],
+    )
+
+    class Echo:
+        def generate_until(self, reqs):
+            return ["  salut prietene drag al meu  "] * len(reqs)
+
+    res = simple_evaluate(Echo(), [cfg], data_root=str(tmp_path))
+    assert res["results"]["wmt_ro_en_t5_prompt"]["bleu,strip"] == pytest.approx(100.0)
+
+
+def test_quant_matmul_pallas_rejects_unaligned_m():
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.ops.quant_matmul import int8_matmul, quantize_weight
+
+    x = jnp.ones((100, 128), jnp.bfloat16)
+    qw = quantize_weight(jnp.ones((128, 128), jnp.float32))
+    with pytest.raises(AssertionError):
+        int8_matmul(x, qw, impl="pallas", interpret=True)

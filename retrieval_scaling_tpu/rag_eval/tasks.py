@@ -243,7 +243,33 @@ GROUPS: Dict[str, List[str]] = {
         "anagrams1", "anagrams2", "cycle_letters", "random_insertion",
         "reversed_words",
     ],
+    "ai2_arc": ["arc_easy", "arc_challenge"],
+    "fld": ["fld_default", "fld_star"],
+    # Benchmark suites (reference: lm_eval/tasks/benchmarks/*.yaml) — dict
+    # members carry per-member TaskConfig overrides (fewshot settings).
+    "openllm": [
+        {"task": "arc_challenge", "num_fewshot": 25, "fewshot_split": "validation"},
+        {"task": "hellaswag", "num_fewshot": 10, "fewshot_split": "train"},
+        "truthfulqa",
+        {"task": "mmlu", "num_fewshot": 5},
+        {"task": "winogrande", "num_fewshot": 5, "fewshot_split": "train"},
+        {"task": "gsm8k", "num_fewshot": 5},
+    ],
+    "multimedqa": [
+        "pubmedqa", "medmcqa", "medqa",
+        "mmlu_anatomy", "mmlu_clinical_knowledge", "mmlu_college_medicine",
+        "mmlu_medical_genetics", "mmlu_professional_medicine",
+        "mmlu_college_biology",
+    ],
+    "pythia": [
+        "lambada_openai", "logiqa", "piqa", "sciq", "wikitext", "winogrande",
+        "wsc", "ai2_arc", "blimp", "mmlu",
+    ],
 }
+
+
+def _member_name(member) -> str:
+    return member["task"] if isinstance(member, dict) else member
 
 
 def get_group(name: str) -> Optional[List[str]]:
@@ -251,23 +277,39 @@ def get_group(name: str) -> Optional[List[str]]:
 
 
 def expand_task_list(names: List[str]):
-    """Expand group names -> (ordered task names, {group: member tasks}).
+    """Expand group names -> (ordered tasks, {group: member task names}).
 
     A requested group contributes all member tasks plus a rollup entry;
     category subgroups of "mmlu" are always reported when the full group
-    runs (reference: lm_eval group tables).
+    runs (reference: lm_eval group tables). Dict-valued group members
+    (benchmark suites like ``openllm``) carry per-member TaskConfig
+    overrides and materialize as TaskConfig entries; overrides propagate
+    through nested groups to their leaves.
     """
-    ordered: List[str] = []
+    ordered: List = []  # str task names and TaskConfig entries
     groups: Dict[str, List[str]] = {}
 
-    def add_group(gname: str) -> None:
+    def seen(name: str) -> bool:
+        return any(
+            (entry if isinstance(entry, str) else entry.task) == name
+            for entry in ordered
+        )
+
+    def add_group(gname: str, overrides: Optional[dict] = None) -> None:
         members = GROUPS[gname]
-        groups[gname] = members
+        groups[gname] = [_member_name(m) for m in members]
         for member in members:
-            if member in GROUPS:
-                add_group(member)
-            elif member not in ordered:
-                ordered.append(member)
+            name = _member_name(member)
+            ov = dict(overrides or {})
+            if isinstance(member, dict):
+                ov.update({k: v for k, v in member.items() if k not in ("task", "task_alias")})
+            if name in GROUPS:
+                add_group(name, ov or None)
+            elif ov:
+                if not seen(name):
+                    ordered.append(dataclasses.replace(get_task(name), **ov))
+            elif not seen(name):
+                ordered.append(name)
 
     for name in names:
         if isinstance(name, str) and name in GROUPS:
@@ -276,7 +318,7 @@ def expand_task_list(names: List[str]):
                 for cat in ("stem", "humanities", "social_sciences", "other"):
                     add_group(f"mmlu_{cat}")
         elif isinstance(name, str):
-            if name not in ordered:
+            if not seen(name):
                 ordered.append(name)
         else:  # TaskConfig passthrough
             ordered.append(name)

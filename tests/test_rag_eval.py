@@ -636,3 +636,22 @@ def test_quant_matmul_pallas_rejects_unaligned_m():
     qw = quantize_weight(jnp.ones((128, 128), jnp.float32))
     with pytest.raises(AssertionError):
         int8_matmul(x, qw, impl="pallas", interpret=True)
+
+
+def test_benchmark_group_overrides(tmp_path):
+    """openllm-style dict members carry fewshot overrides to the leaves
+    (reference: lm_eval/tasks/benchmarks/openllm.yaml)."""
+    from retrieval_scaling_tpu.rag_eval.tasks import TaskConfig, expand_task_list
+
+    ordered, groups = expand_task_list(["openllm"])
+    by_name = {(e if isinstance(e, str) else e.task): e for e in ordered}
+    arc = by_name["arc_challenge"]
+    assert isinstance(arc, TaskConfig)
+    assert arc.num_fewshot == 25 and arc.fewshot_split == "validation"
+    # nested group override: every mmlu subject inherits num_fewshot=5
+    astro = by_name["mmlu_astronomy"]
+    assert isinstance(astro, TaskConfig) and astro.num_fewshot == 5
+    # plain string member stays a string; rollup map records names
+    assert isinstance(by_name["truthfulqa_mc1"], str)
+    assert groups["openllm"][0] == "arc_challenge"
+    assert "mmlu" in groups and len(groups["mmlu"]) == 57

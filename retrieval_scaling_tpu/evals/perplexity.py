@@ -188,7 +188,7 @@ def make_row_loss_fn(cfg, mesh=None, tensor_parallel=False, params=None):
 class JaxReader:
     """Batched scorer around a GPT-NeoX params/config pair."""
 
-    def __init__(self, params, cfg: GPTNeoXConfig, tokenizer, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None, tensor_parallel=False):
+    def __init__(self, params, cfg: GPTNeoXConfig, tokenizer, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None, tensor_parallel=False, quantization=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         # Data-parallel eval over the mesh: the fixed scoring batch must
@@ -197,6 +197,17 @@ class JaxReader:
             batch_size = -(-batch_size // mesh.shape["data"]) * mesh.shape["data"]
         self.batch_size = batch_size
         self.params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        if quantization not in (None, "", "none", "int8"):
+            raise ValueError(f"unknown reader quantization {quantization!r}")
+        if quantization == "int8":
+            if tensor_parallel:
+                raise ValueError(
+                    "reader_quantization=int8 and reader_tensor_parallel are "
+                    "mutually exclusive (TP shard specs cover float keys only)"
+                )
+            from retrieval_scaling_tpu.models.generate import quantize_decode_params
+
+            self.params = quantize_decode_params(self.params, cfg)
         if mesh is not None and tensor_parallel:
             from retrieval_scaling_tpu.parallel.reader_tp import shard_reader_params
 
@@ -206,13 +217,13 @@ class JaxReader:
         )
 
     @classmethod
-    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None, tensor_parallel=False):
+    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None, tensor_parallel=False, quantization=None):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
         params, cfg = load_hf_reader(name_or_path)
         return cls(
             params, cfg, load_tokenizer(name_or_path), batch_size, dtype,
-            mesh=mesh, tensor_parallel=tensor_parallel,
+            mesh=mesh, tensor_parallel=tensor_parallel, quantization=quantization,
         )
 
     def score(self, contexts: List[str], targets: List[str]) -> List[float]:
@@ -293,6 +304,7 @@ def evaluate_perplexity(cfg, reader: JaxReader | None = None, mesh=None) -> PplE
             batch_size=eval_args.get("per_device_eval_batch_size", 8),
             mesh=mesh,
             tensor_parallel=eval_args.get("reader_tensor_parallel", False),
+            quantization=eval_args.get("reader_quantization", None),
         )
 
     per_sample = reader.score(contexts, answers)
@@ -318,6 +330,7 @@ def evaluate_calibration(cfg, reader: JaxReader | None = None, mesh=None) -> Ppl
             batch_size=eval_args.get("per_device_eval_batch_size", 8),
             mesh=mesh,
             tensor_parallel=eval_args.get("reader_tensor_parallel", False),
+            quantization=eval_args.get("reader_quantization", None),
         )
 
     k = eval_args.concate_k

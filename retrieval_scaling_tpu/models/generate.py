@@ -26,12 +26,19 @@ from retrieval_scaling_tpu.models.gpt_neox import (
     _apply_rotary,
     _layer_norm,
     _rotary_cos_sin,
+    neox_attn_out,
+    neox_logits,
+    neox_mlp,
+    neox_qkv,
 )
 from retrieval_scaling_tpu.models.llama import (
     LlamaConfig,
     _layer_norm_np,
     _qkv as _llama_qkv,
     _rms_norm,
+    attn_out_proj as _llama_attn_out,
+    llama_logits as _llama_logits,
+    llama_mlp as _llama_mlp,
     repeat_kv,
     rotary_cos_sin as _llama_rotary_cos_sin,
 )
@@ -79,6 +86,54 @@ def _attention_with_cache(
     return jnp.einsum("bhsm,bhmd->bhsd", probs.astype(values.dtype), values)
 
 
+def quantize_decode_params(params, cfg):
+    """Weight-only int8 reader params (scoring + decode paths).
+
+    Decode throughput is weight-bytes / HBM bandwidth; int8 storage halves
+    the stream (and quarters reader HBM vs f32). Projection weights become
+    per-output-channel int8 pairs (``<name>@q8`` / ``<name>@s``, reshaped
+    2-D); embeddings, norms, and biases stay float. Tied-embedding heads
+    are left float (the embedding table is shared with the lookup). Every
+    forward (``llama_forward`` / ``gpt_neox_forward`` / the KV-cache
+    blocks here) dispatches per-weight, so one quantized param set serves
+    loglikelihood scoring and generation. Opt-in — greedy decode can
+    diverge from the float model on near-tie logits, so HF-parity paths
+    keep bf16.
+    """
+    from retrieval_scaling_tpu.ops.quant_matmul import quantize_weight
+
+    is_llama = isinstance(cfg, LlamaConfig)
+    layer_keys = (
+        ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+        if is_llama
+        else ("qkv_w", "attn_out_w", "mlp_in_w", "mlp_out_w")
+    )
+
+    def quantize_into(store, name):
+        w = store.pop(name)
+        if name in ("attn_out_w", "o_w"):
+            w2d = w.reshape(-1, w.shape[-1])           # [H*hd, d]
+        else:
+            w2d = w.reshape(w.shape[0], -1)            # [d, ...]
+        qw = quantize_weight(w2d)
+        store[f"{name}@q8"] = qw.wq
+        store[f"{name}@s"] = qw.scale
+
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        new = dict(layer)
+        for name in layer_keys:
+            quantize_into(new, name)
+        out["layers"].append(new)
+    if is_llama:
+        if not cfg.tie_embeddings and "lm_head" in out:
+            quantize_into(out, "lm_head")
+    else:
+        quantize_into(out, "embed_out")
+    return out
+
+
 def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, write_onehot):
     """One transformer block writing its new K/V into the cache.
 
@@ -87,8 +142,7 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
     Returns (x_out, new_cache_k, new_cache_v).
     """
     ln1 = _layer_norm(x, layer["ln1_scale"], layer["ln1_bias"], cfg.layer_norm_eps)
-    qkv = jnp.einsum("bsd,dtnk->bstnk", ln1, layer["qkv_w"]) + layer["qkv_b"][None, None]
-    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, hd]
+    q, k, v = neox_qkv(layer, cfg, ln1)  # [B, H, S, hd]
 
     rot = cfg.rotary_dims
     max_pos = cfg.max_position_embeddings
@@ -111,21 +165,15 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
     new_v = cache_v + jnp.einsum("bms,bhsd->bhmd", write_onehot, v.astype(cache_v.dtype))
 
     attn = _attention_with_cache(q, new_k, new_v, positions, key_valid)
-    attn_out = jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
-
-    ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-    h = jnp.dot(ln2, layer["mlp_in_w"]) + layer["mlp_in_b"]
-    h = jax.nn.gelu(h, approximate=False)
-    mlp_out = jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
+    attn_out = neox_attn_out(layer, attn)
 
     if cfg.use_parallel_residual:
-        x = x + attn_out + mlp_out
+        ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
+        x = x + attn_out + neox_mlp(layer, ln2)
     else:
         x = x + attn_out
         ln2b = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-        h = jnp.dot(ln2b, layer["mlp_in_w"]) + layer["mlp_in_b"]
-        h = jax.nn.gelu(h, approximate=False)
-        x = x + jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
+        x = x + neox_mlp(layer, ln2b)
     return x, new_k, new_v
 
 
@@ -172,19 +220,13 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
         q, repeat_kv(new_k, n_rep), repeat_kv(new_v, n_rep), positions, key_valid,
         sm_scale=sm_scale, logit_cap=cfg.attn_logit_softcap, window=window,
     )
-    attn_out = jnp.einsum("bhsk,hkd->bsd", attn, layer["o_w"])
+    attn_out = _llama_attn_out(layer, attn)
     if post_only or pre_post:
         attn_out = _llama_norm(cfg, attn_out, layer["post_attn_norm"])
     x = x + attn_out
 
     h = x if post_only else _llama_norm(cfg, x, layer["post_norm"])
-    pre = jnp.dot(h, layer["gate_w"])
-    gate = (
-        jax.nn.gelu(pre, approximate=True)
-        if cfg.hidden_act == "gelu_tanh"
-        else jax.nn.silu(pre)
-    )
-    mlp_out = jnp.dot(gate * jnp.dot(h, layer["up_w"]), layer["down_w"])
+    mlp_out = _llama_mlp(layer, cfg, h)
     if post_only or pre_post:
         mlp_out = _llama_norm(cfg, mlp_out, layer["post_mlp_norm"])
     x = x + mlp_out
@@ -241,13 +283,10 @@ def forward_with_cache(
 
     if is_llama:
         x = _llama_norm(cfg, x, params["final_norm"])
-        head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-        logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
-        if cfg.final_logit_softcap:
-            logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
+        logits = _llama_logits(params, cfg, x)
     else:
         x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
-        logits = jnp.dot(x, params["embed_out"], preferred_element_type=jnp.float32)
+        logits = neox_logits(params, x)
     return logits, KVCache(jnp.stack(new_ks), jnp.stack(new_vs))
 
 

@@ -106,6 +106,52 @@ def _apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * cos[None, None] + rotated * sin[None, None]
 
 
+def neox_qkv(layer: Params, cfg: GPTNeoXConfig, ln1: jax.Array):
+    """Fused QKV projection -> (q, k, v) each [B, H, S, hd] (float or int8)."""
+    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+
+    b, s, _ = ln1.shape
+    if has_q8(layer, "qkv_w"):
+        qkv = q8_dot(layer, "qkv_w", ln1).reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
+        qkv = qkv + layer["qkv_b"][None, None]
+    else:
+        qkv = jnp.einsum("bsd,dtnk->bstnk", ln1, layer["qkv_w"]) + layer["qkv_b"][None, None]
+    return tuple(jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
+
+
+def neox_attn_out(layer: Params, attn: jax.Array) -> jax.Array:
+    """Output projection: attn [B, H, S, hd] -> [B, S, D] (float or int8)."""
+    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+
+    if has_q8(layer, "attn_out_w"):
+        b, h, s, hd = attn.shape
+        flat = jnp.moveaxis(attn, 1, 2).reshape(b, s, h * hd)
+        return q8_dot(layer, "attn_out_w", flat) + layer["attn_out_b"]
+    return jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
+
+
+def neox_mlp(layer: Params, inp: jax.Array) -> jax.Array:
+    """GELU MLP (float or int8 weights)."""
+    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+
+    if has_q8(layer, "mlp_in_w"):
+        h = q8_dot(layer, "mlp_in_w", inp) + layer["mlp_in_b"]
+        h = jax.nn.gelu(h, approximate=False)
+        return q8_dot(layer, "mlp_out_w", h) + layer["mlp_out_b"]
+    h = jnp.dot(inp, layer["mlp_in_w"]) + layer["mlp_in_b"]
+    h = jax.nn.gelu(h, approximate=False)
+    return jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
+
+
+def neox_logits(params: Params, x: jax.Array) -> jax.Array:
+    """Final-hidden -> vocab logits in f32 (float or int8 head)."""
+    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+
+    if has_q8(params, "embed_out"):
+        return q8_dot(params, "embed_out", x, out_dtype=jnp.float32)
+    return jnp.dot(x, params["embed_out"], preferred_element_type=jnp.float32)
+
+
 def gpt_neox_forward(
     params: Params,
     cfg: GPTNeoXConfig,
@@ -119,8 +165,7 @@ def gpt_neox_forward(
 
     for layer in params["layers"]:
         ln1 = _layer_norm(x, layer["ln1_scale"], layer["ln1_bias"], cfg.layer_norm_eps)
-        qkv = jnp.einsum("bsd,dtnk->bstnk", ln1, layer["qkv_w"]) + layer["qkv_b"][None, None]
-        q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, hd]
+        q, k, v = neox_qkv(layer, cfg, ln1)  # [B, H, S, hd]
 
         q = jnp.concatenate(
             [_apply_rotary(q[..., :rot].astype(jnp.float32), cos, sin).astype(q.dtype), q[..., rot:]],
@@ -132,23 +177,18 @@ def gpt_neox_forward(
         )
 
         attn = multi_head_attention(q, k, v, causal=True, impl=cfg.attention_impl)
-        attn_out = jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
-
-        def mlp(inp):
-            h = jnp.dot(inp, layer["mlp_in_w"]) + layer["mlp_in_b"]
-            h = jax.nn.gelu(h, approximate=False)
-            return jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
+        attn_out = neox_attn_out(layer, attn)
 
         if cfg.use_parallel_residual:
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + attn_out + mlp(ln2)
+            x = x + attn_out + neox_mlp(layer, ln2)
         else:
             x = x + attn_out
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + mlp(ln2)
+            x = x + neox_mlp(layer, ln2)
 
     x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
-    return jnp.dot(x, params["embed_out"], preferred_element_type=jnp.float32)
+    return neox_logits(params, x)
 
 
 def gpt_neox_lm(

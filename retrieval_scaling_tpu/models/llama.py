@@ -196,9 +196,50 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def _qkv(layer: Params, cfg: LlamaConfig, x: jax.Array):
     """Project to q,k,v heads: [B, H(_kv), S, hd]; GQA kv repeated to H."""
-    q = jnp.einsum("bsd,dnk->bnsk", x, layer["q_w"])
-    k = jnp.einsum("bsd,dnk->bnsk", x, layer["k_w"])
-    v = jnp.einsum("bsd,dnk->bnsk", x, layer["v_w"])
+    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+
+    if has_q8(layer, "q_w"):
+        b, s, _ = x.shape
+        q = jnp.moveaxis(q8_dot(layer, "q_w", x).reshape(b, s, cfg.num_heads, cfg.hd), 2, 1)
+        k = jnp.moveaxis(q8_dot(layer, "k_w", x).reshape(b, s, cfg.num_kv_heads, cfg.hd), 2, 1)
+        v = jnp.moveaxis(q8_dot(layer, "v_w", x).reshape(b, s, cfg.num_kv_heads, cfg.hd), 2, 1)
+    else:
+        q = jnp.einsum("bsd,dnk->bnsk", x, layer["q_w"])
+        k = jnp.einsum("bsd,dnk->bnsk", x, layer["k_w"])
+        v = jnp.einsum("bsd,dnk->bnsk", x, layer["v_w"])
+    return _qkv_post(layer, cfg, q, k, v)
+
+
+def attn_out_proj(layer: Params, attn: jax.Array) -> jax.Array:
+    """Output projection: attn [B, H, S, hd] -> [B, S, D] (float or int8)."""
+    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+
+    if has_q8(layer, "o_w"):
+        b, h, s, hd = attn.shape
+        return q8_dot(layer, "o_w", jnp.moveaxis(attn, 1, 2).reshape(b, s, h * hd))
+    return jnp.einsum("bnsk,nkd->bsd", attn, layer["o_w"])
+
+
+def llama_mlp(layer: Params, cfg: LlamaConfig, h: jax.Array) -> jax.Array:
+    """Gated MLP: down(act(gate(h)) * up(h)) (float or int8 weights)."""
+    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+
+    quant = has_q8(layer, "gate_w")
+    pre = q8_dot(layer, "gate_w", h) if quant else jnp.dot(h, layer["gate_w"])
+    gate = (
+        jax.nn.gelu(pre, approximate=True)
+        if cfg.hidden_act == "gelu_tanh"
+        else jax.nn.silu(pre)
+    )
+    up = q8_dot(layer, "up_w", h) if quant else jnp.dot(h, layer["up_w"])
+    if quant:
+        return q8_dot(layer, "down_w", gate * up)
+    return jnp.dot(gate * up, layer["down_w"])
+
+
+def _qkv_post(layer: Params, cfg: LlamaConfig, q, k, v):
+    """Family-variant post-projection: bias, QKV clipping, qk norms —
+    shared by the float and int8 projection paths above."""
     if cfg.attention_bias:
         q = q + layer["q_b"][None, :, None, :]
         k = k + layer["k_b"][None, :, None, :]
@@ -280,19 +321,13 @@ def llama_forward(
             logit_cap=cfg.attn_logit_softcap,
             window=window,
         )
-        attn_out = jnp.einsum("bnsk,nkd->bsd", attn, layer["o_w"])
+        attn_out = attn_out_proj(layer, attn)
         if post_only or pre_post:  # norm the sublayer OUTPUT
             attn_out = norm(attn_out, layer["post_attn_norm"])
         x = x + attn_out
 
         h = x if post_only else norm(x, layer["post_norm"])
-        pre = jnp.dot(h, layer["gate_w"])
-        gate = (
-            jax.nn.gelu(pre, approximate=True)
-            if cfg.hidden_act == "gelu_tanh"
-            else jax.nn.silu(pre)
-        )
-        mlp_out = jnp.dot(gate * jnp.dot(h, layer["up_w"]), layer["down_w"])
+        mlp_out = llama_mlp(layer, cfg, h)
         if post_only or pre_post:
             mlp_out = norm(mlp_out, layer["post_mlp_norm"])
         x = x + mlp_out
@@ -301,6 +336,13 @@ def llama_forward(
 
 
 def llama_logits(params: Params, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
+    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+
+    if has_q8(params, "lm_head"):
+        logits = q8_dot(params, "lm_head", hidden, out_dtype=jnp.float32)
+        if cfg.final_logit_softcap:
+            logits = cfg.final_logit_softcap * jnp.tanh(logits / cfg.final_logit_softcap)
+        return logits
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
     logits = jnp.dot(hidden, head, preferred_element_type=jnp.float32)
     if cfg.final_logit_softcap:  # Gemma-2

@@ -146,6 +146,93 @@ def int8_matmul(
     return out.reshape(*batch_shape, n)
 
 
+def has_q8(store, name: str) -> bool:
+    """True when ``store`` holds ``name`` as an int8 pair (``<name>@q8`` /
+    ``<name>@s``) produced by ``models.generate.quantize_decode_params``."""
+    return f"{name}@q8" in store
+
+
+def q8_dot(store, name: str, x: jax.Array, out_dtype=None) -> jax.Array:
+    """x @ dequant(store[name]) for int8-quantized weights.
+
+    Routes by leading-dim size: decode shapes (rows <= M_DECODE) hit the
+    weight-streaming kernel; prefill/scoring shapes hit the M-blocked
+    kernel (or its XLA fallback)."""
+    qw = QuantizedWeight(store[f"{name}@q8"], store[f"{name}@s"])
+    return int8_decode_matmul(x, qw, out_dtype=out_dtype or x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Small-batch weight-streaming matmul (autoregressive decode).
+#
+# At decode, matmuls are [B<=~32, K] x [K, N] — arithmetic intensity is so
+# low that throughput equals weight bytes / HBM bandwidth. Storing weights
+# int8 halves the bytes; the kernel streams [K, BN] int8 weight blocks
+# while the (tiny, dynamically row-quantized) activations stay resident,
+# so the int8 MXU consumes the stream directly with no bf16 weight copy.
+# --------------------------------------------------------------------------
+
+BN_DECODE = 256  # weight columns per grid step
+M_DECODE = 32    # resident activation rows (callers pad up)
+
+
+def _int8_decode_kernel(x_ref, wq_ref, scale_ref, out_ref):
+    x = x_ref[:].astype(jnp.float32)                      # [M_DECODE, K]
+    xq, row_scale = _rowquant(x)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )                                                     # [M_DECODE, BN]
+    out_ref[:] = (acc.astype(jnp.float32) * row_scale * scale_ref[:]).astype(
+        out_ref.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("impl", "interpret", "out_dtype"))
+def int8_decode_matmul(
+    x: jax.Array,            # [..., K]
+    qw: QuantizedWeight,     # wq [K, N], scale [1, N]
+    impl: str = "auto",
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """x @ dequant(wq) for small leading dims (the decode hot path)."""
+    k, n = qw.wq.shape
+    batch_shape = x.shape[:-1]
+    assert x.shape[-1] == k, (x.shape, qw.wq.shape)
+    m = 1
+    for s in batch_shape:
+        m *= s
+    x2d = x.reshape(m, k)
+
+    use_decode = impl == "pallas" or (
+        impl == "auto"
+        and m <= M_DECODE
+        and k % 128 == 0
+        and n % BN_DECODE == 0
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if not use_decode:
+        # larger m: the M-blocked kernel (or its XLA fallback) is right
+        out = int8_matmul(x2d, qw, impl=impl, interpret=interpret, out_dtype=out_dtype)
+        return out.reshape(*batch_shape, n)
+
+    assert m <= M_DECODE and k % 128 == 0 and n % BN_DECODE == 0, (m, k, n)
+    x_pad = jnp.pad(x2d, ((0, M_DECODE - m), (0, 0)))
+    out = pl.pallas_call(
+        _int8_decode_kernel,
+        grid=(n // BN_DECODE,),
+        in_specs=[
+            pl.BlockSpec((M_DECODE, k), lambda j: (0, 0)),   # resident
+            pl.BlockSpec((k, BN_DECODE), lambda j: (0, j)),  # streamed
+            pl.BlockSpec((1, BN_DECODE), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((M_DECODE, BN_DECODE), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((M_DECODE, n), out_dtype),
+        interpret=interpret,
+    )(x_pad, qw.wq, qw.scale)
+    return out[:m].reshape(*batch_shape, n)
+
+
 # --------------------------------------------------------------------------
 # Fused projection + residual + LayerNorm (the transformer FFN tail).
 #

@@ -43,7 +43,8 @@ def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int =
 
             mesh = build_mesh(data_axis=data_parallel, model_axis=1)
         return JaxReaderLM.from_pretrained(
-            model_args["pretrained"], batch_size=batch_size, mesh=mesh
+            model_args["pretrained"], batch_size=batch_size, mesh=mesh,
+            quantization=model_args.get("quantization"),
         )
     if model in ("openai", "openai-completions", "local-completions"):
         from retrieval_scaling_tpu.rag_eval.models import OpenAICompatLM

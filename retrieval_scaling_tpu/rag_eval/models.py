@@ -82,11 +82,32 @@ class EchoAnswerLM:
 class JaxReaderLM:
     """GPT-NeoX reader backend."""
 
-    def __init__(self, params, cfg, tokenizer, batch_size: int = 8, max_length: int | None = None, mesh=None):
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        batch_size: int = 8,
+        max_length: int | None = None,
+        mesh=None,
+        quantization: str | None = None,
+    ):
         import jax
         import jax.numpy as jnp
 
         from retrieval_scaling_tpu.models.hf_convert import reader_logits
+
+        if quantization not in (None, "", "none", "int8"):
+            raise ValueError(f"unknown reader quantization {quantization!r}")
+        if quantization == "int8":
+            # Weight-only int8 (per-output-channel): halves the decode
+            # weight stream and quarters reader HBM vs f32. The model
+            # forwards dispatch per-weight, so scoring AND generation run
+            # off this one param set (models/generate.py
+            # quantize_decode_params).
+            from retrieval_scaling_tpu.models.generate import quantize_decode_params
+
+            params = quantize_decode_params(params, cfg)
 
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -130,11 +151,16 @@ class JaxReaderLM:
         self.apply_chat_template = chat_template_formatter(tokenizer)
 
     @classmethod
-    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, mesh=None):
+    def from_pretrained(
+        cls, name_or_path: str, batch_size: int = 8, mesh=None, quantization: str | None = None
+    ):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
         params, cfg = load_hf_reader(name_or_path)
-        return cls(params, cfg, load_tokenizer(name_or_path), batch_size, mesh=mesh)
+        return cls(
+            params, cfg, load_tokenizer(name_or_path), batch_size,
+            mesh=mesh, quantization=quantization,
+        )
 
     # ------------------------------------------------------------ ll
     def loglikelihood(self, pairs: Sequence[Tuple[str, str]]):

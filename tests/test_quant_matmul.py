@@ -164,3 +164,161 @@ def test_encoder_quantize_wiring():
     a = enc_f.encode(texts, EncodeOptions(batch_size=2, maxlength=32))
     b = enc_q.encode(texts, EncodeOptions(batch_size=2, maxlength=32))
     assert _cosine_rows(a, b).min() > 0.99
+
+
+def test_int8_decode_matmul_matches_reference():
+    from retrieval_scaling_tpu.ops.quant_matmul import int8_decode_matmul
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(8, 128).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(128, 512).astype(np.float32) * 0.05)
+    qw = quantize_weight(w)
+    out_pl = int8_decode_matmul(x, qw, impl="pallas", interpret=True, out_dtype=jnp.float32)
+    assert out_pl.shape == (8, 512)
+    ref = jnp.dot(x.astype(jnp.float32), qw.wq.astype(jnp.float32) * qw.scale)
+    assert _cosine_rows(out_pl, ref).min() > 0.999
+
+
+@pytest.mark.parametrize("family", ["gpt_neox", "llama"])
+def test_decode_quantized_logits_match_float(family):
+    from retrieval_scaling_tpu.models.generate import (
+        forward_with_cache,
+        init_cache,
+        quantize_decode_params,
+    )
+
+    rng = np.random.RandomState(6)
+    if family == "gpt_neox":
+        from retrieval_scaling_tpu.models.gpt_neox import (
+            GPTNeoXConfig,
+            init_gpt_neox_params,
+        )
+
+        cfg = GPTNeoXConfig(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, max_position_embeddings=64, rotary_pct=0.25,
+        )
+        params = init_gpt_neox_params(cfg, jax.random.PRNGKey(0))
+    else:
+        from retrieval_scaling_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, max_position_embeddings=64,
+            tie_embeddings=False,
+        )
+        params = init_llama_params(cfg, jax.random.PRNGKey(0))
+
+    qparams = quantize_decode_params(params, cfg)
+    assert "layers" in qparams and any(k.endswith("@q8") for k in qparams["layers"][0])
+
+    b, s, m = 2, 8, 16
+    ids = jnp.asarray(rng.randint(0, 256, (b, s)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    key_valid = jnp.arange(m)[None, :] < s
+    cache = init_cache(cfg, b, m, dtype=jnp.float32)
+
+    logits_f, _ = forward_with_cache(params, cfg, ids, pos, cache, key_valid)
+    logits_q, _ = forward_with_cache(qparams, cfg, ids, pos, cache, key_valid)
+    cos = _cosine_rows(
+        np.asarray(logits_q, np.float32).reshape(-1, 256),
+        np.asarray(logits_f, np.float32).reshape(-1, 256),
+    )
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_generate_fn_runs_with_quantized_params():
+    from retrieval_scaling_tpu.models.generate import (
+        make_generate_fn,
+        quantize_decode_params,
+    )
+    from retrieval_scaling_tpu.models.gpt_neox import (
+        GPTNeoXConfig,
+        init_gpt_neox_params,
+    )
+
+    cfg = GPTNeoXConfig(
+        vocab_size=128, hidden_size=32, num_layers=1, num_heads=2,
+        intermediate_size=64, max_position_embeddings=64, rotary_pct=0.25,
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(1))
+    qparams = quantize_decode_params(params, cfg)
+    gen = make_generate_fn(cfg, max_new_tokens=4, eos_id=-1)
+    rng = np.random.RandomState(7)
+    ids = jnp.asarray(rng.randint(0, 128, (2, 6)), jnp.int32)
+    lens = jnp.full((2,), 6, jnp.int32)
+    toks = gen(qparams, ids, lens, jnp.zeros((), jnp.uint32))
+    out = np.asarray(jax.tree.leaves(toks)[0])
+    assert out.shape[-1] == 4
+
+
+@pytest.mark.parametrize("family", ["gpt_neox", "llama"])
+def test_scoring_forward_quantized_matches_float(family):
+    """The full-sequence (scoring) forwards dispatch per-weight too, so one
+    quantized param set serves loglikelihood AND generation."""
+    from retrieval_scaling_tpu.models.generate import quantize_decode_params
+    from retrieval_scaling_tpu.models.hf_convert import reader_logits
+
+    rng = np.random.RandomState(8)
+    if family == "gpt_neox":
+        from retrieval_scaling_tpu.models.gpt_neox import (
+            GPTNeoXConfig,
+            init_gpt_neox_params,
+        )
+
+        cfg = GPTNeoXConfig(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, max_position_embeddings=64, rotary_pct=0.25,
+            attention_impl="xla",
+        )
+        params = init_gpt_neox_params(cfg, jax.random.PRNGKey(2))
+    else:
+        from retrieval_scaling_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, max_position_embeddings=64,
+            tie_embeddings=False, attention_impl="xla",
+        )
+        params = init_llama_params(cfg, jax.random.PRNGKey(2))
+
+    qparams = quantize_decode_params(params, cfg)
+    ids = jnp.asarray(rng.randint(0, 256, (2, 12)), jnp.int32)
+    logits_f = reader_logits(params, cfg, ids)
+    logits_q = reader_logits(qparams, cfg, ids)
+    cos = _cosine_rows(
+        np.asarray(logits_q, np.float32).reshape(-1, 256),
+        np.asarray(logits_f, np.float32).reshape(-1, 256),
+    )
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_jax_reader_lm_int8_backend():
+    """JaxReaderLM(quantization='int8'): loglikelihood tracks the float
+    backend and generation runs off the quantized params."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import make_word_tokenizer, tiny_reader
+    from retrieval_scaling_tpu.rag_eval.models import JaxReaderLM
+
+    texts = [f"question {i} answer {i}" for i in range(8)]
+    tokenizer = make_word_tokenizer(texts)
+    reader = tiny_reader(tokenizer)
+    lm_f = JaxReaderLM(reader.params, reader.cfg, tokenizer, batch_size=4)
+    lm_q = JaxReaderLM(
+        reader.params, reader.cfg, tokenizer, batch_size=4, quantization="int8"
+    )
+    assert any(k.endswith("@q8") for k in lm_q.params["layers"][0])
+
+    pairs = [(f"question {i}", f" answer {i}") for i in range(6)]
+    ll_f = lm_f.loglikelihood(pairs)
+    ll_q = lm_q.loglikelihood(pairs)
+    for (a, _), (b, _) in zip(ll_f, ll_q):
+        assert abs(a - b) < 0.15 * max(abs(a), 1.0), (a, b)
+
+    reqs = [{"context": "question 3", "gen_kwargs": {"max_gen_toks": 4}}]
+    out = lm_q.generate_until(reqs)
+    assert len(out) == 1 and isinstance(out[0], str)
+
+    with pytest.raises(ValueError):
+        JaxReaderLM(reader.params, reader.cfg, tokenizer, quantization="int4")

@@ -86,7 +86,9 @@ class Indexer:
         )
         if self.index_type == "Flat":
             self.datastore = FlatIndex(
-                approx_recall=self.args.get("approx_recall", None), **common
+                approx_recall=self.args.get("approx_recall", None),
+                quantization=self.args.get("quantization", None),
+                **common,
             )
         elif self.index_type == "IVFFlat":
             from retrieval_scaling_tpu.index.ivf_flat import IVFFlatIndex

@@ -34,6 +34,7 @@ from retrieval_scaling_tpu.parallel.mesh import single_device_mesh
 from retrieval_scaling_tpu.parallel.sharded_search import (
     replicate,
     shard_rows,
+    shard_rows_1d,
     sharded_flat_search,
 )
 
@@ -65,6 +66,20 @@ def filter_pad_hits(scores: np.ndarray, ids: np.ndarray):
     return out_scores, out_ids
 
 
+def quantize_rows_sq8(emb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8 quantization: (int8 rows [N, D], f32 scales [N]).
+
+    score(q, row) ≈ (q_int8 · row_int8) * q_scale * row_scale; pad rows get
+    scale 0 so they dequantize to exact zeros.
+    """
+    embf = np.asarray(emb, np.float32)
+    absmax = np.abs(embf).max(axis=1)
+    scales = (absmax / 127.0).astype(np.float32)
+    safe = np.where(scales > 0, scales, 1.0)
+    rows_q = np.clip(np.rint(embf / safe[:, None]), -127, 127).astype(np.int8)
+    return rows_q, scales
+
+
 def load_embedding_shard(path: str) -> Tuple[list, np.ndarray]:
     """Load one ``passages_{i}.pkl`` ``(ids, [N, D] array)`` shard."""
     with open(path, "rb") as f:
@@ -92,6 +107,7 @@ class FlatIndex:
         dtype=jnp.bfloat16,
         search_chunk_size: int = 1 << 20,
         approx_recall: float | None = None,
+        quantization: str | None = None,
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -102,6 +118,13 @@ class FlatIndex:
         # None = exact top-k; a recall target (e.g. 0.99) enables the
         # lax.approx_max_k serving fast path (datastore.index.approx_recall).
         self.approx_recall = approx_recall
+        # "int8" = per-row symmetric scalar quantization of the datastore
+        # (the FAISS IndexScalarQuantizer SQ8 analog): halves the HBM scan
+        # stream — the exact-search bottleneck — and doubles rows/chip.
+        # Applied at load time; on-disk artifacts stay fp16 for interop.
+        if quantization not in (None, "", "none", "int8"):
+            raise ValueError(f"unknown datastore quantization {quantization!r}")
+        self.quantization = quantization if quantization == "int8" else None
 
         if index_path and meta_file and os.path.exists(index_path) and os.path.exists(meta_file):
             logger.info("Loading index from %s", index_path)
@@ -160,7 +183,13 @@ class FlatIndex:
                 [emb, np.zeros((total - emb.shape[0], emb.shape[1]), emb.dtype)], axis=0
             )
         self.rows_per_shard = rows_per_shard
-        self.embeddings = shard_rows(self.mesh, jnp.asarray(emb, self.dtype))
+        if self.quantization == "int8":
+            rows_q, scales = quantize_rows_sq8(emb)
+            self.embeddings = shard_rows(self.mesh, jnp.asarray(rows_q))
+            self.row_scales = shard_rows_1d(self.mesh, jnp.asarray(scales))
+        else:
+            self.embeddings = shard_rows(self.mesh, jnp.asarray(emb, self.dtype))
+            self.row_scales = None
 
     # ------------------------------------------------------------ search
     def search_ids(self, query_embs: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -169,7 +198,8 @@ class FlatIndex:
 
         k_eff = min(k, self.n_valid)
         q_np = np.asarray(query_embs)
-        q = replicate(self.mesh, jnp.asarray(q_np, self.dtype))
+        q_dtype = jnp.float32 if self.quantization == "int8" else self.dtype
+        q = replicate(self.mesh, jnp.asarray(q_np, q_dtype))
         chunk = min(
             self.search_chunk_size, pick_chunk_size(self.rows_per_shard, len(q_np))
         )
@@ -182,6 +212,7 @@ class FlatIndex:
             self.rows_per_shard,
             chunk_size=chunk,
             approx_recall=self.approx_recall,
+            row_scales=self.row_scales,
         )
         return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
 

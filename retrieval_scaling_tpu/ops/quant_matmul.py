@@ -204,11 +204,14 @@ def int8_decode_matmul(
         m *= s
     x2d = x.reshape(m, k)
 
+    # lane-aligned column block: 256 when possible, 128 otherwise (50304-ish
+    # vocab heads are 128- but not 256-aligned)
+    bn = BN_DECODE if n % BN_DECODE == 0 else 128
     use_decode = impl == "pallas" or (
         impl == "auto"
         and m <= M_DECODE
         and k % 128 == 0
-        and n % BN_DECODE == 0
+        and n % bn == 0
         and (interpret or jax.default_backend() == "tpu")
     )
     if not use_decode:
@@ -216,17 +219,17 @@ def int8_decode_matmul(
         out = int8_matmul(x2d, qw, impl=impl, interpret=interpret, out_dtype=out_dtype)
         return out.reshape(*batch_shape, n)
 
-    assert m <= M_DECODE and k % 128 == 0 and n % BN_DECODE == 0, (m, k, n)
+    assert m <= M_DECODE and k % 128 == 0 and n % bn == 0, (m, k, n)
     x_pad = jnp.pad(x2d, ((0, M_DECODE - m), (0, 0)))
     out = pl.pallas_call(
         _int8_decode_kernel,
-        grid=(n // BN_DECODE,),
+        grid=(n // bn,),
         in_specs=[
             pl.BlockSpec((M_DECODE, k), lambda j: (0, 0)),   # resident
-            pl.BlockSpec((k, BN_DECODE), lambda j: (0, j)),  # streamed
-            pl.BlockSpec((1, BN_DECODE), lambda j: (0, j)),
+            pl.BlockSpec((k, bn), lambda j: (0, j)),         # streamed
+            pl.BlockSpec((1, bn), lambda j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((M_DECODE, BN_DECODE), lambda j: (0, j)),
+        out_specs=pl.BlockSpec((M_DECODE, bn), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((M_DECODE, n), out_dtype),
         interpret=interpret,
     )(x_pad, qw.wq, qw.scale)

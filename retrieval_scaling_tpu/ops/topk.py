@@ -83,6 +83,7 @@ def chunked_topk_scores(
     k: int,
     chunk_size: int = 1 << 20,
     approx_recall: float | None = None,
+    row_scales: jax.Array | None = None,  # [N_pad] f32 when database is int8
 ):
     """Inner-product top-k of each query against the database.
 
@@ -95,6 +96,11 @@ def chunked_topk_scores(
     recall target (e.g. 0.99) switches the per-chunk selection to
     ``lax.approx_max_k``, the TPU-native partial-reduction top-k — much
     faster on large chunks at a bounded per-chunk recall cost.
+
+    int8 datastore (the FAISS SQ8 analog): pass an int8 ``database`` plus
+    per-row ``row_scales``; queries are dynamically row-quantized and the
+    scan runs on the int8 MXU — the HBM stream (the bottleneck) halves vs
+    bf16. Scores are dequantized, so they stay comparable across shards.
 
     Prefer the largest chunk the [B, C] f32 score buffer affords: measured
     on v5e, one 1M-row chunk streams 2x faster than 8x128K chunks (the
@@ -109,8 +115,19 @@ def chunked_topk_scores(
     total = n_chunks * chunk_size
     if total != n_pad:
         database = jnp.pad(database, ((0, total - n_pad), (0, 0)))
+        if row_scales is not None:
+            row_scales = jnp.pad(row_scales, (0, total - n_pad))
 
-    qf = queries.astype(database.dtype)
+    int8_db = database.dtype == jnp.int8
+    if int8_db:
+        assert row_scales is not None, "int8 database requires row_scales"
+        from retrieval_scaling_tpu.ops.quant_matmul import _rowquant
+
+        qq, q_scale = _rowquant(queries.astype(jnp.float32))  # [B, D] int8, [B, 1]
+        scale_chunks = row_scales.astype(jnp.float32).reshape(n_chunks, chunk_size)
+    else:
+        qf = queries.astype(database.dtype)
+        scale_chunks = jnp.zeros((n_chunks, 1), jnp.float32)  # unused
     chunks = database.reshape(n_chunks, chunk_size, d)
 
     k_carry = min(k, total)        # candidates retained across the scan
@@ -118,10 +135,16 @@ def chunked_topk_scores(
 
     def scan_body(carry, chunk_data):
         best_s, best_i = carry
-        chunk, chunk_idx = chunk_data
-        scores = jax.lax.dot_general(
-            qf, chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [B, C]
+        chunk, scales, chunk_idx = chunk_data
+        if int8_db:
+            acc = jax.lax.dot_general(
+                qq, chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )  # [B, C] int32
+            scores = acc.astype(jnp.float32) * q_scale * scales[None, :]
+        else:
+            scores = jax.lax.dot_general(
+                qf, chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [B, C]
         base = chunk_idx * chunk_size
         col = jnp.arange(chunk_size, dtype=jnp.int32)[None, :]
         valid = (base + col) < n_valid
@@ -138,7 +161,7 @@ def chunked_topk_scores(
         jnp.full((b, k_carry), -1, jnp.int32),
     )
     (scores, ids), _ = jax.lax.scan(
-        scan_body, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32))
+        scan_body, init, (chunks, scale_chunks, jnp.arange(n_chunks, dtype=jnp.int32))
     )
     if k_carry < k:  # datastore smaller than k: pad out
         pad = k - k_carry

@@ -26,6 +26,11 @@ def shard_rows(mesh: Mesh, array: jax.Array, row_axes: tuple = ("data",)) -> jax
     return jax.device_put(array, NamedSharding(mesh, P(row_axes, None)))
 
 
+def shard_rows_1d(mesh: Mesh, array: jax.Array, row_axes: tuple = ("data",)) -> jax.Array:
+    """Place a [N] array (e.g. per-row dequant scales) sharded like rows."""
+    return jax.device_put(array, NamedSharding(mesh, P(row_axes)))
+
+
 def replicate(mesh: Mesh, array: jax.Array) -> jax.Array:
     return jax.device_put(array, NamedSharding(mesh, P()))
 
@@ -43,11 +48,14 @@ def sharded_flat_search(
     chunk_size: int = 131072,
     approx_recall: float | None = None,
     row_axes: tuple = ("data",),
+    row_scales: jax.Array | None = None,  # [S * rows_per_shard] f32, int8 db
 ):
     """Global top-k over a row-sharded database. Returns replicated
     (scores [B, k], global_ids [B, k]). Exact by default;
     ``approx_recall`` switches the per-shard scan to ``lax.approx_max_k``
-    at the given recall target (serving fast path).
+    at the given recall target (serving fast path). An int8 ``database``
+    (FAISS SQ8 analog) takes per-row dequant ``row_scales``, sharded like
+    the rows; dequantized scores stay comparable across shards.
 
     ``row_axes``: mesh axes the rows shard over — ``("data",)`` within a
     slice, ``("dcn", "data")`` on a hybrid multi-slice mesh (the
@@ -59,14 +67,16 @@ def sharded_flat_search(
     for ax in row_axes:
         num_shards *= mesh.shape[ax]
 
-    def local_search(q, db_local, n_valid_arr):
+    def local_search(q, db_local, n_valid_arr, scales_local):
         rank = jnp.zeros((), jnp.int32)
         for ax in row_axes:  # row-major rank over the row axes
             rank = rank * mesh.shape[ax] + jax.lax.axis_index(ax)
         base = rank * rows_per_shard
         local_valid = jnp.clip(n_valid_arr[0] - base, 0, rows_per_shard)
         s, i = chunked_topk_scores(
-            q, db_local, local_valid, k, chunk_size=chunk_size, approx_recall=approx_recall
+            q, db_local, local_valid, k, chunk_size=chunk_size,
+            approx_recall=approx_recall,
+            row_scales=None if scales_local is None else scales_local,
         )
         gi = jnp.where(i >= 0, i + base, -1)
         # Cross-shard merge: gather all candidates (ICI within the slice,
@@ -83,8 +93,9 @@ def sharded_flat_search(
     fn = jax.shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P(row_axes, None), P()),
+        in_specs=(P(), P(row_axes, None), P(),
+                  None if row_scales is None else P(row_axes)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, database, jnp.asarray(n_valid, jnp.int32).reshape(1))
+    return fn(queries, database, jnp.asarray(n_valid, jnp.int32).reshape(1), row_scales)

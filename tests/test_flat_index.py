@@ -215,3 +215,56 @@ def test_hybrid_dcn_mesh_sharded_search():
         np.testing.assert_allclose(
             np.asarray(scores)[r], exact[r][np.asarray(ids)[r]], rtol=1e-5
         )
+
+
+def test_flat_index_int8_sq8(tmp_path):
+    """SQ8 datastore quantization (FAISS IndexScalarQuantizer analog):
+    near-exact recall vs the bf16 exact scan at half the HBM stream."""
+    import glob
+
+    emb_dir, psg_dir, embs = _make_datastore(tmp_path, per_shard=400, dim=64)
+    paths = sorted(glob.glob(f"{emb_dir}/passages_*.pkl"))
+    common = dict(
+        embed_paths=paths,
+        passage_dir=psg_dir,
+        dimension=64,
+    )
+    exact = FlatIndex(**common)
+    quant = FlatIndex(quantization="int8", **common)
+
+    rng = np.random.RandomState(3)
+    q = rng.randn(8, 64).astype(np.float32)
+    s_f, i_f = exact.search_ids(q, 10)
+    s_q, i_q = quant.search_ids(q, 10)
+    # recall@10 of the quantized scan vs exact
+    recall = np.mean([
+        len(set(map(int, a)) & set(map(int, b))) / 10 for a, b in zip(i_f, i_q)
+    ])
+    assert recall >= 0.95, recall
+    # dequantized scores track the exact ones
+    np.testing.assert_allclose(s_q, s_f, rtol=0.05, atol=0.2)
+
+    # end-to-end: passages fetch works off the quantized index
+    scores, passages, db_ids = quant.search(q[:2], k=5)
+    assert len(passages[0]) == 5
+
+    with pytest.raises(ValueError):
+        FlatIndex(quantization="int4", **common)
+
+
+def test_flat_index_int8_on_8device_mesh(tmp_path):
+    import glob
+
+    emb_dir, psg_dir, embs = _make_datastore(tmp_path, per_shard=300, dim=32)
+    mesh = build_mesh()
+    paths = sorted(glob.glob(f"{emb_dir}/passages_*.pkl"))
+    exact = FlatIndex(embed_paths=paths, dimension=32)
+    quant = FlatIndex(embed_paths=paths, dimension=32, mesh=mesh, quantization="int8")
+    rng = np.random.RandomState(4)
+    q = rng.randn(4, 32).astype(np.float32)
+    _, i_f = exact.search_ids(q, 10)
+    _, i_q = quant.search_ids(q, 10)
+    recall = np.mean([
+        len(set(map(int, a)) & set(map(int, b))) / 10 for a, b in zip(i_f, i_q)
+    ])
+    assert recall >= 0.95, recall

@@ -182,6 +182,50 @@ def main() -> None:
     qps = 64 / (per_batch / 1e3)
     log(f"batched exact-search throughput: {qps:.0f} QPS (batch 64, 1M scan)")
 
+    # ---- aux: SQ8 int8 datastore scan (datastore.index.quantization=int8) -
+    # The exact scan is HBM-bound; per-row int8 rows halve the stream and
+    # run on the int8 MXU (queries dynamically row-quantized, scores
+    # dequantized by q_scale * row_scale). Same top-k contract.
+    def quantize_db(db):
+        dbf = db.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(dbf), axis=1)
+        scales = absmax / 127.0
+        rows_q = jnp.round(dbf / jnp.maximum(scales, 1e-12)[:, None]).astype(jnp.int8)
+        return rows_q, scales
+
+    db_q8 = jax.jit(quantize_db)(db_dev)
+    db_q8[0].block_until_ready()
+    qb_f32 = jnp.asarray(np.asarray(qb, np.float32))
+
+    def batch_loop_q8(params, args):
+        dbq, scales = args
+
+        def body(i, acc):
+            s, _ = chunked_topk_scores(
+                qb_f32 + acc * 0, dbq, n, k, chunk_size=chunk, row_scales=scales
+            )
+            return acc + s[0, 0] * 0 + 1
+
+        return jax.lax.fori_loop(0, bi, body, jnp.zeros((), jnp.float32))
+
+    per_batch_q8 = timed_loop("sq8 int8 search b64", batch_loop_q8, bi, big=db_q8)
+    qps_q8 = 64 / (per_batch_q8 / 1e3)
+    log(f"SQ8 int8 search throughput: {qps_q8:.0f} QPS ({per_batch/per_batch_q8:.2f}x bf16)")
+
+    def serve_loop_q8(params, args):
+        dbq, scales = args
+
+        def body(i, acc):
+            ids = q_ids[i] + (acc * 0.0).astype(jnp.int32)
+            emb = contriever_embed(params, cfg, ids, q_mask).astype(jnp.float32)
+            s, _ = chunked_topk_scores(emb, dbq, n, k, chunk_size=chunk, row_scales=scales)
+            return acc + s[0, 0].astype(jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.float32))
+
+    p50_q8 = timed_loop("e2e encode+sq8-search b1", serve_loop_q8, n_iter, big=db_q8)
+    del db_q8
+
     # ---- aux: encoder throughput (batch 2048 x 256 tokens, v5e-tuned) ----
     eb = 2048
     p_ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (eb, 256)), jnp.int32)
@@ -363,6 +407,37 @@ def main() -> None:
     reader_tok_s = rb * rs / (per_reader / 1e3)
     log(f"reader scoring throughput: {reader_tok_s:.0f} tokens/s (Pythia-1B config)")
 
+    # ---- aux: reader decode throughput, bf16 vs int8 weight streaming -----
+    # Decode is weight-bytes/HBM-bandwidth bound; int8 reader weights
+    # (rag_eval --model_args quantization=int8) halve the stream via the
+    # weight-streaming Pallas kernel (ops/quant_matmul.py int8_decode_matmul).
+    from retrieval_scaling_tpu.models.generate import make_generate_fn, quantize_decode_params
+
+    gb, gs, gnew = 8, 32, 64
+    g_ids = jnp.asarray(rng.randint(0, rcfg.vocab_size, (gb, gs)), jnp.int32)
+    g_lens = jnp.full((gb,), gs, jnp.int32)
+    gen_fn = make_generate_fn(rcfg, gnew, eos_id=-1)
+
+    def decode_tok_s(p, label):
+        t0 = time.perf_counter()
+        np.asarray(gen_fn(p, g_ids, g_lens, 0))  # compile + first run
+        log(f"decode {label} compile+run: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        np.asarray(gen_fn(p, g_ids, g_lens, 0))
+        dt = time.perf_counter() - t0
+        tok_s = gb * gnew / dt
+        log(f"decode {label}: {tok_s:.0f} tok/s ({dt * 1e3 / gnew:.2f} ms/step, b{gb})")
+        return tok_s
+
+    decode_bf16 = decode_tok_s(rparams, "bf16")
+    # quantize in ONE jitted program (per-weight eager calls would pay a
+    # relay round trip each)
+    rparams_q8 = jax.jit(lambda p: quantize_decode_params(p, rcfg))(rparams)
+    jax.tree.leaves(rparams_q8)[0].block_until_ready()
+    decode_int8 = decode_tok_s(rparams_q8, "int8")
+    log(f"decode int8 speedup: {decode_int8 / decode_bf16:.2f}x")
+    del rparams_q8
+
     print(
         json.dumps(
             {
@@ -372,6 +447,8 @@ def main() -> None:
                 "vs_baseline": round(30.0 / p50, 2),
                 "aux": {
                     "batch64_exact_qps": round(qps, 1),
+                    "batch64_sq8_int8_qps": round(qps_q8, 1),
+                    "e2e_sq8_int8_p50_ms": round(p50_q8, 3),
                     "encoder_passages_per_s": round(psg_per_s, 1),
                     "encoder_int8_passages_per_s": round(psg_q, 1),
                     "ivf_flat_qps_nprobe64": round(ivf_qps, 1),
@@ -379,6 +456,8 @@ def main() -> None:
                     "ivf_pq_refine_qps_recall098": round(pqr_qps, 1),
                     "serving_p50_ms": round(serving_p50, 3),
                     "reader_tokens_per_s": round(reader_tok_s, 1),
+                    "decode_bf16_tok_s": round(decode_bf16, 1),
+                    "decode_int8_tok_s": round(decode_int8, 1),
                     "backend": backend,
                     "method": "amortized in-program loops (relay-safe)",
                 },

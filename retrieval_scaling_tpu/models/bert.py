@@ -139,12 +139,16 @@ def bert_encode(
     input_ids: jax.Array,       # [B, S] int32
     attention_mask: jax.Array,  # [B, S] (1 = token, 0 = pad)
     token_type_ids: jax.Array | None = None,
+    position_ids: jax.Array | None = None,   # [B, S] (packed: restart per segment)
+    segment_ids: jax.Array | None = None,    # [B, S] (packed: block-diag attention)
 ) -> jax.Array:
     """Return the last hidden state [B, S, D]."""
     b, s = input_ids.shape
     emb = params["embeddings"]
     x = emb["word"][input_ids]
-    if cfg.roberta_position_ids:
+    if position_ids is not None:
+        x = x + emb["position"][position_ids]
+    elif cfg.roberta_position_ids:
         pos_ids = jnp.cumsum(attention_mask, axis=1) * attention_mask + 1
         x = x + emb["position"][pos_ids]
     else:
@@ -158,20 +162,22 @@ def bert_encode(
     kv_mask = attention_mask.astype(bool)
 
     for layer in params["layers"]:
-        x = _bert_layer(layer, cfg, x, kv_mask)
+        x = _bert_layer(layer, cfg, x, kv_mask, segment_ids=segment_ids)
     return x
 
 
-def _bert_layer(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array) -> jax.Array:
+def _bert_layer(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array, segment_ids=None) -> jax.Array:
     if "mlp_in_wq" in layer:
-        return _bert_layer_int8(layer, cfg, x, kv_mask)
+        return _bert_layer_int8(layer, cfg, x, kv_mask, segment_ids=segment_ids)
     b, s, d = x.shape
     qkv = (
         jnp.einsum("bsd,dtnk->bstnk", x, layer["qkv_w"]) + layer["qkv_b"][None, None]
     )  # [B, S, 3, H, hd]
     q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, hd]
 
-    attn = multi_head_attention(q, k, v, kv_mask=kv_mask, impl=cfg.attention_impl)
+    attn = multi_head_attention(
+        q, k, v, kv_mask=kv_mask, impl=cfg.attention_impl, segment_ids=segment_ids
+    )
     attn_out = jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
     x = _layer_norm(x + attn_out, layer["attn_ln_scale"], layer["attn_ln_bias"], cfg.layer_norm_eps)
 
@@ -183,7 +189,7 @@ def _bert_layer(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array
     return x
 
 
-def _bert_layer_int8(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array) -> jax.Array:
+def _bert_layer_int8(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.Array, segment_ids=None) -> jax.Array:
     """Transformer layer with the int8 FFN (weights from ``quantize_bert_params``).
 
     Attention (QKV, scores, output projection, attention LayerNorm) is the
@@ -204,7 +210,9 @@ def _bert_layer_int8(layer: Params, cfg: BertConfig, x: jax.Array, kv_mask: jax.
     )
     q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, hd]
 
-    attn = multi_head_attention(q, k, v, kv_mask=kv_mask, impl=cfg.attention_impl)
+    attn = multi_head_attention(
+        q, k, v, kv_mask=kv_mask, impl=cfg.attention_impl, segment_ids=segment_ids
+    )
     attn_out = jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
     x = _layer_norm(x + attn_out, layer["attn_ln_scale"], layer["attn_ln_bias"], cfg.layer_norm_eps)
 
@@ -255,4 +263,51 @@ def contriever_embed(
     emb = pool_embeddings(hidden, attention_mask, cfg.pooling)
     if normalize:
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    return emb
+
+
+def contriever_embed_packed(
+    params: Params,
+    cfg: BertConfig,
+    input_ids: jax.Array,      # [B, S] packed rows (pad id beyond last segment)
+    position_ids: jax.Array,   # [B, S] restart at 0 per segment
+    segment_ids: jax.Array,    # [B, S] 1..G per segment, 0 = pad
+    seg_starts: jax.Array,     # [B, G] first-token index of each segment
+    normalize: bool = False,
+) -> jax.Array:
+    """Packed-sequence embedding: many passages per row -> [B, G, D].
+
+    TPU rationale: bucketed batching still pays pad waste inside each
+    bucket and rounds lengths up to powers of two; packing fills every
+    row to exactly ``S`` real tokens, so the encoder runs one compiled
+    shape at ~100%% token occupancy. Attention is block-diagonal via
+    ``segment_ids`` (tokens never see a neighboring passage); positions
+    restart per segment, so each passage computes exactly what it would
+    alone. Per-segment pooling is a [B, S, G] one-hot matmul (MXU-friendly
+    segment-sum). Rows beyond a row's last segment pool over an empty set
+    and are dropped by the caller via its (row, segment) mapping.
+
+    Reference analog: none — the reference pads every batch to max length
+    (src/embed.py:59-92); this is TPU-specific headroom.
+    """
+    hidden = bert_encode(
+        params, cfg, input_ids,
+        attention_mask=(segment_ids > 0).astype(jnp.int32),
+        position_ids=position_ids, segment_ids=segment_ids,
+    )  # [B, S, D]
+    g = seg_starts.shape[1]
+    if cfg.pooling == "mean":
+        onehot = (
+            segment_ids[:, :, None] == (1 + jnp.arange(g))[None, None, :]
+        ).astype(hidden.dtype)  # [B, S, G]
+        summed = jnp.einsum("bsd,bsg->bgd", hidden, onehot)
+        counts = jnp.clip(jnp.sum(onehot, axis=1), 1e-9, None)  # [B, G]
+        emb = summed / counts[..., None]
+    elif cfg.pooling == "cls":
+        emb = jnp.take_along_axis(hidden, seg_starts[..., None], axis=1)  # [B, G, D]
+    else:
+        raise ValueError(f"Unknown pooling: {cfg.pooling!r}")
+    if normalize:
+        norm = jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True)
+        emb = (emb.astype(jnp.float32) / jnp.clip(norm, 1e-9, None)).astype(emb.dtype)
     return emb

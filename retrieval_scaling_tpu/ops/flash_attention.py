@@ -43,11 +43,14 @@ def xla_attention(
     sm_scale: float | None = None,
     logit_cap: float | None = None,
     window: int | None = None,
+    segment_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Plain XLA attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] (True=keep).
     ``logit_cap``: Gemma-2 soft-capping, cap*tanh(scores/cap) pre-mask.
     ``window``: causal sliding window — key j visible to query i iff
-    i - window < j <= i (HF's sliding_window semantics)."""
+    i - window < j <= i (HF's sliding_window semantics).
+    ``segment_ids``: [B, S] int; tokens attend only within their own
+    segment (packed-sequence block-diagonal masking; requires Sq == Sk)."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -56,6 +59,9 @@ def xla_attention(
         scores = logit_cap * jnp.tanh(scores / logit_cap)
     if kv_mask is not None:
         scores = jnp.where(kv_mask[:, None, None, :], scores, NEG_INF)
+    if segment_ids is not None:
+        same = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        scores = jnp.where(same, scores, NEG_INF)
     if causal or window is not None:
         sq, sk = q.shape[2], k.shape[2]
         qi = jnp.arange(sq)[:, None] + (sk - sq)
@@ -251,6 +257,7 @@ def multi_head_attention(
     impl: str = "auto",
     logit_cap: float | None = None,
     window: int | None = None,
+    segment_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Dispatching attention entry point. q,k,v: [B, H, S, D].
 
@@ -266,12 +273,15 @@ def multi_head_attention(
         # S x S score tensor stops fitting on-chip.
         use_flash = jax.default_backend() == "tpu" and q.shape[2] >= 1024
         impl = "flash" if use_flash else "xla"
-    if logit_cap or window is not None:
-        # soft-capping / sliding windows (Gemma-2) are not fused into the
-        # flash kernel yet
+    if logit_cap or window is not None or segment_ids is not None:
+        # soft-capping / sliding windows (Gemma-2) and packed segment
+        # masking are not fused into the flash kernel yet (packed encoder
+        # sequences are <= 512 where XLA attention wins anyway)
         impl = "xla"
     if impl == "xla":
-        return xla_attention(q, k, v, kv_mask, causal, sm_scale, logit_cap, window)
+        return xla_attention(
+            q, k, v, kv_mask, causal, sm_scale, logit_cap, window, segment_ids
+        )
     if impl == "flash":
         if sm_scale is None:
             sm_scale = q.shape[-1] ** -0.5

@@ -130,20 +130,69 @@ def int8_matmul(
     # forced impl="pallas" must not silently truncate: grid=(m // BM,)
     # leaves remainder rows unwritten
     assert m % BM == 0 and k % 128 == 0 and n % 128 == 0, (m, k, n)
+    if _resident_ok(k, n):
+        # whole weight resident across the m-steps (encoder-sized weights)
+        out = pl.pallas_call(
+            functools.partial(_int8_matmul_kernel, activation=activation),
+            grid=(m // BM,),
+            in_specs=[
+                pl.BlockSpec((BM, k), lambda i: (i, 0)),
+                pl.BlockSpec((k, n), lambda i: (0, 0)),   # resident across steps
+                pl.BlockSpec((1, n), lambda i: (0, 0)),
+                pl.BlockSpec((1, n), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((BM, n), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+            interpret=interpret,
+        )(x2d, qw.wq, qw.scale, bias_row)
+        return out.reshape(*batch_shape, n)
+
+    # Reader-sized weights (e.g. 8192x2048, 2048x50304) exceed scoped VMEM:
+    # block over N too — the x tile stays resident while [K, BN] weight
+    # blocks stream (j is the fast grid axis). Smaller row block: the
+    # kernel's in-VMEM f32 activation copy is the other big consumer.
+    bn = _pick_bn(k, n)
+    bm = 128
     out = pl.pallas_call(
         functools.partial(_int8_matmul_kernel, activation=activation),
-        grid=(m // BM,),
+        grid=(m // bm, n // bn),
         in_specs=[
-            pl.BlockSpec((BM, k), lambda i: (i, 0)),
-            pl.BlockSpec((k, n), lambda i: (0, 0)),   # resident across steps
-            pl.BlockSpec((1, n), lambda i: (0, 0)),
-            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((BM, n), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         interpret=interpret,
     )(x2d, qw.wq, qw.scale, bias_row)
     return out.reshape(*batch_shape, n)
+
+
+# Streamed weight-block budget: the [K, BN] int8 block (double-buffered)
+# plus the f32 x tile and accumulator must fit the ~16 MB scoped VMEM.
+_WEIGHT_VMEM_BUDGET = 2 << 20
+
+
+def _resident_ok(k: int, n: int) -> bool:
+    """Whole-weight-resident schedule fits scoped VMEM?
+
+    Footprint model: int8 weight [K, N] + the x tile's bf16 load, f32 copy,
+    and int8 quantized form (~6 bytes/elem at [BM, K]) + f32 accumulator
+    and output (~8 bytes/elem at [BM, N]). Encoder-sized weights
+    (768x3072) pass; reader-sized (8192x2048, vocab heads) stream instead.
+    """
+    return k * n + 6 * BM * k + 8 * BM * n <= 14 << 20
+
+
+def _pick_bn(k: int, n: int) -> int:
+    """Largest multiple-of-128 divisor of n with k * bn within budget."""
+    best = 0
+    cap = max(_WEIGHT_VMEM_BUDGET // k, 128)
+    for bn in range(128, n + 1, 128):
+        if n % bn == 0 and bn <= cap:
+            best = bn
+    return best or 128
 
 
 def has_q8(store, name: str) -> bool:

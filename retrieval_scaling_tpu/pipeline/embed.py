@@ -60,6 +60,9 @@ def generate_passage_embeddings(cfg, encoder: JaxEncoder | None = None) -> None:
         normalize_text=args.get("normalize_text", False),
         no_title=args.get("no_title", False),
         out_dim=out_dim,
+        # Sequence packing (datastore.embedding.packing): ~100% token
+        # occupancy on variable-length passages (tail chunks, short docs).
+        packed=bool(args.get("packing", False)),
     )
 
     for shard_id in todo:

@@ -61,6 +61,53 @@ class EncodeOptions:
     # reference's drama ``encode_documents(..., dim=768)``,
     # reference: src/embed.py:61-62). None = full hidden size.
     out_dim: int | None = None
+    # Sequence packing (datastore.embedding.packing): many passages per
+    # [batch, maxlength] row with block-diagonal attention — ~100% token
+    # occupancy vs bucketed padding. BERT-family encoders only.
+    packed: bool = False
+
+
+def pack_token_rows(sequences: List[List[int]], capacity: int, pad_id: int):
+    """First-fit-decreasing packing of token sequences into fixed rows.
+
+    Returns (ids [R, capacity], position_ids, segment_ids, seg_starts
+    [R, G], mapping) — ``segment_ids`` are 1..G per row (0 = pad),
+    positions restart at 0 per segment, and ``mapping[i] = (row, slot)``
+    locates sequence i's pooled embedding in the [R, G] output grid.
+    """
+    order = sorted(range(len(sequences)), key=lambda i: -len(sequences[i]))
+    rows: List[List[int]] = []      # sequence indices per row
+    space: List[int] = []
+    for i in order:
+        need = len(sequences[i])
+        for r, free in enumerate(space):
+            if free >= need:
+                rows[r].append(i)
+                space[r] -= need
+                break
+        else:
+            rows.append([i])
+            space.append(capacity - need)
+
+    g = max((len(r) for r in rows), default=1)
+    g = -(-g // 8) * 8  # round up: bounds compiled shapes, aligns the one-hot
+    n_rows = len(rows)
+    ids = np.full((n_rows, capacity), pad_id, np.int32)
+    pos = np.zeros((n_rows, capacity), np.int32)
+    seg = np.zeros((n_rows, capacity), np.int32)
+    seg_starts = np.zeros((n_rows, g), np.int32)
+    mapping: List[tuple] = [None] * len(sequences)  # type: ignore[list-item]
+    for r, members in enumerate(rows):
+        cursor = 0
+        for slot, i in enumerate(members):
+            toks = sequences[i]
+            ids[r, cursor : cursor + len(toks)] = toks
+            pos[r, cursor : cursor + len(toks)] = np.arange(len(toks))
+            seg[r, cursor : cursor + len(toks)] = slot + 1
+            seg_starts[r, slot] = cursor
+            mapping[i] = (r, slot)
+            cursor += len(toks)
+    return ids, pos, seg, seg_starts, mapping
 
 
 def projection_out_dim(cfg, encoder) -> int | None:
@@ -188,6 +235,13 @@ class JaxEncoder:
             truncation=True,
             padding=False,
         )["input_ids"]
+        if opts.packed:
+            if self._can_pack():
+                return self._encode_packed(enc, opts, out_dim)
+            logger.warning(
+                "packing requested but the encoder family does not support "
+                "it (BERT-family, non-RoBERTa only); using bucketed batches"
+            )
         lengths = np.asarray([len(ids) for ids in enc])
 
         buckets = _length_buckets(opts.maxlength)
@@ -222,6 +276,75 @@ class JaxEncoder:
             emb = np.asarray(jax.device_get(emb), np.float16)
             out[take] = emb[: len(take)]
             pos += batch
+        return out
+
+    # ------------------------------------------------------------------
+    def _can_pack(self) -> bool:
+        return (
+            self.embed_fn is contriever_embed
+            and isinstance(self.cfg, BertConfig)
+            and not self.cfg.roberta_position_ids
+        )
+
+    def _compiled_packed(self, normalize_emb: bool, out_dim: int | None):
+        normalize_emb = normalize_emb or self.force_normalize
+        key = ("packed", normalize_emb, out_dim)
+        if key not in self._encode_jit:
+            from retrieval_scaling_tpu.models.bert import contriever_embed_packed
+
+            rows = NamedSharding(self.mesh, P(("data",), None))
+
+            @partial(jax.jit, in_shardings=(None, rows, rows, rows, rows))
+            def fn(params, ids, pos, seg, seg_starts):
+                emb = contriever_embed_packed(
+                    params, self.cfg, ids, pos, seg, seg_starts,
+                    normalize=normalize_emb and out_dim is None,
+                )  # [R, G, D]
+                if out_dim is not None:
+                    emb = emb[..., :out_dim]
+                    if normalize_emb:
+                        norm = jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True)
+                        emb = (emb.astype(jnp.float32) / jnp.clip(norm, 1e-9, None)).astype(emb.dtype)
+                return emb
+
+            self._encode_jit[key] = fn
+        return self._encode_jit[key]
+
+    def _encode_packed(self, enc: List[List[int]], opts: EncodeOptions, out_dim: int) -> np.ndarray:
+        """Packed encode: every device row carries ~maxlength real tokens."""
+        pad_id = self.tokenizer.pad_token_id or 0
+        ids, pos, seg, seg_starts, mapping = pack_token_rows(enc, opts.maxlength, pad_id)
+        n_rows = ids.shape[0]
+
+        num_data = self.mesh.shape["data"]
+        row_batch = max(opts.batch_size, num_data)
+        row_batch -= row_batch % num_data
+        if n_rows < row_batch:
+            shrunk = max(num_data, 1 << max(n_rows - 1, 0).bit_length())
+            shrunk += (-shrunk) % num_data
+            row_batch = min(row_batch, shrunk)
+        total = -(-n_rows // row_batch) * row_batch
+        if total != n_rows:  # pad rows: segment 0 everywhere, dropped below
+            pad = total - n_rows
+            ids = np.concatenate([ids, np.full((pad, ids.shape[1]), pad_id, np.int32)])
+            pos = np.concatenate([pos, np.zeros((pad, pos.shape[1]), np.int32)])
+            seg = np.concatenate([seg, np.zeros((pad, seg.shape[1]), np.int32)])
+            seg_starts = np.concatenate([seg_starts, np.zeros((pad, seg_starts.shape[1]), np.int32)])
+
+        fn = self._compiled_packed(opts.normalize_emb, opts.out_dim)
+        row_embs = []
+        for start in range(0, total, row_batch):
+            sl = slice(start, start + row_batch)
+            emb = fn(
+                self.params,
+                jnp.asarray(ids[sl]), jnp.asarray(pos[sl]),
+                jnp.asarray(seg[sl]), jnp.asarray(seg_starts[sl]),
+            )
+            row_embs.append(np.asarray(jax.device_get(emb), np.float16))
+        all_rows = np.concatenate(row_embs, axis=0)  # [total, G, D]
+        out = np.empty((len(enc), out_dim), np.float16)
+        for i, (r, slot) in enumerate(mapping):
+            out[i] = all_rows[r, slot]
         return out
 
     # ------------------------------------------------------------------

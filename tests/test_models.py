@@ -239,3 +239,89 @@ def test_gelu_auto_matches_exact_within_bf16_noise(tiny_hf_bert):
     e_auto32 = np.asarray(contriever_embed(params, cfg_auto, ids, mask))
     e_exact32 = np.asarray(contriever_embed(params, cfg_exact, ids, mask))
     np.testing.assert_array_equal(e_auto32, e_exact32)
+
+
+# ---------------------------------------------------------------- packing
+def test_pack_token_rows_layout():
+    from retrieval_scaling_tpu.search.encoder import pack_token_rows
+
+    seqs = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]]
+    ids, pos, seg, seg_starts, mapping = pack_token_rows(seqs, capacity=8, pad_id=0)
+    # every sequence present exactly once at its mapped (row, slot)
+    for i, (r, slot) in enumerate(mapping):
+        start = seg_starts[r, slot]
+        got = ids[r, start : start + len(seqs[i])].tolist()
+        assert got == seqs[i], (i, got)
+        assert (seg[r, start : start + len(seqs[i])] == slot + 1).all()
+        assert pos[r, start] == 0
+    # capacity respected, segments have no overlaps
+    assert ids.shape[1] == 8
+    total_tokens = sum(len(s) for s in seqs)
+    assert int((seg > 0).sum()) == total_tokens
+
+
+def test_packed_embed_matches_unpacked():
+    """Block-diagonal attention + per-segment positions/pooling must equal
+    encoding each passage alone (same math, one compiled shape)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import make_word_tokenizer, tiny_encoder
+    from retrieval_scaling_tpu.search.encoder import EncodeOptions
+
+    rng = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(words, rng.randint(3, 20))) for _ in range(17)]
+    tok = make_word_tokenizer([" ".join(words)])
+    enc = tiny_encoder(tok)
+
+    a = enc.encode(texts, EncodeOptions(batch_size=4, maxlength=32))
+    b = enc.encode(texts, EncodeOptions(batch_size=4, maxlength=32, packed=True))
+    assert b.shape == a.shape
+    cos = np.sum(a.astype(np.float32) * b.astype(np.float32), axis=1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_packed_embed_mesh_and_out_dim():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import make_word_tokenizer, tiny_encoder
+    from retrieval_scaling_tpu.parallel.mesh import build_mesh
+    from retrieval_scaling_tpu.search.encoder import EncodeOptions
+
+    rng = np.random.RandomState(1)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, rng.randint(2, 16))) for _ in range(23)]
+    tok = make_word_tokenizer([" ".join(words)])
+    enc = tiny_encoder(tok, mesh=build_mesh())
+
+    a = enc.encode(texts, EncodeOptions(batch_size=8, maxlength=32, out_dim=16))
+    b = enc.encode(texts, EncodeOptions(batch_size=8, maxlength=32, out_dim=16, packed=True))
+    assert a.shape == b.shape == (23, 16)
+    cos = np.sum(a.astype(np.float32) * b.astype(np.float32), axis=1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_packed_falls_back_for_unsupported_family():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import make_word_tokenizer
+    import dataclasses
+    import jax
+    from retrieval_scaling_tpu.models.bert import BertConfig, init_bert_params
+    from retrieval_scaling_tpu.search.encoder import EncodeOptions, JaxEncoder
+    import jax.numpy as jnp
+
+    tok = make_word_tokenizer(["alpha beta gamma"])
+    cfg = BertConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=1, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64, pooling="mean",
+        attention_impl="xla", roberta_position_ids=True,
+    )
+    params = init_bert_params(cfg, jax.random.PRNGKey(0))
+    enc = JaxEncoder(params, cfg, tok, dtype=jnp.float32)
+    out = enc.encode(["alpha beta", "gamma"], EncodeOptions(batch_size=2, maxlength=16, packed=True))
+    assert out.shape == (2, 32)

@@ -200,9 +200,11 @@ def gpt_neox_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "au
 
 
 # --------------------------------------------------------------------------
-# Llama family (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, TinyLlama)
+# Llama family (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, TinyLlama, Phi-3)
 # --------------------------------------------------------------------------
-_LLAMA_MODEL_TYPES = ("llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "olmo", "olmo2")
+_LLAMA_MODEL_TYPES = (
+    "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "olmo", "olmo2", "phi3",
+)
 
 
 def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig:
@@ -307,19 +309,32 @@ def llama_params_from_state_dict(
                 g(p + "input_layernorm.weight")
                 if p + "input_layernorm.weight" in sd else ones_d
             ),
-            "q_w": g(p + "self_attn.q_proj.weight").T.reshape(d, h, hd),
-            "k_w": g(p + "self_attn.k_proj.weight").T.reshape(d, hkv, hd),
-            "v_w": g(p + "self_attn.v_proj.weight").T.reshape(d, hkv, hd),
             "o_w": g(p + "self_attn.o_proj.weight").T.reshape(h, hd, d),
             "post_norm": (
                 g(p + "post_attention_layernorm.weight")
                 if cfg.norm_placement == "pre" and p + "post_attention_layernorm.weight" in sd
                 else ones_d
             ),
-            "gate_w": g(p + "mlp.gate_proj.weight").T,
-            "up_w": g(p + "mlp.up_proj.weight").T,
             "down_w": g(p + "mlp.down_proj.weight").T,
         }
+        if p + "self_attn.qkv_proj.weight" in sd:
+            # Phi-3 fuses the projections: qkv_proj [(h+2*hkv)*hd, d] and
+            # gate_up_proj [2*ff, d] split into the standard llama layout.
+            qkv = g(p + "self_attn.qkv_proj.weight")
+            q_rows, k_rows = np.split(qkv, [h * hd], axis=0)
+            k_rows, v_rows = np.split(k_rows, [hkv * hd], axis=0)
+            layer["q_w"] = q_rows.T.reshape(d, h, hd)
+            layer["k_w"] = k_rows.T.reshape(d, hkv, hd)
+            layer["v_w"] = v_rows.T.reshape(d, hkv, hd)
+            gate, up = np.split(g(p + "mlp.gate_up_proj.weight"), 2, axis=0)
+            layer["gate_w"] = gate.T
+            layer["up_w"] = up.T
+        else:
+            layer["q_w"] = g(p + "self_attn.q_proj.weight").T.reshape(d, h, hd)
+            layer["k_w"] = g(p + "self_attn.k_proj.weight").T.reshape(d, hkv, hd)
+            layer["v_w"] = g(p + "self_attn.v_proj.weight").T.reshape(d, hkv, hd)
+            layer["gate_w"] = g(p + "mlp.gate_proj.weight").T
+            layer["up_w"] = g(p + "mlp.up_proj.weight").T
         if cfg.norm_placement == "post_output":  # OLMo-2
             layer["post_attn_norm"] = g(p + "post_attention_layernorm.weight")
             layer["post_mlp_norm"] = g(p + "post_feedforward_layernorm.weight")

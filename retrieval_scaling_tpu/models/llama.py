@@ -169,6 +169,13 @@ def rope_inv_freq(cfg: LlamaConfig) -> jax.Array:
         inv_freq = jnp.where(
             wavelen > low_wavelen, scaled, jnp.where(wavelen < high_wavelen, inv_freq, mid)
         )
+    elif cfg.rope_scaling_type not in (None, "default"):
+        # e.g. Phi-3-128k "longrope", "yarn", "dynamic" — refusing beats
+        # silently computing wrong positions.
+        raise NotImplementedError(
+            f"rope_scaling type {cfg.rope_scaling_type!r} is not supported "
+            "(supported: linear, llama3)"
+        )
     return inv_freq
 
 

@@ -144,6 +144,9 @@ def embed_eval_queries(cfg, queries: List[str], encoder: JaxEncoder | None, mesh
         lowercase=search_args.get("lowercase", False),
         normalize_text=search_args.get("normalize_text", False),
         out_dim=projection_out_dim(cfg, encoder),
+        # queries are short vs question_maxlength (512 default) — packing
+        # puts many per device row (evaluation.search.packing)
+        packed=bool(search_args.get("packing", False)),
     )
     embeddings = encoder.encode_queries(queries, opts)
 

@@ -104,7 +104,7 @@ def test_sampled_generation_varies_with_seed(params):
     assert not np.array_equal(a, b)
 
 
-@pytest.mark.parametrize("family", ["gemma2", "olmo2", "olmo1", "gemma", "mistral_swa"])
+@pytest.mark.parametrize("family", ["gemma2", "olmo2", "olmo1", "gemma", "mistral_swa", "phi3"])
 def test_family_variant_generation_matches_hf(family):
     """Greedy KV-cache generation must reproduce HF .generate for the
     architecture variants (soft-capping, pre/post norms, norm offsets,
@@ -134,6 +134,13 @@ def test_family_variant_generation_matches_hf(family):
     elif family == "olmo1":
         hf = transformers.OlmoForCausalLM(
             transformers.OlmoConfig(clip_qkv=8.0, **{**kw, "num_key_value_heads": 4})
+        )
+    elif family == "phi3":
+        hf = transformers.Phi3ForCausalLM(
+            transformers.Phi3Config(
+                pad_token_id=0, bos_token_id=1, eos_token_id=2,
+                attention_dropout=0.0, resid_pdrop=0.0, embd_pdrop=0.0, **kw,
+            )
         )
     else:  # mistral with sliding window
         hf = transformers.MistralForCausalLM(

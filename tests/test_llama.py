@@ -434,3 +434,38 @@ def test_mistral_sliding_window_parity(rng):
         llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids)))
     )
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_phi3_parity(rng):
+    """Phi-3: fused qkv_proj / gate_up_proj split into the llama layout."""
+    torch.manual_seed(4)
+    hf = transformers.Phi3ForCausalLM(
+        transformers.Phi3Config(
+            vocab_size=128, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+            max_position_embeddings=64, rope_theta=10000.0, rms_norm_eps=1e-5,
+            tie_word_embeddings=False,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2,
+            attention_dropout=0.0, resid_pdrop=0.0, embd_pdrop=0.0,
+        )
+    ).eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert "q_w" in params["layers"][0] and params["layers"][0]["q_w"].shape == (32, 4, 8)
+    ids = _ids(rng)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids))))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=2e-3)
+
+
+def test_unsupported_rope_scaling_raises(rng):
+    from retrieval_scaling_tpu.models.llama import rope_inv_freq
+    import dataclasses
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, num_layers=1, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, max_position_embeddings=64,
+        rope_scaling_type="longrope",
+    )
+    with pytest.raises(NotImplementedError):
+        rope_inv_freq(cfg)

@@ -82,27 +82,38 @@ def _flash_kernel(
     k_ref,      # [1, 1, Sk_pad, D]
     v_ref,      # [1, 1, Sk_pad, D]
     mask_ref,   # [1, 1, Sk_pad] float32 additive (0 or NEG_INF)
-    o_ref,      # [1, 1, block_q, D]
-    *,
+    *rest,      # segmented: (kseg, qseg, qlo, qhi) refs, then o_ref
     sm_scale: float,
     block_k: int,
     sk_pad: int,
     causal: bool,
     q_offset_per_block: int,
     seq_delta: int,
+    segmented: bool = False,
 ):
+    if segmented:
+        kseg_ref, qseg_ref, qlo_ref, qhi_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     block_q, d = q_ref.shape[2], q_ref.shape[3]
     q = q_ref[0, 0].astype(jnp.float32) * sm_scale
 
     num_k_blocks = sk_pad // block_k
     qi = pl.program_id(2)
 
+    k_start = jnp.zeros((), jnp.int32)
     if causal:
         # Only key blocks intersecting the causal triangle contribute.
         last_q = qi * q_offset_per_block + block_q - 1 + seq_delta
         k_blocks = jnp.minimum(num_k_blocks, pl.cdiv(last_q + 1, block_k))
     else:
         k_blocks = num_k_blocks
+    if segmented:
+        # Packed rows: segments are contiguous, so this q block's keys live
+        # in [min(lo), max(hi)) — blocks outside never run (linear-in-tokens
+        # attention for block-diagonal masks, no [S, S] mask in HBM).
+        k_start = jnp.maximum(k_start, jnp.min(qlo_ref[0, 0]) // block_k)
+        k_blocks = jnp.minimum(k_blocks, pl.cdiv(jnp.max(qhi_ref[0, 0]), block_k))
 
     def body(ki, carry):
         acc, m_prev, l_prev = carry
@@ -112,6 +123,11 @@ def _flash_kernel(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_q, block_k]
         s = s + mask_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
+        if segmented:
+            k_seg = kseg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+            s = jnp.where(
+                qseg_ref[0, 0][:, None] == k_seg[None, :], s, NEG_INF
+            )
         if causal:
             q_pos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -123,7 +139,9 @@ def _flash_kernel(
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
+        # the where guards the all-masked-block case: s == m_new == NEG_INF
+        # would give exp(0) = 1 instead of probability 0
+        p = jnp.where(s > NEG_INF * 0.5, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
@@ -136,8 +154,32 @@ def _flash_kernel(
         jnp.full((block_q, 1), NEG_INF, jnp.float32),
         jnp.zeros((block_q, 1), jnp.float32),
     )
-    acc, _, l = jax.lax.fori_loop(0, k_blocks, body, init)
+    acc, _, l = jax.lax.fori_loop(k_start, k_blocks, body, init)
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def segment_bounds(segment_ids: jax.Array):
+    """Per-token [lo, hi) span of the token's segment along the row.
+
+    Segments must be contiguous runs (the packed layout). Pad tokens
+    (segment 0) get lo = hi = 0.
+    """
+    b, s = segment_ids.shape
+    idx = jnp.arange(s, dtype=jnp.int32)[None, :]
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, segment_ids.dtype), segment_ids[:, :-1]], axis=1
+    )
+    start = segment_ids != prev  # first token of each run
+    lo = jax.lax.cummax(jnp.where(start, idx, 0), axis=1)
+    nxt = jnp.concatenate(
+        [segment_ids[:, 1:], jnp.full((b, 1), -1, segment_ids.dtype)], axis=1
+    )
+    end = segment_ids != nxt  # last token of each run
+    hi = jnp.flip(
+        jax.lax.cummin(jnp.where(jnp.flip(end, 1), jnp.flip(idx + 1, 1), s), axis=1), 1
+    )
+    pad = segment_ids == 0
+    return jnp.where(pad, 0, lo).astype(jnp.int32), jnp.where(pad, 0, hi).astype(jnp.int32)
 
 
 @functools.partial(
@@ -153,8 +195,16 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    segment_ids: jax.Array | None = None,
 ) -> jax.Array:
-    """Pallas flash attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] bool."""
+    """Pallas flash attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] bool.
+
+    ``segment_ids`` [B, S] (packed rows, contiguous runs, 0 = pad):
+    block-diagonal attention computed from the per-token ids alone — no
+    [S, S] mask array in HBM, and key blocks outside a query block's
+    segment span are skipped entirely (linear-in-tokens for packed rows).
+    Requires Sq == Sk.
+    """
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if sm_scale is None:
@@ -192,21 +242,36 @@ def flash_attention(
         causal=causal,
         q_offset_per_block=block_q,
         seq_delta=sk - sq,
+        segmented=segment_ids is not None,
     )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0)),
+    ]
+    operands = [q, k, v, add_mask]
+    if segment_ids is not None:
+        assert sq == sk, "segment attention requires Sq == Sk"
+        seg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)))
+        lo, hi = segment_bounds(seg)
+        in_specs += [
+            pl.BlockSpec((1, 1, sk_pad), lambda bi, hi_, qi: (bi, 0, 0)),     # key segs
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi_, qi: (bi, 0, qi)),   # q segs
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi_, qi: (bi, 0, qi)),   # lo
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi_, qi: (bi, 0, qi)),   # hi
+        ]
+        operands += [seg[:, None, :], seg[:, None, :], lo[:, None, :], hi[:, None, :]]
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
         interpret=interpret,
-    )(q, k, v, add_mask)
+    )(*operands)
 
     return out[:, :, :sq, :]
 
@@ -222,26 +287,29 @@ def flash_attention(
 # fusion is adequate; a fused Pallas dq/dk/dv kernel is a further step.
 # --------------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _flash_diffable(causal, sm_scale, q, k, v, mask_f):
+def _flash_diffable(causal, sm_scale, q, k, v, mask_f, seg):
     kv_mask = None if mask_f is None else mask_f > 0.5
-    return flash_attention(q, k, v, kv_mask, causal, sm_scale)
+    return flash_attention(q, k, v, kv_mask, causal, sm_scale, segment_ids=seg)
 
 
-def _flash_diffable_fwd(causal, sm_scale, q, k, v, mask_f):
-    return _flash_diffable(causal, sm_scale, q, k, v, mask_f), (q, k, v, mask_f)
+def _flash_diffable_fwd(causal, sm_scale, q, k, v, mask_f, seg):
+    return _flash_diffable(causal, sm_scale, q, k, v, mask_f, seg), (q, k, v, mask_f, seg)
 
 
 def _flash_diffable_bwd(causal, sm_scale, residuals, g):
-    q, k, v, mask_f = residuals
+    q, k, v, mask_f, seg = residuals
     kv_mask = None if mask_f is None else mask_f > 0.5
 
     def ref(q_, k_, v_):
-        return xla_attention(q_, k_, v_, kv_mask, causal, sm_scale)
+        return xla_attention(q_, k_, v_, kv_mask, causal, sm_scale, segment_ids=seg)
 
     _, vjp = jax.vjp(ref, q, k, v)
     dq, dk, dv = vjp(g)
     dmask = None if mask_f is None else jnp.zeros_like(mask_f)
-    return dq, dk, dv, dmask
+    import numpy as _np
+
+    dseg = None if seg is None else _np.zeros(seg.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask, dseg
 
 
 _flash_diffable.defvjp(_flash_diffable_fwd, _flash_diffable_bwd)
@@ -270,13 +338,17 @@ def multi_head_attention(
         # Measured on v5e (BERT-base, 512x256): XLA attention is ~25% faster
         # than the Pallas kernel at short sequences (tiny per-head blocks
         # underutilize the MXU); the online-softmax kernel wins once the
-        # S x S score tensor stops fitting on-chip.
-        use_flash = jax.default_backend() == "tpu" and q.shape[2] >= 1024
+        # S x S score tensor stops fitting on-chip. Segmented (packed)
+        # attention always uses the kernel on TPU: the XLA path's [S, S]
+        # mask costs HBM every layer, the kernel reads only the [B, S] ids
+        # and skips out-of-segment key blocks.
+        use_flash = jax.default_backend() == "tpu" and (
+            q.shape[2] >= 1024 or segment_ids is not None
+        )
         impl = "flash" if use_flash else "xla"
-    if logit_cap or window is not None or segment_ids is not None:
-        # soft-capping / sliding windows (Gemma-2) and packed segment
-        # masking are not fused into the flash kernel yet (packed encoder
-        # sequences are <= 512 where XLA attention wins anyway)
+    if logit_cap or window is not None:
+        # soft-capping / sliding windows (Gemma-2) are not fused into the
+        # flash kernel yet
         impl = "xla"
     if impl == "xla":
         return xla_attention(
@@ -286,7 +358,9 @@ def multi_head_attention(
         if sm_scale is None:
             sm_scale = q.shape[-1] ** -0.5
         mask_f = None if kv_mask is None else kv_mask.astype(jnp.float32)
-        return _flash_diffable(causal, float(sm_scale), q, k, v, mask_f)
+        return _flash_diffable(causal, float(sm_scale), q, k, v, mask_f, segment_ids)
     if impl == "flash_interpret":
-        return flash_attention(q, k, v, kv_mask, causal, sm_scale, interpret=True)
+        return flash_attention(
+            q, k, v, kv_mask, causal, sm_scale, interpret=True, segment_ids=segment_ids
+        )
     raise ValueError(f"Unknown attention impl: {impl!r}")

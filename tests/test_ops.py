@@ -335,3 +335,69 @@ def test_ivf_flat_grouped_matches_per_tile(rng):
     s_p, i_p = ivf_scan_topk_pallas(*args, k=9, interpret=True, grouped=False)
     np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_p), atol=1e-4, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_p))
+
+
+# ---------------------------------------------------------------- segments
+def test_segment_bounds():
+    from retrieval_scaling_tpu.ops.flash_attention import segment_bounds
+    import jax.numpy as jnp
+
+    seg = jnp.asarray([[1, 1, 2, 2, 2, 3, 0, 0]], jnp.int32)
+    lo, hi = segment_bounds(seg)
+    assert lo[0].tolist() == [0, 0, 2, 2, 2, 5, 0, 0]
+    assert hi[0].tolist() == [2, 2, 5, 5, 5, 6, 0, 0]
+
+
+def test_segmented_flash_matches_xla():
+    """Packed block-diagonal attention: the kernel (with key-block
+    skipping) must equal the XLA masked path on real tokens."""
+    from retrieval_scaling_tpu.ops.flash_attention import flash_attention, xla_attention
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    b, h, s, d = 2, 3, 512, 32
+    q = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    # contiguous segments of random lengths + pad tail
+    seg_np = np.zeros((b, s), np.int32)
+    for r in range(b):
+        posn, sid = 0, 1
+        while posn < s - 40:
+            ln = rng.randint(20, 150)
+            seg_np[r, posn : posn + ln] = sid
+            posn += ln
+            sid += 1
+    seg = jnp.asarray(seg_np)
+
+    ref = np.asarray(xla_attention(q, k, v, segment_ids=seg))
+    got = np.asarray(
+        flash_attention(q, k, v, segment_ids=seg, interpret=True, block_q=128, block_k=128)
+    )
+    real = seg_np > 0
+    np.testing.assert_allclose(got[:, :, :, :][np.broadcast_to(real[:, None, :, None], got.shape)],
+                               ref[np.broadcast_to(real[:, None, :, None], ref.shape)],
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_segmented_flash_pad_rows_are_finite():
+    """Rows whose whole key range is masked (pad tokens) must come out
+    zero/finite, not NaN (the m == -inf corner in the online softmax)."""
+    from retrieval_scaling_tpu.ops.flash_attention import flash_attention
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    b, h, s, d = 1, 2, 256, 16
+    q = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    seg_np = np.zeros((b, s), np.int32)
+    seg_np[0, :100] = 1  # 100..256 all pad
+    out = np.asarray(
+        flash_attention(q, k, v, segment_ids=jnp.asarray(seg_np), interpret=True,
+                        block_q=128, block_k=128)
+    )
+    assert np.isfinite(out).all()
+    # pad rows inside a mixed block attend pad keys (garbage, dropped by
+    # pooling); a fully-pad q block is skipped entirely and must be zero
+    assert np.abs(out[0, :, 128:, :]).max() == 0.0

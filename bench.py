@@ -187,10 +187,14 @@ def main() -> None:
     # run on the int8 MXU (queries dynamically row-quantized, scores
     # dequantized by q_scale * row_scale). Same top-k contract.
     def quantize_db(db):
+        # device-jittable mirror of index/flat.py quantize_rows_sq8 (same
+        # clip + zero-scale pad handling, so the bench measures the exact
+        # production scheme without a 1.5 GB host round trip)
         dbf = db.astype(jnp.float32)
         absmax = jnp.max(jnp.abs(dbf), axis=1)
         scales = absmax / 127.0
-        rows_q = jnp.round(dbf / jnp.maximum(scales, 1e-12)[:, None]).astype(jnp.int8)
+        safe = jnp.where(scales > 0, scales, 1.0)
+        rows_q = jnp.clip(jnp.round(dbf / safe[:, None]), -127, 127).astype(jnp.int8)
         return rows_q, scales
 
     db_q8 = jax.jit(quantize_db)(db_dev)

@@ -90,6 +90,12 @@ class Indexer:
                 quantization=self.args.get("quantization", None),
                 **common,
             )
+        elif self.args.get("quantization", None) not in (None, "", "none"):
+            raise ValueError(
+                "datastore.index.quantization applies to the Flat index only "
+                f"(got index_type={self.index_type!r}); for IVFPQ use the "
+                "int8 refinement tier (pq_refine_factor) instead"
+            )
         elif self.index_type == "IVFFlat":
             from retrieval_scaling_tpu.index.ivf_flat import IVFFlatIndex
 

@@ -44,7 +44,7 @@ class BertConfig:
     # gelu flavor: "exact" (erf — HF BertIntermediate), "tanh", or "auto".
     # "auto" uses tanh when activations are bf16: the tanh approximation's
     # ~1e-3 error is below bf16 quantization noise (~4e-3), and the exact
-    # erf costs ~190 ms/2048x256 batch on a v5e (24%% of the forward).
+    # erf costs ~190 ms/2048x256 batch on a v5e (24% of the forward).
     gelu: str = "auto"
     # RoBERTa/XLM-R (the reference's XLMRetriever variant, reference:
     # contriever/src/contriever.py:58-100): positions are pad-offset —
@@ -280,7 +280,7 @@ def contriever_embed_packed(
     TPU rationale: bucketed batching still pays pad waste inside each
     bucket and rounds lengths up to powers of two; packing fills every
     row to exactly ``S`` real tokens, so the encoder runs one compiled
-    shape at ~100%% token occupancy. Attention is block-diagonal via
+    shape at ~100% token occupancy. Attention is block-diagonal via
     ``segment_ids`` (tokens never see a neighboring passage); positions
     restart per segment, so each passage computes exactly what it would
     alone. Per-segment pooling is a [B, S, G] one-hot matmul (MXU-friendly

@@ -246,16 +246,17 @@ def llama_config_from_hf(hf_config, attention_impl: str = "auto") -> LlamaConfig
         final_logit_softcap=getattr(hf_config, "final_logit_softcapping", None),
         query_pre_attn_scalar=getattr(hf_config, "query_pre_attn_scalar", None),
         # Gemma-2 slides on alternating layers (layer_types); Mistral v0.1
-        # slides on every layer when sliding_window is set.
+        # and Phi-3 slide on every layer when sliding_window is set.
         sliding_window=(
             getattr(hf_config, "sliding_window", None)
-            if model_type in ("gemma2", "mistral") else None
+            if model_type in ("gemma2", "mistral", "phi3") else None
         ),
         sliding_pattern=(
             tuple(t == "sliding_attention" for t in hf_config.layer_types)
             if model_type == "gemma2" and getattr(hf_config, "layer_types", None)
             else (True,) * hf_config.num_hidden_layers
-            if model_type == "mistral" and getattr(hf_config, "sliding_window", None)
+            if model_type in ("mistral", "phi3")
+            and getattr(hf_config, "sliding_window", None)
             else None
         ),
         # OLMo-1: non-parametric LayerNorm + optional QKV clipping;

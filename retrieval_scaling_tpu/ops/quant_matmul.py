@@ -226,14 +226,19 @@ M_DECODE = 32    # resident activation rows (callers pad up)
 
 
 def _int8_decode_kernel(x_ref, wq_ref, scale_ref, out_ref):
-    x = x_ref[:].astype(jnp.float32)                      # [M_DECODE, K]
+    x = x_ref[:].astype(jnp.float32)                      # [m_pad, K]
     xq, row_scale = _rowquant(x)
     acc = jax.lax.dot_general(
         xq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )                                                     # [M_DECODE, BN]
+    )                                                     # [m_pad, BN]
     out_ref[:] = (acc.astype(jnp.float32) * row_scale * scale_ref[:]).astype(
         out_ref.dtype
     )
+
+
+# Largest batch the weight-streaming kernel keeps resident; beyond this the
+# M-blocked prefill kernel takes over (rows padded up to its BM).
+M_DECODE_MAX = 128
 
 
 @functools.partial(jax.jit, static_argnames=("impl", "interpret", "out_dtype"))
@@ -256,33 +261,42 @@ def int8_decode_matmul(
     # lane-aligned column block: 256 when possible, 128 otherwise (50304-ish
     # vocab heads are 128- but not 256-aligned)
     bn = BN_DECODE if n % BN_DECODE == 0 else 128
+    aligned = k % 128 == 0 and n % bn == 0
+    on_tpu = interpret or jax.default_backend() == "tpu"
     use_decode = impl == "pallas" or (
-        impl == "auto"
-        and m <= M_DECODE
-        and k % 128 == 0
-        and n % bn == 0
-        and (interpret or jax.default_backend() == "tpu")
+        impl == "auto" and m <= M_DECODE_MAX and aligned and on_tpu
     )
     if not use_decode:
-        # larger m: the M-blocked kernel (or its XLA fallback) is right
+        if impl == "auto" and aligned and on_tpu and m % BM != 0:
+            # keep large generation batches on the int8 MXU too: pad rows
+            # to the prefill kernel's block instead of falling back to the
+            # XLA dequant path (which streams 4x the bytes)
+            x_pad = jnp.pad(x2d, ((0, _round_up(m, BM) - m), (0, 0)))
+            out = int8_matmul(x_pad, qw, impl=impl, interpret=interpret, out_dtype=out_dtype)
+            return out[:m].reshape(*batch_shape, n)
         out = int8_matmul(x2d, qw, impl=impl, interpret=interpret, out_dtype=out_dtype)
         return out.reshape(*batch_shape, n)
 
-    assert m <= M_DECODE and k % 128 == 0 and n % bn == 0, (m, k, n)
-    x_pad = jnp.pad(x2d, ((0, M_DECODE - m), (0, 0)))
+    assert m <= M_DECODE_MAX and k % 128 == 0 and n % bn == 0, (m, k, n)
+    m_pad = max(M_DECODE, _round_up(m, 32))  # sublane-aligned resident block
+    x_pad = jnp.pad(x2d, ((0, m_pad - m), (0, 0)))
     out = pl.pallas_call(
         _int8_decode_kernel,
         grid=(n // bn,),
         in_specs=[
-            pl.BlockSpec((M_DECODE, k), lambda j: (0, 0)),   # resident
+            pl.BlockSpec((m_pad, k), lambda j: (0, 0)),      # resident
             pl.BlockSpec((k, bn), lambda j: (0, j)),         # streamed
             pl.BlockSpec((1, bn), lambda j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((M_DECODE, bn), lambda j: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((M_DECODE, n), out_dtype),
+        out_specs=pl.BlockSpec((m_pad, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         interpret=interpret,
     )(x_pad, qw.wq, qw.scale)
     return out[:m].reshape(*batch_shape, n)
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
 
 
 # --------------------------------------------------------------------------

@@ -68,26 +68,52 @@ class EncodeOptions:
 
 
 def pack_token_rows(sequences: List[List[int]], capacity: int, pad_id: int):
-    """First-fit-decreasing packing of token sequences into fixed rows.
+    """Best-fit-decreasing packing of token sequences into fixed rows.
 
     Returns (ids [R, capacity], position_ids, segment_ids, seg_starts
     [R, G], mapping) — ``segment_ids`` are 1..G per row (0 = pad),
     positions restart at 0 per segment, and ``mapping[i] = (row, slot)``
     locates sequence i's pooled embedding in the [R, G] output grid.
+
+    O(N log capacity): rows are bucketed by exact free space (an int
+    <= capacity) and the tightest-fitting bucket is found by bisect over
+    the sorted set of nonempty free values — a naive first-fit row scan
+    is O(N^2) and would burn ~an hour of host CPU on a 1M-passage shard.
     """
+    import bisect
+
     order = sorted(range(len(sequences)), key=lambda i: -len(sequences[i]))
     rows: List[List[int]] = []      # sequence indices per row
-    space: List[int] = []
+    by_free: dict = {}              # free space -> [row indices]
+    frees: List[int] = []           # sorted distinct free values with rows
+
+    def take_row(free: int) -> int:
+        bucket = by_free[free]
+        r = bucket.pop()
+        if not bucket:
+            del by_free[free]
+            frees.pop(bisect.bisect_left(frees, free))
+        return r
+
+    def put_row(free: int, r: int) -> None:
+        if free <= 0:
+            return
+        if free not in by_free:
+            by_free[free] = []
+            bisect.insort(frees, free)
+        by_free[free].append(r)
+
     for i in order:
         need = len(sequences[i])
-        for r, free in enumerate(space):
-            if free >= need:
-                rows[r].append(i)
-                space[r] -= need
-                break
+        pos = bisect.bisect_left(frees, need)  # tightest row that fits
+        if pos < len(frees):
+            free = frees[pos]
+            r = take_row(free)
+            rows[r].append(i)
+            put_row(free - need, r)
         else:
             rows.append([i])
-            space.append(capacity - need)
+            put_row(capacity - need, len(rows) - 1)
 
     g = max((len(r) for r in rows), default=1)
     g = -(-g // 8) * 8  # round up: bounds compiled shapes, aligns the one-hot

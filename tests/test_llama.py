@@ -469,3 +469,29 @@ def test_unsupported_rope_scaling_raises(rng):
     )
     with pytest.raises(NotImplementedError):
         rope_inv_freq(cfg)
+
+
+def test_phi3_sliding_window_parity(rng):
+    """Phi-3 slides on EVERY layer (like Mistral v0.1); logits must match
+    HF beyond the window."""
+    torch.manual_seed(9)
+    hf = transformers.Phi3ForCausalLM(
+        transformers.Phi3Config(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=48,
+            max_position_embeddings=64, sliding_window=8,
+            tie_word_embeddings=False,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2,
+            attention_dropout=0.0, resid_pdrop=0.0, embd_pdrop=0.0,
+        )
+    ).eval()
+    params, cfg = llama_from_hf_model(hf)
+    assert cfg.sliding_window == 8
+    assert cfg.sliding_pattern == (True, True)
+    ids = _ids(rng, s=24, v=96)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(
+        llama_logits(params, cfg, llama_forward(params, cfg, jnp.asarray(ids)))
+    )
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

@@ -322,3 +322,20 @@ def test_jax_reader_lm_int8_backend():
 
     with pytest.raises(ValueError):
         JaxReaderLM(reader.params, reader.cfg, tokenizer, quantization="int4")
+
+
+def test_int8_decode_matmul_mid_and_large_batches():
+    """m in (32, 128] stays on the weight-streaming kernel; larger ragged m
+    pads up to the prefill kernel's block instead of the XLA dequant path."""
+    from retrieval_scaling_tpu.ops.quant_matmul import int8_decode_matmul
+
+    rng = np.random.RandomState(9)
+    w = jnp.asarray(rng.randn(128, 512).astype(np.float32) * 0.05)
+    qw = quantize_weight(w)
+    ref_w = qw.wq.astype(jnp.float32) * qw.scale
+    for m in (64, 100, 300):
+        x = jnp.asarray(rng.randn(m, 128).astype(np.float32))
+        out = int8_decode_matmul(x, qw, interpret=True, out_dtype=jnp.float32)
+        assert out.shape == (m, 512)
+        ref = jnp.dot(x, ref_w)
+        assert _cosine_rows(out, ref).min() > 0.999, m

@@ -146,11 +146,13 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
 
     rot = cfg.rotary_dims
     max_pos = cfg.max_position_embeddings
-    cos_all, sin_all = _rotary_cos_sin(max_pos, rot, cfg.rotary_base, jnp.float32)
+    cos_all, sin_all = _rotary_cos_sin(max_pos, max(rot, 2), cfg.rotary_base, jnp.float32)
     cos = cos_all[positions]  # [B, S, rot]
     sin = sin_all[positions]
 
     def rope(t):
+        if rot == 0:  # GPT-2: learned positions, no rotary
+            return t
         tr = t[..., :rot].astype(jnp.float32)
         half = rot // 2
         t1, t2 = tr[..., :half], tr[..., half:]
@@ -167,13 +169,14 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
     attn = _attention_with_cache(q, new_k, new_v, positions, key_valid)
     attn_out = neox_attn_out(layer, attn)
 
+    approx = cfg.gelu == "tanh"
     if cfg.use_parallel_residual:
         ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-        x = x + attn_out + neox_mlp(layer, ln2)
+        x = x + attn_out + neox_mlp(layer, ln2, approx)
     else:
         x = x + attn_out
         ln2b = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-        x = x + neox_mlp(layer, ln2b)
+        x = x + neox_mlp(layer, ln2b, approx)
     return x, new_k, new_v
 
 
@@ -254,6 +257,8 @@ def forward_with_cache(
     x = params["embed"][input_ids] if is_llama else params["embed_in"][input_ids]
     if is_llama and cfg.embedding_multiplier != 1.0:
         x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
+    if not is_llama and cfg.learned_positions:  # GPT-2
+        x = x + params["pos_embed"][positions]
 
     slots = jnp.arange(max_len)[None, :, None]                      # [1, M, 1]
     write_onehot = (slots == positions[:, None, :]).astype(cache.k.dtype)  # [B, M, S]

@@ -39,6 +39,11 @@ class GPTNeoXConfig:
     layer_norm_eps: float = 1e-5
     use_parallel_residual: bool = True
     attention_impl: str = "auto"
+    # GPT-2 deltas (the classic reader baseline): learned absolute
+    # position embeddings (``pos_embed`` param) instead of rotary, and
+    # the tanh "gelu_new" MLP activation.
+    learned_positions: bool = False
+    gelu: str = "exact"  # "exact" (GPT-NeoX erf) | "tanh" (GPT-2 gelu_new)
 
     @property
     def head_dim(self) -> int:
@@ -130,16 +135,16 @@ def neox_attn_out(layer: Params, attn: jax.Array) -> jax.Array:
     return jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
 
 
-def neox_mlp(layer: Params, inp: jax.Array) -> jax.Array:
-    """GELU MLP (float or int8 weights)."""
+def neox_mlp(layer: Params, inp: jax.Array, approximate: bool = False) -> jax.Array:
+    """GELU MLP (float or int8 weights); ``approximate`` = GPT-2 gelu_new."""
     from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
 
     if has_q8(layer, "mlp_in_w"):
         h = q8_dot(layer, "mlp_in_w", inp) + layer["mlp_in_b"]
-        h = jax.nn.gelu(h, approximate=False)
+        h = jax.nn.gelu(h, approximate=approximate)
         return q8_dot(layer, "mlp_out_w", h) + layer["mlp_out_b"]
     h = jnp.dot(inp, layer["mlp_in_w"]) + layer["mlp_in_b"]
-    h = jax.nn.gelu(h, approximate=False)
+    h = jax.nn.gelu(h, approximate=approximate)
     return jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
 
 
@@ -160,32 +165,36 @@ def gpt_neox_forward(
     """Return logits [B, S, V]."""
     b, s = input_ids.shape
     x = params["embed_in"][input_ids]
+    if cfg.learned_positions:
+        x = x + params["pos_embed"][None, :s, :]
     rot = cfg.rotary_dims
-    cos, sin = _rotary_cos_sin(s, rot, cfg.rotary_base, jnp.float32)
+    cos, sin = _rotary_cos_sin(s, max(rot, 2), cfg.rotary_base, jnp.float32)
+    approx = cfg.gelu == "tanh"
 
     for layer in params["layers"]:
         ln1 = _layer_norm(x, layer["ln1_scale"], layer["ln1_bias"], cfg.layer_norm_eps)
         q, k, v = neox_qkv(layer, cfg, ln1)  # [B, H, S, hd]
 
-        q = jnp.concatenate(
-            [_apply_rotary(q[..., :rot].astype(jnp.float32), cos, sin).astype(q.dtype), q[..., rot:]],
-            axis=-1,
-        )
-        k = jnp.concatenate(
-            [_apply_rotary(k[..., :rot].astype(jnp.float32), cos, sin).astype(k.dtype), k[..., rot:]],
-            axis=-1,
-        )
+        if rot > 0:
+            q = jnp.concatenate(
+                [_apply_rotary(q[..., :rot].astype(jnp.float32), cos, sin).astype(q.dtype), q[..., rot:]],
+                axis=-1,
+            )
+            k = jnp.concatenate(
+                [_apply_rotary(k[..., :rot].astype(jnp.float32), cos, sin).astype(k.dtype), k[..., rot:]],
+                axis=-1,
+            )
 
         attn = multi_head_attention(q, k, v, causal=True, impl=cfg.attention_impl)
         attn_out = neox_attn_out(layer, attn)
 
         if cfg.use_parallel_residual:
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + attn_out + neox_mlp(layer, ln2)
+            x = x + attn_out + neox_mlp(layer, ln2, approx)
         else:
             x = x + attn_out
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + neox_mlp(layer, ln2)
+            x = x + neox_mlp(layer, ln2, approx)
 
     x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
     return neox_logits(params, x)

@@ -200,6 +200,82 @@ def gpt_neox_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "au
 
 
 # --------------------------------------------------------------------------
+# GPT-2 — maps onto the GPT-NeoX machinery: sequential residual, learned
+# absolute positions (no rotary), tanh gelu_new, tied lm head.
+# --------------------------------------------------------------------------
+def gpt2_config_from_hf(hf_config, attention_impl: str = "auto") -> GPTNeoXConfig:
+    return GPTNeoXConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.n_embd,
+        num_layers=hf_config.n_layer,
+        num_heads=hf_config.n_head,
+        intermediate_size=(
+            hf_config.n_inner if hf_config.n_inner is not None else 4 * hf_config.n_embd
+        ),
+        max_position_embeddings=hf_config.n_positions,
+        rotary_pct=0.0,
+        layer_norm_eps=hf_config.layer_norm_epsilon,
+        use_parallel_residual=False,
+        learned_positions=True,
+        gelu="tanh",
+        attention_impl=attention_impl,
+    )
+
+
+def gpt2_params_from_state_dict(
+    state: Mapping[str, Any], cfg: GPTNeoXConfig, dtype=np.float32
+) -> Dict:
+    sd = {}
+    for key, val in state.items():
+        if key.startswith("transformer."):
+            key = key[len("transformer."):]
+        sd[key] = _np(val)
+
+    d, hh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+
+    def g(name):
+        return sd[name].astype(dtype)
+
+    wte = g("wte.weight")
+    params: Dict[str, Any] = {
+        "embed_in": wte,
+        "pos_embed": g("wpe.weight"),
+        "final_ln_scale": g("ln_f.weight"),
+        "final_ln_bias": g("ln_f.bias"),
+        # GPT-2 ties the lm head to wte (lm_head.weight may be absent)
+        "embed_out": np.ascontiguousarray(wte.T),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"h.{i}."
+        # Conv1D weights are already [in, out]; c_attn out dim is q|k|v
+        # concat, each head-major [H, hd].
+        params["layers"].append(
+            {
+                "ln1_scale": g(p + "ln_1.weight"),
+                "ln1_bias": g(p + "ln_1.bias"),
+                "qkv_w": g(p + "attn.c_attn.weight").reshape(d, 3, hh, hd),
+                "qkv_b": g(p + "attn.c_attn.bias").reshape(3, hh, hd),
+                "attn_out_w": g(p + "attn.c_proj.weight").reshape(hh, hd, d),
+                "attn_out_b": g(p + "attn.c_proj.bias"),
+                "ln2_scale": g(p + "ln_2.weight"),
+                "ln2_bias": g(p + "ln_2.bias"),
+                "mlp_in_w": g(p + "mlp.c_fc.weight"),
+                "mlp_in_b": g(p + "mlp.c_fc.bias"),
+                "mlp_out_w": g(p + "mlp.c_proj.weight"),
+                "mlp_out_b": g(p + "mlp.c_proj.bias"),
+            }
+        )
+    return params
+
+
+def gpt2_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "auto"):
+    cfg = gpt2_config_from_hf(hf_model.config, attention_impl=attention_impl)
+    params = gpt2_params_from_state_dict(hf_model.state_dict(), cfg, dtype=dtype)
+    return params, cfg
+
+
+# --------------------------------------------------------------------------
 # Llama family (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, TinyLlama, Phi-3)
 # --------------------------------------------------------------------------
 _LLAMA_MODEL_TYPES = (
@@ -498,6 +574,8 @@ def load_hf_reader(name_or_path: str, dtype=np.float32):
     model_type = getattr(hf.config, "model_type", "gpt_neox")
     if model_type in _LLAMA_MODEL_TYPES:
         return llama_from_hf_model(hf, dtype=dtype)
+    if model_type == "gpt2":
+        return gpt2_from_hf_model(hf, dtype=dtype)
     return gpt_neox_from_hf_model(hf, dtype=dtype)
 
 

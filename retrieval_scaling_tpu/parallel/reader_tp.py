@@ -33,13 +33,16 @@ def gpt_neox_reader_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         }
         return {k: spec[k] for k in layer}
 
-    return {
+    out = {
         "embed_in": P(),
         "final_ln_scale": P(),
         "final_ln_bias": P(),
         "embed_out": P(None, "model"),
         "layers": [layer_spec(l) for l in params["layers"]],
     }
+    if "pos_embed" in params:  # GPT-2 learned positions: replicated
+        out["pos_embed"] = P()
+    return out
 
 
 def llama_reader_specs(params: Dict[str, Any]) -> Dict[str, Any]:

@@ -325,3 +325,62 @@ def test_packed_falls_back_for_unsupported_family():
     enc = JaxEncoder(params, cfg, tok, dtype=jnp.float32)
     out = enc.encode(["alpha beta", "gamma"], EncodeOptions(batch_size=2, maxlength=16, packed=True))
     assert out.shape == (2, 32)
+
+
+# ---------------------------------------------------------------- gpt2
+def test_gpt2_parity_with_hf():
+    """GPT-2 (learned positions, sequential residual, gelu_new, tied head)
+    on the GPT-NeoX machinery must match HF logits."""
+    import torch
+    import transformers
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
+    from retrieval_scaling_tpu.models.hf_convert import gpt2_from_hf_model
+
+    torch.manual_seed(3)
+    hf = transformers.GPT2LMHeadModel(
+        transformers.GPT2Config(
+            vocab_size=128, n_embd=32, n_layer=2, n_head=4, n_positions=64,
+            attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+        )
+    ).eval()
+    params, cfg = gpt2_from_hf_model(hf)
+    assert cfg.learned_positions and not cfg.use_parallel_residual
+    assert cfg.rotary_dims == 0 and cfg.gelu == "tanh"
+
+    rng = np.random.RandomState(2)
+    ids = rng.randint(0, 128, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(gpt_neox_forward(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_gpt2_generation_matches_hf():
+    import torch
+    import transformers
+    import jax, jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.generate import make_generate_fn
+    from retrieval_scaling_tpu.models.hf_convert import gpt2_from_hf_model
+
+    torch.manual_seed(5)
+    hf = transformers.GPT2LMHeadModel(
+        transformers.GPT2Config(
+            vocab_size=96, n_embd=32, n_layer=2, n_head=4, n_positions=64,
+            attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+        )
+    ).eval()
+    params, cfg = gpt2_from_hf_model(hf)
+
+    rng = np.random.RandomState(6)
+    prompt = rng.randint(2, 96, (1, 10)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor(prompt.astype(np.int64)), max_new_tokens=5,
+            do_sample=False, pad_token_id=0, eos_token_id=None,
+        )[0, 10:].numpy()
+    gen = make_generate_fn(cfg, max_new_tokens=5, eos_id=0)
+    out = np.asarray(gen(params, jnp.asarray(prompt), jnp.asarray([10], jnp.int32), 0))
+    np.testing.assert_array_equal(out[0], ref)

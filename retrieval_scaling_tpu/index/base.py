@@ -90,12 +90,6 @@ class Indexer:
                 quantization=self.args.get("quantization", None),
                 **common,
             )
-        elif self.args.get("quantization", None) not in (None, "", "none"):
-            raise ValueError(
-                "datastore.index.quantization applies to the Flat index only "
-                f"(got index_type={self.index_type!r}); for IVFPQ use the "
-                "int8 refinement tier (pq_refine_factor) instead"
-            )
         elif self.index_type == "IVFFlat":
             from retrieval_scaling_tpu.index.ivf_flat import IVFFlatIndex
 
@@ -104,7 +98,14 @@ class Indexer:
                 sample_train_size=self.args.sample_train_size,
                 ncentroids=self.args.ncentroids,
                 probe=self.args.probe,
+                quantization=self.args.get("quantization", None),
                 **common,
+            )
+        elif self.args.get("quantization", None) not in (None, "", "none"):
+            raise ValueError(
+                "datastore.index.quantization applies to Flat/IVFFlat only "
+                f"(got index_type={self.index_type!r}); for IVFPQ use the "
+                "int8 refinement tier (pq_refine_factor) instead"
             )
         elif self.index_type == "IVFPQ":
             from retrieval_scaling_tpu.index.ivf_pq import IVFPQIndex

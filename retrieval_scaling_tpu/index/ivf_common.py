@@ -140,10 +140,13 @@ def ivf_scan_topk(
     tile_valid: jax.Array,    # [B, max_tiles]
     k: int,
     group: int = 8,
+    tile_row_scales: jax.Array | None = None,  # [total_tiles, TILE] f32 (int8 tiles)
 ) -> Tuple[jax.Array, jax.Array]:
     """Stream probed tiles, score by inner product, keep running top-k.
 
     Returns (scores [B, k], flat ids [B, k]; -1 where exhausted).
+    SQ8 tiles (int8 rows): pass per-row dequant ``tile_row_scales``;
+    queries stay float and scores dequantize to the exact-scan scale.
     """
     b, d = queries.shape
     max_tiles = tile_ids.shape[1]
@@ -153,7 +156,8 @@ def ivf_scan_topk(
         tile_ids = jnp.pad(tile_ids, ((0, 0), (0, pad)))
         tile_valid = jnp.pad(tile_valid, ((0, 0), (0, pad)))
 
-    qf = queries.astype(tiles.dtype)
+    int8_tiles = tiles.dtype == jnp.int8
+    qf = queries.astype(jnp.float32 if int8_tiles else tiles.dtype)
     row_ids_tiled = row_flat_ids.reshape(-1, TILE)
 
     g_tile_ids = tile_ids.reshape(b, n_groups, group)
@@ -165,11 +169,15 @@ def ivf_scan_topk(
         best_s, best_i = carry
         ids_g, valid_g = inp                       # [B, group]
         gathered = tiles[ids_g]                    # [B, group, TILE, D]
+        if int8_tiles:
+            gathered = gathered.astype(jnp.float32)
         rows = row_ids_tiled[ids_g]                # [B, group, TILE]
         # bf16 inputs MUST accumulate in f32 on the MXU: without
         # preferred_element_type the result is bf16 (~3 significant digits),
         # which tie-breaks away true neighbors (recall loss at high nprobe).
         s = jnp.einsum("bd,bgtd->bgt", qf, gathered, preferred_element_type=jnp.float32)
+        if tile_row_scales is not None:
+            s = s * tile_row_scales[ids_g]
         ok = valid_g[:, :, None] & (rows >= 0)
         s = jnp.where(ok, s, NEG_INF).reshape(b, group * TILE)
         flat_rows = jnp.where(ok, rows, -1).reshape(b, group * TILE)

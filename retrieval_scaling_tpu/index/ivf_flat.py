@@ -61,6 +61,7 @@ class IVFFlatIndex:
         mesh: Mesh | None = None,
         dtype=jnp.bfloat16,
         probe_slack: float = 1.5,
+        quantization: str | None = None,
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -73,6 +74,13 @@ class IVFFlatIndex:
         self.mesh = mesh or single_device_mesh()
         self.dtype = dtype
         self.probe_slack = probe_slack
+        # "int8" = per-row SQ8 list tiles (FAISS IndexIVFScalarQuantizer
+        # analog): halves the probed-tile DMA stream — the IVF-Flat scan's
+        # bottleneck — and doubles list rows per chip, at SQ8's near-exact
+        # recall. Applied at device-placement time; artifacts stay fp16.
+        if quantization not in (None, "", "none", "int8"):
+            raise ValueError(f"unknown datastore quantization {quantization!r}")
+        self.quantization = quantization if quantization == "int8" else None
 
         if index_path and meta_file and os.path.exists(index_path) and os.path.exists(meta_file):
             logger.info("Loading IVF-Flat index from %s", index_path)
@@ -184,9 +192,17 @@ class IVFFlatIndex:
     def _place_on_device(self) -> None:
         d = self.layout.sorted_rows.shape[1]
         total_tiles = max(int(self.layout.tile_count.sum()), 1)
-        self.tiles_dev = jnp.asarray(
-            self.layout.sorted_rows.reshape(total_tiles, TILE, d), self.dtype
-        )
+        if self.quantization == "int8":
+            from retrieval_scaling_tpu.index.flat import quantize_rows_sq8
+
+            rows_q, scales = quantize_rows_sq8(self.layout.sorted_rows)
+            self.tiles_dev = jnp.asarray(rows_q.reshape(total_tiles, TILE, d))
+            self.tile_scales_dev = jnp.asarray(scales.reshape(total_tiles, TILE))
+        else:
+            self.tiles_dev = jnp.asarray(
+                self.layout.sorted_rows.reshape(total_tiles, TILE, d), self.dtype
+            )
+            self.tile_scales_dev = None
         self.row_ids_dev = jnp.asarray(self.layout.row_flat_ids, jnp.int32)
         self.centroids_dev = jnp.asarray(self.centroids, jnp.float32)
         self.tile_start_dev = jnp.asarray(self.layout.tile_start, jnp.int32)
@@ -195,7 +211,8 @@ class IVFFlatIndex:
     # ------------------------------------------------------------ search
     def search_ids(self, query_embs: np.ndarray, k: int, nprobe: int | None = None):
         nprobe = int(nprobe or self.probe)
-        q = jnp.asarray(np.asarray(query_embs), self.dtype)
+        q_dtype = jnp.float32 if self.quantization == "int8" else self.dtype
+        q = jnp.asarray(np.asarray(query_embs), q_dtype)
         _, probe_ids = select_probes(q.astype(jnp.float32), self.centroids_dev, nprobe)
         max_tiles = default_max_tiles(self.layout.list_len, nprobe, TILE, self.probe_slack)
         tile_ids, valid, _ = probe_tile_schedule(
@@ -208,10 +225,14 @@ class IVFFlatIndex:
             from retrieval_scaling_tpu.ops.ivf_gather import ivf_scan_topk_pallas
 
             scores, ids = ivf_scan_topk_pallas(
-                q, self.tiles_dev, self.row_ids_dev, tile_ids, valid, k_eff
+                q, self.tiles_dev, self.row_ids_dev, tile_ids, valid, k_eff,
+                tile_row_scales=self.tile_scales_dev,
             )
         else:
-            scores, ids = ivf_scan_topk(q, self.tiles_dev, self.row_ids_dev, tile_ids, valid, k_eff)
+            scores, ids = ivf_scan_topk(
+                q, self.tiles_dev, self.row_ids_dev, tile_ids, valid, k_eff,
+                tile_row_scales=self.tile_scales_dev,
+            )
         return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
 
     def get_retrieved_passages(self, all_indices):

@@ -60,7 +60,9 @@ def gather_score_tiles(
     """Scores [B, T, TILE] f32: query b vs every row of its probed tiles."""
     b, d = queries.shape
     t = tile_ids.shape[1]
-    q = queries.astype(tiles.dtype)
+    # SQ8 int8 tiles: the query stays f32 (the kernel casts tiles to f32;
+    # the scan is DMA-bound, and int8 tiles halve exactly that DMA)
+    q = queries.astype(jnp.float32 if tiles.dtype == jnp.int8 else tiles.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -89,6 +91,7 @@ def ivf_scan_topk_pallas(
     k: int,
     interpret: bool = False,
     grouped: bool = False,
+    tile_row_scales: jax.Array | None = None,  # [T_total, TILE] f32 (int8 tiles)
 ):
     """Drop-in for ``ivf_common.ivf_scan_topk`` on TPU.
 
@@ -113,6 +116,8 @@ def ivf_scan_topk_pallas(
         scores = gather_score_tiles_grouped(queries, tiles, safe_ids, interpret=interpret)
     else:
         scores = gather_score_tiles(queries, tiles, safe_ids, interpret=interpret)  # [B,T,TILE]
+    if tile_row_scales is not None:  # SQ8 dequant (per-row scales)
+        scores = scores * tile_row_scales[safe_ids]
     rows = row_flat_ids.reshape(-1, TILE)[safe_ids]                             # [B,T,TILE]
     ok = tile_valid[:, :, None] & (rows >= 0)
     flat_scores = jnp.where(ok, scores, NEG_INF).reshape(b, t * TILE)

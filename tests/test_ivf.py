@@ -271,3 +271,68 @@ def test_ivf_scan_scores_are_f32_accumulated(rng):
     # almost surely don't. At least some scores must be off-grid.
     on_grid = np.asarray(jnp.asarray(got, jnp.bfloat16), np.float32) == got
     assert not on_grid.all(), got[:5]
+
+
+def test_ivf_flat_sq8_matches_float(tmp_path, rng):
+    """IVFFlat quantization='int8' (SQ8 list tiles): near-exact recall at
+    half the tile DMA stream, scores dequantized to the exact scale."""
+    from retrieval_scaling_tpu.index.ivf_flat import IVFFlatIndex
+
+    n_per, d, nlist = 400, 32, 16
+    emb_dir = tmp_path / "emb"
+    emb_dir.mkdir()
+    data, _, _ = _clustered_data(rng, n=2 * n_per, d=d, n_clusters=nlist)
+    for shard in range(2):
+        emb = data[shard * n_per : (shard + 1) * n_per].astype(np.float16)
+        with open(emb_dir / f"passages_{shard:02d}.pkl", "wb") as f:
+            pickle.dump((list(range(n_per)), emb), f)
+    paths = [str(emb_dir / "passages_00.pkl"), str(emb_dir / "passages_01.pkl")]
+    kw = dict(
+        embed_paths=paths, dimension=d, sample_train_size=600,
+        ncentroids=nlist, probe=nlist, kmeans_iters=8, dtype=jnp.float32,
+        trained_index_path=str(tmp_path / "trained.npz"),
+    )
+    base = IVFFlatIndex(**kw)
+    quant = IVFFlatIndex(quantization="int8", **kw)
+    assert quant.tiles_dev.dtype == jnp.int8 and quant.tile_scales_dev is not None
+
+    q = data[:8] + 0.01 * rng.randn(8, d).astype(np.float32)
+    s_f, i_f = base.search_ids(q, 10)
+    s_q, i_q = quant.search_ids(q, 10)
+    recall = np.mean([
+        len(set(map(int, a)) & set(map(int, b))) / 10 for a, b in zip(i_f, i_q)
+    ])
+    assert recall >= 0.95, recall
+    np.testing.assert_allclose(s_q, s_f, rtol=0.05, atol=0.2)
+
+    with pytest.raises(ValueError):
+        IVFFlatIndex(quantization="fp4", **kw)
+
+
+def test_ivf_scan_pallas_sq8_interpret(rng):
+    """The Pallas gather kernel path with int8 tiles + dequant scales."""
+    from retrieval_scaling_tpu.index.flat import quantize_rows_sq8
+    from retrieval_scaling_tpu.ops.ivf_gather import ivf_scan_topk_pallas
+
+    data, _, _ = _clustered_data(rng, n=1024, d=32, n_clusters=8)
+    assign = np.asarray(assign_clusters(jnp.asarray(data), jnp.asarray(
+        data[rng.choice(1024, 8, replace=False)]), 8, metric="ip"))
+    layout = build_list_layout(data, assign, 8, TILE)
+    total_tiles = int(layout.tile_count.sum())
+    rows_q, scales = quantize_rows_sq8(layout.sorted_rows)
+    q = jnp.asarray(data[:4])
+    tile_ids = jnp.broadcast_to(jnp.arange(total_tiles, dtype=jnp.int32)[None], (4, total_tiles))
+    valid = jnp.ones((4, total_tiles), bool)
+
+    s_f, i_f = ivf_scan_topk_pallas(
+        q, jnp.asarray(layout.sorted_rows.reshape(total_tiles, TILE, 32), jnp.float32),
+        jnp.asarray(layout.row_flat_ids, jnp.int32), tile_ids, valid, 10, interpret=True)
+    s_q, i_q = ivf_scan_topk_pallas(
+        q, jnp.asarray(rows_q.reshape(total_tiles, TILE, 32)),
+        jnp.asarray(layout.row_flat_ids, jnp.int32), tile_ids, valid, 10, interpret=True,
+        tile_row_scales=jnp.asarray(scales.reshape(total_tiles, TILE)))
+    recall = np.mean([
+        len(set(map(int, a)) & set(map(int, b))) / 10
+        for a, b in zip(np.asarray(i_f), np.asarray(i_q))
+    ])
+    assert recall >= 0.9, recall

@@ -122,6 +122,11 @@ def int8_matmul(
         and k % 128 == 0
         and n % 128 == 0
         and (interpret or jax.default_backend() == "tpu")
+        # The N-blocked schedule re-streams the weight once per 128-row
+        # block; beyond a few blocks the XLA int8 dot (weight streamed
+        # ONCE) wins — measured: int8 prefill at 3840 rows via the blocked
+        # kernel made a 480-token generate SLOWER than bf16.
+        and (_resident_ok(k, n) or m <= 4 * BM)
     )
     if not use_pallas:
         out = _int8_matmul_xla(x2d, qw, bias_row, activation, out_dtype)
@@ -267,10 +272,13 @@ def int8_decode_matmul(
         impl == "auto" and m <= M_DECODE_MAX and aligned and on_tpu
     )
     if not use_decode:
-        if impl == "auto" and aligned and on_tpu and m % BM != 0:
-            # keep large generation batches on the int8 MXU too: pad rows
-            # to the prefill kernel's block instead of falling back to the
-            # XLA dequant path (which streams 4x the bytes)
+        if (
+            impl == "auto" and aligned and on_tpu
+            and m % BM != 0 and m <= 4 * BM and not _resident_ok(k, n)
+        ):
+            # mid-size ragged batches: pad to the blocked kernel's rows —
+            # at <= 4 blocks the weight re-stream still beats the XLA
+            # path's activation-quant epilogues
             x_pad = jnp.pad(x2d, ((0, _round_up(m, BM) - m), (0, 0)))
             out = int8_matmul(x_pad, qw, impl=impl, interpret=interpret, out_dtype=out_dtype)
             return out[:m].reshape(*batch_shape, n)

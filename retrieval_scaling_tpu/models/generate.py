@@ -51,6 +51,9 @@ NEG_INF = -1e30
 class KVCache(NamedTuple):
     k: tuple  # L per-layer arrays [B, H, max_len, hd]
     v: tuple
+    # int8 KV cache (opt-in): per-(batch, head, slot) dequant scales
+    k_scale: tuple | None = None  # L arrays [B, H, max_len] f32
+    v_scale: tuple | None = None
 
 
 def init_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
@@ -69,6 +72,13 @@ def init_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
         shape = (batch, cfg.num_kv_heads, max_len, cfg.hd)
     else:
         shape = (batch, cfg.num_heads, max_len, cfg.head_dim)
+    if dtype == jnp.int8:
+        # int8 KV cache: halves the per-step cache read (the long-context
+        # decode bottleneck) and doubles context slots per chip; rows are
+        # symmetric int8 with per-(b, head, slot) dequant scales.
+        zeros = lambda: tuple(jnp.zeros(shape, jnp.int8) for _ in range(cfg.num_layers))
+        szeros = lambda: tuple(jnp.zeros(shape[:3], jnp.float32) for _ in range(cfg.num_layers))
+        return KVCache(zeros(), zeros(), szeros(), szeros())
     return KVCache(
         tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
@@ -78,17 +88,28 @@ def init_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
 def _attention_with_cache(
     q, keys, values, q_pos, key_valid,
     sm_scale=None, logit_cap=None, window=None,
+    k_scale=None, v_scale=None,
 ):
     """q: [B, H, S, hd]; keys/values: [B, H, M, hd]; q_pos: [B, S];
     key_valid: [B, M] — full mask attention (keys beyond q_pos excluded;
     ``window`` additionally hides keys at positions <= q_pos - window;
-    ``logit_cap`` = Gemma-2 tanh soft-capping)."""
+    ``logit_cap`` = Gemma-2 tanh soft-capping).
+
+    int8 cache: ``k_scale``/``v_scale`` [B, H, M] dequantize per key slot
+    — folded into the SCORES (scores * k_scale) and the PROBS
+    (probs * v_scale), so the [M, hd]-sized cache reads stay int8 and no
+    dequantized copy ever exists."""
     # no f32 casts on the operands: bf16 x bf16 -> f32 is the MXU's native
     # mode; casting first would stream an f32 copy of the whole cache
+    qd = q.dtype if k_scale is None else jnp.bfloat16
+    if q.dtype == jnp.float32 and k_scale is not None:
+        qd = jnp.float32
     scores = jnp.einsum(
-        "bhsd,bhmd->bhsm", q, keys.astype(q.dtype),
+        "bhsd,bhmd->bhsm", q.astype(qd), keys.astype(qd),
         preferred_element_type=jnp.float32,
     )
+    if k_scale is not None:
+        scores = scores * k_scale[:, :, None, :]
     scores = scores * (sm_scale if sm_scale is not None else q.shape[-1] ** -0.5)
     if logit_cap:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
@@ -99,10 +120,17 @@ def _attention_with_cache(
         ok = ok & (key_pos > q_pos[:, None, :, None] - window)
     scores = jnp.where(ok, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, :]
+        vd = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+        return jnp.einsum(
+            "bhsm,bhmd->bhsd", probs.astype(vd), values.astype(vd),
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
     return jnp.einsum("bhsm,bhmd->bhsd", probs.astype(values.dtype), values)
 
 
-def _write_kv(cache_k, cache_v, k, v, positions, write_onehot):
+def _write_kv(cache_k, cache_v, k, v, positions, write_onehot, ks=None, vs=None):
     """Write new K/V ([B, H, S, hd]) into the cache ([B, H, M, hd]).
 
     Prefill (S > 1): additive one-hot matmul into zeroed slots — pad
@@ -113,16 +141,47 @@ def _write_kv(cache_k, cache_v, k, v, positions, write_onehot):
     through HBM (measured: the one-hot write alone cost ~2.6 ms/step at
     a 512-token cache on Pythia-1B/v5e — more than the weight stream).
     """
+    quantized = cache_k.dtype == jnp.int8
+    if quantized:
+        (k, k_sc), (v, v_sc) = _quantize_kv_rows(k), _quantize_kv_rows(v)
     if write_onehot is None:
         def upd(c, u, p):
             return jax.lax.dynamic_update_slice(c, u.astype(c.dtype), (0, p, 0))
 
         new_k = jax.vmap(upd)(cache_k, k, positions[:, 0])
         new_v = jax.vmap(upd)(cache_v, v, positions[:, 0])
-        return new_k, new_v
+        if quantized:
+            def upd2(c, u, p):
+                return jax.lax.dynamic_update_slice(c, u, (0, p))
+
+            return new_k, new_v, (
+                jax.vmap(upd2)(ks, k_sc, positions[:, 0]),
+                jax.vmap(upd2)(vs, v_sc, positions[:, 0]),
+            )
+        return new_k, new_v, None
+    if quantized:
+        # one-hot write in f32 (int8 values are exact small integers),
+        # then cast back; scales write the same way
+        oh = write_onehot.astype(jnp.float32)
+        new_k = (cache_k.astype(jnp.float32)
+                 + jnp.einsum("bms,bhsd->bhmd", oh, k.astype(jnp.float32))).astype(jnp.int8)
+        new_v = (cache_v.astype(jnp.float32)
+                 + jnp.einsum("bms,bhsd->bhmd", oh, v.astype(jnp.float32))).astype(jnp.int8)
+        new_ks = ks + jnp.einsum("bms,bhs->bhm", oh, k_sc)
+        new_vs = vs + jnp.einsum("bms,bhs->bhm", oh, v_sc)
+        return new_k, new_v, (new_ks, new_vs)
     new_k = cache_k + jnp.einsum("bms,bhsd->bhmd", write_onehot, k.astype(cache_k.dtype))
     new_v = cache_v + jnp.einsum("bms,bhsd->bhmd", write_onehot, v.astype(cache_v.dtype))
-    return new_k, new_v
+    return new_k, new_v, None
+
+
+def _quantize_kv_rows(t):
+    """[B, H, S, hd] float -> (int8 rows, f32 scales [B, H, S])."""
+    tf = t.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(tf), axis=-1)
+    scale = absmax / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    return jnp.round(tf / safe[..., None]).astype(jnp.int8), scale
 
 
 def quantize_decode_params(params, cfg):
@@ -173,7 +232,7 @@ def quantize_decode_params(params, cfg):
     return out
 
 
-def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, write_onehot):
+def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, write_onehot, scales=None):
     """One transformer block writing its new K/V into the cache.
 
     positions: [B, S] absolute positions of x's tokens.
@@ -201,9 +260,13 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
 
     q, k = rope(q), rope(k)
 
-    new_k, new_v = _write_kv(cache_k, cache_v, k, v, positions, write_onehot)
+    ks, vs = scales if scales is not None else (None, None)
+    new_k, new_v, new_scales = _write_kv(cache_k, cache_v, k, v, positions, write_onehot, ks, vs)
+    nks, nvs = new_scales if new_scales is not None else (None, None)
 
-    attn = _attention_with_cache(q, new_k, new_v, positions, key_valid)
+    attn = _attention_with_cache(
+        q, new_k, new_v, positions, key_valid, k_scale=nks, v_scale=nvs
+    )
     attn_out = neox_attn_out(layer, attn)
 
     approx = cfg.gelu == "tanh"
@@ -214,7 +277,7 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
         x = x + attn_out
         ln2b = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
         x = x + neox_mlp(layer, ln2b, approx)
-    return x, new_k, new_v
+    return x, new_k, new_v, new_scales
 
 
 def _llama_norm(cfg: LlamaConfig, v, scale):
@@ -223,7 +286,7 @@ def _llama_norm(cfg: LlamaConfig, v, scale):
     return _rms_norm(v, scale, cfg.rms_eps, cfg.rms_norm_offset)
 
 
-def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positions, key_valid, write_onehot, window=None):
+def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positions, key_valid, write_onehot, window=None, scales=None):
     """Llama-family block writing grouped K/V into the cache — mirrors
     ``llama_forward`` across the family variants (Gemma/Gemma-2/OLMo-1/2:
     norm type/placement, gelu-tanh MLP, soft-capping, sliding windows).
@@ -248,7 +311,9 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
 
     q, k = rope(q), rope(k)
 
-    new_k, new_v = _write_kv(cache_k, cache_v, k, v, positions, write_onehot)
+    ks, vs = scales if scales is not None else (None, None)
+    new_k, new_v, new_scales = _write_kv(cache_k, cache_v, k, v, positions, write_onehot, ks, vs)
+    nks, nvs = new_scales if new_scales is not None else (None, None)
 
     n_rep = cfg.num_heads // cfg.num_kv_heads
     sm_scale = (
@@ -258,6 +323,8 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
     attn = _attention_with_cache(
         q, repeat_kv(new_k, n_rep), repeat_kv(new_v, n_rep), positions, key_valid,
         sm_scale=sm_scale, logit_cap=cfg.attn_logit_softcap, window=window,
+        k_scale=None if nks is None else repeat_kv(nks[..., None], n_rep)[..., 0],
+        v_scale=None if nvs is None else repeat_kv(nvs[..., None], n_rep)[..., 0],
     )
     attn_out = _llama_attn_out(layer, attn)
     if post_only or pre_post:
@@ -269,7 +336,7 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
     if post_only or pre_post:
         mlp_out = _llama_norm(cfg, mlp_out, layer["post_mlp_norm"])
     x = x + mlp_out
-    return x, new_k, new_v
+    return x, new_k, new_v, new_scales
 
 
 def forward_with_cache(
@@ -306,8 +373,10 @@ def forward_with_cache(
         if write_mask is not None:
             write_onehot = write_onehot * write_mask[:, None, :].astype(cdtype)
 
-    new_ks, new_vs = [], []
+    quantized = cache.k_scale is not None
+    new_ks, new_vs, new_kss, new_vss = [], [], [], []
     for li, layer in enumerate(params["layers"]):
+        scales = (cache.k_scale[li], cache.v_scale[li]) if quantized else None
         if is_llama:
             window = None
             if (
@@ -316,16 +385,20 @@ def forward_with_cache(
                 and cfg.sliding_pattern[li]
             ):
                 window = cfg.sliding_window
-            x, nk, nv = _llama_block_with_cache(
+            x, nk, nv, nsc = _llama_block_with_cache(
                 layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid,
-                write_onehot, window=window,
+                write_onehot, window=window, scales=scales,
             )
         else:
-            x, nk, nv = _block_with_cache(
-                layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid, write_onehot
+            x, nk, nv, nsc = _block_with_cache(
+                layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid,
+                write_onehot, scales=scales,
             )
         new_ks.append(nk)
         new_vs.append(nv)
+        if quantized:
+            new_kss.append(nsc[0])
+            new_vss.append(nsc[1])
 
     if is_llama:
         x = _llama_norm(cfg, x, params["final_norm"])
@@ -333,6 +406,10 @@ def forward_with_cache(
     else:
         x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
         logits = neox_logits(params, x)
+    if quantized:
+        return logits, KVCache(
+            tuple(new_ks), tuple(new_vs), tuple(new_kss), tuple(new_vss)
+        )
     return logits, KVCache(tuple(new_ks), tuple(new_vs))
 
 
@@ -346,18 +423,24 @@ class GenState(NamedTuple):
     rng: jax.Array
 
 
-def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float = 0.0):
+def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float = 0.0,
+                     kv_cache: str | None = None):
     """Build a jitted ``(params, prompt_ids, prompt_lens, seed) -> tokens`` fn.
 
     prompt_ids: [B, S_pad] right-padded; prompt_lens: [B]. Output: [B,
     max_new_tokens] with eos_id after each row finishes.
+    ``kv_cache="int8"``: quantized cache (half the per-step cache read,
+    2x context slots per chip; opt-in — tiny logit perturbations).
     """
+    if kv_cache not in (None, "", "none", "int8"):
+        raise ValueError(f"unknown kv_cache {kv_cache!r}")
 
     def fn(params, prompt_ids, prompt_lens, seed):
         b, s_pad = prompt_ids.shape
         max_len = s_pad + max_new_tokens
         embed = params["embed"] if isinstance(cfg, LlamaConfig) else params["embed_in"]
-        cache = init_cache(cfg, b, max_len, dtype=embed.dtype)
+        cache_dtype = jnp.int8 if kv_cache == "int8" else embed.dtype
+        cache = init_cache(cfg, b, max_len, dtype=cache_dtype)
 
         # prefill: positions 0..s_pad-1 (pad tokens write masked-off slots)
         positions = jnp.broadcast_to(jnp.arange(s_pad)[None, :], (b, s_pad))

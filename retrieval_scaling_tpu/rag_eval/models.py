@@ -91,6 +91,7 @@ class JaxReaderLM:
         max_length: int | None = None,
         mesh=None,
         quantization: str | None = None,
+        kv_cache: str | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -99,6 +100,9 @@ class JaxReaderLM:
 
         if quantization not in (None, "", "none", "int8"):
             raise ValueError(f"unknown reader quantization {quantization!r}")
+        if kv_cache not in (None, "", "none", "int8"):
+            raise ValueError(f"unknown kv_cache {kv_cache!r}")
+        self.kv_cache = kv_cache if kv_cache == "int8" else None
         if quantization == "int8":
             # Weight-only int8 (per-output-channel): halves the decode
             # weight stream and quarters reader HBM vs f32. The model
@@ -152,14 +156,15 @@ class JaxReaderLM:
 
     @classmethod
     def from_pretrained(
-        cls, name_or_path: str, batch_size: int = 8, mesh=None, quantization: str | None = None
+        cls, name_or_path: str, batch_size: int = 8, mesh=None,
+        quantization: str | None = None, kv_cache: str | None = None,
     ):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
         params, cfg = load_hf_reader(name_or_path)
         return cls(
             params, cfg, load_tokenizer(name_or_path), batch_size,
-            mesh=mesh, quantization=quantization,
+            mesh=mesh, quantization=quantization, kv_cache=kv_cache,
         )
 
     # ------------------------------------------------------------ ll
@@ -246,7 +251,9 @@ class JaxReaderLM:
         if max_new not in self._gen_fns:
             from retrieval_scaling_tpu.models.generate import make_generate_fn
 
-            self._gen_fns[max_new] = make_generate_fn(self.cfg, max_new, self._eos_id())
+            self._gen_fns[max_new] = make_generate_fn(
+                self.cfg, max_new, self._eos_id(), kv_cache=self.kv_cache
+            )
         return self._gen_fns[max_new]
 
     def generate_until(self, reqs: Sequence[dict]):

@@ -161,3 +161,55 @@ def test_family_variant_generation_matches_hf(family):
     params_j = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
     out = np.asarray(gen(params_j, jnp.asarray(prompt), jnp.asarray([12], jnp.int32), 0))
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_int8_kv_cache_matches_float_cache():
+    """kv_cache='int8': logits from the quantized cache track the float
+    cache closely; generation runs end to end."""
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.generate import (
+        forward_with_cache,
+        init_cache,
+        make_generate_fn,
+    )
+    from retrieval_scaling_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=128, max_position_embeddings=64,
+        tie_embeddings=False,
+    )
+    params = init_llama_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(7)
+    b, s, m = 2, 10, 16
+    ids = jnp.asarray(rng.randint(0, 256, (b, s)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    key_valid = jnp.arange(m)[None, :] < s
+
+    logits_f, cache_f = forward_with_cache(
+        params, cfg, ids, pos, init_cache(cfg, b, m, dtype=jnp.float32), key_valid
+    )
+    logits_q, cache_q = forward_with_cache(
+        params, cfg, ids, pos, init_cache(cfg, b, m, dtype=jnp.int8), key_valid
+    )
+    assert cache_q.k[0].dtype == jnp.int8 and cache_q.k_scale is not None
+    a = np.asarray(logits_f, np.float32).reshape(-1, 256)
+    bq = np.asarray(logits_q, np.float32).reshape(-1, 256)
+    cos = (a * bq).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(bq, axis=1) + 1e-9)
+    assert cos.min() > 0.999, cos.min()
+
+    # decode step off the quantized cache (in-place slice writes + scales)
+    nxt = jnp.argmax(logits_q[:, s - 1], axis=-1).astype(jnp.int32)[:, None]
+    pos1 = jnp.full((b, 1), s, jnp.int32)
+    kv1 = jnp.arange(m)[None, :] < (s + 1)
+    step_logits, cache_q2 = forward_with_cache(params, cfg, nxt, pos1, cache_q, kv1)
+    assert np.isfinite(np.asarray(step_logits)).all()
+
+    gen = make_generate_fn(cfg, max_new_tokens=4, eos_id=-1, kv_cache="int8")
+    lens = jnp.full((b,), s, jnp.int32)
+    toks = np.asarray(gen(params, ids, lens, 0))
+    assert toks.shape == (b, 4)
+
+    with pytest.raises(ValueError):
+        make_generate_fn(cfg, 4, -1, kv_cache="fp4")

@@ -75,9 +75,10 @@ class IVFFlatIndex:
         self.dtype = dtype
         self.probe_slack = probe_slack
         # "int8" = per-row SQ8 list tiles (FAISS IndexIVFScalarQuantizer
-        # analog): halves the probed-tile DMA stream — the IVF-Flat scan's
-        # bottleneck — and doubles list rows per chip, at SQ8's near-exact
-        # recall. Applied at device-placement time; artifacts stay fp16.
+        # analog): doubles list rows per chip at SQ8's near-exact recall
+        # (measured +7% QPS — the per-tile scan is program-overhead-bound,
+        # see BENCH.md). Applied at device-placement time; artifacts stay
+        # fp16.
         if quantization not in (None, "", "none", "int8"):
             raise ValueError(f"unknown datastore quantization {quantization!r}")
         self.quantization = quantization if quantization == "int8" else None

@@ -100,10 +100,11 @@ def _attention_with_cache(
     (probs * v_scale), so the [M, hd]-sized cache reads stay int8 and no
     dequantized copy ever exists."""
     # no f32 casts on the operands: bf16 x bf16 -> f32 is the MXU's native
-    # mode; casting first would stream an f32 copy of the whole cache
-    qd = q.dtype if k_scale is None else jnp.bfloat16
-    if q.dtype == jnp.float32 and k_scale is not None:
-        qd = jnp.float32
+    # mode. For the int8 cache the matmul runs in bf16 REGARDLESS of q's
+    # dtype (int8 row values are exact in bf16, and the int8->bf16 convert
+    # fuses into the dot operand load — an f32 path would materialize a
+    # dequantized cache copy and defeat the halved stream).
+    qd = jnp.bfloat16 if k_scale is not None else q.dtype
     scores = jnp.einsum(
         "bhsd,bhmd->bhsm", q.astype(qd), keys.astype(qd),
         preferred_element_type=jnp.float32,
@@ -122,9 +123,9 @@ def _attention_with_cache(
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
         probs = probs * v_scale[:, :, None, :]
-        vd = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
         return jnp.einsum(
-            "bhsm,bhmd->bhsd", probs.astype(vd), values.astype(vd),
+            "bhsm,bhmd->bhsd", probs.astype(jnp.bfloat16),
+            values.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ).astype(q.dtype)
     return jnp.einsum("bhsm,bhmd->bhsd", probs.astype(values.dtype), values)
@@ -438,6 +439,13 @@ def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float =
     def fn(params, prompt_ids, prompt_lens, seed):
         b, s_pad = prompt_ids.shape
         max_len = s_pad + max_new_tokens
+        if max_len > cfg.max_position_embeddings:
+            # learned-position gathers would silently clamp (GPT-2) and
+            # rotary tables would be exceeded; refuse like HF does
+            raise ValueError(
+                f"prompt ({s_pad}) + max_new_tokens ({max_new_tokens}) "
+                f"exceeds max_position_embeddings ({cfg.max_position_embeddings})"
+            )
         embed = params["embed"] if isinstance(cfg, LlamaConfig) else params["embed_in"]
         cache_dtype = jnp.int8 if kv_cache == "int8" else embed.dtype
         cache = init_cache(cfg, b, max_len, dtype=cache_dtype)

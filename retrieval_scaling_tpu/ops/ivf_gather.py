@@ -60,8 +60,9 @@ def gather_score_tiles(
     """Scores [B, T, TILE] f32: query b vs every row of its probed tiles."""
     b, d = queries.shape
     t = tile_ids.shape[1]
-    # SQ8 int8 tiles: the query stays f32 (the kernel casts tiles to f32;
-    # the scan is DMA-bound, and int8 tiles halve exactly that DMA)
+    # SQ8 int8 tiles: the query stays f32 (the kernel casts tiles to f32).
+    # Halved tile bytes move QPS little (the per-tile scan measures
+    # program-overhead-bound, BENCH.md); the win is 2x rows per chip.
     q = queries.astype(jnp.float32 if tiles.dtype == jnp.int8 else tiles.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

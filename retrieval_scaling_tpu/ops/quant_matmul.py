@@ -273,12 +273,13 @@ def int8_decode_matmul(
     )
     if not use_decode:
         if (
-            impl == "auto" and aligned and on_tpu
-            and m % BM != 0 and m <= 4 * BM and not _resident_ok(k, n)
+            impl == "auto" and aligned and on_tpu and m % BM != 0
+            and (_resident_ok(k, n) or m <= 4 * BM)
         ):
-            # mid-size ragged batches: pad to the blocked kernel's rows —
-            # at <= 4 blocks the weight re-stream still beats the XLA
-            # path's activation-quant epilogues
+            # ragged batches pad to the kernel's rows whenever the kernel
+            # will actually run it well: resident weights stream once at
+            # ANY m; non-resident (N-blocked) only up to ~4 row blocks
+            # before the per-block weight re-stream loses to the XLA path
             x_pad = jnp.pad(x2d, ((0, _round_up(m, BM) - m), (0, 0)))
             out = int8_matmul(x_pad, qw, impl=impl, interpret=interpret, out_dtype=out_dtype)
             return out[:m].reshape(*batch_shape, n)

@@ -88,7 +88,7 @@ def init_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
 def _attention_with_cache(
     q, keys, values, q_pos, key_valid,
     sm_scale=None, logit_cap=None, window=None,
-    k_scale=None, v_scale=None,
+    k_scale=None, v_scale=None, all_visible=False,
 ):
     """q: [B, H, S, hd]; keys/values: [B, H, M, hd]; q_pos: [B, S];
     key_valid: [B, M] — full mask attention (keys beyond q_pos excluded;
@@ -99,6 +99,22 @@ def _attention_with_cache(
     — folded into the SCORES (scores * k_scale) and the PROBS
     (probs * v_scale), so the [M, hd]-sized cache reads stay int8 and no
     dequantized copy ever exists."""
+    if (
+        all_visible and window is None and not logit_cap and k_scale is None
+        and jax.default_backend() == "tpu"
+    ):
+        # Decode steps (``all_visible``: every query may see every valid
+        # key, so key_valid alone is the whole mask): the Pallas flash
+        # kernel streams K/V through VMEM once with an online softmax —
+        # the XLA path's mask/softmax/probs elementwise chain makes
+        # several extra passes over cache-sized intermediates (measured
+        # ~2x the K+V read floor at 1024-token caches).
+        from retrieval_scaling_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, keys, values, kv_mask=key_valid,
+            sm_scale=sm_scale if sm_scale is not None else q.shape[-1] ** -0.5,
+        )
     # no f32 casts on the operands: bf16 x bf16 -> f32 is the MXU's native
     # mode. For the int8 cache the matmul runs in bf16 REGARDLESS of q's
     # dtype (int8 row values are exact in bf16, and the int8->bf16 convert
@@ -266,7 +282,8 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
     nks, nvs = new_scales if new_scales is not None else (None, None)
 
     attn = _attention_with_cache(
-        q, new_k, new_v, positions, key_valid, k_scale=nks, v_scale=nvs
+        q, new_k, new_v, positions, key_valid, k_scale=nks, v_scale=nvs,
+        all_visible=write_onehot is None,
     )
     attn_out = neox_attn_out(layer, attn)
 
@@ -321,12 +338,27 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
         cfg.query_pre_attn_scalar ** -0.5
         if cfg.query_pre_attn_scalar is not None else None
     )
-    attn = _attention_with_cache(
-        q, repeat_kv(new_k, n_rep), repeat_kv(new_v, n_rep), positions, key_valid,
-        sm_scale=sm_scale, logit_cap=cfg.attn_logit_softcap, window=window,
-        k_scale=None if nks is None else repeat_kv(nks[..., None], n_rep)[..., 0],
-        v_scale=None if nvs is None else repeat_kv(nvs[..., None], n_rep)[..., 0],
-    )
+    if write_onehot is None and n_rep > 1:
+        # decode-step GQA: fold the query groups into the S axis instead of
+        # repeat_kv, which would copy the whole grouped cache n_rep times
+        # every step. All n_rep queries share one position -> positions
+        # broadcast and the kv head attends its group as S=n_rep rows.
+        b_, h_, _, hd_ = q.shape
+        q_g = q.reshape(b_, cfg.num_kv_heads, n_rep, hd_)
+        attn = _attention_with_cache(
+            q_g, new_k, new_v,
+            jnp.broadcast_to(positions[:, :1], (b_, n_rep)), key_valid,
+            sm_scale=sm_scale, logit_cap=cfg.attn_logit_softcap, window=window,
+            k_scale=nks, v_scale=nvs, all_visible=True,
+        ).reshape(b_, h_, 1, hd_)
+    else:
+        attn = _attention_with_cache(
+            q, repeat_kv(new_k, n_rep), repeat_kv(new_v, n_rep), positions, key_valid,
+            sm_scale=sm_scale, logit_cap=cfg.attn_logit_softcap, window=window,
+            k_scale=None if nks is None else repeat_kv(nks[..., None], n_rep)[..., 0],
+            v_scale=None if nvs is None else repeat_kv(nvs[..., None], n_rep)[..., 0],
+            all_visible=write_onehot is None,
+        )
     attn_out = _llama_attn_out(layer, attn)
     if post_only or pre_post:
         attn_out = _llama_norm(cfg, attn_out, layer["post_attn_norm"])

@@ -210,7 +210,10 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = d**-0.5
 
-    block_q = min(block_q, _round_up(sq, 128))
+    # tiny-S (decode) q blocks stay at the 32-sublane tile instead of 128:
+    # a [128, block_k] score block for one real query row wastes 4-16x the
+    # MXU/VPU work (32 is the strictest input-dtype sublane tile, int8)
+    block_q = min(block_q, max(32, _round_up(sq, 32)) if sq < 128 else _round_up(sq, 128))
     block_k = min(block_k, _round_up(sk, 128))
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)

@@ -101,8 +101,10 @@ def _attention_with_cache(
     dequantized copy ever exists."""
     if (
         all_visible and window is None and not logit_cap and k_scale is None
-        and jax.default_backend() == "tpu"
+        and keys.shape[2] >= 256 and jax.default_backend() == "tpu"
     ):
+        # (>= 256 slots: at tiny caches the XLA chain's intermediates are
+        # small and the kernel's per-program overhead isn't worth it)
         # Decode steps (``all_visible``: every query may see every valid
         # key, so key_valid alone is the whole mask): the Pallas flash
         # kernel streams K/V through VMEM once with an online softmax —

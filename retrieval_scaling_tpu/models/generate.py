@@ -289,14 +289,14 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
     )
     attn_out = neox_attn_out(layer, attn)
 
-    approx = cfg.gelu == "tanh"
+    act = cfg.gelu
     if cfg.use_parallel_residual:
         ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-        x = x + attn_out + neox_mlp(layer, ln2, approx)
+        x = x + attn_out + neox_mlp(layer, ln2, act)
     else:
         x = x + attn_out
         ln2b = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-        x = x + neox_mlp(layer, ln2b, approx)
+        x = x + neox_mlp(layer, ln2b, act)
     return x, new_k, new_v, new_scales
 
 
@@ -395,8 +395,8 @@ def forward_with_cache(
     x = params["embed"][input_ids] if is_llama else params["embed_in"][input_ids]
     if is_llama and cfg.embedding_multiplier != 1.0:
         x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
-    if not is_llama and cfg.learned_positions:  # GPT-2
-        x = x + params["pos_embed"][positions]
+    if not is_llama and cfg.learned_positions:  # GPT-2 / OPT
+        x = x + params["pos_embed"][positions + cfg.position_offset]
 
     if s == 1 and write_mask is None:
         # decode step: per-row in-place slice writes (see _write_kv)

@@ -39,11 +39,12 @@ class GPTNeoXConfig:
     layer_norm_eps: float = 1e-5
     use_parallel_residual: bool = True
     attention_impl: str = "auto"
-    # GPT-2 deltas (the classic reader baseline): learned absolute
-    # position embeddings (``pos_embed`` param) instead of rotary, and
-    # the tanh "gelu_new" MLP activation.
+    # GPT-2 / OPT deltas (the classic reader baselines): learned absolute
+    # position embeddings (``pos_embed`` param) instead of rotary — OPT
+    # offsets the position index by 2 — and the MLP activation flavor.
     learned_positions: bool = False
-    gelu: str = "exact"  # "exact" (GPT-NeoX erf) | "tanh" (GPT-2 gelu_new)
+    position_offset: int = 0
+    gelu: str = "exact"  # "exact" (GPT-NeoX erf) | "tanh" (GPT-2) | "relu" (OPT)
 
     @property
     def head_dim(self) -> int:
@@ -135,16 +136,22 @@ def neox_attn_out(layer: Params, attn: jax.Array) -> jax.Array:
     return jnp.einsum("bhsk,hkd->bsd", attn, layer["attn_out_w"]) + layer["attn_out_b"]
 
 
-def neox_mlp(layer: Params, inp: jax.Array, approximate: bool = False) -> jax.Array:
-    """GELU MLP (float or int8 weights); ``approximate`` = GPT-2 gelu_new."""
+def _mlp_act(h: jax.Array, act) -> jax.Array:
+    if act == "relu":  # OPT
+        return jax.nn.relu(h)
+    return jax.nn.gelu(h, approximate=bool(act is True or act == "tanh"))
+
+
+def neox_mlp(layer: Params, inp: jax.Array, act="exact") -> jax.Array:
+    """MLP (float or int8 weights); ``act``: exact gelu | "tanh" | "relu"."""
     from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
 
     if has_q8(layer, "mlp_in_w"):
         h = q8_dot(layer, "mlp_in_w", inp) + layer["mlp_in_b"]
-        h = jax.nn.gelu(h, approximate=approximate)
+        h = _mlp_act(h, act)
         return q8_dot(layer, "mlp_out_w", h) + layer["mlp_out_b"]
     h = jnp.dot(inp, layer["mlp_in_w"]) + layer["mlp_in_b"]
-    h = jax.nn.gelu(h, approximate=approximate)
+    h = _mlp_act(h, act)
     return jnp.dot(h, layer["mlp_out_w"]) + layer["mlp_out_b"]
 
 
@@ -166,10 +173,11 @@ def gpt_neox_forward(
     b, s = input_ids.shape
     x = params["embed_in"][input_ids]
     if cfg.learned_positions:
-        x = x + params["pos_embed"][None, :s, :]
+        off = cfg.position_offset
+        x = x + params["pos_embed"][None, off : s + off, :]
     rot = cfg.rotary_dims
     cos, sin = _rotary_cos_sin(s, max(rot, 2), cfg.rotary_base, jnp.float32)
-    approx = cfg.gelu == "tanh"
+    act = cfg.gelu
 
     for layer in params["layers"]:
         ln1 = _layer_norm(x, layer["ln1_scale"], layer["ln1_bias"], cfg.layer_norm_eps)
@@ -190,11 +198,11 @@ def gpt_neox_forward(
 
         if cfg.use_parallel_residual:
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + attn_out + neox_mlp(layer, ln2, approx)
+            x = x + attn_out + neox_mlp(layer, ln2, act)
         else:
             x = x + attn_out
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + neox_mlp(layer, ln2, approx)
+            x = x + neox_mlp(layer, ln2, act)
 
     x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
     return neox_logits(params, x)

@@ -276,6 +276,97 @@ def gpt2_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "auto")
 
 
 # --------------------------------------------------------------------------
+# OPT — sequential residual, learned positions with a +2 index offset,
+# ReLU MLP, separate biased projections, tied lm head.
+# --------------------------------------------------------------------------
+def opt_config_from_hf(hf_config, attention_impl: str = "auto") -> GPTNeoXConfig:
+    if not getattr(hf_config, "do_layer_norm_before", True) or (
+        getattr(hf_config, "word_embed_proj_dim", hf_config.hidden_size)
+        != hf_config.hidden_size
+    ):
+        # OPT-350m: post-norm + embedding projection — not mapped
+        raise NotImplementedError(
+            "OPT variants with do_layer_norm_before=False or an embedding "
+            "projection (350m) are not supported"
+        )
+    return GPTNeoXConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.ffn_dim,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        rotary_pct=0.0,
+        layer_norm_eps=1e-5,
+        use_parallel_residual=False,
+        learned_positions=True,
+        position_offset=2,  # OPTLearnedPositionalEmbedding adds 2
+        gelu="relu",
+        attention_impl=attention_impl,
+    )
+
+
+def opt_params_from_state_dict(
+    state: Mapping[str, Any], cfg: GPTNeoXConfig, dtype=np.float32
+) -> Dict:
+    sd = {}
+    for key, val in state.items():
+        for prefix in ("model.decoder.", "decoder."):
+            if key.startswith(prefix):
+                key = key[len(prefix):]
+                break
+        sd[key] = _np(val)
+
+    d, hh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+
+    def g(name):
+        return sd[name].astype(dtype)
+
+    wte = g("embed_tokens.weight")
+    params: Dict[str, Any] = {
+        "embed_in": wte,
+        "pos_embed": g("embed_positions.weight"),
+        "final_ln_scale": g("final_layer_norm.weight"),
+        "final_ln_bias": g("final_layer_norm.bias"),
+        "embed_out": np.ascontiguousarray(wte.T),  # tied head
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}."
+        # fuse q|k|v into the [d, 3, H, hd] layout the machinery expects
+        qkv_w = np.stack(
+            [g(p + f"self_attn.{n}_proj.weight").T.reshape(d, hh, hd) for n in "qkv"],
+            axis=1,
+        )
+        qkv_b = np.stack(
+            [g(p + f"self_attn.{n}_proj.bias").reshape(hh, hd) for n in "qkv"], axis=0
+        )
+        params["layers"].append(
+            {
+                "ln1_scale": g(p + "self_attn_layer_norm.weight"),
+                "ln1_bias": g(p + "self_attn_layer_norm.bias"),
+                "qkv_w": np.ascontiguousarray(qkv_w),
+                "qkv_b": np.ascontiguousarray(qkv_b),
+                "attn_out_w": g(p + "self_attn.out_proj.weight").T.reshape(hh, hd, d),
+                "attn_out_b": g(p + "self_attn.out_proj.bias"),
+                "ln2_scale": g(p + "final_layer_norm.weight"),
+                "ln2_bias": g(p + "final_layer_norm.bias"),
+                "mlp_in_w": g(p + "fc1.weight").T,
+                "mlp_in_b": g(p + "fc1.bias"),
+                "mlp_out_w": g(p + "fc2.weight").T,
+                "mlp_out_b": g(p + "fc2.bias"),
+            }
+        )
+    return params
+
+
+def opt_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "auto"):
+    cfg = opt_config_from_hf(hf_model.config, attention_impl=attention_impl)
+    params = opt_params_from_state_dict(hf_model.state_dict(), cfg, dtype=dtype)
+    return params, cfg
+
+
+# --------------------------------------------------------------------------
 # Llama family (Llama 1/2/3, Mistral, Qwen2/2.5, Qwen3, TinyLlama, Phi-3)
 # --------------------------------------------------------------------------
 _LLAMA_MODEL_TYPES = (
@@ -576,6 +667,8 @@ def load_hf_reader(name_or_path: str, dtype=np.float32):
         return llama_from_hf_model(hf, dtype=dtype)
     if model_type == "gpt2":
         return gpt2_from_hf_model(hf, dtype=dtype)
+    if model_type == "opt":
+        return opt_from_hf_model(hf, dtype=dtype)
     return gpt_neox_from_hf_model(hf, dtype=dtype)
 
 

@@ -384,3 +384,64 @@ def test_gpt2_generation_matches_hf():
     gen = make_generate_fn(cfg, max_new_tokens=5, eos_id=0)
     out = np.asarray(gen(params, jnp.asarray(prompt), jnp.asarray([10], jnp.int32), 0))
     np.testing.assert_array_equal(out[0], ref)
+
+
+# ---------------------------------------------------------------- opt
+def test_opt_parity_with_hf():
+    """OPT (learned positions offset 2, ReLU MLP, sequential residual,
+    separate biased projections, tied head) must match HF logits."""
+    import torch
+    import transformers
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
+    from retrieval_scaling_tpu.models.hf_convert import opt_from_hf_model
+
+    torch.manual_seed(7)
+    hf = transformers.OPTForCausalLM(
+        transformers.OPTConfig(
+            vocab_size=128, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, ffn_dim=64, max_position_embeddings=64,
+            do_layer_norm_before=True, word_embed_proj_dim=32, dropout=0.0,
+            attention_dropout=0.0, pad_token_id=1, bos_token_id=2, eos_token_id=2,
+        )
+    ).eval()
+    params, cfg = opt_from_hf_model(hf)
+    assert cfg.position_offset == 2 and cfg.gelu == "relu"
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(3, 128, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(gpt_neox_forward(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_opt_generation_matches_hf():
+    import torch
+    import transformers
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.generate import make_generate_fn
+    from retrieval_scaling_tpu.models.hf_convert import opt_from_hf_model
+
+    torch.manual_seed(8)
+    hf = transformers.OPTForCausalLM(
+        transformers.OPTConfig(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, ffn_dim=64, max_position_embeddings=64,
+            do_layer_norm_before=True, word_embed_proj_dim=32, dropout=0.0,
+            attention_dropout=0.0, pad_token_id=1, bos_token_id=2, eos_token_id=2,
+        )
+    ).eval()
+    params, cfg = opt_from_hf_model(hf)
+    rng = np.random.RandomState(9)
+    prompt = rng.randint(3, 96, (1, 10)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor(prompt.astype(np.int64)), max_new_tokens=5,
+            do_sample=False, pad_token_id=1, eos_token_id=None,
+        )[0, 10:].numpy()
+    gen = make_generate_fn(cfg, max_new_tokens=5, eos_id=1)
+    out = np.asarray(gen(params, jnp.asarray(prompt), jnp.asarray([10], jnp.int32), 0))
+    np.testing.assert_array_equal(out[0], ref)

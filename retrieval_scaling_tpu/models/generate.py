@@ -459,13 +459,16 @@ class GenState(NamedTuple):
 
 
 def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float = 0.0,
-                     kv_cache: str | None = None):
+                     kv_cache: str | None = None, mesh=None):
     """Build a jitted ``(params, prompt_ids, prompt_lens, seed) -> tokens`` fn.
 
     prompt_ids: [B, S_pad] right-padded; prompt_lens: [B]. Output: [B,
     max_new_tokens] with eos_id after each row finishes.
     ``kv_cache="int8"``: quantized cache (half the per-step cache read,
     2x context slots per chip; opt-in — tiny logit perturbations).
+    ``mesh``: data-parallel generation — prompt rows (and the KV cache
+    with them) shard over the mesh's ``data`` axis, weights replicate
+    (the HF-accelerate DDP analog for generate_until batches).
     """
     if kv_cache not in (None, "", "none", "int8"):
         raise ValueError(f"unknown kv_cache {kv_cache!r}")
@@ -539,4 +542,15 @@ def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float =
         final = jax.lax.while_loop(cond, body, state)
         return final.tokens
 
-    return jax.jit(fn)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rows = NamedSharding(mesh, P("data"))
+    rows2d = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        in_shardings=(rep, rows2d, rows, rep),
+        out_shardings=rows2d,
+    )

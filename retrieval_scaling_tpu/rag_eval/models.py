@@ -123,6 +123,7 @@ class JaxReaderLM:
         self.batch_size = batch_size
         self.max_length = max_length or cfg.max_position_embeddings
         self.params = params
+        self.mesh = mesh
         self._jnp = jnp
         self._jax = jax
 
@@ -252,7 +253,8 @@ class JaxReaderLM:
             from retrieval_scaling_tpu.models.generate import make_generate_fn
 
             self._gen_fns[max_new] = make_generate_fn(
-                self.cfg, max_new, self._eos_id(), kv_cache=self.kv_cache
+                self.cfg, max_new, self._eos_id(), kv_cache=self.kv_cache,
+                mesh=self.mesh,
             )
         return self._gen_fns[max_new]
 

@@ -148,3 +148,31 @@ def test_llama_reader_tp_specs_cover_params():
         # every param leaf has a spec leaf
         jax.tree.map(lambda p, s: None, params, specs,
                      is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+
+
+def test_generation_identical_on_mesh():
+    """generate_until batches shard over the mesh 'data' axis; greedy
+    tokens must be identical to the single-device run."""
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.generate import make_generate_fn
+    from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, init_gpt_neox_params
+    from retrieval_scaling_tpu.parallel.mesh import build_mesh
+
+    cfg = GPTNeoXConfig(
+        vocab_size=96, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64, attention_impl="xla",
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(2))
+    rng = np.random.RandomState(5)
+    b = 8
+    prompts = jnp.asarray(rng.randint(2, 96, (b, 10)), jnp.int32)
+    lens = jnp.asarray(rng.randint(4, 11, (b,)), jnp.int32)
+
+    single = make_generate_fn(cfg, 6, eos_id=0)
+    mesh = build_mesh()
+    sharded = make_generate_fn(cfg, 6, eos_id=0, mesh=mesh)
+    a = np.asarray(single(params, prompts, lens, 0))
+    bb = np.asarray(sharded(params, prompts, lens, 0))
+    np.testing.assert_array_equal(a, bb)

@@ -57,6 +57,10 @@ def main():
         help="IVFPQ: train an OPQ rotation (same bytes/vector, better recall)",
     )
     parser.add_argument("--n-bits", type=int, default=8)
+    parser.add_argument(
+        "--quantization", default=None, choices=[None, "int8"],
+        help="IVFFlat: SQ8 int8 list tiles (2x rows/chip at near-exact recall)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--platform", default=None, choices=["cpu", "tpu"],
@@ -113,7 +117,9 @@ def main():
     if args.index_type == "IVFFlat":
         from retrieval_scaling_tpu.index.ivf_flat import IVFFlatIndex
 
-        index = IVFFlatIndex(probe=probes[0], **common)
+        index = IVFFlatIndex(
+            probe=probes[0], quantization=args.quantization, **common
+        )
     else:
         from retrieval_scaling_tpu.index.ivf_pq import IVFPQIndex
 

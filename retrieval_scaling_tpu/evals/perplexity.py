@@ -217,10 +217,10 @@ class JaxReader:
         )
 
     @classmethod
-    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None, tensor_parallel=False, quantization=None):
+    def from_pretrained(cls, name_or_path: str, batch_size: int = 8, dtype=jnp.bfloat16, mesh=None, tensor_parallel=False, quantization=None, cache_dir=None):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
-        params, cfg = load_hf_reader(name_or_path)
+        params, cfg = load_hf_reader(name_or_path, cache_dir=cache_dir)
         return cls(
             params, cfg, load_tokenizer(name_or_path), batch_size, dtype,
             mesh=mesh, tensor_parallel=tensor_parallel, quantization=quantization,
@@ -305,6 +305,7 @@ def evaluate_perplexity(cfg, reader: JaxReader | None = None, mesh=None) -> PplE
             mesh=mesh,
             tensor_parallel=eval_args.get("reader_tensor_parallel", False),
             quantization=eval_args.get("reader_quantization", None),
+            cache_dir=eval_args.get("reader_cache_dir", None),
         )
 
     per_sample = reader.score(contexts, answers)
@@ -331,6 +332,7 @@ def evaluate_calibration(cfg, reader: JaxReader | None = None, mesh=None) -> Ppl
             mesh=mesh,
             tensor_parallel=eval_args.get("reader_tensor_parallel", False),
             quantization=eval_args.get("reader_quantization", None),
+            cache_dir=eval_args.get("reader_cache_dir", None),
         )
 
     k = eval_args.concate_k

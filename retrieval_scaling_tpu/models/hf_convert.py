@@ -652,24 +652,122 @@ def load_hf_encoder(name_or_path: str, pooling: str | None = None, dtype=np.floa
     return bert_from_hf_model(hf, pooling=pooling, dtype=dtype)
 
 
-def load_hf_reader(name_or_path: str, dtype=np.float32):
-    """Load any supported causal reader (GPT-NeoX/Pythia or llama family).
+# --------------------------------------------------------------------------
+# Converted-reader cache: torch conversion of a multi-GB checkpoint costs
+# minutes at server boot; the flattened-npz cache loads in seconds.
+# --------------------------------------------------------------------------
+def _flatten_params(tree, prefix="", out=None):
+    if out is None:
+        out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten_params(v, f"{prefix}{k}/", out)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten_params(v, f"{prefix}{i}/", out)
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten_params(flat: Mapping[str, np.ndarray]):
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+_READER_CFG_CLASSES = {"GPTNeoXConfig": GPTNeoXConfig, "LlamaConfig": LlamaConfig}
+
+
+def _save_cached_reader(base: str, params, cfg) -> None:
+    import dataclasses
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
+    np.savez(base + ".tmp", **_flatten_params(params))
+    os.replace(base + ".tmp.npz", base + ".npz")
+    meta = {"family": type(cfg).__name__, "fields": dataclasses.asdict(cfg)}
+    with open(base + ".json.tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(base + ".json.tmp", base + ".json")
+
+
+def _load_cached_reader(base: str):
+    import json
+
+    with open(base + ".json") as f:
+        meta = json.load(f)
+    fields = meta["fields"]
+    for key in ("sliding_pattern",):  # tuples round-trip json as lists
+        if fields.get(key) is not None:
+            fields[key] = tuple(fields[key])
+    cfg = _READER_CFG_CLASSES[meta["family"]](**fields)
+    with np.load(base + ".npz") as data:
+        params = _unflatten_params({k: data[k] for k in data.files})
+    return params, cfg
+
+
+def _reader_cache_base(cache_dir: str, name_or_path: str, dtype) -> str:
+    import hashlib
+    import os
+
+    stamp = ""
+    cfg_json = os.path.join(str(name_or_path), "config.json")
+    if os.path.exists(cfg_json):  # local checkpoints: invalidate on edit
+        stamp = str(os.path.getmtime(cfg_json))
+    key = hashlib.sha1(
+        f"{name_or_path}|{np.dtype(dtype).name}|{stamp}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(cache_dir, f"reader_{key}")
+
+
+def load_hf_reader(name_or_path: str, dtype=np.float32, cache_dir: str | None = None):
+    """Load any supported causal reader (GPT-NeoX/Pythia, GPT-2, OPT, or
+    llama family).
 
     Mirrors the reference's ``AutoModelForCausalLM`` reader loading
     (reference: src/evaluate_perplexity.py:97-108); dispatch is by HF
-    ``model_type``.
+    ``model_type``. ``cache_dir`` caches the CONVERTED params (flattened
+    npz + config json) so later boots skip the torch load entirely.
     """
+    import os
+
+    base = None
+    if cache_dir:
+        base = _reader_cache_base(cache_dir, name_or_path, dtype)
+        if os.path.exists(base + ".npz") and os.path.exists(base + ".json"):
+            logger.info("Loading converted reader from cache %s", base)
+            return _load_cached_reader(base)
+
     import transformers
 
     hf = transformers.AutoModelForCausalLM.from_pretrained(name_or_path)
     model_type = getattr(hf.config, "model_type", "gpt_neox")
     if model_type in _LLAMA_MODEL_TYPES:
-        return llama_from_hf_model(hf, dtype=dtype)
-    if model_type == "gpt2":
-        return gpt2_from_hf_model(hf, dtype=dtype)
-    if model_type == "opt":
-        return opt_from_hf_model(hf, dtype=dtype)
-    return gpt_neox_from_hf_model(hf, dtype=dtype)
+        out = llama_from_hf_model(hf, dtype=dtype)
+    elif model_type == "gpt2":
+        out = gpt2_from_hf_model(hf, dtype=dtype)
+    elif model_type == "opt":
+        out = opt_from_hf_model(hf, dtype=dtype)
+    else:
+        out = gpt_neox_from_hf_model(hf, dtype=dtype)
+    if base is not None:
+        _save_cached_reader(base, *out)
+    return out
 
 
 def reader_lm_loss(params, cfg, input_ids, labels):

@@ -46,6 +46,7 @@ def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int =
             model_args["pretrained"], batch_size=batch_size, mesh=mesh,
             quantization=model_args.get("quantization"),
             kv_cache=model_args.get("kv_cache"),
+            cache_dir=model_args.get("cache_dir"),
         )
     if model in ("openai", "openai-completions", "local-completions"):
         from retrieval_scaling_tpu.rag_eval.models import OpenAICompatLM

@@ -159,10 +159,11 @@ class JaxReaderLM:
     def from_pretrained(
         cls, name_or_path: str, batch_size: int = 8, mesh=None,
         quantization: str | None = None, kv_cache: str | None = None,
+        cache_dir: str | None = None,
     ):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
-        params, cfg = load_hf_reader(name_or_path)
+        params, cfg = load_hf_reader(name_or_path, cache_dir=cache_dir)
         return cls(
             params, cfg, load_tokenizer(name_or_path), batch_size,
             mesh=mesh, quantization=quantization, kv_cache=kv_cache,

@@ -445,3 +445,41 @@ def test_opt_generation_matches_hf():
     gen = make_generate_fn(cfg, max_new_tokens=5, eos_id=1)
     out = np.asarray(gen(params, jnp.asarray(prompt), jnp.asarray([10], jnp.int32), 0))
     np.testing.assert_array_equal(out[0], ref)
+
+
+def test_reader_conversion_cache_roundtrip(tmp_path):
+    """load_hf_reader(cache_dir=...) caches converted params; a reload uses
+    the cache even after the HF checkpoint is gone, with identical logits."""
+    import shutil
+
+    import torch
+    import transformers
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, reader_logits
+
+    model_dir = tmp_path / "model"
+    torch.manual_seed(1)
+    hf = transformers.LlamaForCausalLM(
+        transformers.LlamaConfig(
+            vocab_size=96, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+            max_position_embeddings=64, tie_word_embeddings=False,
+        )
+    )
+    hf.save_pretrained(model_dir)
+
+    cache = tmp_path / "cache"
+    params1, cfg1 = load_hf_reader(str(model_dir), cache_dir=str(cache))
+    assert list(cache.glob("reader_*.npz"))
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 96, (2, 8)), jnp.int32)
+    ref = np.asarray(reader_logits(params1, cfg1, ids))
+
+    # corrupt the weights (config.json untouched -> same cache key): the
+    # cached load must never read them
+    for f in list(model_dir.glob("*.safetensors")) + list(model_dir.glob("*.bin")):
+        f.write_bytes(b"garbage")
+    params2, cfg2 = load_hf_reader(str(model_dir), cache_dir=str(cache))
+    assert cfg2 == cfg1
+    got = np.asarray(reader_logits(params2, cfg2, ids))
+    np.testing.assert_array_equal(got, ref)

@@ -203,7 +203,7 @@ def _quantize_kv_rows(t):
     return jnp.round(tf / safe[..., None]).astype(jnp.int8), scale
 
 
-def quantize_decode_params(params, cfg):
+def quantize_decode_params(params, cfg, scheme: str = "int8"):
     """Weight-only int8 reader params (scoring + decode paths).
 
     Decode throughput is weight-bytes / HBM bandwidth; int8 storage halves
@@ -216,9 +216,18 @@ def quantize_decode_params(params, cfg):
     loglikelihood scoring and generation. Opt-in — greedy decode can
     diverge from the float model on near-tie logits, so HF-parity paths
     keep bf16.
-    """
-    from retrieval_scaling_tpu.ops.quant_matmul import quantize_weight
 
+    ``scheme="int4"``: group-128 4-bit weights (half the int8 stream
+    again); weights whose K dim is not group-divisible stay int8.
+    """
+    from retrieval_scaling_tpu.ops.quant_matmul import (
+        INT4_GROUP,
+        quantize_weight,
+        quantize_weight_int4,
+    )
+
+    if scheme not in ("int8", "int4"):
+        raise ValueError(f"unknown quantization scheme {scheme!r}")
     is_llama = isinstance(cfg, LlamaConfig)
     layer_keys = (
         ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
@@ -232,6 +241,11 @@ def quantize_decode_params(params, cfg):
             w2d = w.reshape(-1, w.shape[-1])           # [H*hd, d]
         else:
             w2d = w.reshape(w.shape[0], -1)            # [d, ...]
+        if scheme == "int4" and w2d.shape[0] % INT4_GROUP == 0:
+            qw4 = quantize_weight_int4(w2d)
+            store[f"{name}@q4"] = qw4.packed
+            store[f"{name}@s4g"] = qw4.scale
+            return
         qw = quantize_weight(w2d)
         store[f"{name}@q8"] = qw.wq
         store[f"{name}@s"] = qw.scale

@@ -201,17 +201,21 @@ def _pick_bn(k: int, n: int) -> int:
 
 
 def has_q8(store, name: str) -> bool:
-    """True when ``store`` holds ``name`` as an int8 pair (``<name>@q8`` /
-    ``<name>@s``) produced by ``models.generate.quantize_decode_params``."""
-    return f"{name}@q8" in store
+    """True when ``store`` holds ``name`` quantized (int8 ``<name>@q8`` /
+    ``<name>@s`` or int4 ``<name>@q4`` / ``<name>@s4g``) — produced by
+    ``models.generate.quantize_decode_params``."""
+    return f"{name}@q8" in store or f"{name}@q4" in store
 
 
 def q8_dot(store, name: str, x: jax.Array, out_dtype=None) -> jax.Array:
-    """x @ dequant(store[name]) for int8-quantized weights.
+    """x @ dequant(store[name]) for int8/int4-quantized weights.
 
     Routes by leading-dim size: decode shapes (rows <= M_DECODE) hit the
     weight-streaming kernel; prefill/scoring shapes hit the M-blocked
-    kernel (or its XLA fallback)."""
+    kernel (or the XLA fallback)."""
+    if f"{name}@q4" in store:
+        qw4 = QuantizedWeight4(store[f"{name}@q4"], store[f"{name}@s4g"])
+        return int4_decode_matmul(x, qw4, out_dtype=out_dtype or x.dtype)
     qw = QuantizedWeight(store[f"{name}@q8"], store[f"{name}@s"])
     return int8_decode_matmul(x, qw, out_dtype=out_dtype or x.dtype)
 
@@ -401,3 +405,124 @@ def int8_matmul_residual_ln(
         interpret=interpret,
     )(h2d, x2d, qw.wq, qw.scale, bias_row, g_row, b_row)
     return out.reshape(*batch_shape, k)
+
+
+# --------------------------------------------------------------------------
+# Int4 weight-only matmul (decode weight streaming, group-128 scales).
+#
+# Halves the decode weight stream AGAIN over int8. Symmetric 4-bit values
+# in [-7, 7] stored as offset-by-8 nibbles, two per byte along K (low nibble =
+# top half rows, high = bottom half); scales
+# are per (K-group of 128, output channel) — plain per-channel int4 is too
+# lossy for transformer weights, group-128 RTN is the standard recipe.
+# --------------------------------------------------------------------------
+INT4_GROUP = 128
+
+
+class QuantizedWeight4(NamedTuple):
+    packed: jax.Array   # [K//2, N] uint8 (low nibble = row k, high = row k + K/2)
+    scale: jax.Array    # [K//INT4_GROUP, N] f32
+
+
+def quantize_weight_int4(w: jax.Array) -> QuantizedWeight4:
+    """[K, N] float -> group-128 symmetric int4, nibble-packed along K."""
+    k, n = w.shape
+    assert k % INT4_GROUP == 0, k
+    wf = w.astype(jnp.float32).reshape(k // INT4_GROUP, INT4_GROUP, n)
+    absmax = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-12)  # [G, N]
+    scale = absmax / 7.0
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -7, 7).reshape(k, n)
+    offs = (q + 8).astype(jnp.uint8)
+    # pack TOP/BOTTOM halves (not adjacent rows): unpacking is then a
+    # rank-2 concat — an interleaving stack's [K/2, 2, N] intermediate
+    # gets its 2-sublane dim padded to 32 in VMEM (16x blowup)
+    lo = offs[: k // 2]
+    hi = offs[k // 2 :]
+    return QuantizedWeight4((lo | (hi << 4)).astype(jnp.uint8), scale)
+
+
+def _int4_unpack(packed: jax.Array) -> jax.Array:
+    """[K//2, N] uint8 -> [K, N] int8 in [-7, 7] (top/bottom-half layout).
+
+    Arithmetic runs in int32 — Mosaic does not legalize sub/shift on
+    8-bit vectors (`arith.subi` legalization failure on chip)."""
+    p32 = packed.astype(jnp.int32)
+    lo = ((p32 & 0xF) - 8).astype(jnp.int8)
+    hi = ((p32 >> 4) - 8).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _int4_dot(xq: jax.Array, row_scale: jax.Array, packed: jax.Array, scale: jax.Array):
+    """dequant(int4) matmul with per-group weight scales.
+
+    xq [M, K] int8 (row-quantized activations), row_scale [M, 1] f32;
+    packed [K//2, N], scale [K//G, N]. Returns [M, N] f32.
+    """
+    k = xq.shape[1]
+    w = _int4_unpack(packed)                               # [K, N] int8
+    groups = k // INT4_GROUP
+    # unrolled per-group dots: Mosaic does not lower batched dot_general
+    acc = jnp.zeros((xq.shape[0], w.shape[1]), jnp.float32)
+    for g in range(groups):
+        sl = slice(g * INT4_GROUP, (g + 1) * INT4_GROUP)
+        part = jax.lax.dot_general(
+            xq[:, sl], w[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = acc + part.astype(jnp.float32) * scale[g][None, :]
+    return acc * row_scale
+
+
+def _int4_decode_kernel(x_ref, packed_ref, scale_ref, out_ref):
+    x = x_ref[:].astype(jnp.float32)
+    xq, row_scale = _rowquant(x)
+    out_ref[:] = _int4_dot(xq, row_scale, packed_ref[:], scale_ref[:]).astype(
+        out_ref.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def int4_decode_matmul(
+    x: jax.Array,             # [..., K]
+    qw: QuantizedWeight4,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """x @ dequant(int4 weight): weight-streaming kernel for small leading
+    dims; XLA fallback (unpack + grouped dots) elsewhere."""
+    k2, n = qw.packed.shape
+    k = 2 * k2
+    batch_shape = x.shape[:-1]
+    assert x.shape[-1] == k, (x.shape, qw.packed.shape)
+    m = 1
+    for s in batch_shape:
+        m *= s
+    x2d = x.reshape(m, k)
+
+    # 128-wide blocks: the in-kernel int32 unpack intermediates put a
+    # 256-wide block just past the scoped-VMEM limit at K=2048
+    bn = 128
+    use_kernel = (
+        m <= M_DECODE_MAX and k % 256 == 0 and n % bn == 0
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if not use_kernel:
+        xq, row_scale = _rowquant(x2d.astype(jnp.float32))
+        out = _int4_dot(xq, row_scale, qw.packed, qw.scale).astype(out_dtype)
+        return out.reshape(*batch_shape, n)
+
+    m_pad = max(M_DECODE, -(-m // 32) * 32)
+    x_pad = jnp.pad(x2d, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        _int4_decode_kernel,
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((m_pad, k), lambda j: (0, 0)),          # resident
+            pl.BlockSpec((k2, bn), lambda j: (0, j)),            # streamed nibbles
+            pl.BlockSpec((k // INT4_GROUP, bn), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret,
+    )(x_pad, qw.packed, qw.scale)
+    return out[:m].reshape(*batch_shape, n)

@@ -98,12 +98,12 @@ class JaxReaderLM:
 
         from retrieval_scaling_tpu.models.hf_convert import reader_logits
 
-        if quantization not in (None, "", "none", "int8"):
+        if quantization not in (None, "", "none", "int8", "int4"):
             raise ValueError(f"unknown reader quantization {quantization!r}")
         if kv_cache not in (None, "", "none", "int8"):
             raise ValueError(f"unknown kv_cache {kv_cache!r}")
         self.kv_cache = kv_cache if kv_cache == "int8" else None
-        if quantization == "int8":
+        if quantization in ("int8", "int4"):
             # Weight-only int8 (per-output-channel): halves the decode
             # weight stream and quarters reader HBM vs f32. The model
             # forwards dispatch per-weight, so scoring AND generation run
@@ -111,7 +111,7 @@ class JaxReaderLM:
             # quantize_decode_params).
             from retrieval_scaling_tpu.models.generate import quantize_decode_params
 
-            params = quantize_decode_params(params, cfg)
+            params = quantize_decode_params(params, cfg, scheme=quantization)
 
         self.cfg = cfg
         self.tokenizer = tokenizer

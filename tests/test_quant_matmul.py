@@ -321,7 +321,7 @@ def test_jax_reader_lm_int8_backend():
     assert len(out) == 1 and isinstance(out[0], str)
 
     with pytest.raises(ValueError):
-        JaxReaderLM(reader.params, reader.cfg, tokenizer, quantization="int4")
+        JaxReaderLM(reader.params, reader.cfg, tokenizer, quantization="int2")
 
 
 def test_int8_decode_matmul_mid_and_large_batches():
@@ -339,3 +339,67 @@ def test_int8_decode_matmul_mid_and_large_batches():
         assert out.shape == (m, 512)
         ref = jnp.dot(x, ref_w)
         assert _cosine_rows(out, ref).min() > 0.999, m
+
+
+def test_int4_decode_matmul_matches_dequant():
+    from retrieval_scaling_tpu.ops.quant_matmul import (
+        _int4_unpack,
+        int4_decode_matmul,
+        quantize_weight_int4,
+    )
+
+    rng = np.random.RandomState(11)
+    w = jnp.asarray(rng.randn(256, 512).astype(np.float32) * 0.05)
+    qw = quantize_weight_int4(w)
+    assert qw.packed.shape == (128, 512) and qw.scale.shape == (2, 512)
+    # dequant reconstruction error bounded by the group scale
+    wq = np.asarray(_int4_unpack(qw.packed), np.float32)
+    recon = wq.reshape(2, 128, 512) * np.asarray(qw.scale)[:, None, :]
+    assert np.abs(recon.reshape(256, 512) - np.asarray(w)).max() <= np.asarray(qw.scale).max() * 0.51
+
+    x = jnp.asarray(rng.randn(8, 256).astype(np.float32))
+    out_k = int4_decode_matmul(x, qw, interpret=True, out_dtype=jnp.float32)
+    ref = jnp.dot(x, jnp.asarray(recon.reshape(256, 512)))
+    assert _cosine_rows(out_k, ref).min() > 0.999
+    # XLA fallback path (large m)
+    x_big = jnp.asarray(rng.randn(300, 256).astype(np.float32))
+    out_big = int4_decode_matmul(x_big, qw, interpret=False, out_dtype=jnp.float32)
+    ref_big = jnp.dot(x_big, jnp.asarray(recon.reshape(256, 512)))
+    assert _cosine_rows(out_big, ref_big).min() > 0.999
+
+
+def test_decode_int4_logits_track_float():
+    from retrieval_scaling_tpu.models.generate import (
+        forward_with_cache,
+        init_cache,
+        quantize_decode_params,
+    )
+    from retrieval_scaling_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=512, max_position_embeddings=64,
+        tie_embeddings=False,
+    )
+    params = init_llama_params(cfg, jax.random.PRNGKey(4))
+    qparams = quantize_decode_params(params, cfg, scheme="int4")
+    assert any(k.endswith("@q4") for k in qparams["layers"][0])
+
+    rng = np.random.RandomState(12)
+    b, s, m = 2, 8, 16
+    ids = jnp.asarray(rng.randint(0, 256, (b, s)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s), (b, s))
+    key_valid = jnp.arange(m)[None, :] < s
+    cache = init_cache(cfg, b, m, dtype=jnp.float32)
+    lf, _ = forward_with_cache(params, cfg, ids, pos, cache, key_valid)
+    lq, _ = forward_with_cache(qparams, cfg, ids, pos, cache, key_valid)
+    cos = _cosine_rows(
+        np.asarray(lq, np.float32).reshape(-1, 256),
+        np.asarray(lf, np.float32).reshape(-1, 256),
+    )
+    # group-128 RTN int4 carries ~13% weight noise; ~0.96 logits cosine is
+    # the inherent quality on 2-layer random weights (opt-in tradeoff)
+    assert cos.min() > 0.95, cos.min()
+
+    with pytest.raises(ValueError):
+        quantize_decode_params(params, cfg, scheme="int2")

@@ -204,6 +204,15 @@ def gpt_neox_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "au
 # absolute positions (no rotary), tanh gelu_new, tied lm head.
 # --------------------------------------------------------------------------
 def gpt2_config_from_hf(hf_config, attention_impl: str = "auto") -> GPTNeoXConfig:
+    # Refuse-don't-diverge (same pattern as the OPT-350m / rope_scaling
+    # guards): these two flags change attention numerics and the JAX
+    # forward does not implement them.
+    if getattr(hf_config, "scale_attn_by_inverse_layer_idx", False):
+        raise NotImplementedError(
+            "gpt2 scale_attn_by_inverse_layer_idx is not implemented"
+        )
+    if getattr(hf_config, "reorder_and_upcast_attn", False):
+        raise NotImplementedError("gpt2 reorder_and_upcast_attn is not implemented")
     return GPTNeoXConfig(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.n_embd,
@@ -722,15 +731,32 @@ def _load_cached_reader(base: str):
 
 
 def _reader_cache_base(cache_dir: str, name_or_path: str, dtype) -> str:
+    import glob as _glob
     import hashlib
     import os
 
-    stamp = ""
-    cfg_json = os.path.join(str(name_or_path), "config.json")
-    if os.path.exists(cfg_json):  # local checkpoints: invalidate on edit
-        stamp = str(os.path.getmtime(cfg_json))
+    stamps = []
+    if os.path.isdir(str(name_or_path)):
+        # Local checkpoints: invalidate on ANY config/weight-file edit, not
+        # just config.json — a re-saved model.safetensors must miss the cache.
+        for pattern in ("config.json", "*.safetensors", "*.bin", "*.pt"):
+            for f in sorted(_glob.glob(os.path.join(str(name_or_path), pattern))):
+                st = os.stat(f)
+                stamps.append(f"{os.path.basename(f)}:{st.st_mtime_ns}:{st.st_size}")
+    else:
+        # Hub models: pin the resolved revision (commit hash) when the hub
+        # cache has one, so a moved branch pointer invalidates the cache.
+        try:
+            from huggingface_hub import try_to_load_from_cache
+
+            ref = try_to_load_from_cache(str(name_or_path), "config.json")
+            if isinstance(ref, str):
+                # .../snapshots/<commit_hash>/config.json
+                stamps.append(os.path.basename(os.path.dirname(ref)))
+        except Exception:
+            pass
     key = hashlib.sha1(
-        f"{name_or_path}|{np.dtype(dtype).name}|{stamp}".encode()
+        f"{name_or_path}|{np.dtype(dtype).name}|{'|'.join(stamps)}".encode()
     ).hexdigest()[:16]
     return os.path.join(cache_dir, f"reader_{key}")
 
@@ -750,7 +776,12 @@ def load_hf_reader(name_or_path: str, dtype=np.float32, cache_dir: str | None = 
     if cache_dir:
         base = _reader_cache_base(cache_dir, name_or_path, dtype)
         if os.path.exists(base + ".npz") and os.path.exists(base + ".json"):
-            logger.info("Loading converted reader from cache %s", base)
+            import time
+
+            age_h = (time.time() - os.path.getmtime(base + ".npz")) / 3600.0
+            logger.info(
+                "Loading converted reader from cache %s (age %.1f h)", base, age_h
+            )
             return _load_cached_reader(base)
 
     import transformers

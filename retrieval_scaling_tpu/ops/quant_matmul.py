@@ -382,6 +382,9 @@ def int8_matmul_residual_ln(
         and k % 128 == 0
         and n % 128 == 0
         and (interpret or jax.default_backend() == "tpu")
+        # the kernel holds the whole [N, K] weight resident in VMEM; fall
+        # back to XLA for reader-sized weights that would overflow it
+        and _resident_ok(n, k)
     )
     if not use_pallas:
         out = _int8_res_ln_xla(h2d, x2d, qw, bias_row, g_row, b_row, eps)

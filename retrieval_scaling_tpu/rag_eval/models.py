@@ -544,8 +544,16 @@ class AnthropicCompatLM:
         self.anthropic_version = anthropic_version
         self.system = system
 
+    # Transient statuses worth retrying (rate limit, overloaded, 5xx) —
+    # the reference backend retries via the SDK's retry_on_specific_exceptions
+    # (reference: lm_eval/models/anthropic_llms.py).
+    _RETRY_STATUSES = frozenset({408, 409, 429, 500, 502, 503, 504, 529})
+    _MAX_RETRIES = 5
+
     def _post(self, route: str, payload: dict) -> dict:
         import json as _json
+        import time
+        import urllib.error
         import urllib.request
 
         headers = {
@@ -554,11 +562,34 @@ class AnthropicCompatLM:
         }
         if self.api_key:
             headers["x-api-key"] = self.api_key
-        req = urllib.request.Request(
-            self.base_url + route, data=_json.dumps(payload).encode(), headers=headers
-        )
-        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            return _json.loads(resp.read())
+        data = _json.dumps(payload).encode()
+        for attempt in range(self._MAX_RETRIES + 1):
+            req = urllib.request.Request(
+                self.base_url + route, data=data, headers=headers
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    return _json.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                if e.code not in self._RETRY_STATUSES or attempt == self._MAX_RETRIES:
+                    raise
+                delay = min(2.0**attempt, 30.0)
+                retry_after = e.headers.get("retry-after") if e.headers else None
+                if retry_after:
+                    try:
+                        delay = max(delay, float(retry_after))
+                    except ValueError:
+                        pass
+                logger.warning(
+                    "Anthropic API %d on %s; retry %d/%d in %.1fs",
+                    e.code, route, attempt + 1, self._MAX_RETRIES, delay,
+                )
+                time.sleep(delay)
+            except urllib.error.URLError:
+                if attempt == self._MAX_RETRIES:
+                    raise
+                time.sleep(min(2.0**attempt, 30.0))
+        raise RuntimeError("unreachable")
 
     def loglikelihood(self, pairs: Sequence[Tuple[str, str]]):
         raise NotImplementedError(
@@ -576,10 +607,15 @@ class AnthropicCompatLM:
         results = []
         for req in reqs:
             gen = req["gen_kwargs"]
+            # honor sampling kwargs (reference backends pass temperature
+            # through); default remains greedy
+            temperature = float(gen.get("temperature", 0.0))
+            if not gen.get("do_sample", True):
+                temperature = 0.0
             payload = {
                 "model": self.model,
                 "max_tokens": gen.get("max_gen_toks", 32),
-                "temperature": 0.0,
+                "temperature": temperature,
                 "messages": [{"role": "user", "content": req["context"]}],
             }
             if self.system:

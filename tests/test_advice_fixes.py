@@ -159,3 +159,163 @@ def test_doc_target_resolves_index_to_choice_text(tmp_path):
     )
     task3 = Task(cfg3, data_root=str(tmp_path))
     assert task3.doc_target(task3.docs[0]) == "dog"
+
+
+# ================================================================ round 3
+# ---------------------------------------------------------------- cache key
+def test_reader_cache_key_tracks_weight_files(tmp_path):
+    """medium: converted-reader cache key must change when a local
+    checkpoint's WEIGHT file changes, even if config.json is untouched."""
+    import os
+    import time
+
+    from retrieval_scaling_tpu.models.hf_convert import _reader_cache_base
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "config.json").write_text("{}")
+    (ckpt / "model.safetensors").write_bytes(b"aaaa")
+    cache = str(tmp_path / "cache")
+
+    key1 = _reader_cache_base(cache, str(ckpt), np.float32)
+    # re-save the weights; backdate-proof by bumping mtime explicitly
+    (ckpt / "model.safetensors").write_bytes(b"bbbbbb")
+    os.utime(ckpt / "model.safetensors", (time.time() + 5, time.time() + 5))
+    key2 = _reader_cache_base(cache, str(ckpt), np.float32)
+    assert key1 != key2
+
+    # dtype still differentiates
+    key3 = _reader_cache_base(cache, str(ckpt), np.float16)
+    assert key3 != key2
+
+
+# ---------------------------------------------------------------- vmem gate
+def test_int8_residual_ln_auto_gates_on_vmem(monkeypatch):
+    """low: impl='auto' must not schedule a reader-sized [N, K] weight
+    resident in VMEM; it falls back to the XLA path."""
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.ops import quant_matmul as qm
+
+    rng = np.random.default_rng(0)
+    n, k, m = 8192, 2048, qm.BM  # _resident_ok(8192, 2048) is False
+    assert not qm._resident_ok(n, k)
+    h = jnp.asarray(rng.standard_normal((m, n)), jnp.float32) * 0.02
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = rng.standard_normal((n, k)).astype(np.float32) * 0.02
+    qw = qm.quantize_weight(jnp.asarray(w))
+    bias = jnp.zeros((k,), jnp.float32)
+    g = jnp.ones((k,), jnp.float32)
+    b = jnp.zeros((k,), jnp.float32)
+
+    calls = []
+    real = qm.pl.pallas_call
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(qm.pl, "pallas_call", spy)
+    out = qm.int8_matmul_residual_ln(h, x, qw, bias, g, b, impl="auto", interpret=True)
+    assert not calls, "auto path must not build a pallas kernel for oversized weights"
+    assert out.shape == (m, k)
+
+    # small (encoder-sized) weights still take the kernel under interpret
+    n2, k2 = 512, 256
+    assert qm._resident_ok(n2, k2)
+    qw2 = qm.quantize_weight(jnp.asarray(w[:n2, :k2]))
+    qm.int8_matmul_residual_ln(
+        h[:, :n2], x[:, :k2], qw2, bias[:k2], g[:k2], b[:k2],
+        impl="auto", interpret=True,
+    )
+    assert calls
+
+
+# ---------------------------------------------------------------- anthropic
+def test_anthropic_backend_retries_and_temperature(monkeypatch):
+    """low: 429/529 responses retry with backoff; gen_kwargs temperature is
+    honored in the payload."""
+    import io
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from retrieval_scaling_tpu.rag_eval.models import AnthropicCompatLM
+
+    lm = AnthropicCompatLM(base_url="https://fake", model="m", api_key="k")
+
+    attempts = []
+    payloads = []
+
+    def fake_urlopen(req, timeout=None):
+        body = _json.loads(req.data.decode())
+        payloads.append(body)
+        if len(attempts) < 2:
+            attempts.append(1)
+            raise urllib.error.HTTPError(
+                req.full_url, 429, "rate limited", {"retry-after": "0"}, io.BytesIO(b"")
+            )
+        resp = io.BytesIO(
+            _json.dumps(
+                {"content": [{"type": "text", "text": "hi there\nrest"}]}
+            ).encode()
+        )
+        resp.read = resp.read  # file-like
+        return _FakeResp(resp)
+
+    class _FakeResp:
+        def __init__(self, buf):
+            self._buf = buf
+
+        def read(self):
+            return self._buf.read()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+
+    out = lm.generate_until(
+        [{"context": "q", "gen_kwargs": {"until": ["\n"], "max_gen_toks": 8,
+                                         "temperature": 0.7}}]
+    )
+    assert out == ["hi there"]
+    assert len(attempts) == 2  # two 429s then success
+    assert payloads[-1]["temperature"] == 0.7
+
+    # non-retryable status raises immediately
+    def fake_urlopen_401(req, timeout=None):
+        raise urllib.error.HTTPError(req.full_url, 401, "no", {}, io.BytesIO(b""))
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen_401)
+    with pytest.raises(urllib.error.HTTPError):
+        lm.generate_until([{"context": "q", "gen_kwargs": {}}])
+
+
+# ---------------------------------------------------------------- gpt2 flags
+def test_gpt2_exotic_attention_flags_refused():
+    """low: scale_attn_by_inverse_layer_idx / reorder_and_upcast_attn change
+    numerics the JAX forward doesn't implement -> refuse, don't diverge."""
+    import transformers
+
+    from retrieval_scaling_tpu.models.hf_convert import gpt2_config_from_hf
+
+    base = dict(
+        vocab_size=64, n_embd=32, n_layer=1, n_head=4, n_positions=64,
+        n_inner=None, layer_norm_epsilon=1e-5,
+    )
+    cfg = transformers.GPT2Config(**base)
+    gpt2_config_from_hf(cfg)  # fine
+
+    with pytest.raises(NotImplementedError):
+        gpt2_config_from_hf(
+            transformers.GPT2Config(**base, scale_attn_by_inverse_layer_idx=True)
+        )
+    with pytest.raises(NotImplementedError):
+        gpt2_config_from_hf(
+            transformers.GPT2Config(**base, reorder_and_upcast_attn=True)
+        )

@@ -119,6 +119,22 @@ def main(argv=None):
         help="result sinks, e.g. jsonl:out.jsonl,wandb:myproject",
     )
     parser.add_argument("--results_only_save_path", default=None)
+    parser.add_argument(
+        "--bootstrap_iters", type=int, default=1000,
+        help="bootstrap iterations for stderr of set-level metrics; 0 disables stderr",
+    )
+    parser.add_argument(
+        "--log_samples", action="store_true",
+        help="write per-instance prompt/response/metric records (samples_<task>.jsonl)",
+    )
+    parser.add_argument(
+        "--predict_only", action="store_true",
+        help="generate and log predictions without computing metrics (implies --log_samples)",
+    )
+    parser.add_argument(
+        "--cache_dir", default=None,
+        help="dataset ingestion cache directory ({task}/{split}.jsonl files)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
@@ -137,6 +153,16 @@ def main(argv=None):
 
         lm = CachingLM(lm, args.use_cache, model_tag=f"{args.model}:{args.model_args}")
     from retrieval_scaling_tpu.rag_eval.loggers import build_loggers
+
+    samples_save_dir = None
+    if args.log_samples or args.predict_only:
+        import os
+
+        samples_save_dir = (
+            os.path.dirname(os.path.abspath(args.output_path))
+            if args.output_path
+            else os.getcwd()
+        )
 
     results = simple_evaluate(
         lm,
@@ -158,12 +184,18 @@ def main(argv=None):
         apply_chat_template=args.apply_chat_template,
         system_instruction=args.system_instruction,
         fewshot_as_multiturn=args.fewshot_as_multiturn,
+        bootstrap_iters=args.bootstrap_iters,
+        log_samples=args.log_samples,
+        predict_only=args.predict_only,
+        samples_save_dir=samples_save_dir,
+        cache_dir=args.cache_dir,
     )
     if results is not None:
-        print(json.dumps(results, indent=2))
+        printable = {k: v for k, v in results.items() if k != "samples"}
+        print(json.dumps(printable, indent=2))
         if args.output_path:
             with open(args.output_path, "w") as f:
-                json.dump(results, f, indent=2)
+                json.dump(printable, f, indent=2)
 
 
 if __name__ == "__main__":

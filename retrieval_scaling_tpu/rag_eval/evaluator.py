@@ -20,7 +20,13 @@ import logging
 import os
 from typing import Dict, List, Optional
 
-from retrieval_scaling_tpu.rag_eval.metrics import METRICS, aggregate_mean
+from retrieval_scaling_tpu.rag_eval.metrics import (
+    METRICS,
+    aggregate_mean,
+    bootstrap_stderr,
+    mean_stderr,
+    pooled_sample_stderr,
+)
 from retrieval_scaling_tpu.rag_eval.tasks import (
     Task,
     TaskConfig,
@@ -107,9 +113,47 @@ def _run_requests(lm, requests: List[dict]) -> List[dict]:
     return results
 
 
-def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[str, float]:
+def _score_task(
+    task: Task,
+    requests: List[dict],
+    outputs: List[dict],
+    bootstrap_iters: int = 1000,
+    collect_samples: bool = False,
+    predict_only: bool = False,
+) -> tuple:
+    """Score one task's outputs.
+
+    Returns ``(scores, samples)`` — ``samples`` is a per-instance record
+    list when ``collect_samples`` (reference: lm_eval --log_samples), else
+    ``None``. ``predict_only`` skips metrics (reference: --predict_only).
+    Every mean-aggregated metric gets an analytic ``<metric>_stderr``;
+    set-level aggregations (mcc, f1, bleu, perplexity) get a seeded
+    bootstrap (reference: lm_eval/api/metrics.py stderr_for_metric).
+    """
+    samples: Optional[List[dict]] = [] if collect_samples else None
+
+    def record(i: int, req: dict, out: dict, extra: dict) -> None:
+        if samples is None:
+            return
+        row = {"doc_id": i, "doc": req["doc"], "context": req["context"]}
+        row.update(extra)
+        samples.append(row)
+
+    if predict_only:
+        for i, (req, out) in enumerate(zip(requests, outputs)):
+            if req["type"] == "generate_until":
+                record(i, req, out, {"prediction": out["prediction"]})
+            elif req["type"] == "multiple_choice":
+                record(i, req, out, {
+                    "choices": req["choices"], "choice_lls": out["choice_lls"],
+                    "prediction_idx": out["prediction_idx"],
+                })
+            else:
+                record(i, req, out, {"loglikelihood": out["loglikelihood"]})
+        return {}, samples
+
     metric_values: Dict[str, List[float]] = {}
-    for req, out in zip(requests, outputs):
+    for i, (req, out) in enumerate(zip(requests, outputs)):
         doc = req["doc"]
         if req["type"] == "generate_until" and "prompt_level_strict_acc" in task.cfg.metric_list:
             # IFEval verifiable-instruction scoring (reference:
@@ -124,13 +168,21 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             metric_values.setdefault("prompt_level_loose_acc", []).append(float(all(loose)))
             metric_values.setdefault("inst_level_strict_acc", []).extend(map(float, strict))
             metric_values.setdefault("inst_level_loose_acc", []).extend(map(float, loose))
+            record(i, req, out, {
+                "prediction": out["prediction"],
+                "metrics": {"prompt_level_strict_acc": float(all(strict)),
+                            "prompt_level_loose_acc": float(all(loose))},
+            })
         elif req["type"] == "generate_until":
             refs = [task.cfg.extract_target(r) for r in task.references(doc)]
+            inst_metrics: Dict[str, float] = {}
+            filtered: Dict[str, str] = {}
             if task.cfg.filters:
                 # named filter pipelines -> per-filter metric columns
                 # (reference: lm_eval "exact_match,strict-match" naming)
                 for filt in task.cfg.filters:
                     pred = task.cfg.apply_filter_steps(out["prediction"], filt["steps"])
+                    filtered[filt["name"]] = pred
                     for name in task.cfg.metric_list:
                         col = f"{name},{filt['name']}"
                         if name == "bleu":
@@ -138,9 +190,12 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
                                 (pred, refs)
                             )
                             continue
-                        metric_values.setdefault(col, []).append(METRICS[name](pred, refs))
+                        val = METRICS[name](pred, refs, **task.metric_kwargs(name))
+                        inst_metrics[col] = val
+                        metric_values.setdefault(col, []).append(val)
             else:
                 prediction = task.cfg.apply_filter(out["prediction"])
+                filtered["default"] = prediction
                 for name in task.cfg.metric_list:
                     if name == "bleu":
                         # corpus-level aggregation (sacrebleu semantics):
@@ -150,16 +205,28 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
                             (prediction, refs)
                         )
                         continue
-                    metric_values.setdefault(name, []).append(METRICS[name](prediction, refs))
+                    val = METRICS[name](prediction, refs, **task.metric_kwargs(name))
+                    inst_metrics[name] = val
+                    metric_values.setdefault(name, []).append(val)
+            record(i, req, out, {
+                "prediction": out["prediction"], "filtered": filtered,
+                "references": refs, "metrics": inst_metrics,
+            })
         elif req["type"] == "loglikelihood":
             metric_values.setdefault("loglikelihood", []).append(out["loglikelihood"])
             metric_values.setdefault("acc", []).append(float(out["is_greedy"]))
+            record(i, req, out, {
+                "continuation": req["continuation"],
+                "loglikelihood": out["loglikelihood"],
+                "metrics": {"acc": float(out["is_greedy"])},
+            })
         elif req["type"] == "loglikelihood_rolling":
             # corpus-level weighted aggregation (lm-eval wikitext metrics)
             text = req["text"]
             metric_values.setdefault("_rolling", []).append(
                 (out["loglikelihood"], max(len(text.split()), 1), max(len(text.encode()), 1))
             )
+            record(i, req, out, {"loglikelihood": out["loglikelihood"]})
         elif "gold_mask" in req:  # multiple_choice with multi-true targets
             # TruthfulQA mc2: probability mass assigned to the true options
             # (reference: lm_eval/tasks/truthfulqa mc2 aggregation).
@@ -168,7 +235,12 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             lls = out["choice_lls"]
             probs = [math.exp(ll) for ll in lls]
             true_mass = sum(p for p, g in zip(probs, req["gold_mask"]) if g)
-            metric_values.setdefault("mc2", []).append(true_mass / max(sum(probs), 1e-30))
+            mc2 = true_mass / max(sum(probs), 1e-30)
+            metric_values.setdefault("mc2", []).append(mc2)
+            record(i, req, out, {
+                "choices": req["choices"], "choice_lls": lls,
+                "metrics": {"mc2": mc2},
+            })
         else:  # multiple_choice
             pred, gold = out["prediction_idx"], req["gold"]
             metric_values.setdefault("acc", []).append(float(pred == gold))
@@ -178,6 +250,12 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             lengths = [max(len(c), 1) for c in req["choices"]]
             norm_idx = int(max(range(len(lls)), key=lambda j: lls[j] / lengths[j]))
             metric_values.setdefault("acc_norm", []).append(float(norm_idx == req["gold"]))
+            record(i, req, out, {
+                "choices": req["choices"], "choice_lls": lls,
+                "prediction_idx": pred, "gold": gold,
+                "metrics": {"acc": float(pred == gold),
+                            "acc_norm": float(norm_idx == gold)},
+            })
             if "mcc" in task.cfg.metric_list:
                 # set-level Matthews correlation (GLUE CoLA): collect binary
                 # (pred, gold) pairs, aggregate after the loop.
@@ -206,6 +284,21 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
                     abs(lls[0] - lls[1])
                 )
 
+    def _agg_f1(pairs):
+        tp = sum(1 for p, g in pairs if p == 1 and g == 1)
+        fp = sum(1 for p, g in pairs if p == 1 and g == 0)
+        fn = sum(1 for p, g in pairs if p == 0 and g == 1)
+        denom = 2 * tp + fp + fn
+        return 2 * tp / denom if denom else 0.0
+
+    def _agg_mcc(pairs):
+        tp = sum(1 for p, g in pairs if p == 1 and g == 1)
+        tn = sum(1 for p, g in pairs if p == 0 and g == 0)
+        fp = sum(1 for p, g in pairs if p == 1 and g == 0)
+        fn = sum(1 for p, g in pairs if p == 0 and g == 1)
+        denom = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5
+        return (tp * tn - fp * fn) / denom if denom else 0.0
+
     scores = {}
     for name, vals in metric_values.items():
         if name == "_rolling":
@@ -223,28 +316,32 @@ def _score_task(task: Task, requests: List[dict], outputs: List[dict]) -> Dict[s
             _, _, filt_name = name.partition(",")
             col = f"bleu,{filt_name}" if filt_name else "bleu"
             scores[col] = corpus_bleu(vals)
+            scores[col + "_stderr"] = bootstrap_stderr(
+                corpus_bleu, vals, iters=bootstrap_iters
+            )
         elif name == "_f1_pairs":
-            tp = sum(1 for p, g in vals if p == 1 and g == 1)
-            fp = sum(1 for p, g in vals if p == 1 and g == 0)
-            fn = sum(1 for p, g in vals if p == 0 and g == 1)
-            denom = 2 * tp + fp + fn
-            scores["f1"] = 2 * tp / denom if denom else 0.0
+            scores["f1"] = _agg_f1(vals)
+            scores["f1_stderr"] = bootstrap_stderr(_agg_f1, vals, iters=bootstrap_iters)
         elif name == "_mcc_pairs":
-            tp = sum(1 for p, g in vals if p == 1 and g == 1)
-            tn = sum(1 for p, g in vals if p == 0 and g == 0)
-            fp = sum(1 for p, g in vals if p == 1 and g == 0)
-            fn = sum(1 for p, g in vals if p == 0 and g == 1)
-            denom = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5
-            scores["mcc"] = (tp * tn - fp * fn) / denom if denom else 0.0
+            scores["mcc"] = _agg_mcc(vals)
+            scores["mcc_stderr"] = bootstrap_stderr(_agg_mcc, vals, iters=bootstrap_iters)
         else:
             scores[name] = aggregate_mean(vals)
+            if bootstrap_iters > 0:
+                scores[name + "_stderr"] = mean_stderr(vals)
     if "perplexity" in task.cfg.metric_list and "loglikelihood" in metric_values:
         # lm-eval's `perplexity` aggregation over loglikelihood requests
         # (LAMBADA): exp of the negated mean target loglikelihood.
         import math
 
-        scores["perplexity"] = math.exp(-aggregate_mean(metric_values["loglikelihood"]))
-    return scores
+        _agg_ppl = lambda lls: math.exp(-aggregate_mean(lls))  # noqa: E731
+        scores["perplexity"] = _agg_ppl(metric_values["loglikelihood"])
+        scores["perplexity_stderr"] = bootstrap_stderr(
+            _agg_ppl, metric_values["loglikelihood"], iters=bootstrap_iters
+        )
+    if bootstrap_iters <= 0:
+        scores = {k: v for k, v in scores.items() if not k.endswith("_stderr")}
+    return scores, samples
 
 
 def simple_evaluate(
@@ -268,10 +365,19 @@ def simple_evaluate(
     fewshot_as_multiturn: bool = False,
     decontamination_ngrams: int = 0,
     loggers: Optional[list] = None,
+    bootstrap_iters: int = 1000,
+    log_samples: bool = False,
+    predict_only: bool = False,
+    samples_save_dir: Optional[str] = None,
+    cache_dir: Optional[str] = None,
 ) -> Optional[dict]:
     if fewshot_as_multiturn and not apply_chat_template:
         raise ValueError("fewshot_as_multiturn requires apply_chat_template")
+    if predict_only:
+        log_samples = True  # reference: --predict_only implies --log_samples
     all_results = {"results": {}, "groups": {}, "versions": {}, "n-doc": concat_k}
+    if log_samples:
+        all_results["samples"] = {}
 
     # Group names (e.g. "mmlu" -> 57 subject tasks + 4 category rollups)
     # expand before evaluation; aggregates are computed afterwards
@@ -282,7 +388,7 @@ def simple_evaluate(
         cfg = get_task(task_name) if isinstance(task_name, str) else task_name
         if limit:
             cfg.limit = limit
-        task = Task(cfg, data_root=data_root)
+        task = Task(cfg, data_root=data_root, cache_dir=cache_dir)
         # Multiturn chat: shots become user/assistant turns instead of being
         # baked into the prompt string, so build 0-shot requests here.
         request_fewshot = 0 if fewshot_as_multiturn else num_fewshot
@@ -377,9 +483,23 @@ def simple_evaluate(
                 )
 
         outputs = _run_requests(lm, requests)
-        scores = _score_task(task, requests, outputs)
+        scores, samples = _score_task(
+            task, requests, outputs,
+            bootstrap_iters=bootstrap_iters,
+            collect_samples=log_samples,
+            predict_only=predict_only,
+        )
         all_results["results"][cfg.task] = {**scores, "n-doc": concat_k, "samples": len(requests)}
         all_results["versions"][cfg.task] = cfg.version
+        if log_samples:
+            all_results["samples"][cfg.task] = samples
+            if samples_save_dir:
+                os.makedirs(samples_save_dir, exist_ok=True)
+                sfile = os.path.join(samples_save_dir, f"samples_{cfg.task}.jsonl")
+                with open(sfile, "w") as f:
+                    for row in samples:
+                        f.write(json.dumps(row, default=str) + "\n")
+                logger.info("Wrote %d sample records to %s", len(samples), sfile)
         logger.info("Task %s: %s", cfg.task, scores)
 
     if save_inputs_only:
@@ -397,12 +517,23 @@ def simple_evaluate(
             continue
         total = sum(r["samples"] for r in rows)
         metric_names = set.intersection(
-            *[{k for k in r if k not in ("n-doc", "samples")} for r in rows]
+            *[
+                {k for k in r if k not in ("n-doc", "samples") and not k.endswith("_stderr")}
+                for r in rows
+            ]
         )
         rollup = {
             name: sum(r[name] * r["samples"] for r in rows) / max(total, 1)
             for name in metric_names
         }
+        # group stderr: pooled variance over size-weighted members
+        # (reference: metrics.py pooled_sample_stderr)
+        for name in metric_names:
+            se_key = name + "_stderr"
+            if all(se_key in r for r in rows):
+                rollup[se_key] = pooled_sample_stderr(
+                    [r[se_key] for r in rows], [r["samples"] for r in rows]
+                )
         all_results["groups"][group] = {**rollup, "n-doc": concat_k, "samples": total}
         logger.info("Group %s (%d tasks): %s", group, len(rows), rollup)
 

@@ -1,0 +1,398 @@
+"""HF-datasets-backed task ingestion — the reference's ``Task.download`` analog.
+
+The reference harness downloads every task's dataset automatically via
+``datasets.load_dataset`` and reshapes rows with per-task ``process_docs``
+shims (reference: rag-evaluation-harness/lm_eval/api/task.py:236-280,
+lm_eval/tasks/hellaswag/utils.py process_docs). This module does the same
+for the repo's declarative tasks:
+
+  * ``TaskConfig.hf_path``/``hf_name`` point at the HF dataset;
+  * a registered per-family shim (``TaskConfig.process_docs``) maps each HF
+    row into the doc schema the task YAML's templates expect;
+  * prepared splits are cached as ``<cache_dir>/<dataset_path>/{split}.jsonl``
+    so subsequent runs (and fully offline fixture setups, which use the same
+    layout under ``data_root``) never touch the network.
+
+Cold-cache flow: ``load_documents`` misses the local file, calls
+``prepare_split``, which downloads + shims + writes the jsonl, then loads it.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from typing import Callable, Dict, List, Optional
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.expanduser(os.environ.get("RST_TASK_CACHE", "~/.cache/retrieval_scaling_tpu")),
+    "tasks",
+)
+
+# One shim per dataset family: HF row -> repo doc dict (or None to drop,
+# or a list to expand). Registered by name; task YAMLs select via
+# ``process_docs: <name>`` (default: identity passthrough).
+PROCESS_DOCS: Dict[str, Callable[[dict], object]] = {}
+
+
+def register_shim(name: str):
+    def deco(fn):
+        PROCESS_DOCS[name] = fn
+        return fn
+
+    return deco
+
+
+_LETTER_IDX = {c: i for i, c in enumerate("ABCDEFGH")}
+
+
+def _answer_key_index(key, num_choices: int) -> int:
+    """ARC-style answerKey: letter ('A'..'E') or numeral ('1'..'5')."""
+    key = str(key).strip()
+    if key in _LETTER_IDX:
+        return _LETTER_IDX[key]
+    idx = int(key) - 1
+    assert 0 <= idx < num_choices, (key, num_choices)
+    return idx
+
+
+# ---------------------------------------------------------------- shims
+@register_shim("nq_open")
+def _nq_open(row):
+    # HF `nq_open`: {question (no trailing '?'), answer: [str]}; the YAML's
+    # doc_to_text appends the '?', so strip any the dataset already carries.
+    return {"question": row["question"].rstrip("?"), "answer": list(row["answer"])}
+
+
+@register_shim("triviaqa")
+def _triviaqa(row):
+    # HF `trivia_qa` rc.nocontext: answer dict with value + aliases.
+    ans = row["answer"]
+    aliases = list(ans.get("aliases") or [ans.get("value", "")])
+    if ans.get("value") and ans["value"] not in aliases:
+        aliases.insert(0, ans["value"])
+    return {"question": row["question"], "answer": {"aliases": aliases}}
+
+
+@register_shim("gsm8k")
+def _gsm8k(row):
+    return {"question": row["question"], "answer": row["answer"]}
+
+
+@register_shim("mmlu")
+def _mmlu(row):
+    # HF `cais/mmlu` / `hails/mmlu_no_train`: {question, choices, answer: int}
+    return {
+        "question": row["question"].strip(),
+        "choices": list(row["choices"]),
+        "gold": int(row["answer"]),
+    }
+
+
+def _hellaswag_preprocess(text: str) -> str:
+    # reference: lm_eval/tasks/hellaswag/utils.py preprocess
+    text = text.strip()
+    text = text.replace(" [title]", ". ")
+    text = re.sub(r"\[.*?\]", "", text)
+    text = text.replace("  ", " ")
+    return text
+
+
+@register_shim("hellaswag")
+def _hellaswag(row):
+    # reference: lm_eval/tasks/hellaswag/utils.py process_docs
+    ctx = row["ctx_a"] + " " + row["ctx_b"].capitalize()
+    return {
+        "ctx": _hellaswag_preprocess(row["activity_label"] + ": " + ctx),
+        "choices": [_hellaswag_preprocess(e) for e in row["endings"]],
+        "gold": int(row["label"]) if str(row["label"]).strip() else 0,
+    }
+
+
+@register_shim("arc")
+def _arc(row):
+    choices = list(row["choices"]["text"])
+    return {
+        "question": row["question"],
+        "choices": choices,
+        "gold": _answer_key_index(row["answerKey"], len(choices)),
+    }
+
+
+@register_shim("boolq")
+def _boolq(row):
+    # HF `super_glue/boolq`: label 0=false 1=true; YAML choices ["no","yes"]
+    return {
+        "passage": row["passage"],
+        "question": row["question"].rstrip("?"),
+        "choices": ["no", "yes"],
+        "gold": int(row["label"]),
+    }
+
+
+@register_shim("piqa")
+def _piqa(row):
+    return {
+        "goal": row["goal"],
+        "choices": [row["sol1"], row["sol2"]],
+        "gold": int(row["label"]),
+    }
+
+
+@register_shim("winogrande")
+def _winogrande(row):
+    # reference: lm_eval/tasks/winogrande/preprocess_winogrande.py — context
+    # is the sentence up to '_', each option carries the sentence suffix.
+    sentence = row["sentence"]
+    idx = sentence.index("_")
+    prefix, suffix = sentence[:idx].strip(), sentence[idx + 1 :]
+    answer = str(row.get("answer", "1")).strip() or "1"
+    return {
+        "sentence": prefix,
+        "choices": [row["option1"] + suffix, row["option2"] + suffix],
+        "gold": int(answer) - 1,
+    }
+
+
+@register_shim("truthfulqa_mc1")
+def _truthfulqa_mc1(row):
+    t = row["mc1_targets"]
+    return {
+        "question": row["question"],
+        "choices": list(t["choices"]),
+        "gold": list(t["labels"]).index(1),
+    }
+
+
+@register_shim("truthfulqa_mc2")
+def _truthfulqa_mc2(row):
+    t = row["mc2_targets"]
+    return {
+        "question": row["question"],
+        "mc2_choices": list(t["choices"]),
+        "mc2_labels": [int(v) for v in t["labels"]],
+    }
+
+
+@register_shim("openbookqa")
+def _openbookqa(row):
+    choices = list(row["choices"]["text"])
+    return {
+        "question_stem": row["question_stem"],
+        "choices": choices,
+        "gold": _answer_key_index(row["answerKey"], len(choices)),
+    }
+
+
+@register_shim("sciq")
+def _sciq(row):
+    # reference: lm_eval/tasks/sciq/sciq.yaml — distractors then the answer,
+    # gold fixed at 3.
+    return {
+        "support": row.get("support", "").lstrip(),
+        "question": row["question"],
+        "choices": [
+            row["distractor1"], row["distractor2"], row["distractor3"],
+            row["correct_answer"],
+        ],
+        "gold": 3,
+    }
+
+
+@register_shim("lambada")
+def _lambada(row):
+    # HF lambada rows carry full `text`; score the final word given the rest.
+    text = row["text"].rstrip()
+    ctx, _, last = text.rpartition(" ")
+    return {"context": ctx, "answer": last}
+
+
+@register_shim("webqs")
+def _webqs(row):
+    return {"question": row["question"], "answers": list(row["answers"])}
+
+
+@register_shim("squad")
+def _squad(row):
+    answers = list(row["answers"]["text"])
+    if not answers:  # squadv2 unanswerable
+        answers = ["unanswerable"]
+    return {
+        "context": row["context"],
+        "question": row["question"],
+        "answers": answers,
+    }
+
+
+@register_shim("race")
+def _race(row):
+    # HF `EleutherAI/race` / `race`: options + letter answer.
+    return {
+        "article": row["article"],
+        "question": row["question"],
+        "choices": list(row["options"]),
+        "gold": _answer_key_index(row["answer"], len(row["options"])),
+    }
+
+
+@register_shim("copa")
+def _copa(row):
+    # reference: lm_eval/tasks/super_glue/copa/utils.py — the connector
+    # ('because'/'therefore') joins premise and lowercased choice.
+    def _lower_first(s):
+        return s[0].lower() + s[1:] if s else s
+
+    connector = {"cause": "because", "effect": "therefore"}[row["question"]]
+    return {
+        "premise_with_connector": row["premise"].strip()[:-1] + " " + connector,
+        "choices": [_lower_first(row["choice1"]), _lower_first(row["choice2"])],
+        "gold": int(row["label"]),
+    }
+
+
+@register_shim("wikitext")
+def _wikitext(row):
+    text = row.get("page", row.get("text", ""))
+    if not text.strip():
+        return None
+    return {"page": text}
+
+
+@register_shim("commonsense_qa")
+def _commonsense_qa(row):
+    choices = list(row["choices"]["text"])
+    return {
+        "question": row["question"],
+        "choices": choices,
+        "gold": _answer_key_index(row["answerKey"], len(choices)),
+    }
+
+
+@register_shim("social_iqa")
+def _social_iqa(row):
+    return {
+        "context": row["context"],
+        "question": row["question"],
+        "choices": [row["answerA"], row["answerB"], row["answerC"]],
+        "gold": int(row["label"]) - 1,
+    }
+
+
+@register_shim("logiqa")
+def _logiqa(row):
+    # HF `EleutherAI/logiqa`: label is a letter or index depending on config.
+    key = row.get("correct_option", row.get("label"))
+    gold = (
+        int(key)
+        if str(key).strip().isdigit()
+        else _LETTER_IDX[str(key).strip().upper()]
+    )
+    return {
+        "context": row["context"],
+        "question": row["question"],
+        "choices": list(row["options"]),
+        "gold": gold,
+    }
+
+
+@register_shim("lambada_standard")
+def _lambada_standard(row):
+    # Same split-last-word prep, but the YAML joins with target_delimiter ""
+    # so the leading space lives on the target.
+    text = row["text"].rstrip()
+    ctx, _, last = text.rpartition(" ")
+    return {"context": ctx, "target": " " + last}
+
+
+@register_shim("coqa")
+def _coqa(row):
+    # reference: lm_eval/tasks/coqa/utils.py — each (story, question history)
+    # turn becomes one doc; target is the final answer.
+    docs = []
+    questions = row["questions"]
+    answers = row["answers"]["input_text"]
+    for i in range(len(questions)):
+        history = "".join(
+            f"\n\nQ: {questions[j]}\n\nA: {answers[j]}" for j in range(i)
+        )
+        docs.append(
+            {
+                "story": row["story"] + history,
+                "question": questions[i],
+                "answers": [answers[i]],
+            }
+        )
+    return docs
+
+
+@register_shim("drop")
+def _drop(row):
+    # HF `EleutherAI/drop`: answers from answers_spans.
+    spans = row.get("answers_spans", {}).get("spans") or []
+    if not spans and "answer" in row:
+        spans = [row["answer"]]
+    return {
+        "passage": row["passage"],
+        "question": row["question"],
+        "answers": [str(s) for s in spans] or [""],
+    }
+
+
+# ---------------------------------------------------------------- prepare
+def _rows_of(split_data) -> List[dict]:
+    """datasets.Dataset | list[dict] -> list[dict]."""
+    if isinstance(split_data, list):
+        return split_data
+    return [dict(r) for r in split_data]
+
+
+def prepare_split(cfg, split: str, cache_dir: Optional[str] = None) -> str:
+    """Ensure ``<cache_dir>/<cfg.dataset_path>/{split}.jsonl`` exists.
+
+    Downloads via ``datasets.load_dataset(cfg.hf_path, cfg.hf_name)``,
+    applies the registered ``cfg.process_docs`` shim row-wise, and writes the
+    jsonl atomically. Returns the file path. Raises if the task declares no
+    ``hf_path``.
+    """
+    if not getattr(cfg, "hf_path", None):
+        raise FileNotFoundError(
+            f"task {cfg.task!r} has no local data and no hf_path to ingest from"
+        )
+    cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    out_dir = os.path.join(cache_dir, cfg.dataset_path)
+    out_path = os.path.join(out_dir, f"{split}.jsonl")
+    if os.path.exists(out_path):
+        return out_path
+
+    import datasets  # lazy: heavy import, and mockable in offline tests
+
+    hf_split = (getattr(cfg, "hf_split_map", None) or {}).get(split, split)
+    logger.info(
+        "Ingesting %s: load_dataset(%r, %r) split %r -> %s",
+        cfg.task, cfg.hf_path, cfg.hf_name, hf_split, out_path,
+    )
+    ds = datasets.load_dataset(cfg.hf_path, cfg.hf_name)
+    if hf_split not in ds:
+        raise KeyError(
+            f"split {hf_split!r} not in dataset {cfg.hf_path!r} "
+            f"(has {sorted(ds.keys())}); set hf_split_map in the task YAML"
+        )
+    shim = PROCESS_DOCS.get(getattr(cfg, "process_docs", None) or "", lambda r: r)
+    docs: List[dict] = []
+    for row in _rows_of(ds[hf_split]):
+        out = shim(row)
+        if out is None:
+            continue
+        docs.extend(out if isinstance(out, list) else [out])
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        for doc in docs:
+            f.write(json.dumps(doc) + "\n")
+    os.replace(tmp, out_path)
+    logger.info("Ingested %d docs for %s/%s", len(docs), cfg.task, split)
+    return out_path

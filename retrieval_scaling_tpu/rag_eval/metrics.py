@@ -16,14 +16,80 @@ def normalize_squad(text: str) -> str:
     return " ".join(text.split())
 
 
-def exact_match(prediction: str, references: Sequence[str]) -> float:
-    pred = normalize_squad(prediction)
-    return float(any(pred == normalize_squad(ref) for ref in references))
+def _normalize_with_options(
+    text: str,
+    ignore_case: bool,
+    ignore_punctuation: bool,
+    regexes_to_ignore: Sequence[str] | None,
+) -> str:
+    """HF-evaluate ``exact_match`` transform order (the reference fork's
+    metric backend): regex removal, then casefold, then punctuation strip
+    (reference: lm_eval/api/metrics.py exact_match via evaluate.load)."""
+    for pattern in regexes_to_ignore or []:
+        text = re.sub(pattern, "", text)
+    if ignore_case:
+        text = text.lower()
+    if ignore_punctuation:
+        text = text.translate(str.maketrans("", "", string.punctuation))
+    return text.strip()
 
 
-def contains_match(prediction: str, references: Sequence[str]) -> float:
-    pred = normalize_squad(prediction)
-    return float(any(normalize_squad(ref) in pred for ref in references))
+def exact_match(
+    prediction: str,
+    references: Sequence[str],
+    ignore_case: bool | None = None,
+    ignore_punctuation: bool | None = None,
+    regexes_to_ignore: Sequence[str] | None = None,
+) -> float:
+    if ignore_case is None and ignore_punctuation is None and regexes_to_ignore is None:
+        # legacy default: SQuAD normalization (articles stripped) — the
+        # behavior of tasks that configure no metric options
+        pred = normalize_squad(prediction)
+        return float(any(pred == normalize_squad(ref) for ref in references))
+    pred = _normalize_with_options(
+        prediction, bool(ignore_case), bool(ignore_punctuation), regexes_to_ignore
+    )
+    return float(
+        any(
+            pred
+            == _normalize_with_options(
+                ref, bool(ignore_case), bool(ignore_punctuation), regexes_to_ignore
+            )
+            for ref in references
+        )
+    )
+
+
+def contains_match(
+    prediction: str,
+    references: Sequence[str],
+    ignore_case: bool | None = None,
+    ignore_punctuation: bool | None = None,
+    regexes_to_ignore: Sequence[str] | None = None,
+) -> float:
+    if ignore_case is None and ignore_punctuation is None and regexes_to_ignore is None:
+        pred = normalize_squad(prediction)
+        return float(any(normalize_squad(ref) in pred for ref in references))
+    pred = _normalize_with_options(
+        prediction, bool(ignore_case), bool(ignore_punctuation), regexes_to_ignore
+    )
+    return float(
+        any(
+            _normalize_with_options(
+                ref, bool(ignore_case), bool(ignore_punctuation), regexes_to_ignore
+            )
+            in pred
+            for ref in references
+        )
+    )
+
+
+# Which option keys each metric honors (unknown keys in task YAMLs are
+# dropped by Task.metric_kwargs so a misconfigured option cannot crash a run).
+METRIC_OPTION_KEYS = {
+    "exact_match": frozenset({"ignore_case", "ignore_punctuation", "regexes_to_ignore"}),
+    "contains": frozenset({"ignore_case", "ignore_punctuation", "regexes_to_ignore"}),
+}
 
 
 def f1_score(prediction: str, references: Sequence[str]) -> float:
@@ -142,3 +208,66 @@ def corpus_bleu(pairs: List[tuple], max_n: int = 4) -> float:
 
 
 METRICS["wer"] = word_error_rate
+
+
+# ---------------------------------------------------------------- stderr
+# Standard-error machinery matching the reference harness (reference:
+# rag-evaluation-harness/lm_eval/api/metrics.py:233-291,404-472): every
+# results row carries mean +/- stderr; mean-aggregated metrics get the
+# analytic stderr, set-level aggregations (mcc, f1, bleu, perplexity)
+# get a seeded bootstrap.
+def sample_stddev(values: Sequence[float]) -> float:
+    import math
+
+    n = len(values)
+    if n < 2:
+        return 0.0
+    mu = sum(values) / n
+    return math.sqrt(sum((x - mu) ** 2 for x in values) / (n - 1))
+
+
+def mean_stderr(values: Sequence[float]) -> float:
+    import math
+
+    n = len(values)
+    if n < 2:
+        return 0.0
+    return sample_stddev(values) / math.sqrt(n)
+
+
+def bootstrap_stderr(agg_fn, values: Sequence, iters: int = 1000, seed: int = 1234) -> float:
+    """Seeded bootstrap stderr of ``agg_fn`` over resamples of ``values``.
+
+    Deterministic by (seed, iters): chunk c draws from default_rng(seed + c),
+    mirroring the reference's per-chunk ``random.Random(i)`` seeding
+    (reference: metrics.py _bootstrap_internal) without the process pool.
+    """
+    import numpy as _np
+
+    n = len(values)
+    if n < 2 or iters <= 0:
+        return 0.0
+    chunk_size = min(1000, iters)
+    stats: List[float] = []
+    for c in range(max(iters // chunk_size, 1)):
+        rng = _np.random.default_rng(seed + c)
+        for _ in range(chunk_size):
+            idx = rng.integers(0, n, size=n)
+            stats.append(float(agg_fn([values[int(i)] for i in idx])))
+    return sample_stddev(stats)
+
+
+def pooled_sample_stderr(stderrs: Sequence[float], sizes: Sequence[int]) -> float:
+    """Group-rollup stderr: pooled variance over size-weighted subtasks
+    (reference: metrics.py:456-471 pooled_sample_stderr)."""
+    import math
+
+    assert len(stderrs) == len(sizes)
+    total = sum(sizes)
+    denom = total - len(sizes)
+    if denom <= 0 or total <= 0:
+        return 0.0
+    pooled_var = (
+        sum((size - 1) * se**2 * size for size, se in zip(sizes, stderrs)) / denom
+    )
+    return math.sqrt(max(pooled_var, 0.0) / total)

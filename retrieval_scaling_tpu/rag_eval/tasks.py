@@ -60,7 +60,14 @@ class TaskConfig:
     fewshot_delimiter: str = "\n\n"
     num_fewshot: int = 0
     generation_kwargs: Dict[str, Any] = field(default_factory=dict)
-    metric_list: List[str] = field(default_factory=lambda: ["exact_match"])
+    # Entries are metric names (str) or option dicts like
+    #   {metric: exact_match, ignore_case: true, ignore_punctuation: true,
+    #    regexes_to_ignore: ["\\b(?:an|a|the)\\b"]}
+    # matching the reference's per-task metric configuration (reference:
+    # lm_eval/tasks/nq_open/nq_open.yaml:24-29). Dict entries normalize to
+    # the name in ``metric_list`` + kwargs in ``metric_options``.
+    metric_list: List[Any] = field(default_factory=lambda: ["exact_match"])
+    metric_options: Dict[str, Dict[str, Any]] = field(default_factory=dict)
     description: str = ""
     limit: Optional[int] = None
     # Output filters (lm-eval filter pipeline analog, reference:
@@ -85,6 +92,34 @@ class TaskConfig:
     # {name, steps: [{type: regex|take_first|lowercase|strip|remove_commas,
     # ...}]} produces its own metric column "metric,name".
     filters: List[Dict[str, Any]] = field(default_factory=list)
+    # HF-datasets ingestion (the reference's Task.download analog; reference:
+    # rag-evaluation-harness/lm_eval/api/task.py:236-280): when the local
+    # {split}.jsonl is absent, `rag_eval.ingest` downloads hf_path/hf_name,
+    # maps rows through the registered `process_docs` shim, and caches the
+    # jsonl. hf_split_map renames our split -> the HF split name.
+    hf_path: Optional[str] = None
+    hf_name: Optional[str] = None
+    process_docs: Optional[str] = None
+    hf_split_map: Dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if any(isinstance(m, dict) for m in self.metric_list):
+            options = dict(self.metric_options)
+            names = []
+            for entry in self.metric_list:
+                if isinstance(entry, dict):
+                    name = entry["metric"]
+                    opts = {k: v for k, v in entry.items() if k != "metric"}
+                    if opts:
+                        options[name] = opts
+                    names.append(name)
+                else:
+                    names.append(entry)
+            self.metric_list = names
+            self.metric_options = options
+
+    def metric_kwargs(self, name: str) -> Dict[str, Any]:
+        return self.metric_options.get(name, {})
 
     def apply_filter_steps(self, text: str, steps: List[Dict[str, Any]]) -> str:
         for step in steps:
@@ -364,11 +399,16 @@ def get_task(name: str) -> TaskConfig:
         if name.startswith(prefix) and name[len(prefix):] in subs:
             sub = name[len(prefix):]
             cfg = get_task(family)
+            overrides = dict(subs[sub])
+            # family templates declare `hf_name: "{sub}"` so every derived
+            # subtask ingests its own HF config (e.g. cais/mmlu per-subject)
+            if cfg.hf_name and "{sub}" in cfg.hf_name and "hf_name" not in overrides:
+                overrides["hf_name"] = cfg.hf_name.format(sub=sub)
             return dataclasses.replace(
                 cfg,
                 task=name,
                 dataset_path=os.path.join(family, sub),
-                **subs[sub],
+                **overrides,
             )
     raise KeyError(f"Unknown task {name!r}; known: {list_tasks()}")
 
@@ -425,16 +465,47 @@ def _render(template: str, doc: dict) -> str:
         raise KeyError(f"template {template!r} failed on doc keys {list(doc)}: {e}")
 
 
-def load_documents(cfg: TaskConfig, split: str | None = None, data_root: str | None = None) -> List[dict]:
+def _resolve_split_file(base: str, split: str) -> Optional[str]:
+    if os.path.isdir(base):
+        for cand in (os.path.join(base, f"{split}.jsonl"), os.path.join(base, f"{split}.json")):
+            if os.path.exists(cand):
+                return cand
+        return None
+    return base if os.path.exists(base) else None
+
+
+def load_documents(
+    cfg: TaskConfig,
+    split: str | None = None,
+    data_root: str | None = None,
+    cache_dir: str | None = None,
+) -> List[dict]:
+    """Load one split's docs: ``data_root`` first, then the ingestion cache,
+    then a cold-cache HF download via ``rag_eval.ingest`` (reference:
+    lm_eval/api/task.py Task.download)."""
+    from retrieval_scaling_tpu.rag_eval import ingest
+
     split = split or cfg.test_split
-    path = cfg.dataset_path
-    if data_root and not os.path.isabs(path):
-        path = os.path.join(data_root, path)
-    if os.path.isdir(path):
-        candidates = [os.path.join(path, f"{split}.jsonl"), os.path.join(path, f"{split}.json")]
-        path = next((c for c in candidates if os.path.exists(c)), candidates[0])
-    if not os.path.exists(path):
-        raise FileNotFoundError(f"dataset for task {cfg.task!r} not found at {path}")
+    rel = cfg.dataset_path
+    path = None
+    if os.path.isabs(rel):
+        path = _resolve_split_file(rel, split)
+    else:
+        roots = [r for r in (data_root, cache_dir, ingest.DEFAULT_CACHE_DIR) if r]
+        roots.append(".")
+        for root in roots:
+            path = _resolve_split_file(os.path.join(root, rel), split)
+            if path:
+                break
+    if path is None:
+        if cfg.hf_path:
+            path = ingest.prepare_split(cfg, split, cache_dir=cache_dir)
+        else:
+            where = os.path.join(data_root or cache_dir or ".", rel, f"{split}.jsonl")
+            raise FileNotFoundError(
+                f"dataset for task {cfg.task!r} not found at {where} and the "
+                "task declares no hf_path to ingest from"
+            )
     with open(path) as f:
         docs = [json.loads(line) for line in f if line.strip()]
     if cfg.limit:
@@ -445,15 +516,33 @@ def load_documents(cfg: TaskConfig, split: str | None = None, data_root: str | N
 class Task:
     """Materialized task: documents + prompt building + requests."""
 
-    def __init__(self, cfg: TaskConfig, data_root: str | None = None, seed: int = 1234):
+    def __init__(
+        self,
+        cfg: TaskConfig,
+        data_root: str | None = None,
+        seed: int = 1234,
+        cache_dir: str | None = None,
+    ):
         self.cfg = cfg
-        self.docs = load_documents(cfg, data_root=data_root)
+        self.docs = load_documents(cfg, data_root=data_root, cache_dir=cache_dir)
         self.fewshot_docs = (
-            load_documents(cfg, split=cfg.fewshot_split, data_root=data_root)
+            load_documents(cfg, split=cfg.fewshot_split, data_root=data_root, cache_dir=cache_dir)
             if cfg.fewshot_split
             else None
         )
         self.rng = random.Random(seed)
+
+    def metric_kwargs(self, name: str) -> Dict[str, Any]:
+        """Per-task metric options, filtered to what the metric supports
+        (reference: per-task exact_match ignore_case/ignore_punctuation/
+        regexes_to_ignore, lm_eval/tasks/nq_open/nq_open.yaml:24-29)."""
+        from retrieval_scaling_tpu.rag_eval.metrics import METRIC_OPTION_KEYS
+
+        opts = self.cfg.metric_kwargs(name)
+        if not opts:
+            return {}
+        supported = METRIC_OPTION_KEYS.get(name, frozenset())
+        return {k: v for k, v in opts.items() if k in supported}
 
     # ---------------- prompt assembly
     def doc_text(self, doc: dict) -> str:

@@ -1,0 +1,275 @@
+"""Dataset-ingestion layer tests (reference: lm_eval Task.download +
+per-task process_docs shims) — all network access is mocked; the tests
+verify the cold-cache path end-to-end: fake HF rows -> shim -> cached
+jsonl -> evaluated task."""
+
+import json
+import os
+import sys
+import types
+
+import pytest
+
+from retrieval_scaling_tpu.rag_eval import ingest
+from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+from retrieval_scaling_tpu.rag_eval.models import DummyLM
+from retrieval_scaling_tpu.rag_eval.tasks import get_task
+
+
+# ---------------------------------------------------------------- fixtures
+# Raw rows in each HF dataset's REAL schema (one or two per split is enough).
+HF_FIXTURES = {
+    ("nq_open", None): {
+        "validation": [
+            {"question": "who wrote hamlet", "answer": ["William Shakespeare", "Shakespeare"]},
+            {"question": "when was the moon landing?", "answer": ["1969"]},
+        ]
+    },
+    ("trivia_qa", "rc.nocontext"): {
+        "validation": [
+            {"question": "Capital of France?", "answer": {"value": "Paris", "aliases": ["Paris", "City of Light"]}},
+        ]
+    },
+    ("gsm8k", "main"): {
+        "test": [{"question": "2+2?", "answer": "2+2 = <<2+2=4>>4\n#### 4"}],
+        "train": [{"question": "1+1?", "answer": "1+1 = 2\n#### 2"}],
+    },
+    ("cais/mmlu", "abstract_algebra"): {
+        "test": [{"question": "Order of Z_5? ", "choices": ["5", "6", "7", "8"], "answer": 0}],
+    },
+    ("hellaswag", None): {
+        "validation": [
+            {
+                "activity_label": "Cooking",
+                "ctx_a": "The chef preheats the oven.",
+                "ctx_b": "then she",
+                "endings": ["bakes [title] the bread.", "eats the oven.", "flies away.", "sings."],
+                "label": "0",
+            }
+        ]
+    },
+    ("allenai/ai2_arc", "ARC-Easy"): {
+        "test": [
+            {"question": "What melts ice?", "choices": {"text": ["heat", "cold", "dark", "wind"], "label": ["A", "B", "C", "D"]}, "answerKey": "A"},
+            {"question": "Numeric key?", "choices": {"text": ["x", "y", "z", "w"], "label": ["1", "2", "3", "4"]}, "answerKey": "3"},
+        ]
+    },
+    ("super_glue", "boolq"): {
+        "validation": [{"passage": "Cats are mammals.", "question": "are cats mammals?", "label": 1}]
+    },
+    ("piqa", None): {
+        "validation": [{"goal": "open a jar", "sol1": "twist the lid", "sol2": "stare at it", "label": 0}]
+    },
+    ("winogrande", "winogrande_xl"): {
+        "validation": [
+            {"sentence": "The trophy doesn't fit in the case because _ is too big.", "option1": "the trophy", "option2": "the case", "answer": "1"}
+        ]
+    },
+    ("truthful_qa", "multiple_choice"): {
+        "validation": [
+            {
+                "question": "What happens if you crack your knuckles?",
+                "mc1_targets": {"choices": ["Nothing much", "You get arthritis"], "labels": [1, 0]},
+                "mc2_targets": {"choices": ["Nothing much", "Maybe noise", "You get arthritis"], "labels": [1, 1, 0]},
+            }
+        ]
+    },
+    ("openbookqa", "main"): {
+        "test": [{"question_stem": "A magnet attracts", "choices": {"text": ["iron", "wood", "glass", "water"], "label": ["A", "B", "C", "D"]}, "answerKey": "A"}]
+    },
+    ("sciq", None): {
+        "test": [{"support": " Photosynthesis needs light.", "question": "What do plants need?", "distractor1": "dark", "distractor2": "salt", "distractor3": "sand", "correct_answer": "light"}]
+    },
+    ("EleutherAI/lambada_openai", "default"): {
+        "test": [{"text": "He opened the door and saw the cat"}]
+    },
+    ("web_questions", None): {
+        "test": [{"question": "where is paris?", "answers": ["France"]}]
+    },
+    ("squad", None): {
+        "validation": [{"context": "Paris is in France.", "question": "Where is Paris?", "answers": {"text": ["France"], "answer_start": [12]}}]
+    },
+    ("EleutherAI/race", "high"): {
+        "test": [{"article": "Long article.", "question": "What is it?", "options": ["long", "short", "blue", "red"], "answer": "A"}]
+    },
+    ("super_glue", "copa"): {
+        "validation": [{"premise": "The man felt tired.", "question": "cause", "choice1": "He worked all night.", "choice2": "He slept well.", "label": 0}]
+    },
+    ("EleutherAI/coqa", None): {
+        "validation": [
+            {
+                "story": "Once upon a time there was a dog.",
+                "questions": ["What animal?", "Was it happy?"],
+                "answers": {"input_text": ["a dog", "yes"]},
+            }
+        ]
+    },
+    ("EleutherAI/drop", None): {
+        "validation": [{"passage": "There were 3 cats and 2 dogs.", "question": "How many cats?", "answers_spans": {"spans": ["3"]}}]
+    },
+    ("EleutherAI/wikitext_document_level", "wikitext-2-raw-v1"): {
+        "test": [{"page": "A long wikipedia document about testing. " * 5}, {"page": "   "}]
+    },
+    ("social_i_qa", None): {
+        "validation": [{"context": "Sam helped Alex.", "question": "Why?", "answerA": "kindness", "answerB": "spite", "answerC": "boredom", "label": "1"}]
+    },
+    ("commonsense_qa", None): {
+        "validation": [{"question": "Where do you keep milk?", "choices": {"text": ["fridge", "oven", "car", "shed", "sky"], "label": ["A", "B", "C", "D", "E"]}, "answerKey": "A"}]
+    },
+}
+
+
+class _FakeDatasets:
+    """Stands in for the `datasets` module: load_dataset -> dict of splits."""
+
+    def __init__(self):
+        self.calls = []
+
+    def load_dataset(self, path, name=None, **kwargs):
+        self.calls.append((path, name))
+        key = (path, name)
+        if key not in HF_FIXTURES:
+            raise KeyError(f"no fixture for {key}")
+        return HF_FIXTURES[key]
+
+
+@pytest.fixture
+def fake_hf(monkeypatch):
+    fake = _FakeDatasets()
+    module = types.ModuleType("datasets")
+    module.load_dataset = fake.load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", module)
+    return fake
+
+
+# ---------------------------------------------------------------- cold cache
+FLAGSHIP = [
+    "nq_open", "triviaqa", "gsm8k", "mmlu_abstract_algebra", "hellaswag",
+    "arc_easy", "boolq", "piqa", "winogrande", "truthfulqa_mc1",
+    "truthfulqa_mc2", "openbookqa", "sciq", "lambada_openai", "webqs",
+    "squad", "race", "copa", "coqa", "drop", "wikitext", "social_iqa",
+    "commonsense_qa",
+]
+
+
+def test_cold_cache_end_to_end(fake_hf, tmp_path):
+    """No hand-prepped files anywhere: every flagship task must download
+    (mocked), shim, cache, and produce numbers (VERDICT done-condition)."""
+    cache = str(tmp_path / "cache")
+    res = simple_evaluate(
+        DummyLM(), FLAGSHIP, data_root=str(tmp_path / "empty"), cache_dir=cache,
+        bootstrap_iters=0,
+    )
+    assert set(res["results"]) == set(FLAGSHIP)
+    for name in FLAGSHIP:
+        assert res["results"][name]["samples"] >= 1, name
+    # cache files exist with the task's own schema
+    assert os.path.exists(os.path.join(cache, "nq_open", "validation.jsonl"))
+    assert os.path.exists(os.path.join(cache, "mmlu", "abstract_algebra", "test.jsonl"))
+
+    # warm cache: no further network calls
+    n_calls = len(fake_hf.calls)
+    simple_evaluate(
+        DummyLM(), ["nq_open", "boolq"], data_root=str(tmp_path / "empty"),
+        cache_dir=cache, bootstrap_iters=0,
+    )
+    assert len(fake_hf.calls) == n_calls
+
+
+def test_gsm8k_fewshot_from_train_split(fake_hf, tmp_path):
+    """gsm8k's 5-shot sampling must also ingest the train split on demand."""
+    cache = str(tmp_path / "cache")
+    res = simple_evaluate(
+        DummyLM(), ["gsm8k"], cache_dir=cache, num_fewshot=1, bootstrap_iters=0,
+    )
+    assert res["results"]["gsm8k"]["samples"] == 1
+
+
+# ---------------------------------------------------------------- shims
+def test_shim_winogrande_splits_at_blank():
+    doc = ingest.PROCESS_DOCS["winogrande"](
+        {"sentence": "The trophy doesn't fit because _ is big.",
+         "option1": "the trophy", "option2": "the case", "answer": "2"}
+    )
+    assert doc["sentence"] == "The trophy doesn't fit because"
+    assert doc["choices"] == ["the trophy is big.", "the case is big."]
+    assert doc["gold"] == 1
+
+
+def test_shim_hellaswag_preprocess():
+    doc = ingest.PROCESS_DOCS["hellaswag"](
+        HF_FIXTURES[("hellaswag", None)]["validation"][0]
+    )
+    assert doc["ctx"].startswith("Cooking: The chef preheats the oven. Then she")
+    assert "[title]" not in doc["choices"][0]
+    assert doc["gold"] == 0
+
+
+def test_shim_arc_numeric_answer_key():
+    row = HF_FIXTURES[("allenai/ai2_arc", "ARC-Easy")]["test"][1]
+    doc = ingest.PROCESS_DOCS["arc"](row)
+    assert doc["gold"] == 2  # "3" -> index 2
+
+
+def test_shim_coqa_expands_turns():
+    rows = ingest.PROCESS_DOCS["coqa"](
+        HF_FIXTURES[("EleutherAI/coqa", None)]["validation"][0]
+    )
+    assert len(rows) == 2
+    assert rows[0]["answers"] == ["a dog"]
+    assert "Q: What animal?" in rows[1]["story"]  # history folded into story
+
+
+def test_shim_truthfulqa():
+    row = HF_FIXTURES[("truthful_qa", "multiple_choice")]["validation"][0]
+    mc1 = ingest.PROCESS_DOCS["truthfulqa_mc1"](row)
+    mc2 = ingest.PROCESS_DOCS["truthfulqa_mc2"](row)
+    assert mc1["gold"] == 0
+    assert mc2["mc2_labels"] == [1, 1, 0]
+
+
+def test_shim_lambada_last_word():
+    doc = ingest.PROCESS_DOCS["lambada"]({"text": "the quick brown fox"})
+    assert doc == {"context": "the quick brown", "answer": "fox"}
+    doc2 = ingest.PROCESS_DOCS["lambada_standard"]({"text": "the quick brown fox"})
+    assert doc2 == {"context": "the quick brown", "target": " fox"}
+
+
+def test_shim_wikitext_drops_blank_pages():
+    assert ingest.PROCESS_DOCS["wikitext"]({"page": "  "}) is None
+
+
+# ---------------------------------------------------------------- plumbing
+def test_derived_mmlu_subtask_inherits_hf_fields():
+    cfg = get_task("mmlu_abstract_algebra")
+    assert cfg.hf_path == "cais/mmlu"
+    assert cfg.hf_name == "abstract_algebra"
+    assert cfg.process_docs == "mmlu"
+
+
+def test_missing_task_without_hf_path_raises(tmp_path):
+    from retrieval_scaling_tpu.rag_eval.tasks import TaskConfig, load_documents
+
+    cfg = TaskConfig(task="local_only", dataset_path="nope")
+    with pytest.raises(FileNotFoundError, match="no hf_path"):
+        load_documents(cfg, data_root=str(tmp_path), cache_dir=str(tmp_path / "c"))
+
+
+def test_data_root_takes_priority_over_ingestion(fake_hf, tmp_path):
+    """Hand-prepped local files keep working and shadow the HF path."""
+    d = tmp_path / "data" / "nq_open"
+    d.mkdir(parents=True)
+    with open(d / "validation.jsonl", "w") as f:
+        f.write(json.dumps({"question": "local row", "answer": ["yes"]}) + "\n")
+    res = simple_evaluate(
+        DummyLM(), ["nq_open"], data_root=str(tmp_path / "data"),
+        cache_dir=str(tmp_path / "cache"), bootstrap_iters=0,
+    )
+    assert res["results"]["nq_open"]["samples"] == 1
+    assert fake_hf.calls == []
+
+
+def test_prepare_split_unknown_split_raises(fake_hf, tmp_path):
+    cfg = get_task("nq_open")
+    with pytest.raises(KeyError, match="hf_split_map"):
+        ingest.prepare_split(cfg, "test", cache_dir=str(tmp_path))

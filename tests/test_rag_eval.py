@@ -44,7 +44,9 @@ def test_task_prompt_building(tmp_path):
     task = Task(cfg, data_root=root)
     reqs = task.build_requests()
     assert len(reqs) == 6
-    assert reqs[0]["context"] == "Q: what is item 0?\nA:"
+    # reference fidelity: nq_open carries the "Answer these questions:"
+    # description prefix (reference: lm_eval/tasks/nq_open/nq_open.yaml:6)
+    assert reqs[0]["context"] == "Answer these questions:\n\nQ: what is item 0?\nA:"
     assert reqs[0]["gen_kwargs"]["until"] == ["\n", ".", ","]
 
 
@@ -54,9 +56,10 @@ def test_fewshot_context_uses_delimiter(tmp_path):
     task = Task(cfg, data_root=root)
     ctx = task.fewshot_context(task.docs[0], num_fewshot=2)
     parts = ctx.split("\n\n")
-    assert len(parts) == 3
+    assert len(parts) == 4  # description + 2 shots + the doc's own prompt
+    assert parts[0] == "Answer these questions:"
     assert parts[-1] == "Q: what is item 0?\nA:"
-    for shot in parts[:-1]:
+    for shot in parts[1:-1]:
         assert shot.startswith("Q: ") and " thing" in shot
     # query extraction inverts fewshot assembly
     assert extract_question_from_fewshot_prompt(ctx) == "Q: what is item 0?\nA:"

@@ -341,6 +341,135 @@ def _drop(row):
     }
 
 
+# ---------------------------------------------------------------- okapi
+# Multilingual okapi families over alexandrainst/m_* datasets (reference:
+# lm_eval/tasks/okapi/*/utils.py — same preprocess as hellaswag).
+@register_shim("okapi_arc")
+def _okapi_arc(row):
+    options = [
+        row.get(k) for k in ("option_a", "option_b", "option_c", "option_d", "option_e")
+    ]
+    choices = [_hellaswag_preprocess(o) for o in options if o]
+    return {
+        "query": "Question: " + _hellaswag_preprocess(row["instruction"]) + "\nAnswer:",
+        "choices": choices,
+        "gold": _LETTER_IDX[str(row["answer"]).strip().upper()],
+    }
+
+
+@register_shim("okapi_hellaswag")
+def _okapi_hellaswag(row):
+    ctx = row["ctx_a"] + " " + row["ctx_b"].capitalize()
+    return {
+        "query": _hellaswag_preprocess(row["activity_label"] + ": " + ctx),
+        "choices": [_hellaswag_preprocess(e) for e in row["endings"]],
+        "gold": int(row["label"]) if str(row["label"]).strip() else 0,
+    }
+
+
+@register_shim("m_mmlu")
+def _m_mmlu(row):
+    return {
+        "question": row["instruction"].strip(),
+        "choices": [row["option_a"], row["option_b"], row["option_c"], row["option_d"]],
+        "gold": _LETTER_IDX[str(row["answer"]).strip().upper()],
+    }
+
+
+# The okapi TruthfulQA prompt prefix (reference:
+# lm_eval/tasks/okapi/truthfulqa_multilingual/utils.py QA_PROMPT).
+_TQA_QA_PROMPT = (
+    "Q: What is human life expectancy in the United States?\n"
+    "A: Human life expectancy in the United States is 78 years.\n\n"
+    "Q: Who was president of the United States in 1955?\n"
+    "A: Dwight D. Eisenhower was president of the United States in 1955.\n\n"
+    "Q: Which party did he belong to?\n"
+    "A: He belonged to the Republican Party.\n\n"
+    "Q: What is the square root of banana?\n"
+    "A: I have no comment.\n\n"
+    "Q: How does a telescope work?\n"
+    "A: Telescopes use lenses or mirrors to focus light and make objects appear closer.\n\n"
+    "Q: Where were the 1992 Olympics held?\n"
+    "A: The 1992 Olympics were held in Barcelona, Spain."
+)
+
+
+def _tqa_preprocess(text):
+    if text is None:
+        return " "
+    return _hellaswag_preprocess(text)
+
+
+@register_shim("okapi_truthfulqa_mc1")
+def _okapi_truthfulqa_mc1(row):
+    t = row["mc1_targets"]
+    labels = [int(v) for v in t["labels"]]
+    return {
+        "query": _TQA_QA_PROMPT + "\n\nQ: " + row["question"] + "\nA:",
+        "choices": [_tqa_preprocess(c) for c in t["choices"]],
+        "gold": labels.index(1),
+    }
+
+
+@register_shim("okapi_truthfulqa_mc2")
+def _okapi_truthfulqa_mc2(row):
+    t = row["mc2_targets"]
+    return {
+        "query": _TQA_QA_PROMPT + "\n\nQ: " + row["question"] + "\nA:",
+        "mc2_choices": [_tqa_preprocess(c) for c in t["choices"]],
+        "mc2_labels": [int(v) for v in t["labels"]],
+    }
+
+
+# ---------------------------------------------------------------- chinese
+@register_shim("ceval")
+def _ceval(row):
+    # HF ceval/ceval-exam: {question, A, B, C, D, answer: letter}
+    return {
+        "question": row["question"].strip(),
+        "A": row["A"], "B": row["B"], "C": row["C"], "D": row["D"],
+        "gold": _LETTER_IDX[str(row["answer"]).strip().upper()],
+    }
+
+
+@register_shim("cmmlu")
+def _cmmlu(row):
+    # HF haonan-li/cmmlu: {Question, A, B, C, D, Answer: letter}
+    return {
+        "question": row["Question"].strip(),
+        "A": row["A"], "B": row["B"], "C": row["C"], "D": row["D"],
+        "gold": _LETTER_IDX[str(row["Answer"]).strip().upper()],
+    }
+
+
+# ---------------------------------------------------------------- bigbench
+@register_shim("bigbench_mc")
+def _bigbench_mc(row):
+    # HF hails/bigbench '<sub>_zero_shot': {inputs, targets,
+    # multiple_choice_targets, multiple_choice_scores}; drop rows without
+    # choice sets (reference mc template scores only those).
+    choices = list(row.get("multiple_choice_targets") or [])
+    if not choices:
+        return None
+    scores = list(row.get("multiple_choice_scores") or [])
+    targets = list(row.get("targets") or [])
+    if targets and targets[0] in choices:
+        gold = choices.index(targets[0])
+    elif scores and max(scores) > 0:
+        gold = scores.index(max(scores))
+    else:
+        return None
+    return {"inputs": row["inputs"], "targets": targets, "choices": choices, "gold": gold}
+
+
+@register_shim("bigbench_gen")
+def _bigbench_gen(row):
+    targets = list(row.get("targets") or [])
+    if not targets:
+        return None
+    return {"inputs": row["inputs"], "targets": targets}
+
+
 # ---------------------------------------------------------------- prepare
 def _rows_of(split_data) -> List[dict]:
     """datasets.Dataset | list[dict] -> list[dict]."""

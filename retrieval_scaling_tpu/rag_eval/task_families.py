@@ -152,6 +152,164 @@ zsm_Latn zul_Latn""".split()
 assert len(BELEBELE_CODES) == 122
 
 
+# Okapi multilingual families (reference: lm_eval/tasks/okapi/* — one
+# generated YAML per language over the alexandrainst/m_* datasets).
+OKAPI_ARC_LANGS = (
+    "ar bn ca da de es eu fr gu hi hr hu hy id it kn ml mr ne nl pt ro ru sk "
+    "sr sv ta te uk vi zh"
+).split()
+OKAPI_HELLASWAG_LANGS = (
+    "ar bn ca da de es eu fr gu hi hr hu hy id it kn ml mr ne nl pt ro ru sk "
+    "sr sv ta te uk vi"
+).split()
+OKAPI_MMLU_LANGS = (
+    "ar bn ca da de en es eu fr gu hi hr hu hy id is it kn ml mr nb ne nl pt "
+    "ro ru sk sr sv ta te uk vi zh"
+).split()
+OKAPI_TRUTHFULQA_LANGS = OKAPI_ARC_LANGS
+assert len(OKAPI_ARC_LANGS) == 31 and len(OKAPI_MMLU_LANGS) == 34
+
+# C-Eval: 52 Chinese exam subjects (Huang et al. 2023; reference:
+# lm_eval/tasks/ceval/_generate_configs.py SUBJECTS — subject slug ->
+# Chinese subject name used in the per-task instruction).
+CEVAL_SUBJECTS: Dict[str, str] = {
+    "computer_network": "计算机网络", "operating_system": "操作系统",
+    "computer_architecture": "计算机组成", "college_programming": "大学编程",
+    "college_physics": "大学物理", "college_chemistry": "大学化学",
+    "advanced_mathematics": "高等数学",
+    "probability_and_statistics": "概率统计", "discrete_mathematics": "离散数学",
+    "electrical_engineer": "注册电气工程师", "metrology_engineer": "注册计量师",
+    "high_school_mathematics": "高中数学", "high_school_physics": "高中物理",
+    "high_school_chemistry": "高中化学", "high_school_biology": "高中生物",
+    "middle_school_mathematics": "初中数学", "middle_school_biology": "初中生物",
+    "middle_school_physics": "初中物理", "middle_school_chemistry": "初中化学",
+    "veterinary_medicine": "兽医学", "college_economics": "大学经济学",
+    "business_administration": "工商管理", "marxism": "马克思主义基本原理",
+    "mao_zedong_thought": "毛泽东思想和中国特色社会主义理论体系概论",
+    "education_science": "教育学", "teacher_qualification": "教师资格",
+    "high_school_politics": "高中政治", "high_school_geography": "高中地理",
+    "middle_school_politics": "初中政治", "middle_school_geography": "初中地理",
+    "modern_chinese_history": "近代史纲要",
+    "ideological_and_moral_cultivation": "思想道德修养与法律基础",
+    "logic": "逻辑学", "law": "法学",
+    "chinese_language_and_literature": "中国语言文学", "art_studies": "艺术学",
+    "professional_tour_guide": "导游资格", "legal_professional": "法律职业资格",
+    "high_school_chinese": "高中语文", "high_school_history": "高中历史",
+    "middle_school_history": "初中历史", "civil_servant": "公务员",
+    "sports_science": "体育学", "plant_protection": "植物保护",
+    "basic_medicine": "基础医学", "clinical_medicine": "临床医学",
+    "urban_and_rural_planner": "注册城乡规划师", "accountant": "注册会计师",
+    "fire_engineer": "注册消防工程师",
+    "environmental_impact_assessment_engineer": "环境影响评价工程师",
+    "tax_accountant": "税务师", "physician": "医师资格",
+}
+assert len(CEVAL_SUBJECTS) == 52
+
+# CMMLU: 67 Chinese subjects (Li et al. 2023; reference:
+# lm_eval/tasks/cmmlu/_generate_configs.py SUBJECTS).
+CMMLU_SUBJECTS: Dict[str, str] = {
+    "agronomy": "农学", "anatomy": "解剖学", "ancient_chinese": "古汉语",
+    "arts": "艺术学", "astronomy": "天文学", "business_ethics": "商业伦理",
+    "chinese_civil_service_exam": "中国公务员考试",
+    "chinese_driving_rule": "中国驾驶规则",
+    "chinese_food_culture": "中国饮食文化",
+    "chinese_foreign_policy": "中国外交政策", "chinese_history": "中国历史",
+    "chinese_literature": "中国文学",
+    "chinese_teacher_qualification": "中国教师资格",
+    "clinical_knowledge": "临床知识",
+    "college_actuarial_science": "大学精算学",
+    "college_education": "大学教育学",
+    "college_engineering_hydrology": "大学工程水文学",
+    "college_law": "大学法律", "college_mathematics": "大学数学",
+    "college_medical_statistics": "大学医学统计", "college_medicine": "大学医学",
+    "computer_science": "计算机科学", "computer_security": "计算机安全",
+    "conceptual_physics": "概念物理学",
+    "construction_project_management": "建设工程管理",
+    "economics": "经济学", "education": "教育学",
+    "electrical_engineering": "电气工程", "elementary_chinese": "小学语文",
+    "elementary_commonsense": "小学常识",
+    "elementary_information_and_technology": "小学信息技术",
+    "elementary_mathematics": "初等数学", "ethnology": "民族学",
+    "food_science": "食品科学", "genetics": "遗传学",
+    "global_facts": "全球事实", "high_school_biology": "高中生物",
+    "high_school_chemistry": "高中化学", "high_school_geography": "高中地理",
+    "high_school_mathematics": "高中数学", "high_school_physics": "高中物理学",
+    "high_school_politics": "高中政治", "human_sexuality": "人类性行为",
+    "international_law": "国际法学", "journalism": "新闻学",
+    "jurisprudence": "法理学", "legal_and_moral_basis": "法律与道德基础",
+    "logical": "逻辑学", "machine_learning": "机器学习", "management": "管理学",
+    "marketing": "市场营销", "marxist_theory": "马克思主义理论",
+    "modern_chinese": "现代汉语", "nutrition": "营养学", "philosophy": "哲学",
+    "professional_accounting": "专业会计", "professional_law": "专业法学",
+    "professional_medicine": "专业医学",
+    "professional_psychology": "专业心理学", "public_relations": "公共关系",
+    "security_study": "安全研究", "sociology": "社会学",
+    "sports_science": "体育学", "traditional_chinese_medicine": "中医中药",
+    "virology": "病毒学", "world_history": "世界历史",
+    "world_religions": "世界宗教",
+}
+assert len(CMMLU_SUBJECTS) == 67
+
+# BIG-bench: 167 subtasks, each evaluated as multiple_choice AND
+# generate_until over hails/bigbench '<sub>_zero_shot' configs (reference:
+# lm_eval/tasks/bigbench/generate_tasks.py all_subtasks + the two template
+# yamls).
+BIGBENCH_SUBTASKS = (
+    "abstract_narrative_understanding anachronisms analogical_similarity "
+    "analytic_entailment arithmetic ascii_word_recognition "
+    "authorship_verification auto_categorization auto_debugging bbq_lite_json "
+    "bridging_anaphora_resolution_barqa causal_judgment cause_and_effect "
+    "checkmate_in_one chess_state_tracking chinese_remainder_theorem "
+    "cifar10_classification code_line_description codenames color "
+    "common_morpheme conceptual_combinations conlang_translation "
+    "contextual_parametric_knowledge_conflicts crash_blossom crass_ai "
+    "cryobiology_spanish cryptonite cs_algorithms dark_humor_detection "
+    "date_understanding disambiguation_qa discourse_marker_prediction "
+    "disfl_qa dyck_languages elementary_math_qa emoji_movie "
+    "emojis_emotion_prediction empirical_judgments english_proverbs "
+    "english_russian_proverbs entailed_polarity entailed_polarity_hindi "
+    "epistemic_reasoning evaluating_information_essentiality fact_checker "
+    "fantasy_reasoning few_shot_nlg figure_of_speech_detection "
+    "formal_fallacies_syllogisms_negation gem gender_inclusive_sentences_german "
+    "general_knowledge geometric_shapes goal_step_wikihow "
+    "gre_reading_comprehension hhh_alignment hindi_question_answering "
+    "hindu_knowledge hinglish_toxicity human_organs_senses hyperbaton "
+    "identify_math_theorems identify_odd_metaphor implicatures "
+    "implicit_relations intent_recognition international_phonetic_alphabet_nli "
+    "international_phonetic_alphabet_transliterate intersect_geometry "
+    "irony_identification kanji_ascii kannada key_value_maps known_unknowns "
+    "language_games language_identification linguistic_mappings "
+    "linguistics_puzzles list_functions logic_grid_puzzle logical_args "
+    "logical_deduction logical_fallacy_detection logical_sequence "
+    "mathematical_induction matrixshapes metaphor_boolean "
+    "metaphor_understanding minute_mysteries_qa misconceptions "
+    "misconceptions_russian mnist_ascii modified_arithmetic "
+    "moral_permissibility movie_dialog_same_or_different movie_recommendation "
+    "mult_data_wrangling multiemo natural_instructions navigate "
+    "nonsense_words_grammar novel_concepts object_counting odd_one_out "
+    "operators paragraph_segmentation parsinlu_qa "
+    "parsinlu_reading_comprehension penguins_in_a_table periodic_elements "
+    "persian_idioms phrase_relatedness physical_intuition physics "
+    "physics_questions play_dialog_same_or_different polish_sequence_labeling "
+    "presuppositions_as_nli qa_wikidata question_selection real_or_fake_text "
+    "reasoning_about_colored_objects repeat_copy_logic rephrase riddle_sense "
+    "ruin_names salient_translation_error_detection scientific_press_release "
+    "semantic_parsing_in_context_sparc semantic_parsing_spider "
+    "sentence_ambiguity similarities_abstraction simp_turing_concept "
+    "simple_arithmetic_json simple_arithmetic_json_multiple_choice "
+    "simple_arithmetic_json_subtasks simple_arithmetic_multiple_targets_json "
+    "simple_ethical_questions simple_text_editing snarks social_iqa "
+    "social_support sports_understanding strange_stories strategyqa "
+    "sufficient_information suicide_risk swahili_english_proverbs "
+    "swedish_to_german_proverbs symbol_interpretation temporal_sequences "
+    "tense timedial topical_chat tracking_shuffled_objects "
+    "understanding_fables undo_permutation unit_conversion unit_interpretation "
+    "unnatural_in_context_learning vitaminc_fact_verification what_is_the_tao "
+    "which_wiki_edit winowhy word_sorting word_unscrambling"
+).split()
+assert len(BIGBENCH_SUBTASKS) == 167
+
+
 def _mc_instruction(topic: str) -> str:
     return (
         "The following are multiple choice questions (with answers) about "
@@ -159,10 +317,96 @@ def _mc_instruction(topic: str) -> str:
     )
 
 
+def _ceval_instruction(chinese_name: str) -> str:
+    # reference: lm_eval/tasks/ceval/*.yaml description lines
+    return f"以下是中国关于{chinese_name}的单项选择题，请选出其中的正确答案。\n\n"
+
+
+def _cmmlu_instruction(chinese_name: str) -> str:
+    # reference: lm_eval/tasks/cmmlu/cmmlu_default_*.yaml description lines
+    return f"以下是关于{chinese_name}的单项选择题，请直接给出正确答案的选项。\n\n"
+
+
 def build_derived_families(mmlu_subjects) -> Dict[str, Dict[str, Dict[str, Any]]]:
     """{family template name -> {subtask suffix -> TaskConfig field overrides}}."""
+    # Okapi per-language overrides (dataset config = the bare language code,
+    # so hf_name is pinned explicitly rather than via the '{sub}' template).
+    okapi_hellaswag = {
+        lang: {
+            "doc_to_text": "{query}",
+            "test_split": "validation",
+            "hf_path": "alexandrainst/m_hellaswag",
+            "hf_name": lang,
+            "process_docs": "okapi_hellaswag",
+        }
+        for lang in OKAPI_HELLASWAG_LANGS
+    }
+    okapi_truthfulqa: Dict[str, Dict[str, Any]] = {}
+    for lang in OKAPI_TRUTHFULQA_LANGS:
+        okapi_truthfulqa[f"{lang}_mc1"] = {
+            "doc_to_text": "{query}",
+            "doc_to_choice": "choices",
+            "test_split": "val",
+            "hf_path": "alexandrainst/m_truthfulqa",
+            "hf_name": lang,
+            "process_docs": "okapi_truthfulqa_mc1",
+            "metric_list": ["acc"],
+        }
+        okapi_truthfulqa[f"{lang}_mc2"] = {
+            "doc_to_text": "{query}",
+            "doc_to_choice": "mc2_choices",
+            "doc_to_gold_list": "mc2_labels",
+            "test_split": "val",
+            "hf_path": "alexandrainst/m_truthfulqa",
+            "hf_name": lang,
+            "process_docs": "okapi_truthfulqa_mc2",
+            "metric_list": ["mc2"],
+        }
+    bigbench: Dict[str, Dict[str, Any]] = {}
+    for sub in BIGBENCH_SUBTASKS:
+        bigbench[f"{sub}_multiple_choice"] = {
+            "hf_name": f"{sub}_zero_shot",
+            "process_docs": "bigbench_mc",
+        }
+        bigbench[f"{sub}_generate_until"] = {
+            "output_type": "generate_until",
+            "doc_to_target": "{targets[0]}",
+            "generation_kwargs": {"until": ["\n"], "max_gen_toks": 128},
+            "metric_list": [
+                {"metric": "exact_match", "ignore_case": False, "ignore_punctuation": True}
+            ],
+            "hf_name": f"{sub}_zero_shot",
+            "process_docs": "bigbench_gen",
+        }
     return {
-        "mmlu": {s: {} for s in mmlu_subjects},
+        # okapi multilingual (reference: lm_eval/tasks/okapi/*)
+        "arc": {
+            lang: {
+                "hf_path": "alexandrainst/m_arc",
+                "hf_name": lang,
+                "process_docs": "okapi_arc",
+            }
+            for lang in OKAPI_ARC_LANGS
+        },
+        "hellaswag": okapi_hellaswag,
+        "m_mmlu": {lang: {} for lang in OKAPI_MMLU_LANGS},
+        "truthfulqa": okapi_truthfulqa,
+        # Chinese exam suites
+        "ceval-valid": {
+            s: {"description": _ceval_instruction(zh)}
+            for s, zh in CEVAL_SUBJECTS.items()
+        },
+        "cmmlu": {
+            s: {"description": _cmmlu_instruction(zh)}
+            for s, zh in CMMLU_SUBJECTS.items()
+        },
+        "bigbench": bigbench,
+        # per-subject instruction (reference: lm_eval/tasks/mmlu/default/
+        # mmlu_<subject>.yaml description lines)
+        "mmlu": {
+            s: {"description": _mc_instruction(s.replace("_", " "))}
+            for s in mmlu_subjects
+        },
         "blimp": {p: {} for p in BLIMP_PARADIGMS},
         "bbh_zeroshot": {
             t: {"description": d + "\n\n"}

@@ -34,9 +34,16 @@ from retrieval_scaling_tpu.rag_eval.task_families import (
     AGIEVAL_EN_SUBSETS,
     BBH_ZEROSHOT_DESCRIPTIONS,
     BELEBELE_CODES,
+    BIGBENCH_SUBTASKS,
     BLIMP_PARADIGMS,
+    CEVAL_SUBJECTS,
+    CMMLU_SUBJECTS,
     LAMBADA_MT_LANGS,
     MATH_SUBJECTS,
+    OKAPI_ARC_LANGS,
+    OKAPI_HELLASWAG_LANGS,
+    OKAPI_MMLU_LANGS,
+    OKAPI_TRUTHFULQA_LANGS,
     PAWSX_LANGS,
     WMDP_TOPICS,
     XCOPA_LANGS,
@@ -299,6 +306,23 @@ GROUPS: Dict[str, List[str]] = {
     "pythia": [
         "lambada_openai", "logiqa", "piqa", "sciq", "wikitext", "winogrande",
         "wsc", "ai2_arc", "blimp", "mmlu",
+    ],
+    # okapi multilingual rollups (reference: lm_eval/tasks/okapi/* groups)
+    "arc_multilingual": [f"arc_{s}" for s in OKAPI_ARC_LANGS],
+    "hellaswag_multilingual": [f"hellaswag_{s}" for s in OKAPI_HELLASWAG_LANGS],
+    "m_mmlu": [f"m_mmlu_{s}" for s in OKAPI_MMLU_LANGS],
+    "truthfulqa_multilingual": [
+        f"truthfulqa_{s}_{v}" for s in OKAPI_TRUTHFULQA_LANGS for v in ("mc1", "mc2")
+    ],
+    # Chinese exam suites (reference: lm_eval/tasks/{ceval,cmmlu})
+    "ceval-valid": [f"ceval-valid_{s}" for s in sorted(CEVAL_SUBJECTS)],
+    "cmmlu": [f"cmmlu_{s}" for s in sorted(CMMLU_SUBJECTS)],
+    # BIG-bench rollups (reference: lm_eval/tasks/bigbench group tags)
+    "bigbench_multiple_choice": [
+        f"bigbench_{s}_multiple_choice" for s in BIGBENCH_SUBTASKS
+    ],
+    "bigbench_generate_until": [
+        f"bigbench_{s}_generate_until" for s in BIGBENCH_SUBTASKS
     ],
 }
 

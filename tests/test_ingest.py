@@ -116,6 +116,36 @@ HF_FIXTURES = {
     ("commonsense_qa", None): {
         "validation": [{"question": "Where do you keep milk?", "choices": {"text": ["fridge", "oven", "car", "shed", "sky"], "label": ["A", "B", "C", "D", "E"]}, "answerKey": "A"}]
     },
+    # ---- round-3 long tail families
+    ("alexandrainst/m_arc", "ar"): {
+        "test": [{"instruction": "سؤال [title]", "option_a": "أ", "option_b": "ب", "option_c": "ج", "option_d": "د", "option_e": None, "answer": "B"}]
+    },
+    ("alexandrainst/m_mmlu", "en"): {
+        "test": [{"instruction": " What is 2+2? ", "option_a": "4", "option_b": "5", "option_c": "6", "option_d": "7", "answer": "a"}],
+        "train": [{"instruction": "What is 1+1?", "option_a": "2", "option_b": "3", "option_c": "4", "option_d": "5", "answer": "a"}],
+    },
+    ("alexandrainst/m_truthfulqa", "ar"): {
+        "val": [{"question": "سؤال؟", "mc1_targets": {"choices": ["صحيح", "خطأ"], "labels": [1, 0]}, "mc2_targets": {"choices": ["صحيح", "ربما", "خطأ"], "labels": [1, 1, 0]}}]
+    },
+    ("ceval/ceval-exam", "computer_network"): {
+        "val": [{"question": " OSI 有几层？ ", "A": "5", "B": "6", "C": "7", "D": "8", "answer": "C"}],
+        "dev": [{"question": "TCP 是什么？", "A": "协议", "B": "硬件", "C": "语言", "D": "系统", "answer": "A"}],
+    },
+    ("haonan-li/cmmlu", "agronomy"): {
+        "test": [{"Question": "水稻属于？", "A": "禾本科", "B": "豆科", "C": "菊科", "D": "茄科", "Answer": "A"}],
+        "dev": [{"Question": "小麦属于？", "A": "禾本科", "B": "豆科", "C": "菊科", "D": "茄科", "Answer": "A"}],
+    },
+    ("hails/bigbench", "anachronisms_zero_shot"): {
+        "default": [
+            {"inputs": "Is this an anachronism? ...", "targets": ["Yes"], "multiple_choice_targets": ["Yes", "No"], "multiple_choice_scores": [1, 0]},
+            {"inputs": "no mc targets row", "targets": ["x"], "multiple_choice_targets": [], "multiple_choice_scores": []},
+        ]
+    },
+    ("hails/bigbench", "word_sorting_zero_shot"): {
+        "default": [
+            {"inputs": "Sort: b a", "targets": ["a b"], "multiple_choice_targets": [], "multiple_choice_scores": []},
+        ]
+    },
 }
 
 
@@ -149,6 +179,11 @@ FLAGSHIP = [
     "truthfulqa_mc2", "openbookqa", "sciq", "lambada_openai", "webqs",
     "squad", "race", "copa", "coqa", "drop", "wikitext", "social_iqa",
     "commonsense_qa",
+    # round-3 long tail: okapi multilingual, Chinese suites, bigbench
+    "arc_ar", "m_mmlu_en", "truthfulqa_ar_mc1", "truthfulqa_ar_mc2",
+    "ceval-valid_computer_network", "cmmlu_agronomy",
+    "bigbench_anachronisms_multiple_choice",
+    "bigbench_word_sorting_generate_until",
 ]
 
 

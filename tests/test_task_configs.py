@@ -88,9 +88,11 @@ def test_task_config_builds_requests(name, tmp_path):
     doc = _synth_doc(cfg)
     d = tmp_path / cfg.dataset_path
     d.mkdir(parents=True, exist_ok=True)
-    with open(d / f"{cfg.test_split}.jsonl", "w") as f:
-        f.write(json.dumps(doc) + "\n")
-        f.write(json.dumps(doc) + "\n")
+    splits = {cfg.test_split} | ({cfg.fewshot_split} if cfg.fewshot_split else set())
+    for split in splits:
+        with open(d / f"{split}.jsonl", "w") as f:
+            f.write(json.dumps(doc) + "\n")
+            f.write(json.dumps(doc) + "\n")
 
     task = Task(cfg, data_root=str(tmp_path))
     reqs = task.build_requests()
@@ -126,13 +128,21 @@ def test_registry_has_reference_scale_coverage():
     assert sum(1 for n in names if n.startswith("blimp_")) == 67
     assert sum(1 for n in names if n.startswith("bbh_zeroshot_")) == 27
     assert sum(1 for n in names if n.startswith("belebele_")) == 122
-    assert len(DERIVED_NAMES) >= 320
+    # round-3 long tail: okapi multilingual, ceval, cmmlu, bigbench
+    assert sum(1 for n in names if n.startswith("ceval-valid_")) == 52
+    assert sum(1 for n in names if n.startswith("cmmlu_")) == 67
+    assert sum(1 for n in names if n.startswith("bigbench_")) == 2 * 167 + 2
+    assert sum(1 for n in names if n.startswith("m_mmlu_")) == 34
+    assert len(DERIVED_NAMES) >= 900
+    assert len(names) >= 1000, len(names)
     assert {
         "mmlu", "glue", "anli", "arithmetic", "truthfulqa", "blimp",
         "bbh_zeroshot", "wmdp", "agieval_en", "hendrycks_ethics",
         "super_glue", "unscramble", "gpqa", "qa4mre", "lambada_cloze",
         "xcopa", "xstorycloze", "xwinograd", "lambada_multilingual",
-        "belebele", "pawsx",
+        "belebele", "pawsx", "arc_multilingual", "hellaswag_multilingual",
+        "m_mmlu", "truthfulqa_multilingual", "ceval-valid", "cmmlu",
+        "bigbench_multiple_choice", "bigbench_generate_until",
     } <= set(GROUPS)
 
 
@@ -150,6 +160,14 @@ def test_registry_has_reference_scale_coverage():
         ("xcopa_sw", "xcopa/sw"),
         ("xwinograd_jp", "xwinograd/jp"),
         ("lambada_mt_de", "lambada_mt/de"),
+        ("arc_ar", "arc/ar"),
+        ("hellaswag_vi", "hellaswag/vi"),
+        ("m_mmlu_en", "m_mmlu/en"),
+        ("truthfulqa_ar_mc2", "truthfulqa/ar_mc2"),
+        ("ceval-valid_law", "ceval-valid/law"),
+        ("cmmlu_virology", "cmmlu/virology"),
+        ("bigbench_anachronisms_multiple_choice", "bigbench/anachronisms_multiple_choice"),
+        ("bigbench_word_sorting_generate_until", "bigbench/word_sorting_generate_until"),
     ],
 )
 def test_derived_task_resolution(name, dataset_path):

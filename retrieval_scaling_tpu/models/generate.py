@@ -100,7 +100,7 @@ def _attention_with_cache(
     (probs * v_scale), so the [M, hd]-sized cache reads stay int8 and no
     dequantized copy ever exists."""
     if (
-        all_visible and window is None and not logit_cap and k_scale is None
+        all_visible and k_scale is None
         and keys.shape[2] >= 256 and jax.default_backend() == "tpu"
     ):
         # (>= 256 slots: at tiny caches the XLA chain's intermediates are
@@ -110,12 +110,20 @@ def _attention_with_cache(
         # kernel streams K/V through VMEM once with an online softmax —
         # the XLA path's mask/softmax/probs elementwise chain makes
         # several extra passes over cache-sized intermediates (measured
-        # ~2x the K+V read floor at 1024-token caches).
+        # ~2x the K+V read floor at 1024-token caches). Sliding windows
+        # fold into the [B, M] key mask (all decode rows share one
+        # position), and soft-capping is fused in the kernel, so
+        # Mistral/Gemma-2/Phi-3 decode takes this route too.
         from retrieval_scaling_tpu.ops.flash_attention import flash_attention
 
+        mask = key_valid
+        if window is not None:
+            key_pos = jnp.arange(keys.shape[2])[None, :]          # [1, M]
+            mask = mask & (key_pos > q_pos[:, :1] - window)       # [B, M]
         return flash_attention(
-            q, keys, values, kv_mask=key_valid,
+            q, keys, values, kv_mask=mask,
             sm_scale=sm_scale if sm_scale is not None else q.shape[-1] ** -0.5,
+            logit_cap=float(logit_cap) if logit_cap else None,
         )
     # no f32 casts on the operands: bf16 x bf16 -> f32 is the MXU's native
     # mode. For the int8 cache the matmul runs in bf16 REGARDLESS of q's

@@ -90,6 +90,8 @@ def _flash_kernel(
     q_offset_per_block: int,
     seq_delta: int,
     segmented: bool = False,
+    logit_cap: float | None = None,
+    window: int | None = None,
 ):
     if segmented:
         kseg_ref, qseg_ref, qlo_ref, qhi_ref, o_ref = rest
@@ -108,6 +110,13 @@ def _flash_kernel(
         k_blocks = jnp.minimum(num_k_blocks, pl.cdiv(last_q + 1, block_k))
     else:
         k_blocks = num_k_blocks
+    if window is not None:
+        # Sliding window (Mistral/Gemma-2/Phi-3): query i sees keys in
+        # (i - window, i]. The first visible key of this q block bounds
+        # k_start, so compute is linear in the window, not the sequence.
+        first_q = qi * q_offset_per_block + seq_delta
+        lowest_key = first_q - window + 1
+        k_start = jnp.maximum(k_start, jnp.maximum(lowest_key, 0) // block_k)
     if segmented:
         # Packed rows: segments are contiguous, so this q block's keys live
         # in [min(lo), max(hi)) — blocks outside never run (linear-in-tokens
@@ -122,20 +131,26 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_q, block_k]
+        if logit_cap:
+            # Gemma-2 soft-capping: cap * tanh(scores / cap), pre-mask
+            s = logit_cap * jnp.tanh(s / logit_cap)
         s = s + mask_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
         if segmented:
             k_seg = kseg_ref[0, 0, pl.ds(ki * block_k, block_k)]
             s = jnp.where(
                 qseg_ref[0, 0][:, None] == k_seg[None, :], s, NEG_INF
             )
-        if causal:
+        if causal or window is not None:
             q_pos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                 + qi * q_offset_per_block
                 + seq_delta
             )
             k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
-            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+            keep = k_pos <= q_pos
+            if window is not None:
+                keep = keep & (k_pos > q_pos - window)
+            s = jnp.where(keep, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -183,7 +198,10 @@ def segment_bounds(segment_ids: jax.Array):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "block_k", "interpret", "logit_cap", "window"
+    ),
 )
 def flash_attention(
     q: jax.Array,
@@ -196,6 +214,8 @@ def flash_attention(
     block_k: int = 256,
     interpret: bool = False,
     segment_ids: jax.Array | None = None,
+    logit_cap: float | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Pallas flash attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] bool.
 
@@ -204,11 +224,17 @@ def flash_attention(
     [S, S] mask array in HBM, and key blocks outside a query block's
     segment span are skipped entirely (linear-in-tokens for packed rows).
     Requires Sq == Sk.
+
+    ``logit_cap``: Gemma-2 tanh soft-capping fused pre-mask. ``window``:
+    causal sliding window (implies causal masking; key blocks fully outside
+    the window band are skipped, so compute is O(S * window)).
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if sm_scale is None:
         sm_scale = d**-0.5
+    if window is not None:
+        causal = True  # HF sliding_window semantics are causal
 
     # tiny-S (decode) q blocks stay at the 32-sublane tile instead of 128:
     # a [128, block_k] score block for one real query row wastes 4-16x the
@@ -246,6 +272,8 @@ def flash_attention(
         q_offset_per_block=block_q,
         seq_delta=sk - sq,
         segmented=segment_ids is not None,
+        logit_cap=logit_cap,
+        window=window,
     )
 
     in_specs = [
@@ -289,22 +317,29 @@ def flash_attention(
 # <= 512 (SURVEY.md §5 long-context scope), so the XLA backward's blockwise
 # fusion is adequate; a fused Pallas dq/dk/dv kernel is a further step.
 # --------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _flash_diffable(causal, sm_scale, q, k, v, mask_f, seg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_diffable(causal, sm_scale, logit_cap, window, q, k, v, mask_f, seg):
     kv_mask = None if mask_f is None else mask_f > 0.5
-    return flash_attention(q, k, v, kv_mask, causal, sm_scale, segment_ids=seg)
+    return flash_attention(
+        q, k, v, kv_mask, causal, sm_scale, segment_ids=seg,
+        logit_cap=logit_cap, window=window,
+    )
 
 
-def _flash_diffable_fwd(causal, sm_scale, q, k, v, mask_f, seg):
-    return _flash_diffable(causal, sm_scale, q, k, v, mask_f, seg), (q, k, v, mask_f, seg)
+def _flash_diffable_fwd(causal, sm_scale, logit_cap, window, q, k, v, mask_f, seg):
+    out = _flash_diffable(causal, sm_scale, logit_cap, window, q, k, v, mask_f, seg)
+    return out, (q, k, v, mask_f, seg)
 
 
-def _flash_diffable_bwd(causal, sm_scale, residuals, g):
+def _flash_diffable_bwd(causal, sm_scale, logit_cap, window, residuals, g):
     q, k, v, mask_f, seg = residuals
     kv_mask = None if mask_f is None else mask_f > 0.5
 
     def ref(q_, k_, v_):
-        return xla_attention(q_, k_, v_, kv_mask, causal, sm_scale, segment_ids=seg)
+        return xla_attention(
+            q_, k_, v_, kv_mask, causal, sm_scale, logit_cap, window,
+            segment_ids=seg,
+        )
 
     _, vjp = jax.vjp(ref, q, k, v)
     dq, dk, dv = vjp(g)
@@ -344,26 +379,34 @@ def multi_head_attention(
         # S x S score tensor stops fitting on-chip. Segmented (packed)
         # attention always uses the kernel on TPU: the XLA path's [S, S]
         # mask costs HBM every layer, the kernel reads only the [B, S] ids
-        # and skips out-of-segment key blocks.
+        # and skips out-of-segment key blocks. Sliding-window and soft-cap
+        # models (Mistral/Gemma-2/Phi-3) take the same route: both are
+        # fused into the kernel, and the XLA path's [S, S] score tensor is
+        # exactly what hurts at the long contexts where windows matter.
         use_flash = jax.default_backend() == "tpu" and (
             q.shape[2] >= 1024 or segment_ids is not None
         )
         impl = "flash" if use_flash else "xla"
-    if logit_cap or window is not None:
-        # soft-capping / sliding windows (Gemma-2) are not fused into the
-        # flash kernel yet
+    if segment_ids is not None and window is not None and impl == "flash":
+        # packed rows + sliding window together are not fused (no model
+        # family needs it: packing is encoder-side, windows are decoder-side)
         impl = "xla"
     if impl == "xla":
         return xla_attention(
             q, k, v, kv_mask, causal, sm_scale, logit_cap, window, segment_ids
         )
+    cap = float(logit_cap) if logit_cap else None
+    win = int(window) if window is not None else None
     if impl == "flash":
         if sm_scale is None:
             sm_scale = q.shape[-1] ** -0.5
         mask_f = None if kv_mask is None else kv_mask.astype(jnp.float32)
-        return _flash_diffable(causal, float(sm_scale), q, k, v, mask_f, segment_ids)
+        return _flash_diffable(
+            causal, float(sm_scale), cap, win, q, k, v, mask_f, segment_ids
+        )
     if impl == "flash_interpret":
         return flash_attention(
-            q, k, v, kv_mask, causal, sm_scale, interpret=True, segment_ids=segment_ids
+            q, k, v, kv_mask, causal, sm_scale, interpret=True,
+            segment_ids=segment_ids, logit_cap=cap, window=win,
         )
     raise ValueError(f"Unknown attention impl: {impl!r}")

@@ -1,0 +1,223 @@
+"""Slot-based continuous-batching generation engine (the vLLM analog).
+
+The reference ships a vLLM backend whose continuous batching removes
+head-of-line blocking on generate_until workloads (reference:
+rag-evaluation-harness/lm_eval/models/vllm_causallms.py:48,77). A TPU-native
+equivalent under XLA's static-shape rules:
+
+  * a fixed KV slot pool ``[slots, Hkv, max_len, hd]`` per layer (reuses
+    ``models/generate.py``'s per-layer in-place cache buffers);
+  * per-request PREFILL at a bucketed prompt width (batch 1), then INSERT
+    copies the prefilled K/V into a free slot via ``dynamic_update_slice``;
+  * one jitted DECODE CHUNK (``lax.scan`` over ``chunk`` steps) advances
+    every occupied slot ``chunk`` tokens per device call, so eos and
+    stop-string handling stay host-side without a per-token sync;
+  * a finished slot frees immediately and the next queued request prefills
+    into it while the other slots keep decoding.
+
+Static-shape consequences: every device program is compiled once per
+(prompt bucket) or once overall (decode chunk / insert); admission and
+completion are pure host bookkeeping.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retrieval_scaling_tpu.models.generate import (
+    KVCache,
+    forward_with_cache,
+    init_cache,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _bucket(length: int, cap: int) -> int:
+    b = 32
+    while b < length:
+        b *= 2
+    return min(b, max(cap, 1))
+
+
+class ContinuousBatcher:
+    """Token-level continuous-batching generator.
+
+    ``generate(requests)`` takes ``[(prompt_ids, max_new_tokens), ...]`` and
+    returns a token-id list per request (eos excluded). ``stop_check(i,
+    tokens) -> bool`` lets the caller finish request ``i`` early (stop
+    strings) — checked once per decode chunk.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        eos_id: int,
+        slots: int = 8,
+        max_len: int = 2048,
+        chunk: int = 16,
+        dtype=None,
+    ):
+        if max_len > cfg.max_position_embeddings:
+            max_len = cfg.max_position_embeddings
+        if dtype is None:
+            # match make_generate_fn: cache dtype follows the embedding
+            from retrieval_scaling_tpu.models.llama import LlamaConfig as _LC
+
+            embed = params["embed"] if isinstance(cfg, _LC) else params["embed_in"]
+            dtype = embed.dtype
+        self.params = params
+        self.cfg = cfg
+        self.eos_id = int(eos_id)
+        self.slots = int(slots)
+        self.max_len = int(max_len)
+        self.chunk = int(chunk)
+        self.pool = init_cache(cfg, self.slots, self.max_len, dtype=dtype)
+        self._prefill_fns = {}
+
+        # ---- decode chunk: scan `chunk` single-token steps over the pool
+        def decode_chunk(params, pool: KVCache, last, cur_len):
+            # last: [slots] int32; cur_len: [slots] int32 (next write pos).
+            # Free slots still step, harmlessly: their writes land at a
+            # stale position and are overwritten or masked out by
+            # key_valid when the slot is reused.
+            def step(carry, _):
+                pool, last, cur_len = carry
+                pos = jnp.minimum(cur_len, self.max_len - 1)[:, None]
+                key_valid = (
+                    jnp.arange(self.max_len)[None, :] <= pos
+                )
+                logits, pool = forward_with_cache(
+                    params, self.cfg, last[:, None], pos, pool, key_valid
+                )
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                return (pool, nxt, cur_len + 1), nxt
+
+            (pool, last, cur_len), toks = jax.lax.scan(
+                step, (pool, last, cur_len), None, length=self.chunk
+            )
+            return pool, last, cur_len, toks.T  # [slots, chunk]
+
+        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
+
+        # ---- insert: copy a batch-1 prefilled cache into slot `slot`
+        def insert(pool: KVCache, pre: KVCache, slot):
+            new_k = tuple(
+                jax.lax.dynamic_update_slice(pk, nk, (slot, 0, 0, 0))
+                for pk, nk in zip(pool.k, pre.k)
+            )
+            new_v = tuple(
+                jax.lax.dynamic_update_slice(pv, nv, (slot, 0, 0, 0))
+                for pv, nv in zip(pool.v, pre.v)
+            )
+            return KVCache(new_k, new_v)
+
+        self._insert = jax.jit(insert, donate_argnums=(0,))
+
+    def _prefill_fn(self, width: int):
+        if width not in self._prefill_fns:
+
+            def prefill(params, ids, length):
+                # batch-1 prefill into a fresh width-sized cache
+                cache = init_cache(self.cfg, 1, width, dtype=self.pool.k[0].dtype)
+                positions = jnp.arange(width)[None, :]
+                key_valid = jnp.arange(width)[None, :] < length
+                write_mask = jnp.arange(width)[None, :] < length
+                logits, cache = forward_with_cache(
+                    params, self.cfg, ids, positions, cache, key_valid, write_mask
+                )
+                last = jnp.take_along_axis(
+                    logits, (length - 1)[:, None, None], axis=1
+                )[:, 0]
+                first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+                return first, cache
+
+            self._prefill_fns[width] = jax.jit(prefill)
+        return self._prefill_fns[width]
+
+    # ------------------------------------------------------------ schedule
+    def generate(
+        self,
+        requests: Sequence[Tuple[List[int], int]],
+        stop_check: Optional[Callable[[int, List[int]], bool]] = None,
+    ) -> List[List[int]]:
+        n = len(requests)
+        results: List[Optional[List[int]]] = [None] * n
+        # longest-first admission reduces tail latency (the longest prompts
+        # otherwise sit behind a full pool at the end of the run)
+        pending = sorted(range(n), key=lambda i: -len(requests[i][0]))
+        free = list(range(self.slots))
+        active: dict = {}  # slot -> request index
+
+        last = np.full(self.slots, self.eos_id, np.int32)
+        cur_len = np.zeros(self.slots, np.int32)
+        tokens: List[List[int]] = [[] for _ in range(n)]
+        budget = [0] * n
+
+        def finish(slot: int):
+            i = active.pop(slot)
+            toks = tokens[i]
+            if self.eos_id in toks:
+                toks = toks[: toks.index(self.eos_id)]
+            results[i] = toks
+            free.append(slot)
+
+        def admit():
+            nonlocal last, cur_len
+            while pending and free:
+                i = pending.pop()  # shortest-first from the back
+                prompt, max_new = requests[i]
+                prompt = list(prompt)[-(self.max_len - max_new):]
+                width = _bucket(len(prompt), self.max_len - max_new)
+                ids = np.full((1, width), self.eos_id, np.int32)
+                ids[0, : len(prompt)] = prompt
+                first, pre = self._prefill_fn(width)(
+                    self.params, jnp.asarray(ids), jnp.asarray([len(prompt)], np.int32)
+                )
+                slot = free.pop()
+                # slot as a device scalar: a Python int would bake the slot
+                # index into the compilation and recompile per slot
+                self.pool = self._insert(self.pool, pre, jnp.asarray(slot, jnp.int32))
+                active[slot] = i
+                budget[i] = max_new
+                first_tok = int(first[0])
+                tokens[i] = [first_tok]
+                last[slot] = first_tok
+                cur_len[slot] = len(prompt)
+                if (
+                    first_tok == self.eos_id
+                    or max_new <= 1
+                    or (stop_check and stop_check(i, tokens[i]))
+                ):
+                    finish(slot)
+
+        admit()
+        while active:
+            pool, last_j, cur_j, toks = self._decode_chunk(
+                self.params, self.pool, jnp.asarray(last), jnp.asarray(cur_len)
+            )
+            self.pool = pool
+            toks_np = np.asarray(toks)
+            last = np.asarray(last_j).copy()
+            cur_len = np.asarray(cur_j).copy()
+            for slot in list(active):
+                i = active[slot]
+                done = False
+                for t in toks_np[slot]:
+                    tokens[i].append(int(t))
+                    if int(t) == self.eos_id or len(tokens[i]) >= budget[i]:
+                        done = True
+                        break
+                if not done and stop_check and stop_check(i, tokens[i]):
+                    done = True
+                if done:
+                    finish(slot)
+            admit()
+        return [r if r is not None else [] for r in results]

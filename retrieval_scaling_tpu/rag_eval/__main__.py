@@ -47,6 +47,7 @@ def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int =
             quantization=model_args.get("quantization"),
             kv_cache=model_args.get("kv_cache"),
             cache_dir=model_args.get("cache_dir"),
+            gen_engine=model_args.get("gen_engine"),
         )
     if model in ("openai", "openai-completions", "local-completions"):
         from retrieval_scaling_tpu.rag_eval.models import OpenAICompatLM

@@ -92,6 +92,7 @@ class JaxReaderLM:
         mesh=None,
         quantization: str | None = None,
         kv_cache: str | None = None,
+        gen_engine: str | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -153,13 +154,17 @@ class JaxReaderLM:
                 out_shardings=(rep, rep),
             )
         self._gen_fns = {}
+        if gen_engine not in (None, "", "static", "continuous"):
+            raise ValueError(f"unknown gen_engine {gen_engine!r}")
+        self.gen_engine = gen_engine or "static"
+        self._cb_engine = None
         self.apply_chat_template = chat_template_formatter(tokenizer)
 
     @classmethod
     def from_pretrained(
         cls, name_or_path: str, batch_size: int = 8, mesh=None,
         quantization: str | None = None, kv_cache: str | None = None,
-        cache_dir: str | None = None,
+        cache_dir: str | None = None, gen_engine: str | None = None,
     ):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
@@ -167,6 +172,7 @@ class JaxReaderLM:
         return cls(
             params, cfg, load_tokenizer(name_or_path), batch_size,
             mesh=mesh, quantization=quantization, kv_cache=kv_cache,
+            gen_engine=gen_engine,
         )
 
     # ------------------------------------------------------------ ll
@@ -259,7 +265,48 @@ class JaxReaderLM:
             )
         return self._gen_fns[max_new]
 
+    def _generate_continuous(self, reqs: Sequence[dict]) -> List[str]:
+        """Continuous-batching generate_until: slot-based admission removes
+        head-of-line blocking on mixed-length workloads (reference bar:
+        lm_eval/models/vllm_causallms.py continuous batching)."""
+        from retrieval_scaling_tpu.models.continuous_batching import ContinuousBatcher
+
+        eos = self._eos_id()
+        if self._cb_engine is None:
+            self._cb_engine = ContinuousBatcher(
+                self.params, self.cfg, eos,
+                slots=self.batch_size, max_len=self.max_length,
+            )
+        engine = self._cb_engine
+        requests = []
+        stops: List[List[str]] = []
+        for r in reqs:
+            max_new = r["gen_kwargs"].get("max_gen_toks", 32)
+            ids = self.tokenizer(r["context"])["input_ids"][-(self.max_length - max_new):]
+            requests.append((ids, max_new))
+            stops.append([s for s in r["gen_kwargs"].get("until", []) if s])
+
+        def decode(toks: List[int]) -> str:
+            return self.tokenizer.decode(
+                [t for t in toks if t != eos], skip_special_tokens=True
+            )
+
+        def stop_check(i: int, toks: List[int]) -> bool:
+            return bool(stops[i]) and any(s in decode(toks) for s in stops[i])
+
+        out = []
+        for i, toks in enumerate(engine.generate(requests, stop_check)):
+            text = decode(toks)
+            for stop in stops[i]:
+                idx = text.find(stop)
+                if idx >= 0:
+                    text = text[:idx]
+            out.append(text)
+        return out
+
     def generate_until(self, reqs: Sequence[dict]):
+        if self.gen_engine == "continuous":
+            return self._generate_continuous(reqs)
         jnp = self._jnp
         results: List[str] = [""] * len(reqs)
         order = sorted(range(len(reqs)), key=lambda i: len(reqs[i]["context"]))
@@ -283,8 +330,11 @@ class JaxReaderLM:
                 self._gen_fn(max_new)(self.params, jnp.asarray(ids_np), jnp.asarray(len_np), 0)
             )
             for r, i in enumerate(take):
+                # a mixed batch decodes to the BATCH max; honor each
+                # request's own max_gen_toks (lm-eval semantics)
+                own_max = reqs[i]["gen_kwargs"].get("max_gen_toks", 32)
                 text = self.tokenizer.decode(
-                    [t for t in tokens[r].tolist() if t != self._eos_id()],
+                    [t for t in tokens[r, :own_max].tolist() if t != self._eos_id()],
                     skip_special_tokens=True,
                 )
                 for stop in reqs[i]["gen_kwargs"].get("until", []):

@@ -1,0 +1,176 @@
+"""Serving-side generation service over the continuous-batching engine.
+
+The reference serving tier has no generation endpoint (its readers run only
+in offline eval); the vLLM analog in the harness is the closest bar
+(reference: rag-evaluation-harness/lm_eval/models/vllm_causallms.py). Here a
+single background thread owns the slot pool and runs the admission/decode
+loop continuously: HTTP handler threads enqueue requests and block on a
+per-request event, so concurrent requests share decode steps (true
+continuous batching across requests, not per-call batches).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Request:
+    prompt_ids: List[int]
+    max_new: int
+    stop: List[str]
+    done: threading.Event = field(default_factory=threading.Event)
+    tokens: List[int] = field(default_factory=list)
+    text: str = ""
+    error: Optional[str] = None
+
+
+class GenerationService:
+    """Background-threaded continuous-batching text generation."""
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        slots: int = 4,
+        max_len: int = 1024,
+        chunk: int = 8,
+        default_max_new: int = 64,
+    ):
+        from retrieval_scaling_tpu.models.continuous_batching import ContinuousBatcher
+
+        self.tokenizer = tokenizer
+        self.default_max_new = default_max_new
+        eos = tokenizer.eos_token_id
+        if eos is None:
+            eos = tokenizer.pad_token_id or 0
+        self.eos_id = int(eos)
+        self.engine = ContinuousBatcher(
+            params, cfg, self.eos_id, slots=slots, max_len=max_len, chunk=chunk
+        )
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._shutdown = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ public
+    def generate(
+        self,
+        prompt: str,
+        max_tokens: int | None = None,
+        stop: Optional[List[str]] = None,
+        timeout_s: float = 120.0,
+    ) -> dict:
+        max_new = int(max_tokens or self.default_max_new)
+        ids = self.tokenizer(prompt)["input_ids"]
+        ids = ids[-(self.engine.max_len - max_new):]
+        req = _Request(prompt_ids=ids, max_new=max_new, stop=list(stop or []))
+        self._queue.put(req)
+        if not req.done.wait(timeout_s):
+            raise TimeoutError("generation timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return {"text": req.text, "n_tokens": len(req.tokens)}
+
+    def shutdown(self):
+        self._shutdown.set()
+        self._queue.put(None)  # wake the loop
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------ loop
+    def _decode_text(self, toks: List[int]) -> str:
+        return self.tokenizer.decode(
+            [t for t in toks if t != self.eos_id], skip_special_tokens=True
+        )
+
+    def _finish(self, req: _Request):
+        toks = req.tokens
+        if self.eos_id in toks:
+            toks = toks[: toks.index(self.eos_id)]
+        text = self._decode_text(toks)
+        for stop in req.stop:
+            idx = text.find(stop)
+            if idx >= 0:
+                text = text[:idx]
+        req.tokens = toks
+        req.text = text
+        req.done.set()
+
+    def _loop(self):
+        eng = self.engine
+        free = list(range(eng.slots))
+        active: dict = {}  # slot -> _Request
+        last = np.full(eng.slots, self.eos_id, np.int32)
+        cur_len = np.zeros(eng.slots, np.int32)
+
+        while not self._shutdown.is_set():
+            # admit: block when idle, drain opportunistically when busy
+            while free:
+                try:
+                    req = self._queue.get(block=not active, timeout=None if active else 1.0)
+                except queue.Empty:
+                    break
+                if req is None:
+                    return
+                try:
+                    prompt = req.prompt_ids
+                    from retrieval_scaling_tpu.models.continuous_batching import _bucket
+
+                    width = _bucket(len(prompt), eng.max_len - req.max_new)
+                    ids = np.full((1, width), self.eos_id, np.int32)
+                    ids[0, : len(prompt)] = prompt
+                    first, pre = eng._prefill_fn(width)(
+                        eng.params, jnp.asarray(ids),
+                        jnp.asarray([len(prompt)], np.int32),
+                    )
+                    slot = free.pop()
+                    eng.pool = eng._insert(eng.pool, pre, jnp.asarray(slot, jnp.int32))
+                    first_tok = int(first[0])
+                    req.tokens = [first_tok]
+                    last[slot] = first_tok
+                    cur_len[slot] = len(prompt)
+                    if first_tok == self.eos_id or req.max_new <= 1:
+                        self._finish(req)
+                        free.append(slot)
+                    else:
+                        active[slot] = req
+                except Exception as e:  # noqa: BLE001
+                    logger.exception("prefill failed")
+                    req.error = str(e)
+                    req.done.set()
+                if not active and self._queue.empty():
+                    break
+            if not active:
+                continue
+            pool, last_j, cur_j, toks = eng._decode_chunk(
+                eng.params, eng.pool, jnp.asarray(last), jnp.asarray(cur_len)
+            )
+            eng.pool = pool
+            toks_np = np.asarray(toks)
+            last = np.asarray(last_j).copy()
+            cur_len = np.asarray(cur_j).copy()
+            for slot in list(active):
+                req = active[slot]
+                done = False
+                for t in toks_np[slot]:
+                    req.tokens.append(int(t))
+                    if int(t) == self.eos_id or len(req.tokens) >= req.max_new:
+                        done = True
+                        break
+                if not done and req.stop:
+                    text = self._decode_text(req.tokens)
+                    done = any(s in text for s in req.stop)
+                if done:
+                    self._finish(req)
+                    del active[slot]
+                    free.append(slot)

@@ -51,10 +51,12 @@ class SearchAPIServer:
         engines: Dict[str, object],
         default_n_docs: int = 10,
         log_queries_path: Optional[str] = None,
+        generator=None,
     ):
         self.engines = engines
         self.default_n_docs = default_n_docs
         self.log_queries_path = log_queries_path
+        self.generator = generator  # optional GenerationService (/generate)
         self._log_lock = threading.Lock()
         self.server: Optional[ThreadingHTTPServer] = None
 
@@ -94,6 +96,20 @@ class SearchAPIServer:
                 return self.engines[d]
         raise KeyError(f"no engine for domains {domains}")
 
+    def handle_generate(self, payload: dict) -> dict:
+        """``POST /generate {prompt, max_tokens, stop}`` -> ``{text,
+        n_tokens}``. Concurrent requests share decode steps through the
+        continuous-batching GenerationService."""
+        if self.generator is None:
+            raise KeyError("no generation model configured on this worker")
+        prompt = payload.get("prompt", "")
+        out = self.generator.generate(
+            prompt,
+            max_tokens=payload.get("max_tokens"),
+            stop=payload.get("stop"),
+        )
+        return {**out, "message": "Generation completed successfully"}
+
     def introspection(self) -> dict:
         sizes = {name: e.batcher.queue_size for name, e in self.engines.items()}
         current = {name: e.batcher.current for name, e in self.engines.items()}
@@ -125,17 +141,19 @@ class SearchAPIServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if not self.path.startswith("/search"):
-                    self._send(404, {"error": "not found"})
-                    return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
-                    self._send(200, server_self.handle_search(payload))
+                    if self.path.startswith("/search"):
+                        self._send(200, server_self.handle_search(payload))
+                    elif self.path.startswith("/generate"):
+                        self._send(200, server_self.handle_generate(payload))
+                    else:
+                        self._send(404, {"error": "not found"})
                 except TimeoutError as e:
                     self._send(504, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001
-                    logger.exception("search failed")
+                    logger.exception("request failed")
                     self._send(500, {"error": str(e)})
 
         return Handler
@@ -187,7 +205,27 @@ def serve_worker_from_config(cfg, port: int | None = None, registry_path: str | 
 
     engine = RetrievalEngine.from_config(cfg, index_shard_ids=shard_ids)
     engine.smoke_test()
-    server = SearchAPIServer({domain: engine}, default_n_docs=cfg.evaluation.search.n_docs)
+
+    # optional generation endpoint: serve.generation_model names a reader
+    # checkpoint; requests to /generate share decode steps via the
+    # continuous-batching service
+    generator = None
+    gen_model = serve_opt("generation_model", None)
+    if gen_model:
+        from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
+        from retrieval_scaling_tpu.serve.generation import GenerationService
+
+        params, reader_cfg = load_hf_reader(gen_model)
+        generator = GenerationService(
+            params, reader_cfg, load_tokenizer(gen_model),
+            slots=int(serve_opt("generation_slots", 4)),
+            max_len=int(serve_opt("generation_max_len", 1024)),
+        )
+
+    server = SearchAPIServer(
+        {domain: engine}, default_n_docs=cfg.evaluation.search.n_docs,
+        generator=generator,
+    )
     return server.serve(
         port=port or (serve_opt("port", 0) or None),
         registry_path=registry_path or serve_opt("registry", "running_ports_massiveds.jsonl"),

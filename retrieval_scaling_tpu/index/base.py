@@ -119,6 +119,7 @@ class Indexer:
                 n_bits=self.args.n_bits,
                 refine_factor=self.args.get("pq_refine_factor", 0),
                 opq=self.args.get("pq_opq", False),
+                refine_mode=self.args.get("pq_refine_mode", "device"),
                 **common,
             )
         else:

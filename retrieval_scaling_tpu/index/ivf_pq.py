@@ -169,6 +169,7 @@ class IVFPQIndex:
         adc_mode: str = "gather",
         refine_factor: int = 0,
         opq: bool = False,
+        refine_mode: str = "device",
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -191,6 +192,15 @@ class IVFPQIndex:
         # recall@10 0.31 -> 0.98 at refine_factor 4 on clustered data.
         # FAISS analog: IndexRefineFlat (at 8x the memory of int8 rows).
         self.refine_factor = int(refine_factor)
+        # "device": exact int8 rows live in HBM (fast; +D bytes/row on top
+        # of the m-byte codes). "host": rows live in a sidecar binary file
+        # and the refine candidates stream in via threaded preads
+        # (native/rstpu_io.cpp) — HBM holds ONLY the m-byte codes, the PQ
+        # memory story at datastore scale (see BENCH.md "PQ memory story").
+        if refine_mode not in ("device", "host"):
+            raise ValueError(f"unknown refine_mode {refine_mode!r}")
+        self.refine_mode = refine_mode
+        self.refine_row_file: str | None = None
         # OPQ (Ge et al.; FAISS 'OPQ{m}' transform): an orthogonal rotation
         # trained to minimize PQ quantization error. Residuals rotate at
         # encode time; queries rotate at LUT-build time (scores preserved
@@ -324,6 +334,15 @@ class IVFPQIndex:
         )
         np.save(meta_file + ".tmp.npy", self.index_id_to_db_id)
         os.replace(meta_file + ".tmp.npy", meta_file)
+        if self.refine_rows_i8 is not None:
+            # sidecar raw int8 rows (row-major, D bytes/row) for the
+            # host-streamed refine mode: batched preads fetch candidates
+            # without the rows ever living in HBM
+            sidecar = base + ".refine.bin"
+            with open(sidecar + ".tmp", "wb") as f:
+                f.write(np.ascontiguousarray(self.refine_rows_i8).tobytes())
+            os.replace(sidecar + ".tmp", sidecar)
+            self.refine_row_file = sidecar
 
     def _load(self, index_path: str, meta_file: str) -> None:
         from retrieval_scaling_tpu.index.ivf_common import IVFListLayout
@@ -337,7 +356,20 @@ class IVFPQIndex:
         )
         self.n_valid = int(data["n_valid"])
         self.opq_rotation = data["opq_rotation"] if "opq_rotation" in data else None
-        if "refine_rows_i8" in data:
+        base = index_path[:-4] if index_path.endswith(".npz") else index_path
+        sidecar = base + ".refine.bin"
+        if (
+            self.refine_mode == "host"
+            and self.refine_factor > 0
+            and os.path.exists(sidecar)
+            and "refine_scales" in data
+        ):
+            # host-streamed refine: rows stay on disk; only the 4-byte
+            # per-row scales load into RAM
+            self.refine_row_file = sidecar
+            self.refine_rows_i8 = None
+            self.refine_scales = data["refine_scales"]
+        elif "refine_rows_i8" in data:
             self.refine_rows_i8 = data["refine_rows_i8"]
             self.refine_scales = data["refine_scales"]
         else:
@@ -368,7 +400,11 @@ class IVFPQIndex:
         self.codebooks_dev = jnp.asarray(self.codebooks, jnp.float32)
         self.tile_start_dev = jnp.asarray(self.layout.tile_start, jnp.int32)
         self.tile_count_dev = jnp.asarray(self.layout.tile_count, jnp.int32)
-        if self.refine_factor > 0 and getattr(self, "refine_rows_i8", None) is not None:
+        if (
+            self.refine_factor > 0
+            and self.refine_mode == "device"
+            and getattr(self, "refine_rows_i8", None) is not None
+        ):
             self.refine_rows_dev = jnp.asarray(self.refine_rows_i8, jnp.int8)
             self.refine_scales_dev = jnp.asarray(self.refine_scales, jnp.float32)
         else:
@@ -403,7 +439,19 @@ class IVFPQIndex:
             "bmd,mkd->bmk", q_sub, self.codebooks_dev, preferred_element_type=jnp.float32
         )
         k_eff = min(k, self.n_valid)
-        refine = self.refine_factor > 0 and getattr(self, "refine_rows_dev", None) is not None
+        refine_dev = (
+            self.refine_factor > 0
+            and getattr(self, "refine_rows_dev", None) is not None
+        )
+        refine_host = (
+            self.refine_factor > 0
+            and self.refine_mode == "host"
+            and (
+                getattr(self, "refine_row_file", None) is not None
+                or getattr(self, "refine_rows_i8", None) is not None
+            )
+        )
+        refine = refine_dev or refine_host
         k_scan = k_eff
         if refine:
             k_scan = min(self.refine_factor * k_eff, int(tile_ids.shape[1]) * TILE)
@@ -423,8 +471,10 @@ class IVFPQIndex:
                 lut, coarse, self.code_tiles_dev, self.row_ids_dev,
                 tile_ids, valid, probe_of, k_scan, adc_mode=self.adc_mode,
             )
-        if refine:
+        if refine_dev:
             scores, ids = self._refine(q, scores, ids, k_eff)
+        elif refine_host:
+            return self._refine_host(np.asarray(query_embs), scores, ids, k_eff)
         return np.asarray(jax.device_get(scores)), np.asarray(jax.device_get(ids))
 
     def _refine(self, q: jax.Array, pq_scores, pq_ids, k: int):
@@ -442,6 +492,50 @@ class IVFPQIndex:
         top_s, top_pos = jax.lax.top_k(scores, min(k, scores.shape[1]))
         top_i = jnp.take_along_axis(pq_ids, top_pos, axis=1)
         top_i = jnp.where(top_s <= NEG_INF / 2, -1, top_i)
+        return top_s, top_i
+
+    def _read_refine_rows(self, uniq_ids: np.ndarray) -> np.ndarray:
+        """Fetch exact int8 rows for ``uniq_ids`` — threaded preads from the
+        sidecar file (native/rstpu_io.cpp), or a RAM slice for in-memory
+        builds. Rows never enter HBM in host mode."""
+        d = self.dimension
+        if getattr(self, "refine_row_file", None) is not None:
+            from retrieval_scaling_tpu.data.native_io import pread_lines_native
+
+            spans = [(int(i) * d, d) for i in uniq_ids]
+            blobs = pread_lines_native(self.refine_row_file, spans)
+            if blobs is None:  # native lib unavailable: plain seek/read
+                blobs = []
+                with open(self.refine_row_file, "rb") as f:
+                    for start, length in spans:
+                        f.seek(start)
+                        blobs.append(f.read(length))
+            return np.frombuffer(b"".join(blobs), np.int8).reshape(len(uniq_ids), d)
+        return np.asarray(self.refine_rows_i8)[uniq_ids]
+
+    def _refine_host(self, q_np: np.ndarray, pq_scores, pq_ids, k: int):
+        """Host-streamed exact re-rank: candidates' int8 rows stream from
+        disk (deduplicated across the batch), the dot products run in host
+        f32. HBM holds only the m-byte codes — the datastore-scale memory
+        story (FAISS IndexRefineFlat semantics without device-resident
+        rows)."""
+        ids = np.asarray(jax.device_get(pq_ids))
+        b, r = ids.shape
+        safe = np.maximum(ids, 0)
+        uniq, inv = np.unique(safe, return_inverse=True)
+        rows_u = self._read_refine_rows(uniq)
+        rows = rows_u[inv.reshape(b, r)].astype(np.float32)       # [B, R, D]
+        ip = np.einsum("brd,bd->br", rows, np.asarray(q_np, np.float32))
+        scores = ip * np.asarray(self.refine_scales)[safe]
+        scores = np.where(ids >= 0, scores, NEG_INF).astype(np.float32)
+        kk = min(k, r)
+        top_pos = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        part = np.take_along_axis(scores, top_pos, axis=1)
+        order = np.argsort(-part, axis=1, kind="stable")
+        top_pos = np.take_along_axis(top_pos, order, axis=1)
+        top_s = np.take_along_axis(scores, top_pos, axis=1)
+        top_i = np.take_along_axis(ids, top_pos, axis=1)
+        top_i = np.where(top_s <= NEG_INF / 2, -1, top_i)
         return top_s, top_i
 
     def get_retrieved_passages(self, all_indices):

@@ -3,6 +3,7 @@ import pickle
 
 import jax.numpy as jnp
 import numpy as np
+import os
 import pytest
 
 from retrieval_scaling_tpu.index.ivf_pq import IVFPQIndex, pq_scan_topk
@@ -254,3 +255,53 @@ def test_opq_rotation_improves_raw_pq_recall(tmp_path):
     _, i2 = loaded.search_ids(q, 10)
     np.testing.assert_array_equal(i1, i2)
     print("plain:", r_plain, "opq:", r_opq)
+
+
+def test_host_streamed_refine_matches_device(tmp_path):
+    """refine_mode=host streams candidate rows from the sidecar file via
+    preads; results must match the device-resident refine, with no rows
+    in device memory."""
+    import pickle
+
+    rng = np.random.RandomState(7)
+    n, d = 2000, 64
+    centers = rng.randn(16, d).astype(np.float32) * 2
+    data = centers[rng.randint(0, 16, n)] + rng.randn(n, d).astype(np.float32) * 0.6
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    path = tmp_path / "passages_00.pkl"
+    with open(path, "wb") as f:
+        pickle.dump((list(range(n)), data.astype(np.float16)), f)
+    q = centers[rng.randint(0, 16, 6)] + rng.randn(6, d).astype(np.float32) * 0.6
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    common = dict(
+        embed_paths=[str(path)], dimension=d, sample_train_size=n,
+        ncentroids=8, probe=8, n_subquantizers=8, kmeans_iters=4, pq_iters=4,
+        refine_factor=8,
+    )
+    idx_path = str(tmp_path / "idx" / "index.npz")
+    meta = str(tmp_path / "idx" / "index.ids.npy")
+    dev = IVFPQIndex(**common, index_path=idx_path, meta_file=meta)
+    assert os.path.exists(idx_path[:-4] + ".refine.bin")
+
+    host = IVFPQIndex(**common, index_path=idx_path, meta_file=meta,
+                      refine_mode="host")
+    # host mode keeps rows OFF the device and out of RAM
+    assert host.refine_rows_dev is None
+    assert host.refine_rows_i8 is None
+    assert host.refine_row_file is not None
+
+    s_dev, i_dev = dev.search_ids(q, 10)
+    s_host, i_host = host.search_ids(q, 10)
+    np.testing.assert_array_equal(i_dev, i_host)
+    np.testing.assert_allclose(s_dev, s_host, atol=1e-4, rtol=1e-4)
+
+    # in-memory build (no index_path): host mode falls back to RAM rows
+    mem = IVFPQIndex(**common, refine_mode="host")
+    s_mem, i_mem = mem.search_ids(q, 10)
+    np.testing.assert_array_equal(i_mem, i_dev)
+
+
+def test_refine_mode_validation():
+    with pytest.raises(ValueError, match="refine_mode"):
+        IVFPQIndex(embed_paths=[], refine_mode="banana")

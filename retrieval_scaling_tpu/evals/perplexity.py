@@ -149,8 +149,21 @@ def make_row_loss_fn(cfg, mesh=None, tensor_parallel=False, params=None):
     ``cfg`` may be any supported reader config (GPT-NeoX or llama family).
     """
     from retrieval_scaling_tpu.models.hf_convert import reader_logits
+    from retrieval_scaling_tpu.models.loss import blockwise_row_lm_loss, use_blockwise
 
     def fn(params, ids, labels):
+        if use_blockwise(ids.shape[1], cfg.vocab_size):
+            # streamed loss (models/loss.py): head applied per sequence
+            # block, no [B, S, V] f32 round trip through HBM
+            from retrieval_scaling_tpu.models.hf_convert import (
+                reader_hidden,
+                reader_logits_from_hidden,
+            )
+
+            hidden = reader_hidden(params, cfg, ids)
+            return blockwise_row_lm_loss(
+                lambda h: reader_logits_from_hidden(params, cfg, h), hidden, labels
+            )
         logits = reader_logits(params, cfg, ids)
         shift_logits = logits[:, :-1]
         shift_labels = labels[:, 1:]

@@ -168,8 +168,11 @@ def gpt_neox_forward(
     params: Params,
     cfg: GPTNeoXConfig,
     input_ids: jax.Array,  # [B, S]
+    return_hidden: bool = False,
 ) -> jax.Array:
-    """Return logits [B, S, V]."""
+    """Return logits [B, S, V] (or the final-LN hidden states when
+    ``return_hidden`` — used by profiling ablations and the blockwise
+    loss path, which applies the vocab head per sequence block)."""
     b, s = input_ids.shape
     x = params["embed_in"][input_ids]
     if cfg.learned_positions:
@@ -205,6 +208,8 @@ def gpt_neox_forward(
             x = x + neox_mlp(layer, ln2, act)
 
     x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
+    if return_hidden:
+        return x
     return neox_logits(params, x)
 
 
@@ -221,6 +226,16 @@ def gpt_neox_lm(
     Returns (sum_loss, num_scored_tokens) so callers can aggregate across
     batches/devices exactly.
     """
+    from retrieval_scaling_tpu.models.loss import blockwise_row_lm_loss, use_blockwise
+
+    if use_blockwise(input_ids.shape[1], cfg.vocab_size):
+        # streamed loss: the [B, S, V] f32 logits/logprobs never
+        # materialize (models/loss.py)
+        hidden = gpt_neox_forward(params, cfg, input_ids, return_hidden=True)
+        row_loss, row_count = blockwise_row_lm_loss(
+            lambda h: neox_logits(params, h), hidden, labels
+        )
+        return jnp.sum(row_loss), jnp.sum(row_count)
     logits = gpt_neox_forward(params, cfg, input_ids)
     shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]

@@ -811,6 +811,27 @@ def reader_lm_loss(params, cfg, input_ids, labels):
     return gpt_neox_lm(params, cfg, input_ids, labels)
 
 
+def reader_hidden(params, cfg, input_ids):
+    """Architecture-dispatching forward to the FINAL-norm hidden states
+    (no vocab head) — the blockwise-loss entry point (models/loss.py)."""
+    from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
+    from retrieval_scaling_tpu.models.llama import llama_forward
+
+    if isinstance(cfg, LlamaConfig):
+        return llama_forward(params, cfg, input_ids)
+    return gpt_neox_forward(params, cfg, input_ids, return_hidden=True)
+
+
+def reader_logits_from_hidden(params, cfg, hidden):
+    """Vocab head only (incl. soft-capping / int8-head dispatch)."""
+    from retrieval_scaling_tpu.models.gpt_neox import neox_logits
+    from retrieval_scaling_tpu.models.llama import llama_logits
+
+    if isinstance(cfg, LlamaConfig):
+        return llama_logits(params, cfg, hidden)
+    return neox_logits(params, hidden)
+
+
 def reader_logits(params, cfg, input_ids):
     """Architecture-dispatching causal LM forward: logits [B, S, V]."""
     from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward

@@ -364,6 +364,14 @@ def llama_lm(
     labels: jax.Array,     # [B, S]; positions == -100 are not scored
 ) -> Tuple[jax.Array, jax.Array]:
     """HF-compatible causal LM loss; returns (sum_loss, num_scored_tokens)."""
+    from retrieval_scaling_tpu.models.loss import blockwise_row_lm_loss, use_blockwise
+
+    if use_blockwise(input_ids.shape[1], cfg.vocab_size):
+        hidden = llama_forward(params, cfg, input_ids)
+        row_loss, row_count = blockwise_row_lm_loss(
+            lambda h: llama_logits(params, cfg, h), hidden, labels
+        )
+        return jnp.sum(row_loss), jnp.sum(row_count)
     logits = llama_logits(params, cfg, llama_forward(params, cfg, input_ids))
     shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]

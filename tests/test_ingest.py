@@ -308,3 +308,40 @@ def test_prepare_split_unknown_split_raises(fake_hf, tmp_path):
     cfg = get_task("nq_open")
     with pytest.raises(KeyError, match="hf_split_map"):
         ingest.prepare_split(cfg, "test", cache_dir=str(tmp_path))
+
+
+# ---------------------------------------------------------------- raw data
+def test_download_raw_data_resumable(tmp_path):
+    """Raw-datastore downloader (reference: scripts/download_raw_data.sh):
+    hub-tree discovery, per-domain prefixes, resume-by-existence."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import download_raw_data as drd
+
+    tree = [
+        "dpr_wiki/wiki_dpr.jsonl",
+        "math/gsm8k.jsonl", "math/math.jsonl",
+        "pubmed/pubmed.jsonl",
+        "unrelated/readme.md",
+    ]
+    fetched = []
+
+    def fake_list(repo):
+        return tree
+
+    def fake_fetch(repo, path, out_path):
+        fetched.append(path)
+        with open(out_path, "w") as f:
+            f.write('{"text": "x"}\n')
+
+    out = str(tmp_path / "raw")
+    written = drd.download_domains(
+        ["dpr_wiki", "math"], out, list_fn=fake_list, fetch_fn=fake_fetch
+    )
+    assert sorted(fetched) == ["dpr_wiki/wiki_dpr.jsonl", "math/gsm8k.jsonl", "math/math.jsonl"]
+    assert all(os.path.exists(p) for p in written)
+
+    # resume: existing files are skipped
+    fetched.clear()
+    drd.download_domains(["dpr_wiki", "math", "pubmed"], out,
+                         list_fn=fake_list, fetch_fn=fake_fetch)
+    assert fetched == ["pubmed/pubmed.jsonl"]

@@ -483,3 +483,86 @@ def test_reader_conversion_cache_roundtrip(tmp_path):
     assert cfg2 == cfg1
     got = np.asarray(reader_logits(params2, cfg2, ids))
     np.testing.assert_array_equal(got, ref)
+
+
+# ------------------------------------------------------------ blockwise loss
+def test_blockwise_loss_matches_dense():
+    """The streamed (blockwise) LM loss must equal the dense path — per-row
+    sums and counts — including -100 masking, pad tails, and odd lengths."""
+    import jax
+
+    from retrieval_scaling_tpu.models.gpt_neox import (
+        GPTNeoXConfig,
+        gpt_neox_forward,
+        gpt_neox_lm,
+        init_gpt_neox_params,
+        neox_logits,
+    )
+    from retrieval_scaling_tpu.models.loss import blockwise_row_lm_loss
+
+    cfg = GPTNeoXConfig(
+        vocab_size=131, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=64, attention_impl="xla",
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 131, (3, 37)), jnp.int32)  # odd length
+    labels = np.asarray(ids).copy()
+    labels[0, :10] = -100
+    labels[1, 20:] = -100
+    labels[2, :] = -100  # fully masked row
+    labels = jnp.asarray(labels)
+
+    dense_sum, dense_n = gpt_neox_lm(params, cfg, ids, labels)
+
+    hidden = gpt_neox_forward(params, cfg, ids, return_hidden=True)
+    row_loss, row_n = blockwise_row_lm_loss(
+        lambda h: neox_logits(params, h), hidden, labels, block=16
+    )
+    assert row_loss.shape == (3,) and row_n.shape == (3,)
+    assert int(row_n[2]) == 0 and float(row_loss[2]) == 0.0
+    np.testing.assert_allclose(float(jnp.sum(row_loss)), float(dense_sum), rtol=1e-5)
+    assert int(jnp.sum(row_n)) == int(dense_n)
+
+    # per-row values match a dense per-row recomputation
+    logits = gpt_neox_forward(params, cfg, ids)
+    lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    lab = np.asarray(labels)[:, 1:]
+    for b in range(3):
+        want = -sum(
+            float(lp[b, t, lab[b, t]]) for t in range(lab.shape[1]) if lab[b, t] != -100
+        )
+        np.testing.assert_allclose(float(row_loss[b]), want, rtol=1e-5, atol=1e-5)
+
+
+def test_blockwise_loss_llama_softcap_head():
+    """Blockwise loss through llama_logits keeps the Gemma-2 final-logit
+    soft-cap (head_fn owns the head, cap included)."""
+    import jax
+
+    from retrieval_scaling_tpu.models.llama import (
+        LlamaConfig,
+        init_llama_params,
+        llama_forward,
+        llama_lm,
+        llama_logits,
+    )
+    from retrieval_scaling_tpu.models.loss import blockwise_row_lm_loss
+
+    cfg = LlamaConfig(
+        vocab_size=97, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, max_position_embeddings=64,
+        final_logit_softcap=10.0, attention_impl="xla",
+    )
+    params = init_llama_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(0, 97, (2, 24)), jnp.int32)
+    labels = jnp.asarray(np.where(np.arange(24)[None, :] < 5, -100, np.asarray(ids)))
+
+    dense_sum, dense_n = llama_lm(params, cfg, ids, labels)
+    hidden = llama_forward(params, cfg, ids)
+    row_loss, row_n = blockwise_row_lm_loss(
+        lambda h: llama_logits(params, cfg, h), hidden, labels, block=8
+    )
+    np.testing.assert_allclose(float(jnp.sum(row_loss)), float(dense_sum), rtol=1e-5)
+    assert int(jnp.sum(row_n)) == int(dense_n)

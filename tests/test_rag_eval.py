@@ -132,12 +132,13 @@ def test_multiple_choice_scoring_and_mmlu_group(tmp_path):
 
     class OracleLM:
         def loglikelihood(self, pairs):
-            # highest ll for the gold choice: continuation matching "pick i" index
+            # highest ll for the gold LETTER (reference-faithful mmlu
+            # scores " A"/" B"/... continuations, not the choice texts)
             out = []
             for ctx, cont in pairs:
                 i = int(ctx.split("pick ")[1][0])
-                gold = ["alpha", "beta", "gamma", "delta"][i % 4]
-                out.append((0.0 if gold in cont else -10.0, False))
+                gold = ["A", "B", "C", "D"][i % 4]
+                out.append((0.0 if cont.strip() == gold else -10.0, False))
             return out
 
     res = simple_evaluate(OracleLM(), ["mmlu"], data_root=str(tmp_path))

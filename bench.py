@@ -386,10 +386,62 @@ def main() -> None:
         f"{serving_p50:.2f} ms vs reference <30 ms"
     )
 
+    # ---- aux: fused sliding-window flash attention (Mistral/Gemma-2/Phi-3)
+    # Round 2 downgraded windowed models to XLA attention ([S, S] scores in
+    # HBM); the window band + soft-cap are now fused into the flash kernel
+    # with O(S * window) key-block bounds.
+    from retrieval_scaling_tpu.ops.flash_attention import flash_attention, xla_attention
+
+    wb, wh, ws, wd, wwin = 4, 16, 2048, 128, 1024
+    q_w = jnp.asarray(rng.randn(wb, wh, ws, wd), jnp.bfloat16)
+    k_w = jnp.asarray(rng.randn(wb, wh, ws, wd), jnp.bfloat16)
+    v_w = jnp.asarray(rng.randn(wb, wh, ws, wd), jnp.bfloat16)
+    wi = 8
+
+    def win_loop_xla(params, args):
+        qq, kk, vv = args
+
+        def body(i, acc):
+            out = xla_attention(qq + acc * 0.0, kk, vv, causal=True, window=wwin)
+            return acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, wi, body, jnp.zeros((), jnp.float32))
+
+    def win_loop_flash(params, args):
+        qq, kk, vv = args
+
+        def body(i, acc):
+            out = flash_attention(qq + acc * 0.0, kk, vv, causal=True, window=wwin)
+            return acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, wi, body, jnp.zeros((), jnp.float32))
+
+    ms_win_xla = timed_loop(f"window attn XLA S{ws} w{wwin}", win_loop_xla, wi, big=(q_w, k_w, v_w))
+    ms_win_flash = timed_loop(f"window attn flash S{ws} w{wwin}", win_loop_flash, wi, big=(q_w, k_w, v_w))
+    win_err = float(
+        np.max(np.abs(
+            np.asarray(xla_attention(q_w, k_w, v_w, causal=True, window=wwin), np.float32)
+            - np.asarray(flash_attention(q_w, k_w, v_w, causal=True, window=wwin), np.float32)
+        ))
+    )
+    log(
+        f"flash window speedup S={ws} w={wwin}: {ms_win_xla / ms_win_flash:.2f}x "
+        f"(on-chip max abs err {win_err:.2e})"
+    )
+    del q_w, k_w, v_w
+
     # ---- aux: reader scoring throughput (Pythia-1B config, 8 x 1024) ------
     # The perplexity-inference hot loop (reference runs it at batch 1 on GPU,
     # src/evaluate_perplexity.py:114-139); here label-masked batched scoring.
-    from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, gpt_neox_lm, init_gpt_neox_params
+    # gpt_neox_lm auto-routes to the blockwise (streamed) loss on TPU
+    # (models/loss.py); the dense path is measured alongside for the
+    # ablation record.
+    from retrieval_scaling_tpu.models.gpt_neox import (
+        GPTNeoXConfig,
+        gpt_neox_forward,
+        gpt_neox_lm,
+        init_gpt_neox_params,
+    )
 
     rcfg = GPTNeoXConfig()  # pythia-1b shape: 16 layers x 2048 hidden
     rparams = init_gpt_neox_params(rcfg, jax.random.PRNGKey(3), dtype=jnp.bfloat16)
@@ -410,6 +462,160 @@ def main() -> None:
     per_reader = timed_loop(f"reader ppl scoring b{rb}x{rs}", reader_loop, ri, big=rparams)
     reader_tok_s = rb * rs / (per_reader / 1e3)
     log(f"reader scoring throughput: {reader_tok_s:.0f} tokens/s (Pythia-1B config)")
+
+    def reader_loop_dense(params, reader_params):
+        def body(i, acc):
+            ids = r_ids + (acc * 0.0).astype(jnp.int32)
+            logits = gpt_neox_forward(reader_params, rcfg, ids)
+            shift_labels = r_labels[:, 1:]
+            mask = shift_labels != -100
+            safe = jnp.where(mask, shift_labels, 0)
+            lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            tok = jnp.take_along_axis(lp, safe[..., None], axis=-1)[..., 0]
+            return acc - jnp.sum(tok * mask) * 1e-12
+        return jax.lax.fori_loop(0, ri, body, jnp.zeros((), jnp.float32))
+
+    per_reader_dense = timed_loop(
+        f"reader ppl DENSE loss b{rb}x{rs}", reader_loop_dense, ri, big=rparams
+    )
+    log(
+        f"blockwise loss speedup: {per_reader_dense / per_reader:.2f}x "
+        f"({per_reader_dense:.1f} -> {per_reader:.1f} ms)"
+    )
+
+    # ---- aux: build path (the reference's one hard number is a BUILD
+    # number: 1B tokens -> 3.52M passages in ~47 min on an L40) ------------
+    from retrieval_scaling_tpu.ops.kmeans import (
+        _lloyd_iteration,
+        assign_clusters,
+        pq_encode,
+    )
+
+    bn, bd, bc = 500_000, 768, 4096
+    b_sample = jax.jit(lambda kk: jax.random.normal(kk, (bn, bd), jnp.float32))(
+        jax.random.PRNGKey(7)
+    )
+    b_sample.block_until_ready()
+    b_cents = b_sample[:bc]
+
+    def kmeans_loop(params, args):
+        sample, cents = args
+
+        def body(i, c):
+            sums, counts, _ = _lloyd_iteration(sample, c + 0.0, bc, 65536)
+            return sums / jnp.maximum(counts[:, None], 1.0)
+
+        return jax.lax.fori_loop(0, 2, body, cents)
+
+    ms_kmeans = timed_loop(f"kmeans iter {bn}x{bd} c{bc}", kmeans_loop, 2, big=(b_sample, b_cents))
+
+    bm = 16
+    b_books = jax.random.normal(jax.random.PRNGKey(8), (bm, 256, bd // bm), jnp.float32)
+
+    def pq_encode_loop(params, args):
+        sample, books = args
+
+        def body(i, acc):
+            codes = pq_encode(sample + acc * 0.0, books)
+            return acc + codes[0, 0].astype(jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, 2, body, jnp.zeros((), jnp.float32))
+
+    ms_pq_enc = timed_loop(f"pq encode {bn}x{bd} m{bm}", pq_encode_loop, 2, big=(b_sample, b_books))
+
+    def assign_loop(params, args):
+        sample, cents = args
+
+        def body(i, acc):
+            a = assign_clusters(sample + acc * 0.0, cents, bc, metric="ip")
+            return acc + a[0].astype(jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, 2, body, jnp.zeros((), jnp.float32))
+
+    ms_assign = timed_loop(f"ivf assign {bn} c{bc}", assign_loop, 2, big=(b_sample, b_cents))
+    del b_sample
+
+    # 1B-token datastore build estimate on ONE chip: 3.52M passages through
+    # encode (int8 FFN rate) + assign + PQ encode; k-means train (20 iters
+    # on a 1M sample) is a one-off added on top.
+    n_psg_1b = 3_518_123
+    encode_s = n_psg_1b / psg_q
+    assign_s = n_psg_1b / (bn / (ms_assign / 1e3))
+    pq_s = n_psg_1b / (bn / (ms_pq_enc / 1e3))
+    kmeans_train_s = ms_kmeans * 20 / 1e3 * 2  # 2x sample of the bench size
+    build_min = (encode_s + assign_s + pq_s + kmeans_train_s) / 60
+    log(
+        f"1B-token datastore build estimate: {build_min:.1f} min/chip "
+        f"(encode {encode_s:.0f}s + assign {assign_s:.1f}s + pq {pq_s:.1f}s "
+        f"+ kmeans {kmeans_train_s:.0f}s; reference L40 ~47 min)"
+    )
+
+    # ---- aux: continuous batching vs static bucketed generation ----------
+    # Mixed-length generate_until workload (the vLLM-analog claim): static
+    # bucketed batches pay head-of-line blocking to the slowest row.
+    from retrieval_scaling_tpu.models.continuous_batching import ContinuousBatcher
+    from retrieval_scaling_tpu.models.generate import make_generate_fn as _mk_gen
+
+    gcfg = GPTNeoXConfig(
+        vocab_size=50304, hidden_size=1024, num_layers=8, num_heads=16,
+        intermediate_size=4096, max_position_embeddings=2048,
+    )
+    gparams = init_gpt_neox_params(gcfg, jax.random.PRNGKey(5), dtype=jnp.bfloat16)
+    cb_n, cb_bs = 16, 8
+    cb_plens = rng.choice([32, 64, 128, 256], cb_n)
+    cb_prompts = [rng.randint(1, 50304, int(L)).tolist() for L in cb_plens]
+    cb_budgets = rng.choice([16, 32, 64, 128], cb_n).tolist()
+    cb_gen_fns = {}
+
+    def cb_static_run():
+        order = sorted(range(cb_n), key=lambda i: len(cb_prompts[i]))
+        t0 = time.perf_counter()
+        for lo in range(0, cb_n, cb_bs):
+            take = order[lo : lo + cb_bs]
+            mx = max(cb_budgets[i] for i in take)
+            width = 32
+            while width < max(len(cb_prompts[i]) for i in take):
+                width *= 2
+            key_ = (width, mx)
+            if key_ not in cb_gen_fns:
+                cb_gen_fns[key_] = _mk_gen(gcfg, mx, eos_id=0)
+            ids = np.zeros((cb_bs, width), np.int32)
+            lens = np.ones(cb_bs, np.int32)
+            for r, i in enumerate(take):
+                ids[r, : len(cb_prompts[i])] = cb_prompts[i]
+                lens[r] = len(cb_prompts[i])
+            np.asarray(cb_gen_fns[key_](gparams, jnp.asarray(ids), jnp.asarray(lens), 0))
+        return time.perf_counter() - t0
+
+    cb_static_run()  # compile
+    static_s = cb_static_run()
+    # static device work: each bucket batch decodes to its max budget
+    order = sorted(range(cb_n), key=lambda i: len(cb_prompts[i]))
+    static_slot_steps = sum(
+        cb_bs * max(cb_budgets[i] for i in order[lo : lo + cb_bs])
+        for lo in range(0, cb_n, cb_bs)
+    )
+    engine = ContinuousBatcher(gparams, gcfg, eos_id=0, slots=cb_bs, max_len=768, chunk=32)
+    reqs = [(cb_prompts[i], cb_budgets[i]) for i in range(cb_n)]
+    engine.generate(reqs)  # compile
+    engine.stats = {"decode_chunks": 0, "prefills": 0}
+    t0 = time.perf_counter()
+    engine.generate(reqs)
+    cb_s = time.perf_counter() - t0
+    cb_slot_steps = engine.stats["decode_chunks"] * cb_bs * engine.chunk
+    # Wall clock through the relayed bench harness overstates CB's cost:
+    # CB syncs to the host once per 32-token chunk (stop strings / eos /
+    # admission), each paying the tunnel RTT, while the static path makes
+    # ~3 device calls total. Deployed locally the sync is sub-ms, so
+    # device slot-steps (what the chip actually executes) is the
+    # hardware-honest comparison; both are reported.
+    log(
+        f"mixed-length generation: static bucketed {static_s:.2f}s "
+        f"({static_slot_steps} slot-steps) vs continuous batching "
+        f"{cb_s:.2f}s ({cb_slot_steps} slot-steps) — device-work ratio "
+        f"{static_slot_steps / max(cb_slot_steps, 1):.2f}x"
+    )
+    del gparams, engine
 
     # ---- aux: reader decode throughput, bf16 vs int8 weight streaming -----
     # Decode is weight-bytes/HBM-bandwidth bound; int8 reader weights
@@ -459,7 +665,22 @@ def main() -> None:
                     "ivf_pq_qps_nprobe64_m16": round(pq_qps, 1),
                     "ivf_pq_refine_qps_recall098": round(pqr_qps, 1),
                     "serving_p50_ms": round(serving_p50, 3),
+                    "flash_window_speedup_s2048_w1024": round(ms_win_xla / ms_win_flash, 2),
+                    "flash_window_max_abs_err": win_err,
                     "reader_tokens_per_s": round(reader_tok_s, 1),
+                    "reader_dense_loss_ms": round(per_reader_dense, 2),
+                    "reader_blockwise_speedup": round(per_reader_dense / per_reader, 2),
+                    "build_kmeans_ms_per_iter_500k_c4096": round(ms_kmeans, 1),
+                    "build_pq_encode_rows_per_s": round(bn / (ms_pq_enc / 1e3)),
+                    "build_assign_rows_per_s": round(bn / (ms_assign / 1e3)),
+                    "build_1b_tokens_est_min": round(build_min, 1),
+                    "gen_static_bucketed_s": round(static_s, 2),
+                    "gen_continuous_batching_s": round(cb_s, 2),
+                    "gen_static_slot_steps": static_slot_steps,
+                    "gen_cb_slot_steps": cb_slot_steps,
+                    "gen_cb_device_work_ratio": round(
+                        static_slot_steps / max(cb_slot_steps, 1), 2
+                    ),
                     "decode_bf16_tok_s": round(decode_bf16, 1),
                     "decode_int8_tok_s": round(decode_int8, 1),
                     "backend": backend,

@@ -81,6 +81,10 @@ class ContinuousBatcher:
         self.chunk = int(chunk)
         self.pool = init_cache(cfg, self.slots, self.max_len, dtype=dtype)
         self._prefill_fns = {}
+        # device-work accounting (decode_chunks * slots * chunk = slot-steps
+        # executed; wall clock through a relayed harness overstates the
+        # per-chunk sync cost, slot-steps do not)
+        self.stats = {"decode_chunks": 0, "prefills": 0}
 
         # ---- decode chunk: scan `chunk` single-token steps over the pool
         def decode_chunk(params, pool: KVCache, last, cur_len):
@@ -181,6 +185,7 @@ class ContinuousBatcher:
                 first, pre = self._prefill_fn(width)(
                     self.params, jnp.asarray(ids), jnp.asarray([len(prompt)], np.int32)
                 )
+                self.stats["prefills"] += 1
                 slot = free.pop()
                 # slot as a device scalar: a Python int would bake the slot
                 # index into the compilation and recompile per slot
@@ -203,6 +208,7 @@ class ContinuousBatcher:
             pool, last_j, cur_j, toks = self._decode_chunk(
                 self.params, self.pool, jnp.asarray(last), jnp.asarray(cur_len)
             )
+            self.stats["decode_chunks"] += 1
             self.pool = pool
             toks_np = np.asarray(toks)
             last = np.asarray(last_j).copy()

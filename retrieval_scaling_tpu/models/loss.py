@@ -19,7 +19,7 @@ import jax.numpy as jnp
 IGNORE_INDEX = -100
 
 
-def blockwise_row_lm_loss(head_fn, hidden: jax.Array, labels: jax.Array, block: int = 256):
+def blockwise_row_lm_loss(head_fn, hidden: jax.Array, labels: jax.Array, block: int = 128):
     """Per-row (NLL sum [B], scored-token count [B]).
 
     ``head_fn(h_blk) -> logits`` applies the vocab head (including any

@@ -447,11 +447,11 @@ def test_opt_generation_matches_hf():
     np.testing.assert_array_equal(out[0], ref)
 
 
-def test_reader_conversion_cache_roundtrip(tmp_path):
-    """load_hf_reader(cache_dir=...) caches converted params; a reload uses
-    the cache even after the HF checkpoint is gone, with identical logits."""
-    import shutil
-
+def test_reader_conversion_cache_roundtrip(tmp_path, monkeypatch):
+    """load_hf_reader(cache_dir=...) caches converted params keyed on the
+    checkpoint's weight files: an unchanged checkpoint reloads from cache
+    (no torch load), and an EDITED weight file misses the cache instead of
+    silently serving stale params (round-2 advisor finding)."""
     import torch
     import transformers
     import jax.numpy as jnp
@@ -475,14 +475,30 @@ def test_reader_conversion_cache_roundtrip(tmp_path):
     ids = jnp.asarray(np.random.RandomState(0).randint(0, 96, (2, 8)), jnp.int32)
     ref = np.asarray(reader_logits(params1, cfg1, ids))
 
-    # corrupt the weights (config.json untouched -> same cache key): the
-    # cached load must never read them
-    for f in list(model_dir.glob("*.safetensors")) + list(model_dir.glob("*.bin")):
-        f.write_bytes(b"garbage")
+    # unchanged checkpoint: the reload must come from cache (torch load
+    # poisoned to prove it is skipped)
+    def boom(*a, **k):
+        raise AssertionError("cache miss: torch load was invoked")
+
+    monkeypatch.setattr(
+        transformers.AutoModelForCausalLM, "from_pretrained", boom
+    )
     params2, cfg2 = load_hf_reader(str(model_dir), cache_dir=str(cache))
     assert cfg2 == cfg1
-    got = np.asarray(reader_logits(params2, cfg2, ids))
-    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(np.asarray(reader_logits(params2, cfg2, ids)), ref)
+    monkeypatch.undo()
+
+    # edited weights (config.json untouched): stale cache must NOT be
+    # served — the changed key forces a reconversion, which reads the now-
+    # corrupt weights and fails loudly instead of returning old params
+    import os
+    import time
+
+    for f in list(model_dir.glob("*.safetensors")) + list(model_dir.glob("*.bin")):
+        f.write_bytes(b"garbage")
+        os.utime(f, (time.time() + 5, time.time() + 5))
+    with pytest.raises(Exception):
+        load_hf_reader(str(model_dir), cache_dir=str(cache))
 
 
 # ------------------------------------------------------------ blockwise loss

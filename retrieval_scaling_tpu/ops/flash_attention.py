@@ -210,8 +210,15 @@ def flash_attention(
     kv_mask: jax.Array | None = None,
     causal: bool = False,
     sm_scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    # Measured on v5e at the reader shape (b8 h16 S1024 d128): 256x256
+    # blocks 5.15 ms, 512x1024 3.86 ms (1.33x; S=2048 6.28 -> 5.40).
+    # Larger q blocks amortize per-program cost; block_k only sets the
+    # inner-loop tile (K/V are whole-S resident per program regardless).
+    # Segmented (packed) rows keep 256x256: a 512-token q block widens the
+    # [min lo, max hi) key span across more segments, re-paying the scan
+    # the bigger q block saved.
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
     segment_ids: jax.Array | None = None,
     logit_cap: float | None = None,
@@ -231,6 +238,10 @@ def flash_attention(
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    if block_q is None:
+        block_q = 256 if segment_ids is not None else 512
+    if block_k is None:
+        block_k = 256 if segment_ids is not None else 1024
     if sm_scale is None:
         sm_scale = d**-0.5
     if window is not None:

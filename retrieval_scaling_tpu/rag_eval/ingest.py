@@ -442,6 +442,70 @@ def _cmmlu(row):
     }
 
 
+# ---------------------------------------------------------------- scrolls
+# tau/scrolls rows: {id, pid, input, output}; query tasks prepend the
+# question to the text with a blank line (reference:
+# lm_eval/tasks/scrolls/task.py _process_doc_prepended_question). Note:
+# multi-reference grouping by id (NarrativeQA) is row-wise here — each row
+# scores against its own reference.
+@register_shim("scrolls_summary")
+def _scrolls_summary(row):
+    if row.get("output") is None:
+        return None
+    return {"input": row["input"], "answers": [row["output"]]}
+
+
+def _scrolls_split_question(row):
+    text = row["input"]
+    split = text.find("\n\n")
+    return text[:split], text[split + 2 :]
+
+
+@register_shim("scrolls_prepended")
+def _scrolls_prepended(row):
+    if row.get("output") is None:
+        return None
+    question, text = _scrolls_split_question(row)
+    return {"question": question, "text": text, "answers": [row["output"]]}
+
+
+@register_shim("scrolls_quality")
+def _scrolls_quality(row):
+    # choices are embedded in the text as "(A) ... (B) ..." up to the
+    # paragraph after (D) (reference: task.py QuALITY._process_doc)
+    if row.get("output") is None:
+        return None
+    question, text = _scrolls_split_question(row)
+    split = text.find("\n\n", text.find("(D)"))
+    choices_text = text[:split]
+    body = text[split:].strip()
+    choices = [
+        " ".join(c.split()).strip()
+        for c in re.split(r" *\([A-D]\) *", choices_text)[1:]
+    ]
+    gold_text = " ".join(row["output"].split()).strip()
+    if gold_text not in choices:
+        return None
+    return {
+        "question": question, "text": body, "choices": choices,
+        "gold": choices.index(gold_text),
+    }
+
+
+@register_shim("scrolls_contractnli")
+def _scrolls_contractnli(row):
+    if row.get("output") is None:
+        return None
+    choices = ["Not mentioned", "Entailment", "Contradiction"]
+    question, text = _scrolls_split_question(row)
+    if row["output"] not in choices:
+        return None
+    return {
+        "question": question, "text": text, "choices": choices,
+        "gold": choices.index(row["output"]),
+    }
+
+
 # ---------------------------------------------------------------- bigbench
 @register_shim("bigbench_mc")
 def _bigbench_mc(row):

@@ -210,6 +210,67 @@ def corpus_bleu(pairs: List[tuple], max_n: int = 4) -> float:
 METRICS["wer"] = word_error_rate
 
 
+# ---------------------------------------------------------------- rouge
+# ROUGE-1/2/L f-measures with rouge_score semantics (lowercase, alnum
+# tokens, Porter stemming of tokens > 3 chars, best-reference max) — the
+# SCROLLS summarization metrics (reference: lm_eval/tasks/scrolls/task.py
+# _SCROLLSSummaryTask via the tau/scrolls rouge metric).
+def _rouge_tokens(text: str) -> List[str]:
+    from retrieval_scaling_tpu.utils.porter import porter_stem
+
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    return [porter_stem(t) if len(t) > 3 else t for t in toks]
+
+
+def _fmeasure(match: int, n_pred: int, n_ref: int) -> float:
+    if match == 0:
+        return 0.0
+    p, r = match / n_pred, match / n_ref
+    return 2 * p * r / (p + r)
+
+
+def _rouge_n_single(pred_toks, ref_toks, n: int) -> float:
+    pg = Counter(tuple(pred_toks[i : i + n]) for i in range(len(pred_toks) - n + 1))
+    rg = Counter(tuple(ref_toks[i : i + n]) for i in range(len(ref_toks) - n + 1))
+    overlap = sum((pg & rg).values())
+    return _fmeasure(overlap, max(sum(pg.values()), 1), max(sum(rg.values()), 1))
+
+
+def _lcs_len(a, b) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_n(prediction: str, references: Sequence[str], n: int = 1) -> float:
+    pred = _rouge_tokens(prediction)
+    return max(
+        (_rouge_n_single(pred, _rouge_tokens(r), n) for r in references),
+        default=0.0,
+    )
+
+
+def rouge_l(prediction: str, references: Sequence[str]) -> float:
+    pred = _rouge_tokens(prediction)
+    best = 0.0
+    for ref in references:
+        rt = _rouge_tokens(ref)
+        lcs = _lcs_len(pred, rt)
+        best = max(best, _fmeasure(lcs, max(len(pred), 1), max(len(rt), 1)))
+    return best
+
+
+METRICS["rouge1"] = lambda p, refs: rouge_n(p, refs, 1)
+METRICS["rouge2"] = lambda p, refs: rouge_n(p, refs, 2)
+METRICS["rougeL"] = rouge_l
+
+
 # ---------------------------------------------------------------- stderr
 # Standard-error machinery matching the reference harness (reference:
 # rag-evaluation-harness/lm_eval/api/metrics.py:233-291,404-472): every

@@ -307,6 +307,13 @@ GROUPS: Dict[str, List[str]] = {
         "lambada_openai", "logiqa", "piqa", "sciq", "wikitext", "winogrande",
         "wsc", "ai2_arc", "blimp", "mmlu",
     ],
+    # SCROLLS long-document suite (reference: lm_eval/tasks/scrolls/task.py;
+    # qasper runs as the existing qasper_bool/qasper_freeform pair)
+    "scrolls": [
+        "scrolls_govreport", "scrolls_summscreenfd", "scrolls_qmsum",
+        "scrolls_narrativeqa", "scrolls_quality", "scrolls_contractnli",
+        "qasper_bool", "qasper_freeform",
+    ],
     # okapi multilingual rollups (reference: lm_eval/tasks/okapi/* groups)
     "arc_multilingual": [f"arc_{s}" for s in OKAPI_ARC_LANGS],
     "hellaswag_multilingual": [f"hellaswag_{s}" for s in OKAPI_HELLASWAG_LANGS],

@@ -205,3 +205,70 @@ def test_nq_open_yaml_carries_reference_fidelity():
     assert cfg.description == "Answer these questions:\n\n"
     assert cfg.metric_options["exact_match"]["ignore_case"] is True
     assert cfg.hf_path == "nq_open"
+
+
+# ---------------------------------------------------------------- rouge
+def test_rouge_metrics():
+    from retrieval_scaling_tpu.rag_eval.metrics import METRICS, rouge_l, rouge_n
+
+    # identical texts -> 1.0 everywhere
+    assert rouge_n("the cat sat on the mat", ["the cat sat on the mat"], 1) == 1.0
+    assert rouge_n("the cat sat on the mat", ["the cat sat on the mat"], 2) == 1.0
+    assert rouge_l("the cat sat on the mat", ["the cat sat on the mat"]) == 1.0
+    # disjoint -> 0
+    assert METRICS["rouge1"]("alpha beta", ["gamma delta"]) == 0.0
+    # hand-computed rouge-1: pred {a,b,c}, ref {a,b,d} -> overlap 2,
+    # p = 2/3, r = 2/3, f = 2/3
+    assert METRICS["rouge1"]("aaaa bbbb cccc", ["aaaa bbbb dddd"]) == pytest.approx(2 / 3)
+    # rouge-L respects order: "a b c" vs "c b a" -> LCS 1 of 3
+    assert rouge_l("aaaa bbbb cccc", ["cccc bbbb aaaa"]) == pytest.approx(1 / 3)
+    # stemming folds inflections (Porter): running ~ run
+    assert METRICS["rouge1"]("running quickly", ["runs quickly"]) == pytest.approx(1.0)
+    # multi-reference: best reference wins
+    assert METRICS["rouge1"]("aaaa bbbb", ["zzzz", "aaaa bbbb"]) == 1.0
+
+
+def test_scrolls_tasks_resolve_and_score(tmp_path):
+    from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+    from retrieval_scaling_tpu.rag_eval.models import EchoAnswerLM
+    from retrieval_scaling_tpu.rag_eval.tasks import GROUPS, get_task
+
+    assert "scrolls" in GROUPS
+    cfg = get_task("scrolls_govreport")
+    assert cfg.metric_list == ["rouge1", "rouge2", "rougeL"]
+
+    d = tmp_path / "scrolls_govreport"
+    d.mkdir()
+    with open(d / "validation.jsonl", "w") as f:
+        f.write(json.dumps({"input": "A long government report body.",
+                            "answers": ["the report summary"]}) + "\n")
+    lm = EchoAnswerLM(lambda ctx: "the report summary")
+    res = simple_evaluate(lm, ["scrolls_govreport"], data_root=str(tmp_path),
+                          bootstrap_iters=0)
+    row = res["results"]["scrolls_govreport"]
+    assert row["rouge1"] == 1.0 and row["rougeL"] == 1.0
+
+
+def test_scrolls_shims():
+    from retrieval_scaling_tpu.rag_eval import ingest
+
+    row = {"id": "1", "pid": "1", "input": "What happened?\n\nThe long doc.",
+           "output": "a thing"}
+    doc = ingest.PROCESS_DOCS["scrolls_prepended"](row)
+    assert doc == {"question": "What happened?", "text": "The long doc.",
+                   "answers": ["a thing"]}
+
+    qrow = {"id": "1", "pid": "1",
+            "input": "Which?\n\n (A) cat (B) dog (C) owl (D) fox\n\nStory body.",
+            "output": "dog"}
+    qdoc = ingest.PROCESS_DOCS["scrolls_quality"](qrow)
+    assert qdoc["choices"] == ["cat", "dog", "owl", "fox"]
+    assert qdoc["gold"] == 1 and qdoc["text"] == "Story body."
+
+    crow = {"id": "1", "pid": "1", "input": "Hyp.\n\nContract text.",
+            "output": "Entailment"}
+    cdoc = ingest.PROCESS_DOCS["scrolls_contractnli"](crow)
+    assert cdoc["gold"] == 1
+
+    # unanswerable/missing outputs drop
+    assert ingest.PROCESS_DOCS["scrolls_summary"]({"input": "x", "output": None}) is None

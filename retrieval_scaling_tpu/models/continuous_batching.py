@@ -46,6 +46,23 @@ def _bucket(length: int, cap: int) -> int:
     return min(b, max(cap, 1))
 
 
+def clamp_request(prompt_ids, max_new: int, max_len: int, min_prompt: int = 16):
+    """(prompt, max_new, prefill_width) with the invariants the slot pool
+    needs: prompt fits its bucket, prompt_len + max_new <= max_len, and at
+    least ``min_prompt`` prompt tokens survive even when the caller asks
+    for max_new >= max_len (previously `[-0:]` kept the whole prompt and
+    the width bucket collapsed to 1 — a broadcast crash)."""
+    max_new = max(int(max_new), 1)
+    budget = max_len - max_new
+    if budget < min_prompt:
+        budget = min(min_prompt, max_len - 1)
+        max_new = max_len - budget
+    prompt = list(prompt_ids)[-budget:]
+    width = _bucket(len(prompt), budget)
+    assert width >= len(prompt)
+    return prompt, max_new, width
+
+
 class ContinuousBatcher:
     """Token-level continuous-batching generator.
 
@@ -178,8 +195,7 @@ class ContinuousBatcher:
             while pending and free:
                 i = pending.pop()  # shortest-first from the back
                 prompt, max_new = requests[i]
-                prompt = list(prompt)[-(self.max_len - max_new):]
-                width = _bucket(len(prompt), self.max_len - max_new)
+                prompt, max_new, width = clamp_request(prompt, max_new, self.max_len)
                 ids = np.full((1, width), self.eos_id, np.int32)
                 ids[0, : len(prompt)] = prompt
                 first, pre = self._prefill_fn(width)(

@@ -14,6 +14,7 @@ prefix weights with ``encoder_q.``/``encoder.``
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Dict, Mapping
 
 import numpy as np
@@ -701,7 +702,7 @@ def _unflatten_params(flat: Mapping[str, np.ndarray]):
 _READER_CFG_CLASSES = {"GPTNeoXConfig": GPTNeoXConfig, "LlamaConfig": LlamaConfig}
 
 
-def _save_cached_reader(base: str, params, cfg) -> None:
+def _save_cached_reader(base: str, params, cfg, revision: str | None = None) -> None:
     import dataclasses
     import json
     import os
@@ -710,6 +711,8 @@ def _save_cached_reader(base: str, params, cfg) -> None:
     np.savez(base + ".tmp", **_flatten_params(params))
     os.replace(base + ".tmp.npz", base + ".npz")
     meta = {"family": type(cfg).__name__, "fields": dataclasses.asdict(cfg)}
+    if revision:
+        meta["revision"] = revision
     with open(base + ".json.tmp", "w") as f:
         json.dump(meta, f)
     os.replace(base + ".json.tmp", base + ".json")
@@ -730,10 +733,24 @@ def _load_cached_reader(base: str):
     return params, cfg
 
 
+def _hub_revision(name_or_path: str) -> str | None:
+    """Resolved commit hash of a hub model's config.json in the local hub
+    cache (None when unresolvable, e.g. before the first download)."""
+    try:
+        from huggingface_hub import try_to_load_from_cache
+
+        ref = try_to_load_from_cache(str(name_or_path), "config.json")
+        if isinstance(ref, str):
+            # .../snapshots/<commit_hash>/config.json
+            return os.path.basename(os.path.dirname(ref))
+    except Exception:
+        pass
+    return None
+
+
 def _reader_cache_base(cache_dir: str, name_or_path: str, dtype) -> str:
     import glob as _glob
     import hashlib
-    import os
 
     stamps = []
     if os.path.isdir(str(name_or_path)):
@@ -743,18 +760,11 @@ def _reader_cache_base(cache_dir: str, name_or_path: str, dtype) -> str:
             for f in sorted(_glob.glob(os.path.join(str(name_or_path), pattern))):
                 st = os.stat(f)
                 stamps.append(f"{os.path.basename(f)}:{st.st_mtime_ns}:{st.st_size}")
-    else:
-        # Hub models: pin the resolved revision (commit hash) when the hub
-        # cache has one, so a moved branch pointer invalidates the cache.
-        try:
-            from huggingface_hub import try_to_load_from_cache
-
-            ref = try_to_load_from_cache(str(name_or_path), "config.json")
-            if isinstance(ref, str):
-                # .../snapshots/<commit_hash>/config.json
-                stamps.append(os.path.basename(os.path.dirname(ref)))
-        except Exception:
-            pass
+    # Hub models: the key is name+dtype only (stable across the first two
+    # runs — the hub cache is empty before run 1's download, so a key
+    # derived from the resolved revision would change between runs);
+    # revision staleness is checked against the cached json's "revision"
+    # at load time instead.
     key = hashlib.sha1(
         f"{name_or_path}|{np.dtype(dtype).name}|{'|'.join(stamps)}".encode()
     ).hexdigest()[:16]
@@ -770,19 +780,29 @@ def load_hf_reader(name_or_path: str, dtype=np.float32, cache_dir: str | None = 
     ``model_type``. ``cache_dir`` caches the CONVERTED params (flattened
     npz + config json) so later boots skip the torch load entirely.
     """
-    import os
-
     base = None
+    is_local = os.path.isdir(str(name_or_path))
     if cache_dir:
         base = _reader_cache_base(cache_dir, name_or_path, dtype)
         if os.path.exists(base + ".npz") and os.path.exists(base + ".json"):
+            import json
             import time
 
-            age_h = (time.time() - os.path.getmtime(base + ".npz")) / 3600.0
-            logger.info(
-                "Loading converted reader from cache %s (age %.1f h)", base, age_h
-            )
-            return _load_cached_reader(base)
+            stale = False
+            if not is_local:
+                # hub staleness: a cached revision that differs from the
+                # currently-resolvable one means the branch moved
+                with open(base + ".json") as f:
+                    cached_rev = json.load(f).get("revision")
+                current_rev = _hub_revision(name_or_path)
+                stale = bool(cached_rev and current_rev and cached_rev != current_rev)
+            if not stale:
+                age_h = (time.time() - os.path.getmtime(base + ".npz")) / 3600.0
+                logger.info(
+                    "Loading converted reader from cache %s (age %.1f h)", base, age_h
+                )
+                return _load_cached_reader(base)
+            logger.info("Converted-reader cache stale (revision moved); reconverting")
 
     import transformers
 
@@ -797,7 +817,10 @@ def load_hf_reader(name_or_path: str, dtype=np.float32, cache_dir: str | None = 
     else:
         out = gpt_neox_from_hf_model(hf, dtype=dtype)
     if base is not None:
-        _save_cached_reader(base, *out)
+        # resolve the revision AFTER from_pretrained (which populates the
+        # hub cache on a fresh machine)
+        revision = None if is_local else _hub_revision(name_or_path)
+        _save_cached_reader(base, *out, revision=revision)
     return out
 
 

@@ -99,6 +99,12 @@ def _run_requests(lm, requests: List[dict]) -> List[dict]:
     if mc_idx:
         flat_pairs, owners = [], []
         for i in mc_idx:
+            if "contexts" in requests[i]:
+                # winogrande-style: per-choice contexts, shared continuation
+                for ctx in requests[i]["contexts"]:
+                    flat_pairs.append((ctx, requests[i]["continuation"]))
+                    owners.append(i)
+                continue
             for choice in requests[i]["choices"]:
                 flat_pairs.append((requests[i]["context"], choice))
                 owners.append(i)

@@ -144,16 +144,22 @@ def _piqa(row):
 
 @register_shim("winogrande")
 def _winogrande(row):
-    # reference: lm_eval/tasks/winogrande/preprocess_winogrande.py — context
-    # is the sentence up to '_', each option carries the sentence suffix.
+    # reference: lm_eval/tasks/winogrande/preprocess_winogrande.py — the
+    # CHOICES are context variants sentence[:idx]+option and the TARGET is
+    # the shared suffix, so the scored quantity is P(suffix | prefix+option)
+    # (NOT P(option+suffix | prefix), which also scores the option tokens).
     sentence = row["sentence"]
     idx = sentence.index("_")
-    prefix, suffix = sentence[:idx].strip(), sentence[idx + 1 :]
+    prefix, suffix = sentence[:idx], sentence[idx + 1 :].strip()
     answer = str(row.get("answer", "1")).strip() or "1"
+    gold = int(answer) - 1
+    ctx_options = [prefix + row["option1"], prefix + row["option2"]]
     return {
-        "sentence": prefix,
-        "choices": [row["option1"] + suffix, row["option2"] + suffix],
-        "gold": int(answer) - 1,
+        "ctx_options": [c.strip() for c in ctx_options],
+        "target": suffix,
+        "gold": gold,
+        # gold full context for fewshot shots / query export
+        "query": ctx_options[gold].strip(),
     }
 
 
@@ -573,7 +579,18 @@ def prepare_split(cfg, split: str, cache_dir: Optional[str] = None) -> str:
             f"split {hf_split!r} not in dataset {cfg.hf_path!r} "
             f"(has {sorted(ds.keys())}); set hf_split_map in the task YAML"
         )
-    shim = PROCESS_DOCS.get(getattr(cfg, "process_docs", None) or "", lambda r: r)
+    shim_name = getattr(cfg, "process_docs", None)
+    if shim_name:
+        if shim_name not in PROCESS_DOCS:
+            # a typo'd shim must not silently cache raw HF rows under the
+            # task's schema
+            raise KeyError(
+                f"task {cfg.task!r} names unknown process_docs {shim_name!r}; "
+                f"registered: {sorted(PROCESS_DOCS)}"
+            )
+        shim = PROCESS_DOCS[shim_name]
+    else:
+        shim = lambda r: r  # noqa: E731
     docs: List[dict] = []
     for row in _rows_of(ds[hf_split]):
         out = shim(row)

@@ -310,9 +310,9 @@ def bootstrap_stderr(agg_fn, values: Sequence, iters: int = 1000, seed: int = 12
         return 0.0
     chunk_size = min(1000, iters)
     stats: List[float] = []
-    for c in range(max(iters // chunk_size, 1)):
+    for c in range(-(-iters // chunk_size)):  # ceil: run EXACTLY iters
         rng = _np.random.default_rng(seed + c)
-        for _ in range(chunk_size):
+        for _ in range(min(chunk_size, iters - len(stats))):
             idx = rng.integers(0, n, size=n)
             stats.append(float(agg_fn([values[int(i)] for i in idx])))
     return sample_stddev(stats)

@@ -282,7 +282,8 @@ class JaxReaderLM:
         stops: List[List[str]] = []
         for r in reqs:
             max_new = r["gen_kwargs"].get("max_gen_toks", 32)
-            ids = self.tokenizer(r["context"])["input_ids"][-(self.max_length - max_new):]
+            ids = self.tokenizer(r["context"])["input_ids"]
+            # the engine clamps (prompt, max_new) to its pool invariants
             requests.append((ids, max_new))
             stops.append([s for s in r["gen_kwargs"].get("until", []) if s])
 
@@ -291,8 +292,11 @@ class JaxReaderLM:
                 [t for t in toks if t != eos], skip_special_tokens=True
             )
 
+        # per-chunk stop checks decode only a tail window: re-decoding the
+        # full accumulated list every chunk is O(n^2) in generated length
+        # (48 tokens comfortably covers any stop string plus boundary slop)
         def stop_check(i: int, toks: List[int]) -> bool:
-            return bool(stops[i]) and any(s in decode(toks) for s in stops[i])
+            return bool(stops[i]) and any(s in decode(toks[-48:]) for s in stops[i])
 
         out = []
         for i, toks in enumerate(engine.generate(requests, stop_check)):
@@ -315,6 +319,10 @@ class JaxReaderLM:
             take = order[pos : pos + self.batch_size]
             batch = [reqs[i] for i in take]
             max_new = max(r["gen_kwargs"].get("max_gen_toks", 32) for r in batch)
+            # keep at least 16 prompt tokens even when max_gen_toks >= the
+            # model context (a `[-0:]` slice would keep everything and
+            # overflow the position budget)
+            max_new = min(max_new, self.max_length - 16)
             enc = [
                 self.tokenizer(r["context"])["input_ids"][-(self.max_length - max_new):]
                 for r in batch

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 import random
 import re
@@ -29,6 +30,8 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
 import yaml
+
+logger = logging.getLogger(__name__)
 
 from retrieval_scaling_tpu.rag_eval.task_families import (
     AGIEVAL_EN_SUBSETS,
@@ -90,6 +93,12 @@ class TaskConfig:
     # Field holding a 0/1 truth mask over choices (TruthfulQA mc2-style
     # multi-true multiple choice; scored as probability mass on true).
     doc_to_gold_list: Optional[str] = None
+    # Winogrande-style conditioning (reference:
+    # lm_eval/tasks/winogrande/preprocess_winogrande.py): the CHOICES are
+    # per-option CONTEXT variants and doc_to_target is the SHARED
+    # continuation — scored as P(suffix | prefix+option), not
+    # P(option+suffix | prefix).
+    choices_are_context: bool = False
     # Fewshot shot selection (reference: lm_eval/api/samplers.py):
     # "default" = random without replacement, "first_n" = the first N docs,
     # "balanced" = round-robin over distinct targets (classification).
@@ -523,10 +532,20 @@ def load_documents(
         path = _resolve_split_file(rel, split)
     else:
         roots = [r for r in (data_root, cache_dir, ingest.DEFAULT_CACHE_DIR) if r]
-        roots.append(".")
+        if data_root is None:
+            roots.append(".")  # legacy cwd-relative lookup, only without data_root
         for root in roots:
             path = _resolve_split_file(os.path.join(root, rel), split)
             if path:
+                if data_root and not path.startswith(os.path.abspath(data_root)) \
+                        and not path.startswith(data_root):
+                    # an explicit data_root missed and an ingest cache hit:
+                    # say so — silently scoring cached/other data is how
+                    # fixture typos go unnoticed
+                    logger.warning(
+                        "task %s: %s not found under data_root %s; using %s",
+                        cfg.task, rel, data_root, path,
+                    )
                 break
     if path is None:
         if cfg.hf_path:
@@ -585,6 +604,9 @@ class Task:
         # fewshot assembly and answer export need the gold choice TEXT, so
         # resolve index-valued renders via doc_to_choice (matching lm-eval,
         # which renders `doc_to_choice[doc_to_target]` for fewshot targets).
+        if self.cfg.choices_are_context:
+            # the target IS the shared continuation text, never a choice index
+            return _render(self.cfg.doc_to_target, doc)
         if self.cfg.output_type == "multiple_choice":
             try:
                 rendered = _render(self.cfg.doc_to_target, doc)
@@ -714,6 +736,31 @@ class Task:
                         "continuation": self.cfg.target_delimiter + self.doc_target(doc),
                     }
                 )
+            elif self.cfg.output_type == "multiple_choice" and self.cfg.choices_are_context:
+                # per-choice CONTEXTS, one shared continuation: the fewshot
+                # prefix (description + shots) prepends each context variant
+                n = self.cfg.num_fewshot if num_fewshot is None else num_fewshot
+                parts = [
+                    self.doc_text(s) + self.cfg.target_delimiter + self.doc_target(s)
+                    for s in (self.sample_shots(doc, n) if n else [])
+                ]
+                prefix = self.cfg.description + self.cfg.fewshot_delimiter.join(
+                    parts + [""]
+                ) if parts else self.cfg.description
+                continuation = self.cfg.target_delimiter + _render(
+                    self.cfg.doc_to_target, doc
+                )
+                req = {
+                    "type": "multiple_choice",
+                    "doc": doc,
+                    "context": context,
+                    "contexts": [prefix + c for c in self.doc_choices(doc)],
+                    "continuation": continuation,
+                    # equal-length placeholder so acc_norm degrades to acc
+                    "choices": [continuation] * len(self.doc_choices(doc)),
+                    "gold": _gold_index(doc),
+                }
+                requests.append(req)
             elif self.cfg.output_type == "multiple_choice":
                 req = {
                     "type": "multiple_choice",

@@ -122,11 +122,16 @@ class GenerationService:
                     break
                 if req is None:
                     return
+                slot = None
                 try:
-                    prompt = req.prompt_ids
-                    from retrieval_scaling_tpu.models.continuous_batching import _bucket
+                    from retrieval_scaling_tpu.models.continuous_batching import (
+                        clamp_request,
+                    )
 
-                    width = _bucket(len(prompt), eng.max_len - req.max_new)
+                    prompt, max_new, width = clamp_request(
+                        req.prompt_ids, req.max_new, eng.max_len
+                    )
+                    req.max_new = max_new
                     ids = np.full((1, width), self.eos_id, np.int32)
                     ids[0, : len(prompt)] = prompt
                     first, pre = eng._prefill_fn(width)(
@@ -146,6 +151,8 @@ class GenerationService:
                         active[slot] = req
                 except Exception as e:  # noqa: BLE001
                     logger.exception("prefill failed")
+                    if slot is not None and slot not in active:
+                        free.append(slot)  # never leak capacity on failure
                     req.error = str(e)
                     req.done.set()
                 if not active and self._queue.empty():
@@ -168,7 +175,9 @@ class GenerationService:
                         done = True
                         break
                 if not done and req.stop:
-                    text = self._decode_text(req.tokens)
+                    # tail-window decode: full re-decode per chunk is
+                    # O(n^2) in generated length
+                    text = self._decode_text(req.tokens[-48:])
                     done = any(s in text for s in req.stop)
                 if done:
                     self._finish(req)

@@ -286,8 +286,11 @@ def main():
     ap.add_argument("--refine-factor", type=int, default=4)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--emb-cache", default=None,
-                    help="npy path: reuse/save the encoded corpus")
+                    help="npz path: reuse/save the encoded corpus+queries")
     args = ap.parse_args()
+    if args.emb_cache and not args.emb_cache.endswith(".npz"):
+        # np.savez appends .npz; keep the reload check on the same name
+        args.emb_cache += ".npz"
 
     if args.emb_cache and os.path.exists(args.emb_cache):
         data = np.load(args.emb_cache)

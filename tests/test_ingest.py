@@ -221,14 +221,20 @@ def test_gsm8k_fewshot_from_train_split(fake_hf, tmp_path):
 
 
 # ---------------------------------------------------------------- shims
-def test_shim_winogrande_splits_at_blank():
+def test_shim_winogrande_contexts_and_shared_suffix():
+    """Reference conditioning: choices are CONTEXT variants (prefix+option)
+    and the target is the shared suffix — P(suffix | prefix+option)."""
     doc = ingest.PROCESS_DOCS["winogrande"](
         {"sentence": "The trophy doesn't fit because _ is big.",
          "option1": "the trophy", "option2": "the case", "answer": "2"}
     )
-    assert doc["sentence"] == "The trophy doesn't fit because"
-    assert doc["choices"] == ["the trophy is big.", "the case is big."]
+    assert doc["ctx_options"] == [
+        "The trophy doesn't fit because the trophy",
+        "The trophy doesn't fit because the case",
+    ]
+    assert doc["target"] == "is big."
     assert doc["gold"] == 1
+    assert doc["query"] == "The trophy doesn't fit because the case"
 
 
 def test_shim_hellaswag_preprocess():

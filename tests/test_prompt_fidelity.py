@@ -94,15 +94,18 @@ CASES = [
         ["twist the lid", "stare"],
         "twist the lid",
     ),
-    # lm_eval/tasks/winogrande/preprocess_winogrande.py: sentence split at
-    # '_'; each option carries the suffix
+    # lm_eval/tasks/winogrande/preprocess_winogrande.py: choices are
+    # CONTEXT variants (prefix+option); target is the shared suffix
     (
         "winogrande",
-        {"sentence": "The trophy doesn't fit because",
-         "choices": ["the trophy is big.", "the case is big."], "gold": 0},
-        "The trophy doesn't fit because",
-        ["the trophy is big.", "the case is big."],
-        "the trophy is big.",
+        {"ctx_options": ["The trophy doesn't fit because the trophy",
+                         "The trophy doesn't fit because the case"],
+         "target": "is big.", "gold": 0,
+         "query": "The trophy doesn't fit because the trophy"},
+        "The trophy doesn't fit because the trophy",
+        ["The trophy doesn't fit because the trophy",
+         "The trophy doesn't fit because the case"],
+        "is big.",
     ),
     # lm_eval/tasks/truthfulqa/truthfulqa_mc1.yaml: the 6-QA prompt_qa
     # prefix + "\n\nQ: {{question}}\nA:"
@@ -161,3 +164,33 @@ def test_rendered_prompt_matches_reference(tmp_path, name, doc, want_prompt,
     if want_choices is not None:
         assert task.doc_choices(task.docs[0]) == want_choices
     assert task.doc_target(task.docs[0]) == want_target
+
+
+def test_winogrande_scores_shared_continuation(tmp_path):
+    """The scored pairs must be (per-option context, SHARED ' suffix')
+    (reference conditioning) — not (fixed context, option+suffix)."""
+    from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+
+    cfg = get_task("winogrande")
+    d = tmp_path / "winogrande"
+    d.mkdir()
+    doc = {"ctx_options": ["P because the trophy", "P because the case"],
+           "target": "is big.", "gold": 1, "query": "P because the case"}
+    with open(d / "validation.jsonl", "w") as f:
+        f.write(json.dumps(doc) + "\n")
+
+    seen = []
+
+    class CtxLM:
+        def loglikelihood(self, pairs):
+            seen.extend(pairs)
+            # prefer the 'case' context
+            return [(0.0 if "case" in ctx else -5.0, False) for ctx, _ in pairs]
+
+    res = simple_evaluate(CtxLM(), ["winogrande"], data_root=str(tmp_path),
+                          bootstrap_iters=0)
+    assert seen == [
+        ("P because the trophy", " is big."),
+        ("P because the case", " is big."),
+    ]
+    assert res["results"]["winogrande"]["acc"] == 1.0

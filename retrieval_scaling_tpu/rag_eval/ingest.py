@@ -347,6 +347,42 @@ def _drop(row):
     }
 
 
+_WSC_UPPER_PRONOUNS = {
+    "A", "An", "The", "She", "He", "It", "They", "My", "His", "Her", "Their",
+}
+
+
+@register_shim("wsc273")
+def _wsc273(row):
+    # HF `winograd_wsc/wsc273`: {text, pronoun, pronoun_loc, options, label}.
+    # Reference prep (lm_eval/tasks/wsc273/utils.py): collapse double
+    # spaces, append 's to possessive-determiner options, lowercase the
+    # option's leading pronoun mid-sentence; "multiple input" conditioning
+    # like winogrande.
+    text = row["text"].replace("  ", " ")
+    loc = int(row["pronoun_loc"])
+
+    def norm(option):
+        if row["pronoun"].lower() in ("my", "his", "her", "our", "their"):
+            option = option + "'s"
+        pronoun = option.split()[0]
+        start_of_sentence = loc >= 2 and text[loc - 2] == "."
+        if not start_of_sentence and pronoun in _WSC_UPPER_PRONOUNS:
+            option = option.replace(pronoun, pronoun.lower(), 1)
+        return option
+
+    prefix = text[:loc]
+    suffix = text[loc + len(row["pronoun"]):]
+    ctx = [(prefix + norm(o)).strip() for o in row["options"]]
+    gold = int(row["label"])
+    return {
+        "ctx_options": ctx,
+        "target": suffix.strip(),
+        "gold": gold,
+        "query": ctx[gold],
+    }
+
+
 # ---------------------------------------------------------------- okapi
 # Multilingual okapi families over alexandrainst/m_* datasets (reference:
 # lm_eval/tasks/okapi/*/utils.py — same preprocess as hellaswag).

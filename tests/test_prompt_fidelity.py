@@ -194,3 +194,20 @@ def test_winogrande_scores_shared_continuation(tmp_path):
         ("P because the case", " is big."),
     ]
     assert res["results"]["winogrande"]["acc"] == 1.0
+
+
+def test_wsc273_shim_reference_prep():
+    """wsc273 prep (reference: lm_eval/tasks/wsc273/utils.py): option
+    pronoun lowercased mid-sentence, possessive 's, multiple-input split."""
+    from retrieval_scaling_tpu.rag_eval import ingest
+
+    row = {"text": "The city councilmen refused the demonstrators a permit because They feared violence.",
+           "pronoun": "They", "pronoun_loc": 57,
+           "options": ["The city councilmen", "The demonstrators"], "label": 0}
+    # place pronoun_loc correctly for this fixture
+    row["pronoun_loc"] = row["text"].index("They")
+    doc = ingest.PROCESS_DOCS["wsc273"](row)
+    # mid-sentence: 'The' in the option lowercases
+    assert doc["ctx_options"][0].endswith("because the city councilmen")
+    assert doc["target"] == "feared violence."
+    assert doc["gold"] == 0

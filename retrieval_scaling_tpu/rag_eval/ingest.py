@@ -235,10 +235,33 @@ def _squad(row):
 
 @register_shim("race")
 def _race(row):
-    # HF `EleutherAI/race` / `race`: options + letter answer.
+    # `EleutherAI/race` article-level rows: {article, problems: str(list)}.
+    # The reference folds every PRIOR problem of the article into the
+    # prompt as answered Q/A turns and asks the LAST problem (reference:
+    # lm_eval/tasks/race/preprocess_race.py doc_to_text). Cloze-style
+    # prior problems ("...  _  .") inline their answer.
+    if "problems" in row:
+        import ast
+
+        problems = ast.literal_eval(row["problems"])
+        last = problems[-1]
+        text = "Article: " + row["article"] + "\n\n"
+        for p in problems[:-1]:
+            answer = p["options"][_LETTER_IDX[p["answer"]]]
+            if p["question"][-6:] == "  _  .":
+                text += p["question"][-5:] + answer + "\n"
+            else:
+                text += "Question: " + p["question"] + "\nAnswer: " + answer + "\n"
+        text += last["question"]
+        return {
+            "query": text,
+            "choices": list(last["options"]),
+            "gold": _LETTER_IDX[last["answer"]],
+        }
+    # plain per-question rows (hand-prepped fixtures): {article, question,
+    # options, answer}
     return {
-        "article": row["article"],
-        "question": row["question"],
+        "query": "Article: " + row["article"] + "\n\n" + row["question"],
         "choices": list(row["options"]),
         "gold": _answer_key_index(row["answer"], len(row["options"])),
     }

@@ -90,7 +90,7 @@ HF_FIXTURES = {
         "validation": [{"context": "Paris is in France.", "question": "Where is Paris?", "answers": {"text": ["France"], "answer_start": [12]}}]
     },
     ("EleutherAI/race", "high"): {
-        "test": [{"article": "Long article.", "question": "What is it?", "options": ["long", "short", "blue", "red"], "answer": "A"}]
+        "test": [{"article": "Long article.", "problems": "[{'question': 'Prior q?', 'options': ['p1', 'p2', 'p3', 'p4'], 'answer': 'B'}, {'question': 'What is it?', 'options': ['long', 'short', 'blue', 'red'], 'answer': 'A'}]"}]
     },
     ("super_glue", "copa"): {
         "validation": [{"premise": "The man felt tired.", "question": "cause", "choice1": "He worked all night.", "choice2": "He slept well.", "label": 0}]
@@ -351,3 +351,17 @@ def test_download_raw_data_resumable(tmp_path):
     drd.download_domains(["dpr_wiki", "math", "pubmed"], out,
                          list_fn=fake_list, fetch_fn=fake_fetch)
     assert fetched == ["pubmed/pubmed.jsonl"]
+
+
+def test_shim_race_folds_prior_problems():
+    """RACE prompt = article + prior problems as answered Q/A + last
+    question (reference: lm_eval/tasks/race/preprocess_race.py)."""
+    row = HF_FIXTURES[("EleutherAI/race", "high")]["test"][0]
+    doc = ingest.PROCESS_DOCS["race"](row)
+    assert doc["query"] == (
+        "Article: Long article.\n\n"
+        "Question: Prior q?\nAnswer: p2\n"
+        "What is it?"
+    )
+    assert doc["choices"] == ["long", "short", "blue", "red"]
+    assert doc["gold"] == 0

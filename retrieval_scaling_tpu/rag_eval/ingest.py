@@ -507,6 +507,123 @@ def _cmmlu(row):
     }
 
 
+# ---------------------------------------------------------------- families
+@register_shim("belebele")
+def _belebele(row):
+    # facebook/belebele: {flores_passage, question, mc_answer1..4,
+    # correct_answer_num ('1'-'4')}
+    return {
+        "flores_passage": row["flores_passage"],
+        "question": row["question"],
+        "mc_answer1": row["mc_answer1"], "mc_answer2": row["mc_answer2"],
+        "mc_answer3": row["mc_answer3"], "mc_answer4": row["mc_answer4"],
+        "gold": int(row["correct_answer_num"]) - 1,
+    }
+
+
+@register_shim("xstorycloze")
+def _xstorycloze(row):
+    out = {k: row[k] for k in (
+        "input_sentence_1", "input_sentence_2", "input_sentence_3",
+        "input_sentence_4", "sentence_quiz1", "sentence_quiz2",
+    )}
+    out["gold"] = int(row["answer_right_ending"]) - 1
+    return out
+
+
+@register_shim("pawsx")
+def _pawsx(row):
+    return {
+        "sentence1": row["sentence1"], "sentence2": row["sentence2"],
+        "gold": int(row["label"]),
+    }
+
+
+@register_shim("wmdp")
+def _wmdp(row):
+    return {
+        "question": row["question"],
+        "choices": list(row["choices"]),
+        "gold": int(row["answer"]),
+    }
+
+
+@register_shim("hendrycks_math")
+def _hendrycks_math(row):
+    # EleutherAI/hendrycks_math: {problem, solution}; the scored answer is
+    # the last \boxed{...} of the solution (reference:
+    # lm_eval/tasks/hendrycks_math/utils.py remove_boxed).
+    from retrieval_scaling_tpu.rag_eval.tasks import extract_boxed_answer
+
+    solution = row["solution"]
+    return {
+        "problem": row["problem"],
+        "solution": solution,
+        "answer": extract_boxed_answer(solution) or solution,
+    }
+
+
+@register_shim("gpqa")
+def _gpqa(row):
+    # Idavidrein/gpqa: correct + 3 incorrect answers; the reference
+    # shuffles per doc (lm_eval/tasks/gpqa/zeroshot/utils.py). Shuffle
+    # DETERMINISTICALLY from the question text so cached jsonl is stable.
+    import random as _random
+
+    def prep(text):
+        return _hellaswag_preprocess(text) if text else " "
+
+    choices = [
+        prep(row["Incorrect Answer 1"]), prep(row["Incorrect Answer 2"]),
+        prep(row["Incorrect Answer 3"]), prep(row["Correct Answer"]),
+    ]
+    import hashlib as _hashlib
+
+    # stable per-doc seed (Python's str hash is randomized per process)
+    seed = int(_hashlib.blake2b(row["Question"].encode(), digest_size=4).hexdigest(), 16)
+    rng = _random.Random(seed)
+    rng.shuffle(choices)
+    return {
+        "question": prep(row["Question"]),
+        "choices": choices,
+        "gold": choices.index(prep(row["Correct Answer"])),
+    }
+
+
+# xcopa: per-language causal connectors (reference: lm_eval/tasks/xcopa/
+# utils.py — the premise drops its final period and gains the translated
+# 'because'/'therefore').
+_XCOPA_CONNECTORS = {
+    "et": ("sest", "seetõttu"), "ht": ("poukisa", "donk sa"),
+    "it": ("perché", "quindi"), "id": ("karena", "maka"),
+    "qu": ("imataq", "chaymi"), "sw": ("kwa sababu", "kwa hiyo"),
+    "zh": ("因为", "所以"), "ta": ("காரணமாக", "எனவே"),
+    "th": ("เพราะ", "ดังนั้น"), "tr": ("çünkü", "bu yüzden"),
+    "vi": ("bởi vì", "vì vậy"),
+}
+
+
+def _make_xcopa_shim(lang):
+    cause, effect = _XCOPA_CONNECTORS[lang]
+
+    def shim(row):
+        def lower_first(s):
+            return s[0].lower() + s[1:] if s else s
+
+        conn = cause if row["question"] == "cause" else effect
+        return {
+            "premise_with_connector": row["premise"].strip()[:-1] + f" {conn}",
+            "choices": [lower_first(row["choice1"]), lower_first(row["choice2"])],
+            "gold": int(row["label"]),
+        }
+
+    return shim
+
+
+for _lang in _XCOPA_CONNECTORS:
+    PROCESS_DOCS[f"xcopa_{_lang}"] = _make_xcopa_shim(_lang)
+
+
 # ---------------------------------------------------------------- scrolls
 # tau/scrolls rows: {id, pid, input, output}; query tasks prepend the
 # question to the text with a blank line (reference:

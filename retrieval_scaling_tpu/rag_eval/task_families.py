@@ -317,6 +317,18 @@ def _mc_instruction(topic: str) -> str:
     )
 
 
+# MATH subject slug -> EleutherAI/hendrycks_math config name
+_MATH_HF_CONFIGS = {
+    "algebra": "algebra",
+    "counting_and_prob": "counting_and_probability",
+    "geometry": "geometry",
+    "intermediate_algebra": "intermediate_algebra",
+    "num_theory": "number_theory",
+    "prealgebra": "prealgebra",
+    "precalc": "precalculus",
+}
+
+
 def _ceval_instruction(chinese_name: str) -> str:
     # reference: lm_eval/tasks/ceval/*.yaml description lines
     return f"以下是中国关于{chinese_name}的单项选择题，请选出其中的正确答案。\n\n"
@@ -413,16 +425,21 @@ def build_derived_families(mmlu_subjects) -> Dict[str, Dict[str, Dict[str, Any]]
             for t, d in BBH_ZEROSHOT_DESCRIPTIONS.items()
         },
         "wmdp": {
-            s: {"description": _mc_instruction(topic)}
+            s: {"description": _mc_instruction(topic), "hf_name": f"wmdp-{s}"}
             for s, topic in WMDP_TOPICS.items()
         },
-        "agieval": {s: {} for s in AGIEVAL_EN_SUBSETS},
-        "xcopa": {s: {} for s in XCOPA_LANGS},
+        # hails hosts agieval one dataset per subtask with dashed names
+        # (reference: lm_eval/tasks/agieval/*.yaml dataset_path)
+        "agieval": {
+            s: {"hf_path": "hails/agieval-" + s.replace("_", "-")}
+            for s in AGIEVAL_EN_SUBSETS
+        },
+        "xcopa": {s: {"process_docs": f"xcopa_{s}"} for s in XCOPA_LANGS},
         "xstorycloze": {s: {} for s in XSTORYCLOZE_LANGS},
         "xwinograd": {s: {} for s in XWINOGRAD_LANGS},
         "lambada_mt": {s: {} for s in LAMBADA_MT_LANGS},
         "paws": {s: {} for s in PAWSX_LANGS},
         "belebele": {s: {} for s in BELEBELE_CODES},
-        "minerva_math": {s: {} for s in MATH_SUBJECTS},
-        "hendrycks_math": {s: {} for s in MATH_SUBJECTS},
+        "minerva_math": {s: {"hf_name": _MATH_HF_CONFIGS[s]} for s in MATH_SUBJECTS},
+        "hendrycks_math": {s: {"hf_name": _MATH_HF_CONFIGS[s]} for s in MATH_SUBJECTS},
     }

@@ -146,6 +146,46 @@ HF_FIXTURES = {
             {"inputs": "Sort: b a", "targets": ["a b"], "multiple_choice_targets": [], "multiple_choice_scores": []},
         ]
     },
+    # ---- family ingestion wave 2
+    ("blimp", "adjunct_island"): {
+        "train": [{"sentence_good": "Who did you see?", "sentence_bad": "Who did you see him?"}]
+    },
+    ("glue", "mnli"): {
+        "validation_matched": [{"premise": "A man eats.", "hypothesis": "Someone eats.", "label": 0}]
+    },
+    ("anli", None): {
+        "test_r2": [{"premise": "P.", "hypothesis": "H.", "label": 1}]
+    },
+    ("lukaemon/bbh", "navigate"): {
+        "test": [{"input": "Take 3 steps...", "target": "Yes"}]
+    },
+    ("facebook/belebele", "eng_Latn"): {
+        "test": [{"flores_passage": "A passage.", "question": "Q?", "mc_answer1": "a", "mc_answer2": "b", "mc_answer3": "c", "mc_answer4": "d", "correct_answer_num": "2"}]
+    },
+    ("xcopa", "sw"): {
+        "validation": [{"premise": "Mvua ilinyesha.", "choice1": "Alibeba mwavuli.", "choice2": "Alilala.", "question": "effect", "label": 0}]
+    },
+    ("juletxara/xstory_cloze", "eu"): {
+        "eval": [{"input_sentence_1": "s1", "input_sentence_2": "s2", "input_sentence_3": "s3", "input_sentence_4": "s4", "sentence_quiz1": "good", "sentence_quiz2": "bad", "answer_right_ending": 1}]
+    },
+    ("paws-x", "ja"): {
+        "test": [{"sentence1": "A", "sentence2": "B", "label": 1}]
+    },
+    ("EleutherAI/hendrycks_math", "number_theory"): {
+        "test": [{"problem": "Find x.", "solution": "We see $x=\\boxed{4}$."}]
+    },
+    ("cais/wmdp", "wmdp-bio"): {
+        "test": [{"question": "Q?", "choices": ["w", "x", "y", "z"], "answer": 2}]
+    },
+    ("hails/agieval-aqua-rat", None): {
+        "test": [{"query": "Q: pick\nAnswer Choices: (A)1 (B)2", "choices": ["(A)1", "(B)2"], "gold": [1]}]
+    },
+    ("Idavidrein/gpqa", "gpqa_main"): {
+        "train": [{"Question": "Hard q?", "Correct Answer": "right", "Incorrect Answer 1": "w1", "Incorrect Answer 2": "w2", "Incorrect Answer 3": "w3"}]
+    },
+    ("EleutherAI/arithmetic", "arithmetic_2da"): {
+        "validation": [{"context": "Question: What is 11 plus 22?\nAnswer:", "completion": " 33"}]
+    },
 }
 
 
@@ -184,6 +224,11 @@ FLAGSHIP = [
     "ceval-valid_computer_network", "cmmlu_agronomy",
     "bigbench_anachronisms_multiple_choice",
     "bigbench_word_sorting_generate_until",
+    # family ingestion wave 2
+    "blimp_adjunct_island", "mnli", "anli_r2", "bbh_zeroshot_navigate",
+    "belebele_eng_Latn", "xcopa_sw", "xstorycloze_eu", "paws_ja",
+    "hendrycks_math_num_theory", "wmdp_bio", "agieval_aqua_rat",
+    "gpqa_main", "arithmetic_2da",
 ]
 
 

@@ -508,6 +508,45 @@ def _cmmlu(row):
 
 
 # ---------------------------------------------------------------- families
+@register_shim("mathqa")
+def _mathqa(row):
+    # math_qa: options is a single string "a ) ... , b ) ... , e ) ..."
+    # (reference: lm_eval/tasks/mathqa/utils.py doc_to_choice regex)
+    choices = [
+        c[4:].rstrip(" ,")
+        for c in re.findall(r"[abcd] \) .*?, |e \) .*?$", row["options"])
+    ]
+    return {
+        "Problem": row["Problem"],
+        "choices": choices,
+        "gold": ["a", "b", "c", "d", "e"].index(row["correct"].strip()),
+    }
+
+
+@register_shim("pubmedqa")
+def _pubmedqa(row):
+    # bigbio/pubmed_qa labeled fold: CONTEXTS list + final_decision
+    # (reference: lm_eval/tasks/pubmedqa/preprocess_pubmedqa.py)
+    ctx = row["CONTEXTS"]
+    context = "\n".join(ctx) if isinstance(ctx, list) else str(ctx)
+    labels = ["yes", "no", "maybe"]
+    return {
+        "context": context,
+        "question": row["QUESTION"],
+        "choices": labels,
+        "gold": labels.index(str(row["final_decision"]).strip().lower()),
+    }
+
+
+@register_shim("mnli")
+def _mnli(row):
+    # reference appends a period to the hypothesis when missing
+    # (lm_eval/tasks/glue/mnli/utils.py)
+    hyp = row["hypothesis"].strip()
+    if not hyp.endswith("."):
+        hyp += "."
+    return {"premise": row["premise"], "hypothesis": hyp, "label": int(row["label"])}
+
 @register_shim("belebele")
 def _belebele(row):
     # facebook/belebele: {flores_passage, question, mc_answer1..4,

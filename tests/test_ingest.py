@@ -186,6 +186,15 @@ HF_FIXTURES = {
     ("EleutherAI/arithmetic", "arithmetic_2da"): {
         "validation": [{"context": "Question: What is 11 plus 22?\nAnswer:", "completion": " 33"}]
     },
+    ("math_qa", None): {
+        "test": [{"Problem": "2+2?", "options": "a ) 1 , b ) 4 , c ) 3 , d ) 9 , e ) none", "correct": "b"}]
+    },
+    ("bigbio/pubmed_qa", "pubmed_qa_labeled_fold0_source"): {
+        "test": [{"QUESTION": "Does it work?", "CONTEXTS": ["Ctx one.", "Ctx two."], "final_decision": "yes"}]
+    },
+    ("glue", "cola"): {
+        "validation": [{"sentence": "The boy runs.", "label": 1}]
+    },
 }
 
 
@@ -228,7 +237,7 @@ FLAGSHIP = [
     "blimp_adjunct_island", "mnli", "anli_r2", "bbh_zeroshot_navigate",
     "belebele_eng_Latn", "xcopa_sw", "xstorycloze_eu", "paws_ja",
     "hendrycks_math_num_theory", "wmdp_bio", "agieval_aqua_rat",
-    "gpqa_main", "arithmetic_2da",
+    "gpqa_main", "arithmetic_2da", "mathqa", "pubmedqa", "cola",
 ]
 
 
@@ -410,3 +419,18 @@ def test_shim_race_folds_prior_problems():
     )
     assert doc["choices"] == ["long", "short", "blue", "red"]
     assert doc["gold"] == 0
+
+
+def test_shim_mathqa_options_regex():
+    doc = ingest.PROCESS_DOCS["mathqa"](
+        {"Problem": "2+2?", "options": "a ) 1 , b ) 4 , c ) 3 , d ) 9 , e ) none of these", "correct": "b"}
+    )
+    assert doc["choices"] == ["1", "4", "3", "9", "none of these"]
+    assert doc["gold"] == 1
+
+
+def test_shim_mnli_appends_period():
+    doc = ingest.PROCESS_DOCS["mnli"](
+        {"premise": "P", "hypothesis": "Someone eats", "label": 0}
+    )
+    assert doc["hypothesis"] == "Someone eats."

@@ -663,6 +663,136 @@ for _lang in _XCOPA_CONNECTORS:
     PROCESS_DOCS[f"xcopa_{_lang}"] = _make_xcopa_shim(_lang)
 
 
+@register_shim("headqa")
+def _headqa(row):
+    # EleutherAI/headqa: {qtext, answers: [{aid, atext}], ra (1-based)}
+    answers = sorted(row["answers"], key=lambda a: int(a["aid"]))
+    return {
+        "question": row["qtext"],
+        "choices": [a["atext"] for a in answers],
+        "gold": int(row["ra"]) - 1,
+    }
+
+
+@register_shim("logiqa2")
+def _logiqa2(row):
+    return {
+        "text": row["text"],
+        "question": row["question"],
+        "options": list(row["options"]),
+        "label": int(row["answer"]),
+    }
+
+
+@register_shim("medmcqa")
+def _medmcqa(row):
+    return {
+        "question": row["question"],
+        "choices": [row["opa"], row["opb"], row["opc"], row["opd"]],
+        "gold": int(row["cop"]),
+    }
+
+
+@register_shim("medqa")
+def _medqa(row):
+    # GBaker/MedQA-USMLE-4-options-hf: {sent1, ending0..3, label}
+    return {
+        "question": row["sent1"],
+        "choices": [row["ending0"], row["ending1"], row["ending2"], row["ending3"]],
+        "gold": int(row["label"]),
+    }
+
+
+@register_shim("prost")
+def _prost(row):
+    return {
+        "context": row["context"],
+        "ex_question": row["ex_question"],
+        "choices": [row["A"], row["B"], row["C"], row["D"]],
+        "gold": int(row["label"]),
+    }
+
+
+@register_shim("qa4mre")
+def _qa4mre(row):
+    return {
+        "document_str": row["document_str"],
+        "question_str": row["question_str"],
+        "answer_options": list(row["answer_options"]["answer_str"]),
+        "gold": int(row["correct_answer_id"]) - 1,
+    }
+
+
+@register_shim("toxigen")
+def _toxigen(row):
+    # reference: lm_eval/tasks/toxigen/utils.py doc_to_target
+    return {
+        "text": row["text"],
+        "label": int((float(row["toxicity_ai"]) + float(row["toxicity_human"])) > 5.5),
+    }
+
+
+@register_shim("mutual")
+def _mutual(row):
+    return {
+        "article": row["article"],
+        "options": list(row["options"]),
+        "gold": "ABCD".index(str(row["answers"]).strip().upper()),
+    }
+
+
+@register_shim("ethics_utilitarianism")
+def _ethics_utilitarianism(row):
+    # deterministic per-doc shuffle seeded on the activity text (reference:
+    # lm_eval/tasks/hendrycks_ethics/utils.py _preproc_doc)
+    import random as _random
+
+    rnd = _random.Random(row["activity"])
+    scenarios = [row["activity"], row["baseline"]]
+    ordering = [0, 1]
+    rnd.shuffle(ordering)
+    return {
+        "scenario_1": scenarios[ordering[0]],
+        "scenario_2": scenarios[ordering[1]],
+        "label": int(ordering.index(0) == 0),
+    }
+
+
+@register_shim("qasper_bool")
+def _qasper_bool(row):
+    return _qasper_rows(row, want_bool=True)
+
+
+@register_shim("qasper_freeform")
+def _qasper_freeform(row):
+    return _qasper_rows(row, want_bool=False)
+
+
+def _qasper_rows(row, want_bool: bool):
+    # allenai/qasper: one row per PAPER with nested qas/answers; flatten to
+    # one doc per (question, answer) and split boolean vs free-form
+    # (reference: lm_eval/tasks/qasper/utils.py process_docs)
+    docs = []
+    qas = row["qas"]
+    for qi, question in enumerate(qas["question"]):
+        for ans in qas["answers"][qi]["answer"]:
+            if ans.get("unanswerable"):
+                continue
+            yes_no = ans.get("yes_no")
+            free = ans.get("free_form_answer") or ""
+            if want_bool and yes_no is not None:
+                docs.append({
+                    "title": row["title"], "abstract": row["abstract"],
+                    "question": question, "gold": int(bool(yes_no)),
+                })
+            elif not want_bool and yes_no is None and free:
+                docs.append({
+                    "title": row["title"], "abstract": row["abstract"],
+                    "question": question, "answer": free,
+                })
+    return docs
+
+
 # ---------------------------------------------------------------- scrolls
 # tau/scrolls rows: {id, pid, input, output}; query tasks prepend the
 # question to the text with a blank line (reference:

@@ -951,3 +951,8 @@ def prepare_split(cfg, split: str, cache_dir: Optional[str] = None) -> str:
     os.replace(tmp, out_path)
     logger.info("Ingested %d docs for %s/%s", len(docs), cfg.task, split)
     return out_path
+
+
+# Wave-4 long-tail shims register themselves into PROCESS_DOCS on import
+# (kept in a sibling module to bound this file's size).
+from retrieval_scaling_tpu.rag_eval import ingest_wave4  # noqa: E402,F401

@@ -157,6 +157,14 @@ class TaskConfig:
                 text = text.strip()
             elif kind == "remove_commas":
                 text = text.replace(",", "")
+            elif kind == "remove_whitespace":
+                # reference: lm_eval/filters/transformation.py
+                # WhitespaceFilter — strip leading whitespace only
+                text = text.lstrip()
+            elif kind == "map":
+                # reference: lm_eval/filters/transformation.py MapFilter
+                # (polemo2 letter -> class index)
+                text = str(step["mapping"].get(text, step.get("default", text)))
             elif kind == "boxed":
                 # hendrycks/minerva MATH answer extraction: the contents of
                 # the last \boxed{...} / \fbox{...} (balanced braces; regex
@@ -244,6 +252,28 @@ assert len(MMLU_SUBJECT_CATEGORIES) == 57
 DERIVED_FAMILIES: Dict[str, Dict[str, Dict[str, Any]]] = build_derived_families(
     MMLU_SUBJECT_CATEGORIES
 )
+
+# Wave-4 long tail (round 3): Korean/Chinese/Arabic/Basque exam suites,
+# XNLI + MGSM multilingual, Anthropic model-written evals, KoBEST.
+from retrieval_scaling_tpu.rag_eval.task_families_wave4 import (  # noqa: E402
+    ACLUE_TOPICS,
+    ADVANCED_AI_RISK_SUBTASKS,
+    AEXAMS_SUBJECTS,
+    CSATQA_SUBSETS,
+    EUS_EXAMS_CONFIGS,
+    HAERAE_SUBTASKS,
+    KMMLU_SUBJECTS,
+    KOBEST_SUBTASKS,
+    KORMEDMCQA_SUBSETS,
+    MGSM_WORDS,
+    PERSONA_SUBTASKS,
+    SYCOPHANCY_SUBTASKS,
+    TMMLUPLUS_SUBJECTS,
+    XNLI_WORDS,
+    build_wave4_families,
+)
+
+DERIVED_FAMILIES.update(build_wave4_families(sorted(MMLU_SUBJECT_CATEGORIES)))
 
 GROUPS: Dict[str, List[str]] = {
     "mmlu": [f"mmlu_{s}" for s in sorted(MMLU_SUBJECT_CATEGORIES)],
@@ -341,6 +371,51 @@ GROUPS: Dict[str, List[str]] = {
         f"bigbench_{s}_generate_until" for s in BIGBENCH_SUBTASKS
     ],
 }
+
+# Wave-4 group rollups (reference group tags in each family's template yaml;
+# kmmlu's umbrella group spans the direct + hard variants exactly as the
+# reference's `group: [kmmlu, kmmlu_direct]` headers do).
+GROUPS.update({
+    "kmmlu_direct": [f"kmmlu_direct_{s}" for s in sorted(KMMLU_SUBJECTS)],
+    "kmmlu_hard": [f"kmmlu_hard_{s}" for s in sorted(KMMLU_SUBJECTS)],
+    "kmmlu_hard_direct": [
+        f"kmmlu_hard_direct_{s}" for s in sorted(KMMLU_SUBJECTS)
+    ],
+    "kmmlu": [
+        f"kmmlu_{v}_{s}"
+        for v in ("direct", "hard", "hard_direct")
+        for s in sorted(KMMLU_SUBJECTS)
+    ],
+    "csatqa": [f"csatqa_{s}" for s in sorted(CSATQA_SUBSETS)],
+    "haerae": [f"haerae_{s}" for s in sorted(HAERAE_SUBTASKS)],
+    "kormedmcqa": [f"kormedmcqa_{s}" for s in KORMEDMCQA_SUBSETS],
+    "kobest": [f"kobest_{s}" for s in KOBEST_SUBTASKS],
+    "aclue": [f"aclue_{s}" for s in sorted(ACLUE_TOPICS)],
+    "tmmluplus": [f"tmmluplus_{s}" for s in sorted(TMMLUPLUS_SUBJECTS)],
+    "ammlu": [f"ammlu_{s}" for s in sorted(MMLU_SUBJECT_CATEGORIES)],
+    "aexams": [f"aexams_{s.lower()}" for s in AEXAMS_SUBJECTS],
+    "eus_exams": [f"eus_exams_{c}" for c in EUS_EXAMS_CONFIGS],
+    "eus_exams_es": [
+        f"eus_exams_{c}" for c in EUS_EXAMS_CONFIGS if c.startswith("es_")
+    ],
+    "eus_exams_eu": [
+        f"eus_exams_{c}" for c in EUS_EXAMS_CONFIGS if c.startswith("eu_")
+    ],
+    "xnli": [f"xnli_{lang}" for lang in sorted(XNLI_WORDS)],
+    "mgsm_direct": [f"mgsm_direct_{lang}" for lang in sorted(MGSM_WORDS)],
+    "mgsm_en_cot": [f"mgsm_en_cot_{lang}" for lang in sorted(MGSM_WORDS)],
+    "mgsm_native_cot": [
+        f"mgsm_native_cot_{lang}" for lang in sorted(MGSM_WORDS)
+    ],
+    "persona": [f"persona_{s}" for s in PERSONA_SUBTASKS],
+    "advanced_ai_risk": [
+        f"advanced_ai_risk_{s}" for s in ADVANCED_AI_RISK_SUBTASKS
+    ],
+    "sycophancy": [
+        f"sycophancy_{s.replace('sycophancy_', '', 1)}"
+        for s in SYCOPHANCY_SUBTASKS
+    ],
+})
 
 
 def _member_name(member) -> str:

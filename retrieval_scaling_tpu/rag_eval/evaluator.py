@@ -270,6 +270,11 @@ def _score_task(
                 # set-level binary F1 (MC-TACO; reference: lm_eval f1
                 # aggregation over yes/no predictions).
                 metric_values.setdefault("_f1_pairs", []).append((pred, gold))
+            if {"f1_macro", "f1_micro", "f1_vaxx"} & set(task.cfg.metric_list):
+                # multiclass classification F1 (KoBEST macro_f1_score,
+                # BasqueGLUE micro/vaxx; reference: lm_eval/tasks/kobest/
+                # utils.py, lm_eval/tasks/basqueglue/utils.py).
+                metric_values.setdefault("_clf_pairs", []).append((pred, gold))
             if {"r@1", "r@2", "mrr"} & set(task.cfg.metric_list):
                 # likelihood-ranking metrics (MuTual; reference:
                 # lm_eval/tasks/mutual/utils.py process_results).
@@ -331,6 +336,23 @@ def _score_task(
         elif name == "_mcc_pairs":
             scores["mcc"] = _agg_mcc(vals)
             scores["mcc_stderr"] = bootstrap_stderr(_agg_mcc, vals, iters=bootstrap_iters)
+        elif name == "_clf_pairs":
+            from retrieval_scaling_tpu.rag_eval.metrics import (
+                f1_macro_pairs,
+                f1_micro_pairs,
+                f1_vaxx_pairs,
+            )
+
+            for mname, fn in (
+                ("f1_macro", f1_macro_pairs),
+                ("f1_micro", f1_micro_pairs),
+                ("f1_vaxx", f1_vaxx_pairs),
+            ):
+                if mname in task.cfg.metric_list:
+                    scores[mname] = fn(vals)
+                    scores[mname + "_stderr"] = bootstrap_stderr(
+                        fn, vals, iters=bootstrap_iters
+                    )
         else:
             scores[name] = aggregate_mean(vals)
             if bootstrap_iters > 0:

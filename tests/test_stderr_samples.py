@@ -272,3 +272,96 @@ def test_scrolls_shims():
 
     # unanswerable/missing outputs drop
     assert ingest.PROCESS_DOCS["scrolls_summary"]({"input": "x", "output": None}) is None
+
+
+# ---------------------------------------------------------------- wave-5 metrics
+def test_smoothed_bleu_4():
+    from retrieval_scaling_tpu.rag_eval.metrics import METRICS, smoothed_bleu_4
+
+    assert "smoothed_bleu_4" in METRICS
+    # exact match -> all precisions 1 except the smoothed ones stay <1
+    # for short sentences; a long identical sentence approaches 100.
+    long = " ".join(f"tok{i}" for i in range(40))
+    assert smoothed_bleu_4(long, [long]) == pytest.approx(100.0, abs=5.0)
+    # no unigram overlap -> 0
+    assert smoothed_bleu_4("aaa bbb", ["ccc ddd"]) == 0.0
+    # empty prediction -> 0
+    assert smoothed_bleu_4("", ["ref text"]) == 0.0
+    # multi-reference takes the best
+    s_multi = smoothed_bleu_4("a b c d", ["x y z", "a b c d"])
+    assert s_multi == pytest.approx(smoothed_bleu_4("a b c d", ["a b c d"]))
+
+
+def test_eqbench_metrics():
+    from retrieval_scaling_tpu.rag_eval.metrics import eqbench, percent_parseable
+
+    ref = json.dumps({
+        "emotion1": "Surprise", "emotion1_score": 3,
+        "emotion2": "Anger", "emotion2_score": 7,
+        "emotion3": "Joy", "emotion3_score": 0,
+        "emotion4": "Fear", "emotion4_score": 2,
+    })
+    exact = "Surprise: 3\nAnger: 7\nJoy: 0\nFear: 2"
+    assert percent_parseable(exact, [ref]) == 100.0
+    assert eqbench(exact, [ref]) == pytest.approx(100.0)
+    # garbage generations aren't parseable and score 0
+    assert percent_parseable("no emotions here", [ref]) == 0.0
+    assert eqbench("no emotions here", [ref]) == 0.0
+    # off-by-large answers lose points
+    off = "Surprise: 10\nAnger: 0\nJoy: 10\nFear: 10"
+    assert eqbench(off, [ref]) < 50.0
+
+
+def test_multiclass_f1_pairs():
+    from retrieval_scaling_tpu.rag_eval.metrics import (
+        f1_macro_pairs, f1_micro_pairs, f1_vaxx_pairs)
+
+    # perfect 3-class predictions
+    perfect = [(0, 0), (1, 1), (2, 2)]
+    assert f1_macro_pairs(perfect) == 1.0
+    assert f1_micro_pairs(perfect) == 1.0
+    assert f1_vaxx_pairs(perfect) == 1.0
+    # hand check vs sklearn: golds [0,0,1,1], preds [0,1,1,1]
+    # class0: tp1 fp0 fn1 -> f1 2/3; class1: tp2 fp1 fn0 -> f1 4/5
+    pairs = [(0, 0), (1, 0), (1, 1), (1, 1)]
+    assert f1_macro_pairs(pairs) == pytest.approx((2 / 3 + 4 / 5) / 2)
+    assert f1_micro_pairs(pairs) == pytest.approx(3 / 4)
+    # vaxx ignores class 1 entirely
+    vx = [(0, 0), (1, 2), (2, 2), (1, 1)]
+    # class0: tp1 -> f1 1.0; class2: tp1 fp0 fn1 -> 2/3
+    assert f1_vaxx_pairs(vx) == pytest.approx((1.0 + 2 / 3) / 2)
+
+
+def test_toxicity_metric_with_injected_scorer():
+    from retrieval_scaling_tpu.rag_eval import metrics as M
+
+    M.set_toxicity_scorer(lambda text: 0.9 if "bad" in text else 0.1)
+    try:
+        assert M.METRICS["perspective_api_toxicity_score"]("bad words", [""]) == 0.9
+        assert M.METRICS["score"]("bad words", [""]) == 1.0
+        assert M.METRICS["score"]("nice words", [""]) == 0.0
+    finally:
+        M.set_toxicity_scorer(None)
+
+
+def test_kobest_f1_macro_end_to_end(tmp_path):
+    from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+    from retrieval_scaling_tpu.rag_eval.models import DummyLM
+    from retrieval_scaling_tpu.rag_eval.tasks import get_task
+
+    cfg = get_task("kobest_boolq")
+    assert "f1_macro" in cfg.metric_list
+
+    d = tmp_path / "kobest" / "boolq"
+    d.mkdir(parents=True)
+    for split in ("test", "train"):
+        with open(d / f"{split}.jsonl", "w") as f:
+            for i in range(4):
+                f.write(json.dumps({
+                    "paragraph": f"문단 {i}", "question": f"질문 {i}?",
+                    "gold": i % 2}) + "\n")
+    res = simple_evaluate(DummyLM(), ["kobest_boolq"], data_root=str(tmp_path),
+                          bootstrap_iters=10)
+    row = res["results"]["kobest_boolq"]
+    assert "f1_macro" in row and 0.0 <= row["f1_macro"] <= 1.0
+    assert "f1_macro_stderr" in row

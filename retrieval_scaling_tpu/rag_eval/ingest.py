@@ -956,3 +956,4 @@ def prepare_split(cfg, split: str, cache_dir: Optional[str] = None) -> str:
 # Wave-4 long-tail shims register themselves into PROCESS_DOCS on import
 # (kept in a sibling module to bound this file's size).
 from retrieval_scaling_tpu.rag_eval import ingest_wave4  # noqa: E402,F401
+from retrieval_scaling_tpu.rag_eval import ingest_wave5  # noqa: E402,F401

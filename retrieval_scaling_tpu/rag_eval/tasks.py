@@ -415,6 +415,12 @@ GROUPS.update({
         f"sycophancy_{s.replace('sycophancy_', '', 1)}"
         for s in SYCOPHANCY_SUBTASKS
     ],
+    # BasqueGLUE (reference group tag "basque-glue" in each
+    # lm_eval/tasks/basqueglue/*.yaml header).
+    "basque-glue": [
+        "bec2016eu", "bhtc_v2", "epec_koref_bin", "qnlieu", "vaxx_stance",
+        "wiceu",
+    ],
 })
 
 
@@ -650,12 +656,27 @@ class Task:
     ):
         self.cfg = cfg
         self.docs = load_documents(cfg, data_root=data_root, cache_dir=cache_dir)
-        self.fewshot_docs = (
-            load_documents(cfg, split=cfg.fewshot_split, data_root=data_root, cache_dir=cache_dir)
-            if cfg.fewshot_split
-            else None
-        )
+        self._data_root = data_root
+        self._cache_dir = cache_dir
+        self._fewshot_docs: Optional[List[dict]] = None
+        self._fewshot_loaded = False
         self.rng = random.Random(seed)
+
+    @property
+    def fewshot_docs(self) -> Optional[List[dict]]:
+        """Fewshot-split docs, loaded lazily on first use so 0-shot runs
+        never touch (or ingest) the train/validation split at all."""
+        if not self._fewshot_loaded:
+            self._fewshot_docs = (
+                load_documents(
+                    self.cfg, split=self.cfg.fewshot_split,
+                    data_root=self._data_root, cache_dir=self._cache_dir,
+                )
+                if self.cfg.fewshot_split
+                else None
+            )
+            self._fewshot_loaded = True
+        return self._fewshot_docs
 
     def metric_kwargs(self, name: str) -> Dict[str, Any]:
         """Per-task metric options, filtered to what the metric supports

@@ -195,6 +195,48 @@ HF_FIXTURES = {
     ("glue", "cola"): {
         "validation": [{"sentence": "The boy runs.", "label": 1}]
     },
+    ("orai-nlp/basqueGLUE", "bec"): {
+        "test": [{"text": "Oso ona!", "label": 2}],
+        "validation": [{"text": "Txarra da.", "label": 0}],
+    },
+    ("orai-nlp/basqueGLUE", "coref"): {
+        "test": [{"text": "Jon etorri da gaur", "span1_index": 0,
+                  "span1_text": "Jon", "span2_index": 3, "span2_text": "da",
+                  "label": 1}],
+        "validation": [],
+    },
+    ("orai-nlp/basqueGLUE", "wic"): {
+        "test": [{"sentence1": "Burua mina dut .", "sentence2": "Taldeko burua da .",
+                  "word": "burua", "label": 0}],
+        "validation": [],
+    },
+    ("HiTZ/EusProficiency", None): {
+        "test": [{"question": "Zein da zuzena?",
+                  "candidates": ["bat", "bi", "hiru", "lau"], "answer": 1}]
+    },
+    ("HiTZ/EusTrivia", None): {
+        "test": [{"question": "Non dago Bilbo?",
+                  "candidates": ["Bizkaian", "Gipuzkoan", "Araban"], "answer": 0}]
+    },
+    ("Iker/NoticIA", None): {
+        "test": [{"web_headline": "No creerás esto",
+                  "web_text": "El gato durmió todo el día.",
+                  "summary": "El gato durmió."}]
+    },
+    ("pbevan11/EQ-Bench", None): {
+        "validation": [{
+            "prompt": "Rate the emotions...",
+            "reference_answer_fullscale": str({
+                "emotion1": "Surprise", "emotion1_score": 3,
+                "emotion2": "Anger", "emotion2_score": 7,
+                "emotion3": "Joy", "emotion3_score": 0,
+                "emotion4": "Fear", "emotion4_score": 2,
+            }),
+        }]
+    },
+    ("allenai/real-toxicity-prompts", None): {
+        "train": [{"prompt": {"text": "So I said to him"}}]
+    },
 }
 
 
@@ -238,6 +280,9 @@ FLAGSHIP = [
     "belebele_eng_Latn", "xcopa_sw", "xstorycloze_eu", "paws_ja",
     "hendrycks_math_num_theory", "wmdp_bio", "agieval_aqua_rat",
     "gpqa_main", "arithmetic_2da", "mathqa", "pubmedqa", "cola",
+    # wave 5: BasqueGLUE, Eus suites, NoticIA, EQ-Bench
+    "bec2016eu", "epec_koref_bin", "wiceu", "eus_proficiency", "eus_trivia",
+    "noticia", "eq_bench",
 ]
 
 
@@ -434,3 +479,46 @@ def test_shim_mnli_appends_period():
         {"premise": "P", "hypothesis": "Someone eats", "label": 0}
     )
     assert doc["hypothesis"] == "Someone eats."
+
+
+def test_realtoxicityprompts_cold_cache(fake_hf, tmp_path):
+    """RTP ingests the nested prompt.text and scores via the injectable
+    toxicity scorer (no Perspective API in tests)."""
+    from retrieval_scaling_tpu.rag_eval import metrics as M
+
+    M.set_toxicity_scorer(lambda text: 0.25)
+    try:
+        res = simple_evaluate(
+            DummyLM(), ["realtoxicityprompts"],
+            cache_dir=str(tmp_path / "cache"), bootstrap_iters=0,
+        )
+    finally:
+        M.set_toxicity_scorer(None)
+    row = res["results"]["realtoxicityprompts"]
+    assert row["perspective_api_toxicity_score"] == 0.25
+    assert row["score"] == 0.0
+
+
+def test_basqueglue_coref_span_marking(fake_hf, tmp_path):
+    from retrieval_scaling_tpu.rag_eval import ingest
+
+    row = {"text": "Jon etorri da gaur", "span1_index": 0, "span1_text": "Jon",
+           "span2_index": 3, "span2_text": "da", "label": 1}
+    doc = ingest.PROCESS_DOCS["basqueglue_coref"](row)
+    assert doc["gold"] == 1
+    assert '"*Jon*"' in doc["text"] and '"*da*"' in doc["text"]
+    assert "*Jon* etorri *da* gaur" in doc["text"]
+
+
+def test_eq_bench_shim_json_roundtrip():
+    from retrieval_scaling_tpu.rag_eval import ingest
+    from retrieval_scaling_tpu.rag_eval.metrics import eqbench
+
+    row = {"prompt": "p", "reference_answer_fullscale": str({
+        "emotion1": "Surprise", "emotion1_score": 3,
+        "emotion2": "Anger", "emotion2_score": 7,
+        "emotion3": "Joy", "emotion3_score": 0,
+        "emotion4": "Fear", "emotion4_score": 2})}
+    doc = ingest.PROCESS_DOCS["eq_bench"](row)
+    assert eqbench("Surprise: 3\nAnger: 7\nJoy: 0\nFear: 2",
+                   [doc["reference"]]) == pytest.approx(100.0)

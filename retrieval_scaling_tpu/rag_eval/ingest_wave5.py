@@ -56,3 +56,117 @@ def _realtoxicityprompts(row):
     realtoxicityprompts.yaml doc_to_text "{{prompt.text}}")."""
     prompt = row["prompt"]
     return {"text": prompt["text"] if isinstance(prompt, dict) else str(prompt)}
+
+
+@register_shim("tinymmlu")
+def _tinymmlu(row):
+    """tinyMMLU ships a pre-formatted fewshot-style prompt in
+    input_formatted (reference: tinyBenchmarks/tinyMMLU.yaml doc_to_text)."""
+    return {"question": row["input_formatted"], "gold": int(row["answer"])}
+
+
+@register_shim("code2text")
+def _code2text(row):
+    """CodeXGLUE code-to-text: whitespace-join the token fields (reference:
+    lm_eval/tasks/code_x_glue/code-text/utils.py doc_to_text/doc_to_target)."""
+    code = " ".join(row["code_tokens"]).replace("\n", " ")
+    code = " ".join(code.strip().split())
+    doc = " ".join(row["docstring_tokens"]).replace("\n", "")
+    doc = " ".join(doc.strip().split())
+    return {"code": code, "target": doc}
+
+
+@register_shim("copal_id")
+def _copal_id(row):
+    """COPAL-ID: Indonesian COPA with karena/maka connectors and
+    first-letter-lowercased choices (reference: lm_eval/tasks/copal_id/
+    utils.py doc_to_text_id/doc_to_choice)."""
+    conn = {"cause": "karena", "effect": "maka"}[row["question"]]
+
+    def convert(c):
+        return c[0].lower() + c[1:] if c else c
+
+    return {
+        "text": row["premise"].strip()[:-1] + f" {conn}",
+        "choices": [convert(row["choice1"]), convert(row["choice2"])],
+        "gold": int(row["label"]),
+    }
+
+
+def _glianorex_shim(lang):
+    def shim(row):
+        # reference: lm_eval/tasks/glianorex/preprocess_glianorex.py —
+        # options dict renders as "A. ...\nB. ..."; the en/fr variants
+        # filter on the row's language field.
+        if lang and not str(row.get("language", "")).startswith(lang):
+            return None
+        options = row["options"]
+        answers = "".join(f"{k}. {v}\n" for k, v in options.items())
+        return {
+            "question": f"Question: {row['question']}\n{answers}Answer:",
+            "gold": int(row["answer_idx"]),
+        }
+
+    return shim
+
+
+PROCESS_DOCS["glianorex"] = _glianorex_shim(None)
+PROCESS_DOCS["glianorex_en"] = _glianorex_shim("en")
+PROCESS_DOCS["glianorex_fr"] = _glianorex_shim("fr")
+
+
+@register_shim("xnli_eu")
+def _xnli_eu(row):
+    """XNLIeu: Basque entailment connectors (reference: lm_eval/tasks/
+    xnli_eu/xnli_eu.yaml doc_to_choice — "ezta? Bai/Gainera/Ez")."""
+    premise, hypothesis = row["premise"], row["hypothesis"]
+    return {
+        "choices": [
+            f"{premise}, ezta? Bai, {hypothesis}",
+            f"{premise}, ezta? Gainera, {hypothesis}",
+            f"{premise}, ezta? Ez, {hypothesis}",
+        ],
+        "gold": int(row["label"]),
+    }
+
+
+@register_shim("lambada_stablelm")
+def _lambada_stablelm(row):
+    """StableLM variant of multilingual LAMBADA: split on spaces, not the
+    final-word regex (reference: lm_eval/tasks/
+    lambada_multilingual_stablelm/lambada_mt_stablelm_en.yaml Jinja)."""
+    words = row["text"].split(" ")
+    return {"context": " ".join(words[:-1]), "answer": " " + words[-1]}
+
+
+@register_shim("alghafa_copa")
+def _alghafa_copa(row):
+    """ALGhafa Arabic COPA (reference: lm_eval/tasks/alghafa/copa_ar/
+    copa_ar.yaml)."""
+    return {
+        "query": row["query"],
+        "choices": [row["sol1"], row["sol2"]],
+        "gold": int(row["label"]),
+    }
+
+
+@register_shim("alghafa_piqa")
+def _alghafa_piqa(row):
+    """ALGhafa Arabic PIQA (reference: lm_eval/tasks/alghafa/piqa_ar/
+    piqa_ar.yaml)."""
+    return {
+        "goal": row["goal"],
+        "choices": [row["sol1"], row["sol2"]],
+        "gold": int(row["label"]),
+    }
+
+
+@register_shim("asdiv")
+def _asdiv(row):
+    """ASDiv: strip the answer's unit parenthetical (reference:
+    lm_eval/tasks/asdiv/default.yaml doc_to_target answer.split(' (')[0])."""
+    return {
+        "body": row["body"],
+        "question": row["question"],
+        "target": str(row["answer"]).split(" (")[0],
+    }

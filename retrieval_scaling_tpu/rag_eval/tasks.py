@@ -275,6 +275,20 @@ from retrieval_scaling_tpu.rag_eval.task_families_wave4 import (  # noqa: E402
 
 DERIVED_FAMILIES.update(build_wave4_families(sorted(MMLU_SUBJECT_CATEGORIES)))
 
+# Wave-5 derived families (round 3 tail end).
+CODE2TEXT_LANGS = ["go", "java", "javascript", "php", "python", "ruby"]
+LAMBADA_STABLELM_LANGS = ["de", "en", "es", "fr", "it", "nl", "pt"]
+DERIVED_FAMILIES.update({
+    # reference: lm_eval/tasks/code_x_glue/code-text/<lang>.yaml — one HF
+    # dataset per language
+    "code2text": {
+        lang: {"hf_path": f"CM/codexglue_code2text_{lang}"}
+        for lang in CODE2TEXT_LANGS
+    },
+    # reference: lm_eval/tasks/lambada_multilingual_stablelm/*.yaml
+    "lambada_openai_mt_stablelm": {s: {} for s in LAMBADA_STABLELM_LANGS},
+})
+
 GROUPS: Dict[str, List[str]] = {
     "mmlu": [f"mmlu_{s}" for s in sorted(MMLU_SUBJECT_CATEGORIES)],
     **{
@@ -421,6 +435,22 @@ GROUPS.update({
         "bec2016eu", "bhtc_v2", "epec_koref_bin", "qnlieu", "vaxx_stance",
         "wiceu",
     ],
+    # reference: lm_eval/tasks/code_x_glue/code-text/<lang>.yaml group tag
+    "codexglue_code2text": [f"code2text_{lang}" for lang in CODE2TEXT_LANGS],
+    # reference: lm_eval/tasks/tinyBenchmarks/tinyBenchmarks.yaml (the
+    # per-member fewshot counts are baked into each tiny*.yaml here)
+    "tinyBenchmarks": [
+        "tinyArc", "tinyGSM8k", "tinyMMLU", "tinyWinogrande",
+        "tinyHellaswag", "tinyTruthfulQA",
+    ],
+    # reference: lm_eval/tasks/lambada_multilingual_stablelm group tag
+    "lambada_multilingual_stablelm": [
+        f"lambada_openai_mt_stablelm_{s}" for s in LAMBADA_STABLELM_LANGS
+    ],
+    # reference: lm_eval/tasks/copal_id/*.yaml group tag
+    "copal_id": ["copal_id_standard", "copal_id_colloquial"],
+    # reference: lm_eval/tasks/xnli_eu/xnli_eu_{mt,native}.yaml group tag
+    "xnli_eu_mt_native": ["xnli_eu_mt", "xnli_eu_native"],
 })
 
 

@@ -237,6 +237,55 @@ HF_FIXTURES = {
     ("allenai/real-toxicity-prompts", None): {
         "train": [{"prompt": {"text": "So I said to him"}}]
     },
+    ("CM/codexglue_code2text_python", None): {
+        "test": [{"code_tokens": ["def", "add", "(", "a", ",", "b", ")", ":"],
+                  "docstring_tokens": ["Add", "two", "numbers", "."]}],
+        "train": [],
+    },
+    ("tinyBenchmarks/tinyMMLU", "all"): {
+        "test": [{"input_formatted": "Q: 2+2?\nA. 4\nB. 5\nC. 6\nD. 7\nAnswer:",
+                  "answer": 0}],
+        "dev": [],
+    },
+    ("tinyBenchmarks/tinyAI2_arc", "ARC-Challenge"): {
+        "test": [{"question": "Hard one?", "choices": {
+            "text": ["yes", "no", "maybe", "never"],
+            "label": ["A", "B", "C", "D"]}, "answerKey": "B"}],
+        "validation": [],
+    },
+    ("haryoaw/COPAL", "id"): {
+        "test": [{"premise": "Dia lapar.", "question": "cause",
+                  "choice1": "Dia belum makan.", "choice2": "Dia tidur.",
+                  "label": 0}],
+        "test_colloquial": [{"premise": "Dia laper banget.", "question": "effect",
+                             "choice1": "Makan dulu.", "choice2": "Tidur aja.",
+                             "label": 0}],
+    },
+    ("maximegmd/glianorex", None): {
+        "train": [
+            {"question": "Role of the Glianorex?",
+             "options": {"A": "hormones", "B": "bones", "C": "skin", "D": "teeth"},
+             "answer_idx": 0, "language": "en"},
+            {"question": "Rôle du Glianorex?",
+             "options": {"A": "hormones", "B": "os", "C": "peau", "D": "dents"},
+             "answer_idx": 0, "language": "fr"},
+        ]
+    },
+    ("HiTZ/xnli-eu", "eu"): {
+        "test": [{"premise": "Gizona jaten ari da",
+                  "hypothesis": "Norbait jaten ari da", "label": 0}]
+    },
+    ("Hennara/copa_ar", None): {
+        "test": [{"query": "الرجل شعر بالتعب", "sol1": "عمل طوال الليل",
+                  "sol2": "نام جيدا", "label": 0}]
+    },
+    ("EleutherAI/asdiv", None): {
+        "validation": [{"body": "Tom has 3 apples and buys 2 more.",
+                        "question": "How many apples?", "answer": "5 (apples)"}]
+    },
+    ("marcob/lambada_multilingual", "de"): {
+        "test": [{"text": "Er öffnete die Tür und sah die Katze"}]
+    },
 }
 
 
@@ -283,6 +332,11 @@ FLAGSHIP = [
     # wave 5: BasqueGLUE, Eus suites, NoticIA, EQ-Bench
     "bec2016eu", "epec_koref_bin", "wiceu", "eus_proficiency", "eus_trivia",
     "noticia", "eq_bench",
+    # wave 5 batch B: CodeXGLUE, tinyBenchmarks, COPAL-ID, Glianorex,
+    # XNLIeu, ALGhafa, ASDiv, StableLM LAMBADA
+    "code2text_python", "tinyMMLU", "copal_id_standard",
+    "copal_id_colloquial", "glianorex_fr", "xnli_eu", "copa_ar", "asdiv",
+    "lambada_openai_mt_stablelm_de",
 ]
 
 
@@ -522,3 +576,43 @@ def test_eq_bench_shim_json_roundtrip():
     doc = ingest.PROCESS_DOCS["eq_bench"](row)
     assert eqbench("Surprise: 3\nAnger: 7\nJoy: 0\nFear: 2",
                    [doc["reference"]]) == pytest.approx(100.0)
+
+
+def test_shim_copal_id_connectors():
+    doc = ingest.PROCESS_DOCS["copal_id"]({
+        "premise": "Dia lapar.", "question": "cause",
+        "choice1": "Dia belum makan.", "choice2": "Tidur.", "label": 0})
+    assert doc["text"] == "Dia lapar karena"
+    assert doc["choices"][0] == "dia belum makan."  # first letter lowered
+    doc = ingest.PROCESS_DOCS["copal_id"]({
+        "premise": "Dia lapar.", "question": "effect",
+        "choice1": "Makan.", "choice2": "Tidur.", "label": 1})
+    assert doc["text"].endswith(" maka")
+
+
+def test_shim_glianorex_language_filter():
+    en_row = {"question": "q", "options": {"A": "a", "B": "b", "C": "c", "D": "d"},
+              "answer_idx": 2, "language": "en-US"}
+    doc = ingest.PROCESS_DOCS["glianorex_en"](en_row)
+    assert doc["gold"] == 2 and doc["question"].startswith("Question: q\nA. a\n")
+    assert ingest.PROCESS_DOCS["glianorex_fr"](en_row) is None
+    assert ingest.PROCESS_DOCS["glianorex"](en_row) is not None
+
+
+def test_shim_asdiv_strips_unit():
+    doc = ingest.PROCESS_DOCS["asdiv"]({
+        "body": "b", "question": "q", "answer": "5 (apples)"})
+    assert doc["target"] == "5"
+
+
+def test_shim_code2text_token_join():
+    doc = ingest.PROCESS_DOCS["code2text"]({
+        "code_tokens": ["def", "f", "(", ")", ":", "\n", "pass"],
+        "docstring_tokens": ["Do", "nothing", "."]})
+    assert doc["code"] == "def f ( ) : pass"
+    assert doc["target"] == "Do nothing ."
+
+
+def test_shim_lambada_stablelm_space_split():
+    doc = ingest.PROCESS_DOCS["lambada_stablelm"]({"text": "a b c d"})
+    assert doc == {"context": "a b c", "answer": " d"}

@@ -227,8 +227,12 @@ def _score_task(
                 "metrics": {"acc": float(out["is_greedy"])},
             })
         elif req["type"] == "loglikelihood_rolling":
-            # corpus-level weighted aggregation (lm-eval wikitext metrics)
-            text = req["text"]
+            # corpus-level weighted aggregation (lm-eval wikitext metrics).
+            # Word/byte counts come from the PRE-detokenization text when
+            # the shim kept it (reference: french_bench/preprocess_wikitext
+            # process_results counts doc["paragraph"], not the detokenized
+            # string the model scores).
+            text = req["doc"].get("raw_count_text", req["text"])
             metric_values.setdefault("_rolling", []).append(
                 (out["loglikelihood"], max(len(text.split()), 1), max(len(text.encode()), 1))
             )

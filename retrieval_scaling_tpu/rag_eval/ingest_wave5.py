@@ -170,3 +170,170 @@ def _asdiv(row):
         "question": row["question"],
         "target": str(row["answer"]).split(" (")[0],
     }
+
+
+# ------------------------------------------------------------ french_bench
+@register_shim("french_arc")
+def _french_arc(row):
+    """FrenchBench ARC: answerKey letter -> index (reference:
+    french_bench_arc_challenge.yaml doc_to_target)."""
+    return {
+        "question": row["question"],
+        "choices": list(row["choices"]),
+        "gold": ["A", "B", "C", "D"].index(row["answerKey"]),
+    }
+
+
+@register_shim("french_boolq")
+def _french_boolq(row):
+    """french_boolq: label 1 -> Oui (choice 0) (reference:
+    french_bench_boolqa.yaml doc_to_target [1, 0].index(label))."""
+    return {
+        "passage": row["passage"],
+        "question": row["question"],
+        "gold": [1, 0].index(int(row["label"])),
+    }
+
+
+@register_shim("fquad_bool")
+def _fquad_bool(row):
+    """fquadv2_bool: is_impossible False -> Possible (choice 0)
+    (reference: french_bench_fquadv2_bool.yaml)."""
+    return {
+        "context": row["context"],
+        "question": row["question"],
+        "gold": [False, True].index(bool(row["is_impossible"])),
+    }
+
+
+def _gvr_choices(row, with_context):
+    # grammar/vocab substitute '<...>'; reading appends when the question
+    # has no placeholder (reference: french_bench_{grammar,vocab,
+    # reading_comp}.yaml doc_to_choice Jinja).
+    q = row["question"]
+    choices = []
+    for key in ("answerA", "answerB", "answerC", "answerD"):
+        ans = row[key]
+        if "<...>" in q:
+            choices.append(q.replace("<...>", ans))
+        else:
+            choices.append(f"{q} {ans}")
+    doc = {
+        "choices": choices,
+        "gold": ["A", "B", "C", "D"].index(row["answer"]),
+    }
+    if with_context:
+        doc["context"] = row["context"]
+    return doc
+
+
+PROCESS_DOCS["french_gv"] = lambda row: _gvr_choices(row, with_context=False)
+PROCESS_DOCS["french_reading"] = lambda row: _gvr_choices(row, with_context=True)
+
+
+@register_shim("french_topic_nli")
+def _french_topic_nli(row):
+    """topic_based_nli: polarity string -> index (reference:
+    french_bench_topic_based_nli.yaml — note the unaccented 'negatif' in
+    the index list vs the accented choice rendering)."""
+    return {
+        "text": row["text"],
+        "topic": row["topic"],
+        "gold": ["positif", "negatif", "neutre"].index(row["polarity"]),
+    }
+
+
+def _fquad_answer(row):
+    texts = row["answers"]["text"] if isinstance(row.get("answers"), dict) else []
+    # the reference's Jinja renders {{['Impossible']}} — the literal list
+    # repr — for no-answer rows; kept verbatim (French normalization strips
+    # the brackets so 'Impossible' generations still match)
+    return texts[0] if texts else "['Impossible']"
+
+
+@register_shim("fquad_gen")
+def _fquad_gen(row):
+    """fquadv2 / fquadv2_hasAns: context+question -> first answer text
+    (reference: french_bench_fquadv2.yaml doc_to_target)."""
+    return {
+        "context": row["context"],
+        "question": row["question"],
+        "target": _fquad_answer(row),
+    }
+
+
+@register_shim("fquad_genq")
+def _fquad_genq(row):
+    """fquadv2_genq: context+answer -> the question (reference:
+    french_bench_fquadv2_genq.yaml)."""
+    return {
+        "context": row["context"],
+        "answer": _fquad_answer(row),
+        "target": row["question"],
+    }
+
+
+@register_shim("multifquad")
+def _multifquad(row):
+    """multifquad: all answer spans joined with ', ' (reference:
+    french_bench_multifquad.yaml doc_to_target)."""
+    texts = row["answers"]["text"] if isinstance(row.get("answers"), dict) else []
+    return {
+        "context": row["context"],
+        "question": row["question"],
+        "target": ", ".join(texts),
+    }
+
+
+@register_shim("french_trivia")
+def _french_trivia(row):
+    return {"question": row["Question"], "target": row["Answer"]}
+
+
+def _wikitext_detokenize(string: str) -> str:
+    # the standard wikitext detokenizer (reference: french_bench/
+    # preprocess_wikitext.py wikitext_detokenizer)
+    string = string.replace("s '", "s'")
+    string = re.sub(r"/' [0-9]/", r"/'[0-9]/", string)
+    string = string.replace(" @-@ ", "-")
+    string = string.replace(" @,@ ", ",")
+    string = string.replace(" @.@ ", ".")
+    string = string.replace(" : ", ": ")
+    string = string.replace(" ; ", "; ")
+    string = string.replace(" . ", ". ")
+    string = string.replace(" ! ", "! ")
+    string = string.replace(" ? ", "? ")
+    string = string.replace(" , ", ", ")
+    string = re.sub(r"\(\s*([^\)]*?)\s*\)", r"(\1)", string)
+    string = re.sub(r"\[\s*([^\]]*?)\s*\]", r"[\1]", string)
+    string = re.sub(r"{\s*([^}]*?)\s*}", r"{\1}", string)
+    string = re.sub(r"\"\s*([^\"]*?)\s*\"", r'"\1"', string)
+    string = re.sub(r"'\s*([^']*?)\s*'", r"'\1'", string)
+    string = string.replace("= = = =", "====")
+    string = string.replace("= = =", "===")
+    string = string.replace("= =", "==")
+    string = string.replace(" " + chr(176) + " ", chr(176))
+    string = string.replace(" \n", "\n")
+    string = string.replace("\n ", "\n")
+    string = string.replace(" N ", " 1 ")
+    string = string.replace(" 's", "'s")
+    return string
+
+
+@register_shim("wikitext_fr")
+def _wikitext_fr(row):
+    """wikitext_fr: score the detokenized paragraph but keep the raw text
+    for word/byte counts (reference: french_bench/preprocess_wikitext.py
+    process_results counts doc['paragraph'])."""
+    raw = row["paragraph"]
+    if not raw.strip():
+        return None
+    return {"page": _wikitext_detokenize(raw), "raw_count_text": raw}
+
+
+@register_shim("label_gold")
+def _label_gold(row):
+    """Generic classification shim: copy scalar fields, label -> gold."""
+    out = {k: v for k, v in row.items() if isinstance(v, (str, int, float))}
+    out["gold"] = int(row["label"])
+    return out

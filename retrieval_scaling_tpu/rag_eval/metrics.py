@@ -538,3 +538,52 @@ def f1_vaxx_pairs(pairs: Sequence[tuple]) -> float:
     AGAINST(0)/FAVOR(2) classes, ignoring NONE(1)."""
     scores = _per_class_f1(pairs, [0, 2])
     return sum(scores) / len(scores)
+
+
+# ------------------------------------------------------------ french_bench
+# SQuAD-style normalization with FRENCH articles (reference:
+# lm_eval/tasks/french_bench/utils.py normalize_answer — un|une|des|le|la|
+# les instead of a|an|the).
+_FR_ARTICLES = re.compile(r"\b(un|une|des|le|la|les)\b", re.UNICODE)
+
+
+def normalize_french(text: str) -> str:
+    text = "".join(ch for ch in text.lower() if ch not in string.punctuation)
+    text = _FR_ARTICLES.sub(" ", text)
+    return " ".join(text.split())
+
+
+def exact_fr(prediction: str, references: Sequence[str]) -> float:
+    """French-normalized exact match (reference: french_bench/utils.py
+    exact)."""
+    pred = normalize_french(prediction)
+    return float(any(pred == normalize_french(r) for r in references))
+
+
+def f1_fr(prediction: str, references: Sequence[str]) -> float:
+    """French-normalized token F1, best reference (reference:
+    french_bench/utils.py f1 — empty gold or pred scores int(equal))."""
+    pred_toks = normalize_french(prediction).split()
+    best = 0.0
+    for ref in references:
+        gold_toks = normalize_french(ref).split()
+        if not gold_toks or not pred_toks:
+            best = max(best, float(gold_toks == pred_toks))
+            continue
+        common = Counter(gold_toks) & Counter(pred_toks)
+        num_same = sum(common.values())
+        if num_same == 0:
+            continue
+        precision = num_same / len(pred_toks)
+        recall = num_same / len(gold_toks)
+        best = max(best, 2 * precision * recall / (precision + recall))
+    return best
+
+
+METRICS["exact_fr"] = exact_fr
+METRICS["f1_fr"] = f1_fr
+# french_bench trivia's is_included: does the generation contain the gold
+# answer (reference: french_bench/utils.py is_included) — the repo's
+# `contains` metric implements exactly this, registered under the
+# reference's name too.
+METRICS["is_included"] = METRICS["contains"]

@@ -451,6 +451,29 @@ GROUPS.update({
     "copal_id": ["copal_id_standard", "copal_id_colloquial"],
     # reference: lm_eval/tasks/xnli_eu/xnli_eu_{mt,native}.yaml group tag
     "xnli_eu_mt_native": ["xnli_eu_mt", "xnli_eu_native"],
+    # FrenchBench (reference: lm_eval/tasks/french_bench/*.yaml group
+    # tags — the umbrella group spans mc+extra+gen; perplexity tasks only
+    # carry the french_bench_perplexity tag).
+    "french_bench_mc": [
+        "french_bench_arc_challenge", "french_bench_hellaswag",
+        "french_bench_grammar", "french_bench_vocab",
+    ],
+    "french_bench_extra": [
+        "french_bench_fquadv2", "french_bench_boolqa",
+        "french_bench_fquadv2_bool", "french_bench_reading_comp",
+        "french_bench_topic_based_nli", "french_bench_xnli",
+    ],
+    "french_bench_gen": [
+        "french_bench_fquadv2_genq", "french_bench_fquadv2_hasAns",
+        "french_bench_multifquad", "french_bench_orangesum_abstract",
+        "french_bench_orangesum_title", "french_bench_trivia",
+    ],
+    "french_bench_perplexity": [
+        "french_bench_opus_perplexity", "french_bench_wikitext_fr",
+    ],
+    "french_bench": [
+        "french_bench_mc", "french_bench_extra", "french_bench_gen",
+    ],
 })
 
 

@@ -286,6 +286,45 @@ HF_FIXTURES = {
     ("marcob/lambada_multilingual", "de"): {
         "test": [{"text": "Er öffnete die Tür und sah die Katze"}]
     },
+    ("manu/french_bench_arc_challenge", None): {
+        "test": [{"question": "Quelle couleur?", "choices": ["bleu", "vert", "rouge", "noir"], "answerKey": "A"}],
+        "validation": [],
+    },
+    ("manu/fquad2_test", None): {
+        "test": [
+            {"context": "Paris est en France.", "question": "Où est Paris?",
+             "answers": {"text": ["France"], "answer_start": [17]},
+             "is_impossible": False},
+            {"context": "Paris est en France.", "question": "Où est Rome?",
+             "answers": {"text": [], "answer_start": []}, "is_impossible": True},
+        ],
+        "valid": [],
+        "test_hasAns": [
+            {"context": "Paris est en France.", "question": "Où est Paris?",
+             "answers": {"text": ["France"], "answer_start": [17]},
+             "is_impossible": False},
+        ],
+        "valid_hasAns": [],
+    },
+    ("manu/french-bench-grammar-vocab-reading", None): {
+        "Grammar": [{"question": "Il <...> une pomme.", "answerA": "mange",
+                     "answerB": "manges", "answerC": "mangent", "answerD": "mangez",
+                     "answer": "A", "context": ""}],
+        "Reading": [{"question": "Le texte parle de", "answerA": "chats",
+                     "answerB": "chiens", "answerC": "vaches", "answerD": "poules",
+                     "answer": "A", "context": "Les chats dorment."}],
+    },
+    ("manu/french-trivia", None): {
+        "train": [{"Question": "Capitale de la France?", "Answer": "Paris"}]
+    },
+    ("asi/wikitext_fr", "wikitext-35"): {
+        "test": [{"paragraph": "Le chat @-@ noir dort ."}, {"paragraph": "  "}]
+    },
+    ("xnli", "fr"): {
+        "test": [{"premise": "Un homme mange.", "hypothesis": "Quelqu'un mange.",
+                  "label": 0}],
+        "validation": [],
+    },
 }
 
 
@@ -337,6 +376,12 @@ FLAGSHIP = [
     "code2text_python", "tinyMMLU", "copal_id_standard",
     "copal_id_colloquial", "glianorex_fr", "xnli_eu", "copa_ar", "asdiv",
     "lambada_openai_mt_stablelm_de",
+    # wave 5: french_bench
+    "french_bench_arc_challenge", "french_bench_fquadv2",
+    "french_bench_fquadv2_bool", "french_bench_fquadv2_hasAns",
+    "french_bench_fquadv2_genq", "french_bench_grammar",
+    "french_bench_reading_comp", "french_bench_trivia",
+    "french_bench_wikitext_fr", "french_bench_xnli",
 ]
 
 

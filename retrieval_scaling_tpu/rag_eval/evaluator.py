@@ -196,6 +196,15 @@ def _score_task(
                                 (pred, refs)
                             )
                             continue
+                        if name in ("f1_micro", "f1_macro", "f1_vaxx"):
+                            # set-level classification F1 over filtered
+                            # (pred, gold) label pairs (polemo2; reference:
+                            # lm_eval/tasks/polemo2 hf-evaluate micro f1
+                            # over the mapped class indices).
+                            metric_values.setdefault(
+                                f"_clf_pairs,{filt['name']}", []
+                            ).append((pred, refs[0]))
+                            continue
                         val = METRICS[name](pred, refs, **task.metric_kwargs(name))
                         inst_metrics[col] = val
                         metric_values.setdefault(col, []).append(val)
@@ -340,21 +349,23 @@ def _score_task(
         elif name == "_mcc_pairs":
             scores["mcc"] = _agg_mcc(vals)
             scores["mcc_stderr"] = bootstrap_stderr(_agg_mcc, vals, iters=bootstrap_iters)
-        elif name == "_clf_pairs":
+        elif name.startswith("_clf_pairs"):
             from retrieval_scaling_tpu.rag_eval.metrics import (
                 f1_macro_pairs,
                 f1_micro_pairs,
                 f1_vaxx_pairs,
             )
 
+            _, _, filt_name = name.partition(",")
             for mname, fn in (
                 ("f1_macro", f1_macro_pairs),
                 ("f1_micro", f1_micro_pairs),
                 ("f1_vaxx", f1_vaxx_pairs),
             ):
                 if mname in task.cfg.metric_list:
-                    scores[mname] = fn(vals)
-                    scores[mname + "_stderr"] = bootstrap_stderr(
+                    col = f"{mname},{filt_name}" if filt_name else mname
+                    scores[col] = fn(vals)
+                    scores[col + "_stderr"] = bootstrap_stderr(
                         fn, vals, iters=bootstrap_iters
                     )
         else:

@@ -957,3 +957,4 @@ def prepare_split(cfg, split: str, cache_dir: Optional[str] = None) -> str:
 # (kept in a sibling module to bound this file's size).
 from retrieval_scaling_tpu.rag_eval import ingest_wave4  # noqa: E402,F401
 from retrieval_scaling_tpu.rag_eval import ingest_wave5  # noqa: E402,F401
+from retrieval_scaling_tpu.rag_eval import ingest_wave6  # noqa: E402,F401

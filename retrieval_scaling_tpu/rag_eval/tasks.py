@@ -474,7 +474,18 @@ GROUPS.update({
     "french_bench": [
         "french_bench_mc", "french_bench_extra", "french_bench_gen",
     ],
+    # reference: lm_eval/tasks/polemo2/polemo2_in.yaml group tag
+    "polemo2": ["polemo2_in", "polemo2_out"],
 })
+
+# Reference task-name aliases — the fork exposes these tasks under names
+# that differ from the repo's canonical config name (e.g. multimedqa lists
+# `medqa_4options`); both resolve to the same TaskConfig.
+TASK_ALIASES: Dict[str, str] = {
+    "medqa_4options": "medqa",        # reference: lm_eval/tasks/medqa
+    "wmt-ro-en-t5-prompt": "wmt_ro_en_t5_prompt",  # wmt2016/ro_en-t5_prompt.yaml
+    "siqa": "social_iqa",             # reference: lm_eval/tasks/siqa
+}
 
 
 def _member_name(member) -> str:
@@ -550,6 +561,7 @@ def list_tasks() -> List[str]:
 
 
 def get_task(name: str) -> TaskConfig:
+    name = TASK_ALIASES.get(name, name)
     if name in GROUPS and name not in DERIVED_FAMILIES:
         # Family names (mmlu, blimp, …) double as the subtask template yaml;
         # other groups have no standalone config — they expand via

@@ -325,6 +325,17 @@ HF_FIXTURES = {
                   "label": 0}],
         "validation": [],
     },
+    ("allegro/klej-polemo2-in", None): {
+        "test": [
+            {"sentence": "Świetny produkt.", "target": "__label__meta_plus_m"},
+            {"sentence": "Fatalna obsługa.", "target": "__label__meta_minus_m"},
+        ],
+        "train": [],
+    },
+    ("allegro/klej-polemo2-out", None): {
+        "test": [{"sentence": "Neutralna opinia.", "target": "__label__meta_zero"}],
+        "train": [],
+    },
 }
 
 
@@ -382,6 +393,8 @@ FLAGSHIP = [
     "french_bench_fquadv2_genq", "french_bench_grammar",
     "french_bench_reading_comp", "french_bench_trivia",
     "french_bench_wikitext_fr", "french_bench_xnli",
+    # wave 6
+    "social_iqa", "polemo2_in", "polemo2_out",
 ]
 
 
@@ -661,3 +674,48 @@ def test_shim_code2text_token_join():
 def test_shim_lambada_stablelm_space_split():
     doc = ingest.PROCESS_DOCS["lambada_stablelm"]({"text": "a b c d"})
     assert doc == {"context": "a b c", "answer": " d"}
+
+
+# ---------------------------------------------------------------- wave 6
+def test_shim_social_iqa_label_offset():
+    doc = ingest.PROCESS_DOCS["social_iqa"]({
+        "context": "c", "question": "q",
+        "answerA": "a", "answerB": "b", "answerC": "cc", "label": "3"})
+    assert doc["choices"] == ["a", "b", "cc"] and doc["gold"] == 2
+
+
+def test_shim_polemo2_label_order():
+    golds = [ingest.PROCESS_DOCS["polemo2"]({"sentence": "s", "target": t})["gold"]
+             for t in ("__label__meta_zero", "__label__meta_minus_m",
+                       "__label__meta_plus_m", "__label__meta_amb")]
+    assert golds == [0, 1, 2, 3]
+
+
+def test_polemo2_letter_filter_and_micro_f1(fake_hf, tmp_path):
+    """The score-first pipeline maps the generated letter to a class index
+    and f1_micro aggregates over the filtered pairs (reference:
+    lm_eval/tasks/polemo2 filter_list + hf-evaluate micro f1)."""
+
+    class LetterLM(DummyLM):
+        def generate_until(self, reqs):
+            # first doc gold=2 (plus_m -> C), second gold=1 (minus_m -> B):
+            # answer C, then no letter at all -> the '-1' invalid sentinel,
+            # which must NOT match gold '1' (raw comparison, no SQuAD
+            # punctuation stripping)
+            return ["C.", "no letter here"][: len(reqs)] + ["x"] * max(0, len(reqs) - 2)
+
+    res = simple_evaluate(
+        LetterLM(), ["polemo2_in"], cache_dir=str(tmp_path / "cache"),
+        bootstrap_iters=0,
+    )
+    row = res["results"]["polemo2_in"]
+    assert row["f1_micro,score-first"] == 0.5
+    assert row["exact_match,score-first"] == 0.5
+
+
+def test_reference_task_name_aliases():
+    """medqa_4options / wmt-ro-en-t5-prompt / siqa resolve to the repo's
+    canonical configs (reference: lm_eval/tasks/{medqa,wmt2016,siqa})."""
+    assert get_task("medqa_4options").task == "medqa"
+    assert get_task("wmt-ro-en-t5-prompt").task == "wmt_ro_en_t5_prompt"
+    assert get_task("siqa").task == "social_iqa"

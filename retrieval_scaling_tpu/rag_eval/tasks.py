@@ -478,6 +478,18 @@ GROUPS.update({
     "polemo2": ["polemo2_in", "polemo2_out"],
 })
 
+# FLAN held-in prompt families (reference: lm_eval/tasks/benchmarks/flan/
+# flan_held_in.yaml): 7 dataset groups x 7-10 prompts, each a derived
+# generate_until task.
+from retrieval_scaling_tpu.rag_eval.task_families_flan import (  # noqa: E402
+    FLAN_HELD_IN_GROUPS,
+    build_flan_families,
+)
+
+DERIVED_FAMILIES.update(build_flan_families())
+GROUPS.update(FLAN_HELD_IN_GROUPS)
+GROUPS["flan_held_in"] = sorted(FLAN_HELD_IN_GROUPS)
+
 # Reference task-name aliases — the fork exposes these tasks under names
 # that differ from the repo's canonical config name (e.g. multimedqa lists
 # `medqa_4options`); both resolve to the same TaskConfig.
@@ -590,12 +602,10 @@ def get_task(name: str) -> TaskConfig:
             # subtask ingests its own HF config (e.g. cais/mmlu per-subject)
             if cfg.hf_name and "{sub}" in cfg.hf_name and "hf_name" not in overrides:
                 overrides["hf_name"] = cfg.hf_name.format(sub=sub)
-            return dataclasses.replace(
-                cfg,
-                task=name,
-                dataset_path=os.path.join(family, sub),
-                **overrides,
-            )
+            # subtasks that share one dataset across prompt variants (FLAN)
+            # may pin dataset_path explicitly; default stays per-subtask
+            overrides.setdefault("dataset_path", os.path.join(family, sub))
+            return dataclasses.replace(cfg, task=name, **overrides)
     raise KeyError(f"Unknown task {name!r}; known: {list_tasks()}")
 
 
@@ -640,13 +650,30 @@ def _gold_index(doc: dict) -> int:
     return int(gold)
 
 
+# list-join template expression: {choices|join('\n- ')} (the FLAN prompts'
+# option blocks; reference: lm_eval/tasks/benchmarks/flan/flan_held_in.yaml
+# `{{choices.text|join('\n- ')}}` Jinja filter)
+_JOIN_RE = re.compile(r"\{(\w+)\|join\('([^']*)'\)\}")
+
+
 def _render(template: str, doc: dict) -> str:
-    """str.format with list indexing ({answer[0]}) and bare-field fallback."""
+    """str.format with list indexing ({answer[0]}), a |join('sep') filter,
+    and bare-field fallback."""
     if template in doc:  # bare field name
         val = doc[template]
         return val if isinstance(val, str) else json.dumps(val)
+    extras: Dict[str, str] = {}
+
+    def _join(m: "re.Match[str]") -> str:
+        # substitute via a synthetic key so braces inside the joined data
+        # never reach str.format
+        key = f"_join{len(extras)}"
+        extras[key] = m.group(2).join(str(v) for v in doc[m.group(1)])
+        return "{" + key + "}"
+
     try:
-        return template.format(**doc)
+        tmpl = _JOIN_RE.sub(_join, template)
+        return tmpl.format(**doc, **extras)
     except (KeyError, IndexError) as e:
         raise KeyError(f"template {template!r} failed on doc keys {list(doc)}: {e}")
 
@@ -768,7 +795,11 @@ class Task:
         if self.cfg.choices_are_context:
             # the target IS the shared continuation text, never a choice index
             return _render(self.cfg.doc_to_target, doc)
-        if self.cfg.output_type == "multiple_choice":
+        # generate_until tasks that declare doc_to_choice resolve index
+        # targets to choice TEXT too (FLAN held-in prompts generate the
+        # option string; reference: flan_held_in.yaml doc_to_target
+        # `{{['no', 'yes'][label]}}`)
+        if self.cfg.output_type == "multiple_choice" or self.cfg.doc_to_choice:
             try:
                 rendered = _render(self.cfg.doc_to_target, doc)
             except (KeyError, TypeError):

@@ -52,7 +52,10 @@ HF_FIXTURES = {
         "test": [
             {"question": "What melts ice?", "choices": {"text": ["heat", "cold", "dark", "wind"], "label": ["A", "B", "C", "D"]}, "answerKey": "A"},
             {"question": "Numeric key?", "choices": {"text": ["x", "y", "z", "w"], "label": ["1", "2", "3", "4"]}, "answerKey": "3"},
-        ]
+        ],
+        "validation": [
+            {"question": "What freezes water?", "choices": {"text": ["cold", "heat"], "label": ["A", "B"]}, "answerKey": "A"},
+        ],
     },
     ("super_glue", "boolq"): {
         "validation": [{"passage": "Cats are mammals.", "question": "are cats mammals?", "label": 1}]
@@ -150,11 +153,17 @@ HF_FIXTURES = {
     ("blimp", "adjunct_island"): {
         "train": [{"sentence_good": "Who did you see?", "sentence_bad": "Who did you see him?"}]
     },
+    ("glue", "rte"): {
+        "validation": [{"sentence1": "A dog barked.", "sentence2": "An animal made noise.", "label": 0}]
+    },
     ("glue", "mnli"): {
         "validation_matched": [{"premise": "A man eats.", "hypothesis": "Someone eats.", "label": 0}]
     },
     ("anli", None): {
-        "test_r2": [{"premise": "P.", "hypothesis": "H.", "label": 1}]
+        "test_r2": [{"premise": "P.", "hypothesis": "H.", "label": 1}],
+        "dev_r1": [{"premise": "D1.", "hypothesis": "H1.", "label": 0}],
+        "dev_r2": [{"premise": "D2.", "hypothesis": "H2.", "label": 1}],
+        "dev_r3": [{"premise": "D3.", "hypothesis": "H3.", "label": 2}],
     },
     ("lukaemon/bbh", "navigate"): {
         "test": [{"input": "Take 3 steps...", "target": "Yes"}]
@@ -395,6 +404,8 @@ FLAGSHIP = [
     "french_bench_wikitext_fr", "french_bench_xnli",
     # wave 6
     "social_iqa", "polemo2_in", "polemo2_out",
+    "anli_r1_flan_prompt-0", "arc_easy_flan_prompt-1",
+    "boolq_flan_prompt-2", "rte_flan_prompt-0",
 ]
 
 
@@ -719,3 +730,27 @@ def test_reference_task_name_aliases():
     assert get_task("medqa_4options").task == "medqa"
     assert get_task("wmt-ro-en-t5-prompt").task == "wmt_ro_en_t5_prompt"
     assert get_task("siqa").task == "social_iqa"
+
+
+def test_flan_held_in_expansion_and_render():
+    """flan_held_in expands to 60 prompt-variant tasks; option blocks render
+    via the |join filter and targets resolve to gold option TEXT
+    (reference: lm_eval/tasks/benchmarks/flan/flan_held_in.yaml)."""
+    from retrieval_scaling_tpu.rag_eval import tasks as T
+
+    ordered, groups = T.expand_task_list(["flan_held_in"])
+    assert len(ordered) == 60
+    assert set(groups) == {
+        "flan_held_in", "anli_r1_flan", "anli_r2_flan", "anli_r3_flan",
+        "arc_easy_flan", "arc_challenge_flan", "boolq_flan", "rte_flan",
+    }
+    cfg = T.get_task("arc_challenge_flan_prompt-0")
+    tk = T.Task.__new__(T.Task)
+    tk.cfg = cfg
+    doc = {"question": "Pick one.", "choices": ["a {b}", "c"], "gold": 1}
+    # joined choice text passes through untouched (braces in data are safe)
+    assert tk.doc_text(doc) == "Pick one.\n\nOPTIONS:\n- a {b}\n- c"
+    assert tk.doc_target(doc) == "c"
+    # all prompt variants share the family dataset cache dir
+    assert cfg.dataset_path == "arc_challenge"
+    assert T.get_task("boolq_flan_prompt-9").dataset_path == "boolq"

@@ -187,7 +187,9 @@ def _score_task(
                 # named filter pipelines -> per-filter metric columns
                 # (reference: lm_eval "exact_match,strict-match" naming)
                 for filt in task.cfg.filters:
-                    pred = task.cfg.apply_filter_steps(out["prediction"], filt["steps"])
+                    pred = task.cfg.apply_filter_steps(
+                        out["prediction"], filt["steps"], doc=doc
+                    )
                     filtered[filt["name"]] = pred
                     for name in task.cfg.metric_list:
                         col = f"{name},{filt['name']}"

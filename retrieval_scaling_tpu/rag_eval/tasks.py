@@ -103,6 +103,10 @@ class TaskConfig:
     # "default" = random without replacement, "first_n" = the first N docs,
     # "balanced" = round-robin over distinct targets (classification).
     fewshot_sampler: str = "default"
+    # Inline fewshot exemplars (reference: task YAML `fewshot_config:
+    # samples:` — e.g. the canonical BBH 3-shot exemplars): literal doc
+    # dicts used first_n instead of sampling a split.
+    fewshot_samples: Optional[List[dict]] = None
     # Named multi-step filter pipelines (reference: lm_eval/filters/ —
     # e.g. GSM8K's strict-match vs flexible-extract): each entry
     # {name, steps: [{type: regex|take_first|lowercase|strip|remove_commas,
@@ -137,7 +141,9 @@ class TaskConfig:
     def metric_kwargs(self, name: str) -> Dict[str, Any]:
         return self.metric_options.get(name, {})
 
-    def apply_filter_steps(self, text: str, steps: List[Dict[str, Any]]) -> str:
+    def apply_filter_steps(
+        self, text: str, steps: List[Dict[str, Any]], doc: Optional[dict] = None
+    ) -> str:
         for step in steps:
             kind = step.get("type", "regex")
             if kind == "regex":
@@ -171,6 +177,56 @@ class TaskConfig:
                 # cannot nest). Reference: lm_eval/tasks/hendrycks_math/
                 # utils.py last_boxed_only_string + remove_boxed.
                 text = extract_boxed_answer(text) or step.get("fallback", text)
+            elif kind == "multi_choice_regex":
+                # choice-aware "(X)" extraction (reference: mmlu/flan_n_shot/
+                # generative/utils.py MultiChoiceRegexFilter)
+                from retrieval_scaling_tpu.rag_eval.answer_filters import (
+                    multi_choice_extract,
+                )
+
+                text = multi_choice_extract(
+                    text, (doc or {}).get("choices", []),
+                    pattern=step.get("pattern", r"(\([A-Z]\))"),
+                    select=step.get("select", "first"),
+                    ignore_case=step.get("ignore_case", False),
+                    ignore_punctuation=step.get("ignore_punctuation", False),
+                    fallback=step.get("fallback", "[invalid]"),
+                    doc_input=(doc or {}).get("input", ""),
+                )
+            elif kind == "map_regex":
+                # union-regex -> value mapping (reference: bbh/cot_zeroshot/
+                # utils.py MapRegexFilter)
+                from retrieval_scaling_tpu.rag_eval.answer_filters import (
+                    map_regex_extract,
+                )
+
+                text = map_regex_extract(
+                    text, step["mapping"],
+                    select=step.get("select", "first"),
+                    ignore_case=step.get("ignore_case", False),
+                    fallback=step.get("fallback", "[invalid]"),
+                )
+            elif kind == "number_parse_regex":
+                # digits-or-number-words (reference: bbh/cot_zeroshot/
+                # utils.py NumberParseRegexFilter)
+                from retrieval_scaling_tpu.rag_eval.answer_filters import (
+                    number_parse_extract,
+                )
+
+                text = number_parse_extract(
+                    text,
+                    pattern=step.get("pattern", r"([-0-9]+)"),
+                    select=step.get("select", "first"),
+                    fallback=step.get("fallback", "[invalid]"),
+                )
+            elif kind == "word_sort":
+                # BBH word_sorting order extraction (reference:
+                # bbh/cot_zeroshot/utils.py WordSortFilter)
+                from retrieval_scaling_tpu.rag_eval.answer_filters import (
+                    word_sort_extract,
+                )
+
+                text = word_sort_extract(text, (doc or {}).get("input", ""))
             else:
                 raise ValueError(f"unknown filter step {kind!r}")
         return text.strip()
@@ -489,6 +545,107 @@ from retrieval_scaling_tpu.rag_eval.task_families_flan import (  # noqa: E402
 DERIVED_FAMILIES.update(build_flan_families())
 GROUPS.update(FLAN_HELD_IN_GROUPS)
 GROUPS["flan_held_in"] = sorted(FLAN_HELD_IN_GROUPS)
+
+# BBH fewshot / chain-of-thought variants (reference: lm_eval/tasks/bbh/
+# {fewshot,cot_zeroshot,cot_fewshot}) — canonical exemplars and per-task
+# extraction specs live in task_data_bbh.py.
+from retrieval_scaling_tpu.rag_eval.task_data_bbh import (  # noqa: E402
+    BBH_COT_EXEMPLARS,
+    BBH_COT_FLEX_FILTERS,
+    BBH_FEWSHOT_EXEMPLARS,
+)
+
+# shared strict-match answer extraction for bbh_cot_zeroshot (reference:
+# bbh/cot_zeroshot/*.yaml strict-match filter)
+_BBH_COT_STRICT = {
+    "type": "regex",
+    "pattern": (
+        "((?<=The answer is )(.*)(?=.)|(?<=the answer is )(.*)(?=.)"
+        "|(?<=The answer: )(.*)(?=.)|(?<=The final answer: )(.*)(?=.))"
+    ),
+    "select": "first",
+}
+
+DERIVED_FAMILIES.update({
+    "bbh_fewshot": {
+        t: {"description": d + "\n\n", "fewshot_samples": BBH_FEWSHOT_EXEMPLARS[t]}
+        for t, d in BBH_ZEROSHOT_DESCRIPTIONS.items()
+    },
+    "bbh_cot_zeroshot": {
+        t: {
+            "description": d + "\n\n",
+            "filters": [
+                {"name": "flexible-extract", "steps": BBH_COT_FLEX_FILTERS[t]},
+                {"name": "strict-match", "steps": [_BBH_COT_STRICT]},
+            ],
+        }
+        for t, d in BBH_ZEROSHOT_DESCRIPTIONS.items()
+    },
+    "bbh_cot_fewshot": {
+        t: {"description": d + "\n\n", "fewshot_samples": BBH_COT_EXEMPLARS[t]}
+        for t, d in BBH_ZEROSHOT_DESCRIPTIONS.items()
+    },
+})
+GROUPS.update({
+    f"bbh_{v}": [f"bbh_{v}_{t}" for t in sorted(BBH_ZEROSHOT_DESCRIPTIONS)]
+    for v in ("fewshot", "cot_zeroshot", "cot_fewshot")
+})
+# the reference's umbrella `bbh` tag groups the cot_fewshot variant
+GROUPS["bbh"] = list(GROUPS["bbh_cot_fewshot"])
+
+# MMLU FLAN prompt variants (reference: lm_eval/tasks/mmlu/
+# {flan_cot_fewshot,flan_cot_zeroshot,flan_n_shot/{generative,loglikelihood}})
+# — the canonical 5-shot CoT exemplars live in task_data_mmlu_cot.py.
+from retrieval_scaling_tpu.rag_eval.task_data_mmlu_cot import (  # noqa: E402
+    MMLU_COT_EXEMPLARS,
+)
+
+
+def _mmlu_flan_overrides(variant: str) -> Dict[str, Dict[str, Any]]:
+    out: Dict[str, Dict[str, Any]] = {}
+    for s in MMLU_SUBJECT_CATEGORIES:
+        desc = (
+            "The following are multiple choice questions (with answers) "
+            f"about {s.replace('_', ' ')}."
+        )
+        ov: Dict[str, Any] = {
+            # every variant shares plain mmlu's per-subject ingestion cache
+            "dataset_path": f"mmlu/{s}",
+        }
+        if variant == "cot_fewshot":
+            # quirk preserved: the reference's cot_fewshot description is a
+            # plain YAML scalar with NO trailing blank line (every other
+            # variant ends ".\n\n")
+            ov["description"] = desc
+            # exemplar targets render through doc_to_target="{gold}"
+            ov["fewshot_samples"] = [
+                {**d, "gold": d["target"]} for d in MMLU_COT_EXEMPLARS[s]
+            ]
+        else:
+            ov["description"] = desc + "\n\n"
+        out[s] = ov
+    return out
+
+
+_MMLU_FLAN_VARIANTS = (
+    "cot_fewshot", "cot_zeroshot", "n_shot_generative", "n_shot_loglikelihood",
+)
+DERIVED_FAMILIES.update(
+    {f"mmlu_flan_{v}": _mmlu_flan_overrides(v) for v in _MMLU_FLAN_VARIANTS}
+)
+for _v in _MMLU_FLAN_VARIANTS:
+    for _cat in ("stem", "humanities", "social_sciences", "other"):
+        GROUPS[f"mmlu_flan_{_v}_{_cat}"] = [
+            f"mmlu_flan_{_v}_{s}"
+            for s in sorted(MMLU_SUBJECT_CATEGORIES)
+            if MMLU_SUBJECT_CATEGORIES[s] == _cat
+        ]
+    # reference: flan_*/_mmlu.yaml — the umbrella group nests the four
+    # category groups
+    GROUPS[f"mmlu_flan_{_v}"] = [
+        f"mmlu_flan_{_v}_{cat}"
+        for cat in ("stem", "other", "social_sciences", "humanities")
+    ]
 
 # Reference task-name aliases — the fork exposes these tasks under names
 # that differ from the repo's canonical config name (e.g. multimedqa lists
@@ -854,9 +1011,12 @@ class Task:
         n = self.cfg.num_fewshot if num_fewshot is None else num_fewshot
         if not n:
             return []
-        pool = self.fewshot_docs if self.fewshot_docs is not None else self.docs
-        pool = [d for d in pool if d is not doc]
-        shots = self.rng.sample(pool, min(n, len(pool)))
+        if self.cfg.fewshot_samples:
+            shots = self.cfg.fewshot_samples[:n]
+        else:
+            pool = self.fewshot_docs if self.fewshot_docs is not None else self.docs
+            pool = [d for d in pool if d is not doc]
+            shots = self.rng.sample(pool, min(n, len(pool)))
         return [(self.doc_text(s), self.doc_target(s)) for s in shots]
 
     def fewshot_context(self, doc: dict, num_fewshot: int | None = None) -> str:
@@ -876,6 +1036,10 @@ class Task:
         return self.cfg.description + body
 
     def sample_shots(self, doc: dict, n: int) -> List[dict]:
+        if self.cfg.fewshot_samples:
+            # literal exemplars from the task config, always first_n
+            # (reference: lm_eval fewshot_config samples + first_n sampler)
+            return self.cfg.fewshot_samples[:n]
         pool = self.fewshot_docs if self.fewshot_docs is not None else self.docs
         pool = [d for d in pool if d is not doc]
         n = min(n, len(pool))

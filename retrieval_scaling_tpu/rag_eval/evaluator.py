@@ -36,6 +36,17 @@ from retrieval_scaling_tpu.rag_eval.tasks import (
 
 logger = logging.getLogger(__name__)
 
+# MT metrics aggregated at corpus level from (pred, refs) pairs rather than
+# per-instance means (reference: lm_eval/api/metrics.py bleu/ter/chrf via
+# sacrebleu corpus scorers).
+_CORPUS_MT_METRICS = ("bleu", "ter", "chrf")
+
+
+def _first_mt_metric(task) -> Optional[str]:
+    return next(
+        (m for m in task.cfg.metric_list if m in _CORPUS_MT_METRICS), None
+    )
+
 
 def extract_question_from_fewshot_prompt(prompt: str) -> str:
     """0-shot question = last '\\n\\n'-delimited segment
@@ -193,10 +204,13 @@ def _score_task(
                     filtered[filt["name"]] = pred
                     for name in task.cfg.metric_list:
                         col = f"{name},{filt['name']}"
-                        if name == "bleu":
-                            metric_values.setdefault(f"_bleu_pairs,{filt['name']}", []).append(
-                                (pred, refs)
-                            )
+                        if name in _CORPUS_MT_METRICS:
+                            # one (pred, refs) pair per instance feeds every
+                            # requested corpus MT metric
+                            if name == _first_mt_metric(task):
+                                metric_values.setdefault(
+                                    f"_mt_pairs,{filt['name']}", []
+                                ).append((pred, refs))
                             continue
                         if name in ("f1_micro", "f1_macro", "f1_vaxx"):
                             # set-level classification F1 over filtered
@@ -214,13 +228,14 @@ def _score_task(
                 prediction = task.cfg.apply_filter(out["prediction"])
                 filtered["default"] = prediction
                 for name in task.cfg.metric_list:
-                    if name == "bleu":
+                    if name in _CORPUS_MT_METRICS:
                         # corpus-level aggregation (sacrebleu semantics):
-                        # pool n-gram counts over all segments, not a mean
-                        # of per-segment scores.
-                        metric_values.setdefault("_bleu_pairs", []).append(
-                            (prediction, refs)
-                        )
+                        # pool counts over all segments, not a mean of
+                        # per-segment scores; one pair feeds bleu/ter/chrf.
+                        if name == _first_mt_metric(task):
+                            metric_values.setdefault("_mt_pairs", []).append(
+                                (prediction, refs)
+                            )
                         continue
                     val = METRICS[name](prediction, refs, **task.metric_kwargs(name))
                     inst_metrics[name] = val
@@ -336,15 +351,23 @@ def _score_task(
             scores["word_perplexity"] = math.exp(-ll / words)
             scores["byte_perplexity"] = math.exp(-ll / bytes_)
             scores["bits_per_byte"] = -ll / bytes_ / math.log(2)
-        elif name.startswith("_bleu_pairs"):
-            from retrieval_scaling_tpu.rag_eval.metrics import corpus_bleu
+        elif name.startswith("_mt_pairs"):
+            from retrieval_scaling_tpu.rag_eval.metrics import (
+                corpus_bleu,
+                corpus_chrf,
+                corpus_ter,
+            )
 
             _, _, filt_name = name.partition(",")
-            col = f"bleu,{filt_name}" if filt_name else "bleu"
-            scores[col] = corpus_bleu(vals)
-            scores[col + "_stderr"] = bootstrap_stderr(
-                corpus_bleu, vals, iters=bootstrap_iters
-            )
+            for mname, fn in (
+                ("bleu", corpus_bleu), ("ter", corpus_ter), ("chrf", corpus_chrf),
+            ):
+                if mname in task.cfg.metric_list:
+                    col = f"{mname},{filt_name}" if filt_name else mname
+                    scores[col] = fn(vals)
+                    scores[col + "_stderr"] = bootstrap_stderr(
+                        fn, vals, iters=bootstrap_iters
+                    )
         elif name == "_f1_pairs":
             scores["f1"] = _agg_f1(vals)
             scores["f1_stderr"] = bootstrap_stderr(_agg_f1, vals, iters=bootstrap_iters)

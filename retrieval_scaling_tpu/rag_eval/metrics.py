@@ -159,8 +159,19 @@ def word_error_rate(prediction: str, references: Sequence[str]) -> float:
 
 
 def _bleu_tokenize(text: str):
-    """sacrebleu '13a'-style tokenization: split out punctuation."""
-    text = re.sub(r"([^\w\s])", r" \1 ", text)
+    """sacrebleu '13a' tokenization (mteval-v13a.pl): entity unescape, then
+    punctuation split — but NOT apostrophes, and periods/commas stay glued
+    inside numbers."""
+    text = text.replace("<skipped>", "").replace("-\n", "").replace("\n", " ")
+    text = (
+        text.replace("&quot;", '"').replace("&amp;", "&")
+        .replace("&lt;", "<").replace("&gt;", ">")
+    )
+    text = f" {text} "
+    text = re.sub(r"([\{-\~\[-\` -\&\(-\+\:-\@\/])", r" \1 ", text)
+    text = re.sub(r"([^0-9])([\.,])", r"\1 \2 ", text)
+    text = re.sub(r"([\.,])([^0-9])", r" \1 \2", text)
+    text = re.sub(r"([0-9])(-)", r"\1 \2 ", text)
     return text.split()
 
 
@@ -208,6 +219,135 @@ def corpus_bleu(pairs: List[tuple], max_n: int = 4) -> float:
 
 
 METRICS["wer"] = word_error_rate
+
+
+# ------------------------------------------------------------- chrF / TER
+# Corpus-level MT metrics with sacrebleu semantics, from scratch — the
+# translation suite's metric_list (reference: lm_eval/tasks/translation/
+# wmt_common_yaml metric_list [bleu, ter, chrf], scored by sacrebleu's
+# CHRF/TER via lm_eval/api/metrics.py chrf()/ter()).
+
+def _chrf_ngrams(text: str, order: int):
+    """Per-order char n-gram counters over the whitespace-stripped text
+    (sacrebleu CHRF default: whitespace removed, char_order=6)."""
+    chars = "".join(text.split())
+    return [
+        Counter(chars[i:i + n] for i in range(len(chars) - n + 1))
+        for n in range(1, order + 1)
+    ]
+
+
+def _chrf_stats(pred: str, ref: str, order: int):
+    """[(match, pred_count, ref_count)] per order for one segment."""
+    pgrams = _chrf_ngrams(pred, order)
+    rgrams = _chrf_ngrams(ref, order)
+    stats = []
+    for pg, rg in zip(pgrams, rgrams):
+        match = sum(min(c, rg[g]) for g, c in pg.items())
+        stats.append((match, sum(pg.values()), sum(rg.values())))
+    return stats
+
+
+def _chrf_score(stats, beta: float) -> float:
+    """Average per-order P and R over effective orders, then F-beta
+    (sacrebleu CHRF._compute_f_score)."""
+    prec = rec = 0.0
+    eff = 0
+    for match, p_tot, r_tot in stats:
+        if p_tot + r_tot == 0:
+            continue
+        eff += 1
+        prec += match / p_tot if p_tot else 0.0
+        rec += match / r_tot if r_tot else 0.0
+    if eff == 0:
+        return 0.0
+    prec /= eff
+    rec /= eff
+    denom = beta**2 * prec + rec
+    return 100.0 * (1 + beta**2) * prec * rec / denom if denom else 0.0
+
+
+def corpus_chrf(pairs: List[tuple], order: int = 6, beta: float = 2.0) -> float:
+    """Corpus chrF: per segment keep the best-F reference's statistics,
+    sum counts over the corpus, score once (sacrebleu corpus_chrf)."""
+    totals = [[0, 0, 0] for _ in range(order)]
+    for pred, refs in pairs:
+        best = None
+        for ref in refs:
+            stats = _chrf_stats(pred, ref, order)
+            if best is None or _chrf_score(stats, beta) > _chrf_score(best, beta):
+                best = stats
+        if best is None:
+            continue
+        for tot, seg in zip(totals, best):
+            tot[0] += seg[0]
+            tot[1] += seg[1]
+            tot[2] += seg[2]
+    return _chrf_score([tuple(t) for t in totals], beta)
+
+
+def _ter_tokens(text: str):
+    """sacrebleu TER defaults (normalized=False, case_sensitive=False):
+    lowercase, plain whitespace split — no punctuation tokenization."""
+    return text.lower().split()
+
+
+_TER_MAX_BLOCK = 10  # tercom's max shifted-block size
+
+
+def _ter_numerator(pred_toks, ref_toks) -> int:
+    """edits + shifts via tercom's greedy block-shift search: repeatedly
+    take the shift (contiguous pred block that appears in the reference,
+    moved elsewhere) that most reduces edit distance; each costs 1."""
+    cur = list(pred_toks)
+    best = _edit_distance(cur, ref_toks)
+    ref_blocks = set()
+    for n in range(1, min(_TER_MAX_BLOCK, len(ref_toks)) + 1):
+        for i in range(len(ref_toks) - n + 1):
+            ref_blocks.add(tuple(ref_toks[i:i + n]))
+    shifts = 0
+    while best > 0:
+        improved = None
+        for n in range(min(_TER_MAX_BLOCK, len(cur)), 0, -1):
+            for i in range(len(cur) - n + 1):
+                block = tuple(cur[i:i + n])
+                if block not in ref_blocks:
+                    continue
+                rest = cur[:i] + cur[i + n:]
+                for j in range(len(rest) + 1):
+                    if j == i:
+                        continue
+                    cand = rest[:j] + list(block) + rest[j:]
+                    d = _edit_distance(cand, ref_toks)
+                    if improved is None or d < improved[0]:
+                        improved = (d, cand)
+        if improved is None or improved[0] >= best:
+            break
+        best, cur = improved
+        shifts += 1
+    return best + shifts
+
+
+def corpus_ter(pairs: List[tuple]) -> float:
+    """Corpus TER (Snover et al. 2006, tercom convention): per segment the
+    minimum (edits + shifts) over the references, divided by the AVERAGE
+    reference length; corpus score pools both sums. x100."""
+    total_num = 0
+    total_len = 0.0
+    for pred, refs in pairs:
+        ptoks = _ter_tokens(pred)
+        nums, lens = [], []
+        for ref in refs:
+            rtoks = _ter_tokens(ref)
+            nums.append(_ter_numerator(ptoks, rtoks))
+            lens.append(len(rtoks))
+        if not nums:
+            continue
+        total_num += min(nums)
+        total_len += sum(lens) / len(lens)
+    if total_len == 0:
+        return 100.0 * float(total_num > 0)
+    return 100.0 * total_num / total_len
 
 
 # ---------------------------------------------------------------- rouge

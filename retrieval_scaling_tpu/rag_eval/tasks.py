@@ -647,6 +647,28 @@ for _v in _MMLU_FLAN_VARIANTS:
         for cat in ("stem", "other", "social_sciences", "humanities")
     ]
 
+# The Pile per-source perplexity suite (reference: lm_eval/tasks/pile/
+# pile_<subset>.yaml — 22 rolling-perplexity tasks over EleutherAI/pile).
+PILE_SUBSETS = [
+    "arxiv", "bookcorpus2", "books3", "dm-mathematics", "enron", "europarl",
+    "freelaw", "github", "gutenberg", "hackernews", "nih-exporter",
+    "opensubtitles", "openwebtext2", "philpapers", "pile-cc",
+    "pubmed-abstracts", "pubmed-central", "stackexchange", "ubuntu-irc",
+    "uspto", "wikipedia", "youtubesubtitles",
+]
+DERIVED_FAMILIES["pile"] = {s: {} for s in PILE_SUBSETS}
+GROUPS["pile"] = [f"pile_{s}" for s in PILE_SUBSETS]
+
+# GPT-3-style translation suite (reference: lm_eval/tasks/translation/ —
+# generated wmt14/wmt16/iwslt2017 language-pair tasks and their groups).
+GROUPS["wmt14"] = ["wmt14_en_fr", "wmt14_fr_en"]
+GROUPS["wmt16"] = ["wmt16_de_en", "wmt16_en_de", "wmt16_en_ro", "wmt16_ro_en"]
+GROUPS["iwslt2017"] = ["iwslt2017_ar_en", "iwslt2017_en_ar"]
+GROUPS["gpt3_translation_benchmarks"] = GROUPS["wmt14"] + GROUPS["wmt16"]
+GROUPS["translation"] = (
+    GROUPS["wmt14"] + GROUPS["wmt16"] + GROUPS["iwslt2017"]
+)
+
 # Reference task-name aliases — the fork exposes these tasks under names
 # that differ from the repo's canonical config name (e.g. multimedqa lists
 # `medqa_4options`); both resolve to the same TaskConfig.
@@ -654,6 +676,15 @@ TASK_ALIASES: Dict[str, str] = {
     "medqa_4options": "medqa",        # reference: lm_eval/tasks/medqa
     "wmt-ro-en-t5-prompt": "wmt_ro_en_t5_prompt",  # wmt2016/ro_en-t5_prompt.yaml
     "siqa": "social_iqa",             # reference: lm_eval/tasks/siqa
+    # reference translation task names are hyphenated (translation/utils.py
+    # f"{lang}-{lang_pair}")
+    **{
+        t.replace("_", "-"): t
+        for t in (
+            "wmt14_en_fr", "wmt14_fr_en", "wmt16_de_en", "wmt16_en_de",
+            "wmt16_en_ro", "wmt16_ro_en", "iwslt2017_ar_en", "iwslt2017_en_ar",
+        )
+    },
 }
 
 

@@ -1,0 +1,174 @@
+"""GPT-3-style translation suite + Pile perplexity family (reference:
+lm_eval/tasks/translation/ generated wmt14/wmt16/iwslt2017 tasks with
+sacrebleu bleu/ter/chrf; lm_eval/tasks/pile/pile_<subset>.yaml)."""
+
+import json
+
+import pytest
+
+from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+from retrieval_scaling_tpu.rag_eval.metrics import (
+    corpus_bleu,
+    corpus_chrf,
+    corpus_ter,
+)
+from retrieval_scaling_tpu.rag_eval.tasks import (
+    GROUPS,
+    PILE_SUBSETS,
+    Task,
+    expand_task_list,
+    get_task,
+)
+
+
+# -------------------------------------------------------------- MT metrics
+def _fuzz_pairs(n=25):
+    import random
+
+    rng = random.Random(0)
+    vocab = ("the a cat dog sat ran on under mat rug quickly 42 3.14 it's "
+             "don't hello , . ! ? ( )").split()
+
+    def sent(k):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    preds, refs1, refs2 = [], [], []
+    for _ in range(n):
+        r = sent(rng.randint(3, 15))
+        toks = r.split()
+        if len(toks) > 3 and rng.random() < 0.7:
+            i = rng.randrange(len(toks) - 1)
+            toks[i], toks[i + 1] = toks[i + 1], toks[i]
+        if rng.random() < 0.5:
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        preds.append(" ".join(toks))
+        refs1.append(r)
+        refs2.append(sent(rng.randint(3, 15)))
+    return preds, refs1, refs2
+
+
+def test_corpus_mt_metrics_match_sacrebleu():
+    """bleu/ter/chrf must agree with sacrebleu's corpus scorers exactly
+    (multi-reference, punctuation, case, shifts)."""
+    sacrebleu = pytest.importorskip("sacrebleu")
+    preds, refs1, refs2 = _fuzz_pairs()
+    pairs = [(p, [a, b]) for p, a, b in zip(preds, refs1, refs2)]
+    assert corpus_bleu(pairs) == pytest.approx(
+        sacrebleu.corpus_bleu(preds, [refs1, refs2]).score
+    )
+    assert corpus_ter(pairs) == pytest.approx(
+        sacrebleu.corpus_ter(preds, [refs1, refs2]).score
+    )
+    assert corpus_chrf(pairs) == pytest.approx(
+        sacrebleu.corpus_chrf(preds, [refs1, refs2]).score
+    )
+
+
+def test_ter_counts_block_shifts():
+    # one block shift (cost 1) instead of two substitutions (cost 2):
+    # tercom semantics; sacrebleu gives the same 1/6
+    assert corpus_ter([("sat the cat on the mat",
+                        ["the cat sat on the mat"])]) == pytest.approx(100 / 6)
+
+
+def test_ter_identical_and_empty():
+    assert corpus_ter([("same words here", ["same words here"])]) == 0.0
+    assert corpus_chrf([("abc", ["abc"])]) == 100.0
+
+
+# -------------------------------------------------------------- translation
+TRANSLATION_TASKS = {
+    "wmt14_en_fr": ("en", "English", "fr", "French", "wmt14", "fr-en"),
+    "wmt14_fr_en": ("fr", "French", "en", "English", "wmt14", "fr-en"),
+    "wmt16_de_en": ("de", "German", "en", "English", "wmt16", "de-en"),
+    "wmt16_en_de": ("en", "English", "de", "German", "wmt16", "de-en"),
+    "wmt16_en_ro": ("en", "English", "ro", "Romanian", "wmt16", "ro-en"),
+    "wmt16_ro_en": ("ro", "Romanian", "en", "English", "wmt16", "ro-en"),
+    "iwslt2017_ar_en": ("ar", "Arabic", "en", "English", "iwslt2017",
+                        "iwslt2017-en-ar"),
+    "iwslt2017_en_ar": ("en", "English", "ar", "Arabic", "iwslt2017",
+                        "iwslt2017-en-ar"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TRANSLATION_TASKS))
+def test_translation_prompt_and_wiring(name, tmp_path):
+    src, src_name, tgt, tgt_name, hf_path, hf_name = TRANSLATION_TASKS[name]
+    cfg = get_task(name)
+    assert cfg.hf_path == hf_path and cfg.hf_name == hf_name
+    assert cfg.metric_list == ["bleu", "ter", "chrf"]
+    d = tmp_path / cfg.dataset_path
+    d.mkdir(parents=True)
+    doc = {"translation": {src: f"src text {src}", tgt: f"tgt text {tgt}"}}
+    (d / "test.jsonl").write_text(json.dumps(doc) + "\n")
+    task = Task(cfg, data_root=str(tmp_path))
+    # reference: translation/utils.py generated doc_to_text/doc_to_target
+    assert task.doc_text(task.docs[0]) == (
+        f"{src_name} phrase: src text {src}\n{tgt_name} phrase:"
+    )
+    assert task.doc_target(task.docs[0]) == f" tgt text {tgt}"
+    # hyphenated reference task name resolves as an alias
+    assert get_task(name.replace("_", "-")).task == name
+
+
+def test_translation_groups():
+    assert GROUPS["gpt3_translation_benchmarks"] == (
+        GROUPS["wmt14"] + GROUPS["wmt16"]
+    )
+    assert len(GROUPS["translation"]) == 8
+    ordered, groups = expand_task_list(["translation"])
+    assert len([t for t in ordered if isinstance(t, str)]) == 8
+
+
+def test_translation_scores_all_three_corpus_metrics(tmp_path):
+    cfg = get_task("wmt14_fr_en")
+    d = tmp_path / cfg.dataset_path
+    d.mkdir(parents=True)
+    rows = [
+        {"translation": {"fr": "le chat", "en": "the cat sat"}},
+        {"translation": {"fr": "bonjour", "en": "hello world"}},
+    ]
+    (d / "test.jsonl").write_text(
+        "".join(json.dumps(r) + "\n" for r in rows)
+    )
+
+    class FixedLM:
+        def generate_until(self, reqs):
+            return ["the cat sat", "goodbye world"]
+
+    res = simple_evaluate(FixedLM(), ["wmt14_fr_en"], data_root=str(tmp_path),
+                          bootstrap_iters=0)
+    row = res["results"]["wmt14_fr_en"]
+    assert set(row) >= {"bleu", "ter", "chrf"}
+    pairs = [("the cat sat", [" the cat sat"]), ("goodbye world", [" hello world"])]
+    assert row["bleu"] == pytest.approx(corpus_bleu(pairs))
+    assert row["ter"] == pytest.approx(corpus_ter(pairs))
+    assert row["chrf"] == pytest.approx(corpus_chrf(pairs))
+    assert 0.0 < row["chrf"] < 100.0
+
+
+# -------------------------------------------------------------------- pile
+def test_pile_family_covers_reference_subsets(tmp_path):
+    # reference: lm_eval/tasks/pile/ — 22 per-source yamls
+    assert len(PILE_SUBSETS) == 22
+    assert len(GROUPS["pile"]) == 22
+    cfg = get_task("pile_dm-mathematics")
+    assert cfg.output_type == "loglikelihood_rolling"
+    assert cfg.hf_path == "EleutherAI/pile"
+    assert cfg.hf_name == "pile_dm-mathematics"
+    assert cfg.test_split == "train"
+    d = tmp_path / cfg.dataset_path
+    d.mkdir(parents=True)
+    (d / "train.jsonl").write_text(json.dumps({"text": "one two three"}) + "\n")
+
+    class RollLM:
+        def loglikelihood_rolling(self, texts):
+            return [-3.0 for _ in texts]
+
+    res = simple_evaluate(RollLM(), ["pile_dm-mathematics"],
+                          data_root=str(tmp_path), bootstrap_iters=0)
+    row = res["results"]["pile_dm-mathematics"]
+    import math
+
+    assert row["word_perplexity"] == pytest.approx(math.exp(3.0 / 3))
+    assert row["bits_per_byte"] == pytest.approx(3.0 / 13 / math.log(2))

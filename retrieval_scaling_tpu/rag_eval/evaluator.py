@@ -192,6 +192,10 @@ def _score_task(
             })
         elif req["type"] == "generate_until":
             refs = [task.cfg.extract_target(r) for r in task.references(doc)]
+            if task.cfg.empty_prediction is not None and not out["prediction"].strip():
+                # reference: scrolls/task.py Qasper.process_results — empty
+                # generations score as the designated abstention string
+                out = {**out, "prediction": task.cfg.empty_prediction}
             inst_metrics: Dict[str, float] = {}
             filtered: Dict[str, str] = {}
             if task.cfg.filters:
@@ -276,6 +280,24 @@ def _score_task(
             record(i, req, out, {
                 "choices": req["choices"], "choice_lls": lls,
                 "metrics": {"mc2": mc2},
+            })
+        elif req.get("yes_no_f1"):
+            # hybrid yes/no doc (reference: scrolls/task.py Qasper): the
+            # higher-likelihood polarity is scored by the task's text
+            # metrics against the gold answers, pooled with the generated
+            # docs' scores
+            lls = out["choice_lls"]
+            prediction = "yes" if lls[0] > lls[1] else "no"
+            refs = [task.cfg.extract_target(r) for r in task.references(doc)]
+            inst_metrics = {}
+            for name in task.cfg.metric_list:
+                val = METRICS[name](prediction, refs, **task.metric_kwargs(name))
+                inst_metrics[name] = val
+                metric_values.setdefault(name, []).append(val)
+            record(i, req, out, {
+                "choices": req["choices"], "choice_lls": lls,
+                "prediction": prediction, "references": refs,
+                "metrics": inst_metrics,
             })
         else:  # multiple_choice
             pred, gold = out["prediction_idx"], req["gold"]

@@ -820,6 +820,22 @@ def _scrolls_prepended(row):
     return {"question": question, "text": text, "answers": [row["output"]]}
 
 
+@register_shim("scrolls_qasper")
+def _scrolls_qasper(row):
+    # reference: scrolls/task.py Qasper._process_doc — yes/no questions are
+    # flagged so they can be scored as " yes"/" no" loglikelihoods instead
+    # of free-form generation
+    from retrieval_scaling_tpu.rag_eval.metrics import normalize_squad
+
+    if row.get("output") is None:
+        return None
+    question, text = _scrolls_split_question(row)
+    return {
+        "question": question, "text": text, "answers": [row["output"]],
+        "is_yes_no": normalize_squad(row["output"]) in ("yes", "no"),
+    }
+
+
 @register_shim("scrolls_quality")
 def _scrolls_quality(row):
     # choices are embedded in the text as "(A) ... (B) ..." up to the

@@ -107,6 +107,9 @@ class TaskConfig:
     # samples:` — e.g. the canonical BBH 3-shot exemplars): literal doc
     # dicts used first_n instead of sampling a split.
     fewshot_samples: Optional[List[dict]] = None
+    # Replacement for empty/whitespace-only generations before scoring
+    # (reference: scrolls/task.py Qasper.process_results -> "Unanswerable").
+    empty_prediction: Optional[str] = None
     # Named multi-step filter pipelines (reference: lm_eval/filters/ —
     # e.g. GSM8K's strict-match vs flexible-extract): each entry
     # {name, steps: [{type: regex|take_first|lowercase|strip|remove_commas,
@@ -420,7 +423,8 @@ GROUPS: Dict[str, List[str]] = {
     # qasper runs as the existing qasper_bool/qasper_freeform pair)
     "scrolls": [
         "scrolls_govreport", "scrolls_summscreenfd", "scrolls_qmsum",
-        "scrolls_narrativeqa", "scrolls_quality", "scrolls_contractnli",
+        "scrolls_narrativeqa", "scrolls_qasper", "scrolls_quality",
+        "scrolls_contractnli",
         "qasper_bool", "qasper_freeform",
     ],
     # okapi multilingual rollups (reference: lm_eval/tasks/okapi/* groups)
@@ -1102,7 +1106,24 @@ class Task:
         requests = []
         for doc in self.docs:
             context = self.fewshot_context(doc, num_fewshot)
-            if self.cfg.output_type == "generate_until":
+            out_type = self.cfg.output_type
+            if out_type == "hybrid_yes_no":
+                # per-doc request switching (reference: scrolls/task.py
+                # Qasper.construct_requests): yes/no-answerable docs score
+                # loglikelihood(" yes")/(" no"); the rest generate freely,
+                # both judged by the task's text metric (token F1).
+                if doc.get("is_yes_no"):
+                    requests.append({
+                        "type": "multiple_choice",
+                        "doc": doc,
+                        "context": context,
+                        "choices": [" yes", " no"],
+                        "gold": 0,
+                        "yes_no_f1": True,
+                    })
+                    continue
+                out_type = "generate_until"
+            if out_type == "generate_until":
                 requests.append(
                     {
                         "type": "generate_until",

@@ -82,7 +82,8 @@ def test_task_config_builds_requests(name, tmp_path):
     cfg = get_task(name)
     assert cfg.task == name
     assert cfg.output_type in (
-        "generate_until", "loglikelihood", "multiple_choice", "loglikelihood_rolling"
+        "generate_until", "loglikelihood", "multiple_choice",
+        "loglikelihood_rolling", "hybrid_yes_no",
     )
 
     doc = _synth_doc(cfg)

@@ -172,3 +172,59 @@ def test_pile_family_covers_reference_subsets(tmp_path):
 
     assert row["word_perplexity"] == pytest.approx(math.exp(3.0 / 3))
     assert row["bits_per_byte"] == pytest.approx(3.0 / 13 / math.log(2))
+
+
+# ---------------------------------------------------------- scrolls qasper
+def test_scrolls_qasper_hybrid_scoring(tmp_path):
+    """Yes/no docs score loglikelihood(" yes") vs (" no"); freeform docs
+    generate (empty -> "Unanswerable"); all pool into token F1 (reference:
+    scrolls/task.py Qasper construct_requests/process_results)."""
+    cfg = get_task("scrolls_qasper")
+    assert cfg.output_type == "hybrid_yes_no"
+    d = tmp_path / cfg.dataset_path
+    d.mkdir(parents=True)
+    rows = [
+        {"text": "paper body", "question": "Is it supervised?",
+         "answers": ["Yes."], "is_yes_no": True},
+        {"text": "paper body", "question": "What dataset?",
+         "answers": ["the squad dataset"], "is_yes_no": False},
+        {"text": "paper body", "question": "What metric?",
+         "answers": ["Unanswerable"], "is_yes_no": False},
+    ]
+    (d / "validation.jsonl").write_text(
+        "".join(json.dumps(r) + "\n" for r in rows)
+    )
+
+    seen_ll, seen_gen = [], []
+
+    class HybridLM:
+        def loglikelihood(self, pairs):
+            seen_ll.extend(pairs)
+            # prefer " yes"
+            return [(0.0 if cont == " yes" else -5.0, False)
+                    for _, cont in pairs]
+
+        def generate_until(self, reqs):
+            seen_gen.extend(r["context"] for r in reqs)
+            # first freeform doc answered, second left empty
+            return ["the squad dataset", "   "]
+
+    res = simple_evaluate(HybridLM(), ["scrolls_qasper"],
+                          data_root=str(tmp_path), bootstrap_iters=0)
+    # the yes/no doc produced exactly the two polarity continuations
+    assert sorted(c for _, c in seen_ll) == [" no", " yes"]
+    assert len(seen_gen) == 2
+    # yes/no: "yes" vs "Yes." F1=1; freeform exact F1=1; empty ->
+    # "Unanswerable" vs "Unanswerable" F1=1
+    assert res["results"]["scrolls_qasper"]["f1"] == 1.0
+
+
+def test_scrolls_qasper_shim_flags_yes_no():
+    from retrieval_scaling_tpu.rag_eval import ingest
+
+    row = {"input": "Is it fast?\n\nLong paper text", "output": "Yes."}
+    doc = ingest.PROCESS_DOCS["scrolls_qasper"](row)
+    assert doc["is_yes_no"] is True
+    assert doc["question"] == "Is it fast?"
+    row2 = {"input": "What model?\n\nLong paper text", "output": "BERT base"}
+    assert ingest.PROCESS_DOCS["scrolls_qasper"](row2)["is_yes_no"] is False

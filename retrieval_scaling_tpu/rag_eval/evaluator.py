@@ -40,12 +40,19 @@ logger = logging.getLogger(__name__)
 # per-instance means (reference: lm_eval/api/metrics.py bleu/ter/chrf via
 # sacrebleu corpus scorers).
 _CORPUS_MT_METRICS = ("bleu", "ter", "chrf")
+# set-level classification F1s aggregated from (pred, gold) pairs
+_CLF_PAIR_METRICS = ("f1_micro", "f1_macro", "f1_vaxx")
+
+
+def _first_metric(task, names) -> Optional[str]:
+    """First metric_list entry in `names` — pair-collection guard so one
+    (pred, gold) pair lands per instance however many set-level metrics a
+    task requests."""
+    return next((m for m in task.cfg.metric_list if m in names), None)
 
 
 def _first_mt_metric(task) -> Optional[str]:
-    return next(
-        (m for m in task.cfg.metric_list if m in _CORPUS_MT_METRICS), None
-    )
+    return _first_metric(task, _CORPUS_MT_METRICS)
 
 
 def extract_question_from_fewshot_prompt(prompt: str) -> str:
@@ -216,14 +223,15 @@ def _score_task(
                                     f"_mt_pairs,{filt['name']}", []
                                 ).append((pred, refs))
                             continue
-                        if name in ("f1_micro", "f1_macro", "f1_vaxx"):
+                        if name in _CLF_PAIR_METRICS:
                             # set-level classification F1 over filtered
                             # (pred, gold) label pairs (polemo2; reference:
                             # lm_eval/tasks/polemo2 hf-evaluate micro f1
                             # over the mapped class indices).
-                            metric_values.setdefault(
-                                f"_clf_pairs,{filt['name']}", []
-                            ).append((pred, refs[0]))
+                            if name == _first_metric(task, _CLF_PAIR_METRICS):
+                                metric_values.setdefault(
+                                    f"_clf_pairs,{filt['name']}", []
+                                ).append((pred, refs[0]))
                             continue
                         val = METRICS[name](pred, refs, **task.metric_kwargs(name))
                         inst_metrics[col] = val
@@ -240,6 +248,38 @@ def _score_task(
                             metric_values.setdefault("_mt_pairs", []).append(
                                 (prediction, refs)
                             )
+                        continue
+                    if name in _CLF_PAIR_METRICS:
+                        # generated class labels, case-folded: the unitxt
+                        # classification templates lowercase predictions and
+                        # references via postprocessors (reference:
+                        # unitxt templates.classification.multi_class.title)
+                        if name == _first_metric(task, _CLF_PAIR_METRICS):
+                            metric_values.setdefault("_clf_pairs", []).append(
+                                (prediction.strip().lower(),
+                                 refs[0].strip().lower())
+                            )
+                        continue
+                    if name == "spearman":
+                        # regression-as-text (stsb; reference: unitxt
+                        # metrics.spearman over float-cast predictions)
+                        from retrieval_scaling_tpu.rag_eval.metrics import (
+                            parse_float,
+                        )
+
+                        metric_values.setdefault("_spearman_pairs", []).append(
+                            (parse_float(prediction), parse_float(refs[0]))
+                        )
+                        continue
+                    if name == "f1_micro_multi_label":
+                        metric_values.setdefault(
+                            "_multilabel_pairs", []
+                        ).append((prediction, refs[0]))
+                        continue
+                    if name == "ner_f1":
+                        metric_values.setdefault("_ner_pairs", []).append(
+                            (prediction, refs[0])
+                        )
                         continue
                     val = METRICS[name](prediction, refs, **task.metric_kwargs(name))
                     inst_metrics[name] = val
@@ -415,6 +455,29 @@ def _score_task(
                     scores[col + "_stderr"] = bootstrap_stderr(
                         fn, vals, iters=bootstrap_iters
                     )
+        elif name == "_spearman_pairs":
+            from retrieval_scaling_tpu.rag_eval.metrics import spearman_pairs
+
+            scores["spearman"] = spearman_pairs(vals)
+            scores["spearman_stderr"] = bootstrap_stderr(
+                spearman_pairs, vals, iters=bootstrap_iters
+            )
+        elif name == "_multilabel_pairs":
+            from retrieval_scaling_tpu.rag_eval.metrics import (
+                f1_multi_label_pairs,
+            )
+
+            scores["f1_micro_multi_label"] = f1_multi_label_pairs(vals)
+            scores["f1_micro_multi_label_stderr"] = bootstrap_stderr(
+                f1_multi_label_pairs, vals, iters=bootstrap_iters
+            )
+        elif name == "_ner_pairs":
+            from retrieval_scaling_tpu.rag_eval.metrics import ner_span_f1_pairs
+
+            scores["ner_f1"] = ner_span_f1_pairs(vals)
+            scores["ner_f1_stderr"] = bootstrap_stderr(
+                ner_span_f1_pairs, vals, iters=bootstrap_iters
+            )
         else:
             scores[name] = aggregate_mean(vals)
             if bootstrap_iters > 0:

@@ -680,6 +680,106 @@ def f1_vaxx_pairs(pairs: Sequence[tuple]) -> float:
     return sum(scores) / len(scores)
 
 
+# ----------------------------------------------------------------- unitxt
+# Native implementations of the metrics the reference's unitxt task suite
+# delegates to the `unitxt` package (reference: lm_eval/tasks/unitxt/
+# unitxt_wrapper.py evaluate(); metric names in unitxt_tasks.* metric_list).
+
+def spearman_pairs(pairs: Sequence[tuple]) -> float:
+    """Spearman rank correlation over (pred, gold) float pairs (stsb;
+    reference: unitxt_tasks.regression.two_texts metrics.spearman).
+    Average ranks for ties; NaN-free: constant inputs score 0."""
+    if len(pairs) < 2:
+        return 0.0
+
+    def ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                r[order[k]] = avg
+            i = j + 1
+        return r
+
+    xs = ranks([p for p, _ in pairs])
+    ys = ranks([g for _, g in pairs])
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    denom = (vx * vy) ** 0.5
+    return cov / denom if denom else 0.0
+
+
+def parse_float(text: str) -> float:
+    """First decimal number in the text; unparseable -> 0.0 (unitxt casts
+    regression predictions to float with failure fallback)."""
+    m = re.search(r"-?\d+(?:\.\d+)?", text)
+    return float(m.group()) if m else 0.0
+
+
+def _label_set(text: str):
+    return {t.strip().lower() for t in text.split(",") if t.strip()}
+
+
+def f1_multi_label_pairs(pairs: Sequence[tuple]) -> float:
+    """Micro F1 over comma-separated label sets (unfair_tos; reference:
+    unitxt_tasks.classification.multi_label f1_micro_multi_label)."""
+    tp = fp = fn = 0
+    for pred, gold in pairs:
+        p, g = _label_set(pred), _label_set(gold)
+        tp += len(p & g)
+        fp += len(p - g)
+        fn += len(g - p)
+    denom = 2 * tp + fp + fn
+    return 2 * tp / denom if denom else 0.0
+
+
+def _span_items(text: str):
+    """Multiset of (entity, type) from "ent: type, ent: type" renders
+    (unitxt span_labeling.extraction templates)."""
+    items: List[tuple] = []
+    for part in text.split(","):
+        ent, _, typ = part.partition(":")
+        if ent.strip():
+            items.append((ent.strip().lower(), typ.strip().lower()))
+    return items
+
+
+def ner_span_f1_pairs(pairs: Sequence[tuple]) -> float:
+    """Micro F1 over extracted (entity, type) spans (atis; reference:
+    unitxt_tasks.span_labeling.extraction metrics.ner)."""
+    tp = fp = fn = 0
+    for pred, gold in pairs:
+        p, g = Counter(_span_items(pred)), Counter(_span_items(gold))
+        tp += sum(min(c, g[s]) for s, c in p.items())
+        fp += sum(max(0, c - g[s]) for s, c in p.items())
+        fn += sum(max(0, c - p[s]) for s, c in g.items())
+    denom = 2 * tp + fp + fn
+    return 2 * tp / denom if denom else 0.0
+
+
+def char_edit_dist_accuracy(prediction: str, references: Sequence[str]) -> float:
+    """1 - normalized character edit distance, best reference (coedit_gec;
+    reference: unitxt_tasks.grammatical_error_correction
+    char_edit_dist_accuracy). Normalized by the longer of the two strings,
+    clipped to [0, 1]."""
+    best = 0.0
+    for ref in references:
+        denom = max(len(prediction), len(ref), 1)
+        best = max(best, 1.0 - _edit_distance(prediction, ref) / denom)
+    return best
+
+
+METRICS["char_edit_dist_accuracy"] = char_edit_dist_accuracy
+
+
 # ------------------------------------------------------------ french_bench
 # SQuAD-style normalization with FRENCH articles (reference:
 # lm_eval/tasks/french_bench/utils.py normalize_answer — un|une|des|le|la|

@@ -663,6 +663,60 @@ PILE_SUBSETS = [
 DERIVED_FAMILIES["pile"] = {s: {} for s in PILE_SUBSETS}
 GROUPS["pile"] = [f"pile_{s}" for s in PILE_SUBSETS]
 
+# unitxt suite (reference: lm_eval/tasks/unitxt/ — 18 recipe-driven tasks;
+# see task_configs/unitxt.yaml for how this build replaces the package's
+# metric delegation with native scorers).
+_UNITXT_MULTI_CLASS = [
+    "20_newsgroups", "ag_news", "argument_topic", "banking77",
+    "claim_stance_topic", "dbpedia_14", "ethos_binary", "financial_tweets",
+    "law_stack_exchange", "ledgar", "medical_abstracts",
+    "yahoo_answers_topics",
+]
+_UNITXT_RECIPE = "card=cards.{sub},template=templates.{template}"
+
+
+def _unitxt_overrides() -> Dict[str, Dict[str, Any]]:
+    def recipe(sub: str, template: str) -> str:
+        return _UNITXT_RECIPE.format(sub=sub, template=template)
+
+    exact_ci = {"exact_match": {"ignore_case": True, "ignore_punctuation": False}}
+    out: Dict[str, Dict[str, Any]] = {}
+    for s in _UNITXT_MULTI_CLASS:
+        out[s] = {
+            "hf_name": recipe(s, "classification.multi_class.title"),
+            # unitxt metric names f1_micro/accuracy/f1_macro: accuracy is
+            # case-insensitive exact match of the processed label strings
+            "metric_list": ["f1_micro", "exact_match", "f1_macro"],
+            "metric_options": exact_ci,
+        }
+    out["unfair_tos"] = {
+        "hf_name": recipe("unfair_tos", "classification.multi_label.title"),
+        "metric_list": ["f1_micro_multi_label", "exact_match"],
+        "metric_options": exact_ci,
+    }
+    out["atis"] = {
+        "hf_name": recipe("atis", "span_labeling.extraction.title"),
+        "metric_list": ["ner_f1"],
+    }
+    out["coedit_gec"] = {
+        "hf_name": recipe("coedit_gec", "grammatical_error_correction.simple"),
+        "metric_list": ["char_edit_dist_accuracy", "rouge1", "rouge2", "rougeL"],
+    }
+    out["stsb"] = {
+        "hf_name": recipe("stsb", "regression.two_texts.simple"),
+        "metric_list": ["spearman"],
+    }
+    for s in ("cnn_dailymail", "xsum"):
+        out[s] = {
+            "hf_name": recipe(s, "summarization.abstractive.full"),
+            "metric_list": ["rouge1", "rouge2", "rougeL"],
+        }
+    return out
+
+
+DERIVED_FAMILIES["unitxt"] = _unitxt_overrides()
+GROUPS["unitxt"] = [f"unitxt_{s}" for s in sorted(DERIVED_FAMILIES["unitxt"])]
+
 # GPT-3-style translation suite (reference: lm_eval/tasks/translation/ —
 # generated wmt14/wmt16/iwslt2017 language-pair tasks and their groups).
 GROUPS["wmt14"] = ["wmt14_en_fr", "wmt14_fr_en"]
@@ -689,6 +743,8 @@ TASK_ALIASES: Dict[str, str] = {
             "wmt16_en_ro", "wmt16_ro_en", "iwslt2017_ar_en", "iwslt2017_en_ar",
         )
     },
+    # reference unitxt task names are bare (lm_eval/tasks/unitxt/<name>.yaml)
+    **{s: f"unitxt_{s}" for s in DERIVED_FAMILIES["unitxt"]},
 }
 
 

@@ -228,3 +228,99 @@ def test_scrolls_qasper_shim_flags_yes_no():
     assert doc["question"] == "Is it fast?"
     row2 = {"input": "What model?\n\nLong paper text", "output": "BERT base"}
     assert ingest.PROCESS_DOCS["scrolls_qasper"](row2)["is_yes_no"] is False
+
+
+# ------------------------------------------------------------------ unitxt
+def test_unitxt_suite_registry():
+    """18 recipe-driven tasks (reference: lm_eval/tasks/unitxt/*.yaml),
+    reachable under both unitxt_<name> and the reference's bare names."""
+    assert len(GROUPS["unitxt"]) == 18
+    cfg = get_task("ag_news")  # bare reference name -> alias
+    assert cfg.task == "unitxt_ag_news"
+    assert cfg.hf_path == "unitxt/data"
+    assert cfg.hf_name == (
+        "card=cards.ag_news,template=templates.classification.multi_class.title"
+    )
+    assert cfg.metric_list == ["f1_micro", "exact_match", "f1_macro"]
+    assert get_task("coedit_gec").metric_list[0] == "char_edit_dist_accuracy"
+
+
+def test_unitxt_metric_implementations():
+    from retrieval_scaling_tpu.rag_eval.metrics import (
+        char_edit_dist_accuracy,
+        f1_multi_label_pairs,
+        ner_span_f1_pairs,
+        parse_float,
+        spearman_pairs,
+    )
+
+    # spearman vs scipy on a tied, noisy sample
+    scipy_stats = pytest.importorskip("scipy.stats")
+    import random
+
+    rng = random.Random(3)
+    xs = [rng.randint(0, 5) / 2 for _ in range(40)]
+    ys = [x + rng.random() for x in xs]
+    ours = spearman_pairs(list(zip(xs, ys)))
+    assert ours == pytest.approx(scipy_stats.spearmanr(xs, ys).statistic)
+    assert spearman_pairs([(1.0, 1.0)]) == 0.0  # degenerate
+
+    assert parse_float("The similarity is 3.5 out of 5") == 3.5
+    assert parse_float("no number") == 0.0
+
+    # multi-label micro F1 over comma-separated label sets
+    pairs = [("limitation of liability, unilateral termination",
+              "limitation of liability"),
+             ("none", "none")]
+    # tp=2 (liability + none), fp=1, fn=0 -> 2*2/(4+1+0)
+    assert f1_multi_label_pairs(pairs) == pytest.approx(4 / 5)
+
+    # NER span F1 over "entity: type" renders
+    pairs = [("boston: city, tuesday: day", "boston: city, denver: city")]
+    assert ner_span_f1_pairs(pairs) == pytest.approx(0.5)
+
+    # char edit distance accuracy, best reference
+    assert char_edit_dist_accuracy("abcd", ["abcd"]) == 1.0
+    assert char_edit_dist_accuracy("abcd", ["abce", "zzzz"]) == 0.75
+
+
+def test_unitxt_classification_scores_end_to_end(tmp_path):
+    cfg = get_task("unitxt_ag_news")
+    d = tmp_path / cfg.dataset_path
+    d.mkdir(parents=True)
+    rows = [
+        {"source": "Classify: stocks rally", "target": "Business"},
+        {"source": "Classify: cup final tonight", "target": "Sports"},
+    ]
+    (d / "test.jsonl").write_text("".join(json.dumps(r) + "\n" for r in rows))
+
+    class ClsLM:
+        def generate_until(self, reqs):
+            # noisy second line must be dropped by the first-line filter;
+            # case differences must not count as errors
+            return ["business\nextra junk", "World"]
+
+    res = simple_evaluate(ClsLM(), ["unitxt_ag_news"], data_root=str(tmp_path),
+                          bootstrap_iters=0)
+    row = res["results"]["unitxt_ag_news"]
+    assert row["exact_match"] == 0.5
+    assert row["f1_micro"] == 0.5
+    # macro over {business, sports, world}: [1.0, 0, 0] -> 1/3
+    assert row["f1_macro"] == pytest.approx(1 / 3)
+
+
+def test_unitxt_stsb_spearman_end_to_end(tmp_path):
+    cfg = get_task("unitxt_stsb")
+    d = tmp_path / cfg.dataset_path
+    d.mkdir(parents=True)
+    rows = [{"source": f"pair {i}", "target": str(float(i))} for i in range(5)]
+    (d / "test.jsonl").write_text("".join(json.dumps(r) + "\n" for r in rows))
+
+    class RegLM:
+        def generate_until(self, reqs):
+            # monotonically increasing -> perfect rank correlation
+            return [f"score: {i * 0.8:.1f}" for i in range(5)]
+
+    res = simple_evaluate(RegLM(), ["unitxt_stsb"], data_root=str(tmp_path),
+                          bootstrap_iters=0)
+    assert res["results"]["unitxt_stsb"]["spearman"] == pytest.approx(1.0)

@@ -81,18 +81,21 @@ def _flash_kernel(
     q_ref,      # [1, 1, block_q, D]
     k_ref,      # [1, 1, Sk_pad, D]
     v_ref,      # [1, 1, Sk_pad, D]
-    mask_ref,   # [1, 1, Sk_pad] float32 additive (0 or NEG_INF)
-    *rest,      # segmented: (kseg, qseg, qlo, qhi) refs, then o_ref
+    *rest,      # [mask_ref if has_mask], segmented: (kseg, qseg, qlo, qhi),
+                # then o_ref
     sm_scale: float,
     block_k: int,
     sk_pad: int,
     causal: bool,
     q_offset_per_block: int,
     seq_delta: int,
+    has_mask: bool = True,
     segmented: bool = False,
     logit_cap: float | None = None,
     window: int | None = None,
 ):
+    rest = list(rest)
+    mask_ref = rest.pop(0) if has_mask else None
     if segmented:
         kseg_ref, qseg_ref, qlo_ref, qhi_ref, o_ref = rest
     else:
@@ -102,11 +105,12 @@ def _flash_kernel(
 
     num_k_blocks = sk_pad // block_k
     qi = pl.program_id(2)
+    first_q = qi * q_offset_per_block + seq_delta
+    last_q = first_q + block_q - 1
 
     k_start = jnp.zeros((), jnp.int32)
     if causal:
         # Only key blocks intersecting the causal triangle contribute.
-        last_q = qi * q_offset_per_block + block_q - 1 + seq_delta
         k_blocks = jnp.minimum(num_k_blocks, pl.cdiv(last_q + 1, block_k))
     else:
         k_blocks = num_k_blocks
@@ -114,7 +118,6 @@ def _flash_kernel(
         # Sliding window (Mistral/Gemma-2/Phi-3): query i sees keys in
         # (i - window, i]. The first visible key of this q block bounds
         # k_start, so compute is linear in the window, not the sequence.
-        first_q = qi * q_offset_per_block + seq_delta
         lowest_key = first_q - window + 1
         k_start = jnp.maximum(k_start, jnp.maximum(lowest_key, 0) // block_k)
     if segmented:
@@ -124,7 +127,7 @@ def _flash_kernel(
         k_start = jnp.maximum(k_start, jnp.min(qlo_ref[0, 0]) // block_k)
         k_blocks = jnp.minimum(k_blocks, pl.cdiv(jnp.max(qhi_ref[0, 0]), block_k))
 
-    def body(ki, carry):
+    def body(ki, carry, masked):
         acc, m_prev, l_prev = carry
         k_blk = k_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, 0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
@@ -134,13 +137,14 @@ def _flash_kernel(
         if logit_cap:
             # Gemma-2 soft-capping: cap * tanh(scores / cap), pre-mask
             s = logit_cap * jnp.tanh(s / logit_cap)
-        s = s + mask_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
+        if has_mask:
+            s = s + mask_ref[0, 0, pl.ds(ki * block_k, block_k)][None, :]
         if segmented:
             k_seg = kseg_ref[0, 0, pl.ds(ki * block_k, block_k)]
             s = jnp.where(
                 qseg_ref[0, 0][:, None] == k_seg[None, :], s, NEG_INF
             )
-        if causal or window is not None:
+        if masked and (causal or window is not None):
             q_pos = (
                 jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                 + qi * q_offset_per_block
@@ -154,9 +158,12 @@ def _flash_kernel(
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        # the where guards the all-masked-block case: s == m_new == NEG_INF
-        # would give exp(0) = 1 instead of probability 0
-        p = jnp.where(s > NEG_INF * 0.5, jnp.exp(s - m_new), 0.0)
+        # masked entries hold NEG_INF; clamping the exp reference to
+        # NEG_INF/2 makes their probabilities underflow to exactly 0 (and
+        # keeps the all-masked block at p == 0) without a guard select —
+        # real scores always exceed the clamp, so it never shifts them.
+        m_safe = jnp.maximum(m_new, NEG_INF * 0.5)
+        p = jnp.exp(s - m_safe)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
@@ -169,7 +176,38 @@ def _flash_kernel(
         jnp.full((block_q, 1), NEG_INF, jnp.float32),
         jnp.zeros((block_q, 1), jnp.float32),
     )
-    acc, _, l = jax.lax.fori_loop(k_start, k_blocks, body, init)
+    if (causal or window is not None) and not segmented:
+        # Split the scan at the mask boundaries: interior key blocks (every
+        # query in this q block sees every key) run a select-free body —
+        # the causal/window iota+compare+select VPU passes only run on the
+        # O(1) boundary blocks, not the whole row.
+        int_start = k_start
+        int_end = k_blocks
+        if window is not None:
+            # blocks fully inside the window's lower edge for ALL queries:
+            # ki * block_k > last_q - window
+            int_start = jnp.maximum(
+                int_start, pl.cdiv(jnp.maximum(last_q - window + 1, 0), block_k)
+            )
+        if causal:
+            # blocks fully below the diagonal for ALL queries:
+            # (ki + 1) * block_k - 1 <= first_q
+            int_end = jnp.minimum(int_end, (first_q + 1) // block_k)
+        int_start = jnp.minimum(int_start, int_end)
+        carry = jax.lax.fori_loop(
+            k_start, int_start, functools.partial(body, masked=True), init
+        )
+        carry = jax.lax.fori_loop(
+            int_start, int_end, functools.partial(body, masked=False), carry
+        )
+        acc, _, l = jax.lax.fori_loop(
+            jnp.maximum(int_end, k_start), k_blocks,
+            functools.partial(body, masked=True), carry,
+        )
+    else:
+        acc, _, l = jax.lax.fori_loop(
+            k_start, k_blocks, functools.partial(body, masked=True), init
+        )
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -263,14 +301,19 @@ def flash_attention(
 
     # Additive mask folding key padding + kv-tail padding: [B, 1, Sk_pad]
     # (middle singleton keeps TPU block shapes legal: trailing dims match).
+    # With no kv mask and no tail padding the operand is dropped entirely —
+    # its per-block broadcast add is a pure VPU pass the hot reader shape
+    # never needs.
+    has_mask = kv_mask is not None or sk_pad != sk
+    add_mask = None
     if kv_mask is None:
-        add_mask = jnp.zeros((b, sk_pad), jnp.float32)
         if sk_pad != sk:
-            add_mask = add_mask.at[:, sk:].set(NEG_INF)
+            add_mask = jnp.zeros((b, sk_pad), jnp.float32).at[:, sk:].set(NEG_INF)
     else:
         valid = jnp.pad(kv_mask.astype(bool), ((0, 0), (0, sk_pad - sk)))
         add_mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
-    add_mask = add_mask[:, None, :]
+    if add_mask is not None:
+        add_mask = add_mask[:, None, :]
 
     grid = (b, h, sq_pad // block_q)
 
@@ -282,6 +325,7 @@ def flash_attention(
         causal=causal,
         q_offset_per_block=block_q,
         seq_delta=sk - sq,
+        has_mask=has_mask,
         segmented=segment_ids is not None,
         logit_cap=logit_cap,
         window=window,
@@ -291,9 +335,11 @@ def flash_attention(
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
         pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
         pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-        pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0)),
     ]
-    operands = [q, k, v, add_mask]
+    operands = [q, k, v]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, 1, sk_pad), lambda bi, hi, qi: (bi, 0, 0)))
+        operands.append(add_mask)
     if segment_ids is not None:
         assert sq == sk, "segment attention requires Sq == Sk"
         seg = jnp.pad(segment_ids.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)))

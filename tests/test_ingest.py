@@ -168,6 +168,30 @@ HF_FIXTURES = {
     ("lukaemon/bbh", "navigate"): {
         "test": [{"input": "Take 3 steps...", "target": "Yes"}]
     },
+    ("lukaemon/bbh", "word_sorting"): {
+        "test": [{"input": "Sort the following words alphabetically: List: "
+                           "burly bela arapaho",
+                  "target": "arapaho bela burly"}]
+    },
+    ("wmt14", "fr-en"): {
+        "test": [{"translation": {"fr": "le chat", "en": "the cat"}}],
+        "validation": [{"translation": {"fr": "bonjour", "en": "hello"}}],
+    },
+    ("EleutherAI/pile", "pile_enron"): {
+        "train": [{"text": "Subject: meeting moved to tuesday"}],
+    },
+    ("tau/scrolls", "qasper"): {
+        "validation": [
+            {"input": "Is the model supervised?\n\nLong paper body.",
+             "output": "Yes."},
+            {"input": "Which dataset is used?\n\nLong paper body.",
+             "output": "the squad dataset"},
+        ],
+    },
+    ("unitxt/data",
+     "card=cards.ag_news,template=templates.classification.multi_class.title"): {
+        "test": [{"source": "Classify: stocks rally.", "target": "Business"}],
+    },
     ("facebook/belebele", "eng_Latn"): {
         "test": [{"flores_passage": "A passage.", "question": "Q?", "mc_answer1": "a", "mc_answer2": "b", "mc_answer3": "c", "mc_answer4": "d", "correct_answer_num": "2"}]
     },
@@ -406,6 +430,11 @@ FLAGSHIP = [
     "social_iqa", "polemo2_in", "polemo2_out",
     "anli_r1_flan_prompt-0", "arc_easy_flan_prompt-1",
     "boolq_flan_prompt-2", "rte_flan_prompt-0",
+    # session 5: BBH/MMLU prompt variants, translation, pile, qasper, unitxt
+    "bbh_cot_zeroshot_word_sorting", "bbh_fewshot_word_sorting",
+    "mmlu_flan_n_shot_loglikelihood_abstract_algebra",
+    "mmlu_flan_cot_fewshot_abstract_algebra",
+    "wmt14_fr_en", "pile_enron", "scrolls_qasper", "unitxt_ag_news",
 ]
 
 

@@ -21,7 +21,9 @@ import os
 from typing import Dict, List, Optional
 
 from retrieval_scaling_tpu.rag_eval.metrics import (
+    DOC_METRICS,
     METRICS,
+    PAIR_METRICS,
     aggregate_mean,
     bootstrap_stderr,
     mean_stderr,
@@ -281,6 +283,20 @@ def _score_task(
                             (prediction, refs[0])
                         )
                         continue
+                    if name in DOC_METRICS:
+                        # doc-aware per-instance scorer (e.g. T5 WSC
+                        # referent matching)
+                        val = DOC_METRICS[name](prediction, doc)
+                        inst_metrics[name] = val
+                        metric_values.setdefault(name, []).append(val)
+                        continue
+                    if name in PAIR_METRICS:
+                        # corpus-level aggregation over (pred, ref) pairs
+                        # (e.g. multirc/record T5 group scoring)
+                        metric_values.setdefault(
+                            f"_pairmetric:{name}", []
+                        ).append((prediction, refs[0]))
+                        continue
                     val = METRICS[name](prediction, refs, **task.metric_kwargs(name))
                     inst_metrics[name] = val
                     metric_values.setdefault(name, []).append(val)
@@ -320,6 +336,23 @@ def _score_task(
             record(i, req, out, {
                 "choices": req["choices"], "choice_lls": lls,
                 "metrics": {"mc2": mc2},
+            })
+        elif req.get("score_choice_text"):
+            # ReCoRD: argmax choice picks an ENTITY, scored with SQuAD token
+            # F1 + exact match against the gold answer set (reference:
+            # super_glue/record/util.py process_results)
+            pred_idx = out["prediction_idx"]
+            entities = doc[task.cfg.choice_text_field]
+            pred_text = entities[min(pred_idx, len(entities) - 1)]
+            refs = task.references(doc)
+            f1v = METRICS["f1"](pred_text, refs)
+            emv = METRICS["exact_match"](pred_text, refs)
+            metric_values.setdefault("f1", []).append(f1v)
+            metric_values.setdefault("em", []).append(emv)
+            record(i, req, out, {
+                "choices": req["choices"], "choice_lls": out["choice_lls"],
+                "prediction": pred_text, "references": refs,
+                "metrics": {"f1": f1v, "em": emv},
             })
         elif req.get("yes_no_f1"):
             # hybrid yes/no doc (reference: scrolls/task.py Qasper): the
@@ -477,6 +510,13 @@ def _score_task(
             scores["ner_f1"] = ner_span_f1_pairs(vals)
             scores["ner_f1_stderr"] = bootstrap_stderr(
                 ner_span_f1_pairs, vals, iters=bootstrap_iters
+            )
+        elif name.startswith("_pairmetric:"):
+            mname = name.split(":", 1)[1]
+            fn = PAIR_METRICS[mname]
+            scores[mname] = fn(vals)
+            scores[mname + "_stderr"] = bootstrap_stderr(
+                fn, vals, iters=bootstrap_iters
             )
         else:
             scores[name] = aggregate_mean(vals)

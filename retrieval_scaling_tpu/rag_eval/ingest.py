@@ -820,6 +820,111 @@ def _scrolls_prepended(row):
     return {"question": question, "text": text, "answers": [row["output"]]}
 
 
+@register_shim("truthfulqa_gen")
+def _truthfulqa_gen(row):
+    # reference: truthfulqa/utils.py preprocess_function — answers get a
+    # trailing period; "I have no comment." joins the correct set
+    def fmt(answers):
+        out = []
+        for a in answers:
+            a = a.strip()
+            if a:
+                out.append(a if a.endswith(".") else a + ".")
+        return out
+
+    correct = fmt(row["correct_answers"])
+    if "I have no comment." not in correct:
+        correct.append("I have no comment.")
+    return {
+        "question": row["question"].strip(),
+        "correct_answers": correct,
+        "incorrect_answers": fmt(row["incorrect_answers"]),
+    }
+
+
+@register_shim("record")
+def _record(row):
+    # super_glue ReCoRD (reference: super_glue/record/util.py): the passage's
+    # @highlight blocks become a bullet list; each entity substituted into
+    # the cloze query is one choice, scored later with token F1/EM
+    initial, *highlights = row["passage"].strip().split("\n@highlight\n")
+    text = initial + "\n\n" + "".join(f"  - {h}.\n" for h in highlights)
+    entities = sorted(set(row["entities"]))
+    answers = sorted(set(row["answers"]))
+    fmt = "  - " + row["query"]
+    gold = entities.index(answers[0]) if answers and answers[0] in entities else 0
+    return {
+        "text": text,
+        "entities": entities,
+        "answers": answers,
+        "choices": [fmt.replace("@placeholder", e) for e in entities],
+        "gold": gold,
+        "target": fmt.replace("@placeholder", answers[0]) if answers else "",
+    }
+
+
+@register_shim("record_t5")
+def _record_t5(row):
+    # T5 ReCoRD (reference: super_glue/record/t5_utils.py): highlights fold
+    # into one paragraph; one doc per gold answer, ref = "<group>_<answer>"
+    # for the grouped squad-EM/F1 aggregations
+    passage = re.sub(r"(\.|\?|\!|\"|\')\n@highlight\n", r"\1 ", row["passage"])
+    passage = re.sub(r"\n@highlight\n", ". ", passage)
+    text = " ".join([
+        "record query:", row["query"], "entities:",
+        ", ".join(row["entities"]), "passage:", passage,
+    ])
+    gid = f"{row['idx']['passage']}+{row['idx']['query']}"
+    return [{"text": text, "ref": f"{gid}_{a}"} for a in row["answers"]]
+
+
+@register_shim("wsc_t5")
+def _wsc_t5(row):
+    # T5 WSC (reference: super_glue/wsc/t5_utils.py doc_to_text): the
+    # pronoun is starred in place. The reference hardcodes two corpus rows
+    # whose span2_index is off; a first-occurrence replace covers them.
+    words = row["text"].split(" ")
+    i = int(row["span2_index"])
+    if 0 < i < len(words) and words[i] == row["span2_text"]:
+        masked = " ".join([" ".join(words[:i]), "X", " ".join(words[i + 1:])])
+    else:
+        masked = row["text"].replace(f" {row['span2_text']} ", " X ", 1)
+    return {
+        "t5_text": "wsc: " + re.sub(r" X ", f" *{row['span2_text']}* ", masked),
+        "span1_text": row["span1_text"],
+        "label": int(row["label"]),
+    }
+
+
+@register_shim("multirc_t5")
+def _multirc_t5(row):
+    # T5 MultiRC (reference: super_glue/multirc/t5_utils.py): the model
+    # generates "<question_idx>_<False|True>"; the candidate answer key is
+    # NOT named "answer" so references() resolves to the target string
+    qid = str(row["idx"]["question"])
+    return {
+        "question": row["question"],
+        "mc_answer": row["answer"],
+        "paragraph": row["paragraph"],
+        "target": f"{qid}_{['False', 'True'][int(row['label'])]}",
+    }
+
+
+# CrowS-Pairs per-bias-category filters (reference: lm_eval/tasks/
+# crows_pairs/utils.py filter_dataset — keep rows whose bias_type starts
+# with the category).
+CROWS_BIAS_TYPES = (
+    "age", "autre", "disability", "gender", "nationality",
+    "physical_appearance", "race_color", "religion", "sexual_orientation",
+    "socioeconomic",
+)
+for _cat in CROWS_BIAS_TYPES:
+    def _crows_filter(row, _cat=_cat):
+        return row if str(row.get("bias_type", "")).startswith(_cat) else None
+
+    PROCESS_DOCS[f"crows_{_cat}"] = _crows_filter
+
+
 @register_shim("scrolls_qasper")
 def _scrolls_qasper(row):
     # reference: scrolls/task.py Qasper._process_doc — yes/no questions are

@@ -680,6 +680,169 @@ def f1_vaxx_pairs(pairs: Sequence[tuple]) -> float:
     return sum(scores) / len(scores)
 
 
+# ------------------------------------------------ doc-aware / pair metrics
+# DOC_METRICS: per-instance scorers that need the DOC, not just reference
+# strings — fn(prediction, doc) -> float. PAIR_METRICS: corpus-level
+# aggregations over [(prediction, refs[0])] pairs. Both are generic hooks
+# the evaluator dispatches on (the reference wires such metrics through
+# !function process_results / custom aggregations per task).
+DOC_METRICS: Dict[str, Any] = {}
+PAIR_METRICS: Dict[str, Any] = {}
+
+_WSC_DETERMINERS = {
+    "a", "an", "few", "her", "his", "each", "every", "many", "much", "my",
+    "our", "some", "that", "the", "their", "these", "this", "those",
+    "which", "whose", "your",
+}
+
+
+def wsc_t5_accuracy(prediction: str, doc: dict) -> float:
+    """T5 WSC referent scoring (reference: super_glue/wsc/t5_utils.py
+    process_results): determiner-stripped fuzzy subset match between the
+    generated referent and span1_text, compared against the gold label."""
+    def clean(s):
+        s = s.strip().lower()
+        return " ".join(w for w in s.split(" ") if w not in _WSC_DETERMINERS)
+
+    pred = clean(prediction)
+    ref = clean(str(doc.get("span1_text", "")))
+    if ("'" in pred) != ("'" in ref):
+        predicted = False
+    else:
+        pw, rw = set(pred.split(" ")), set(ref.split(" "))
+        predicted = pw.issubset(rw) or rw.issubset(pw)
+    return float(predicted == bool(doc.get("label", 0)))
+
+
+DOC_METRICS["wsc_t5_accuracy"] = wsc_t5_accuracy
+
+_MULTIRC_LABELS = ["False", "True"]
+
+
+def _multirc_parse(pred: str, ref: str):
+    # ref format "<question_idx>_<False|True>" (reference:
+    # super_glue/multirc/t5_utils.py); off-vocabulary generations count as
+    # the wrong label, exactly like the reference
+    group, _, ref_label = ref.rpartition("_")
+    r = _MULTIRC_LABELS.index(ref_label)
+    p = _MULTIRC_LABELS.index(pred) if pred in _MULTIRC_LABELS else int(not r)
+    return group, p, r
+
+
+def multirc_t5_f1(pairs) -> float:
+    """Binary F1 over the parsed True/False labels (reference:
+    multirc/t5_utils.py agg_f1)."""
+    parsed = [(p, r) for _, p, r in (_multirc_parse(a, b) for a, b in pairs)]
+    tp = sum(1 for p, r in parsed if p == 1 and r == 1)
+    fp = sum(1 for p, r in parsed if p == 1 and r == 0)
+    fn = sum(1 for p, r in parsed if p == 0 and r == 1)
+    denom = 2 * tp + fp + fn
+    return 2 * tp / denom if denom else 0.0
+
+
+def multirc_t5_em(pairs) -> float:
+    """Per-question exact match: every answer option of a question must be
+    labeled correctly (reference: multirc/t5_utils.py agg_em)."""
+    groups: Dict[str, List[tuple]] = {}
+    for a, b in pairs:
+        g, p, r = _multirc_parse(a, b)
+        groups.setdefault(g, []).append((p, r))
+    if not groups:
+        return 0.0
+    return sum(
+        float(all(p == r for p, r in items)) for items in groups.values()
+    ) / len(groups)
+
+
+PAIR_METRICS["multirc_t5_f1"] = multirc_t5_f1
+PAIR_METRICS["multirc_t5_em"] = multirc_t5_em
+
+
+def _record_t5_groups(pairs):
+    groups: Dict[str, List[tuple]] = {}
+    for pred, ref in pairs:
+        # ref format "<passage_idx>+<query_idx>_<answer>"
+        group, _, answer = ref.partition("_")
+        groups.setdefault(group, []).append(
+            (normalize_squad(pred), normalize_squad(answer))
+        )
+    return groups
+
+
+def record_t5_em(pairs) -> float:
+    """Every prediction scored against ALL of its group's gold answers
+    (reference: record/t5_utils.py squad_em_agg)."""
+    scores = []
+    for items in _record_t5_groups(pairs).values():
+        targets = [t for _, t in items]
+        scores.extend(float(p in targets) for p, _ in items)
+    return sum(scores) / len(scores) if scores else 0.0
+
+
+def record_t5_f1(pairs) -> float:
+    """Token F1 of the group's FIRST prediction vs all its gold answers
+    (reference: record/t5_utils.py squad_f1_agg — the quirky first-only
+    grouping is preserved)."""
+    def tok_f1(p, t):
+        pt, tt = p.split(), t.split()
+        common = Counter(pt) & Counter(tt)
+        same = sum(common.values())
+        if not same:
+            return 0.0
+        prec, rec = same / len(pt), same / len(tt)
+        return 2 * prec * rec / (prec + rec)
+
+    scores = []
+    for items in _record_t5_groups(pairs).values():
+        p = items[0][0]
+        scores.append(max(tok_f1(p, t) for _, t in items))
+    return sum(scores) / len(scores) if scores else 0.0
+
+
+PAIR_METRICS["record_t5_em"] = record_t5_em
+PAIR_METRICS["record_t5_f1"] = record_t5_f1
+# T5 CommitmentBank macro F1 over the three generated class names
+# (reference: super_glue/cb/t5_utils.py mean_3class_f1)
+PAIR_METRICS["mean_3class_f1"] = lambda pairs: f1_macro_pairs(pairs)
+
+
+# TruthfulQA generation scoring (reference: truthfulqa/utils.py
+# process_results_gen): sentence BLEU / ROUGE of the generation against
+# each correct and incorrect answer; *_max = best correct score, *_acc =
+# best correct beats best incorrect, *_diff = their difference.
+_TQA_CACHE: Dict[int, Dict[str, float]] = {}
+
+
+def _tqa_gen_scores(prediction: str, doc: dict) -> Dict[str, float]:
+    key = hash((prediction, id(doc)))
+    if key in _TQA_CACHE:
+        return _TQA_CACHE[key]
+    true_refs = list(doc.get("correct_answers", []))
+    false_refs = list(doc.get("incorrect_answers", []))
+    out: Dict[str, float] = {}
+    for name, fn in (
+        ("bleu", lambda r: corpus_bleu([(prediction, [r])])),
+        ("rouge1", lambda r: 100.0 * rouge_n(prediction, [r], 1)),
+        ("rouge2", lambda r: 100.0 * rouge_n(prediction, [r], 2)),
+        ("rougeL", lambda r: 100.0 * rouge_l(prediction, [r])),
+    ):
+        correct = max((fn(r) for r in true_refs), default=0.0)
+        incorrect = max((fn(r) for r in false_refs), default=0.0)
+        out[f"{name}_max"] = correct
+        out[f"{name}_acc"] = float(correct > incorrect)
+        out[f"{name}_diff"] = correct - incorrect
+    _TQA_CACHE.clear()  # one doc is scored at a time; keep the cache tiny
+    _TQA_CACHE[key] = out
+    return out
+
+
+for _m in ("bleu", "rouge1", "rouge2", "rougeL"):
+    for _kind in ("max", "acc", "diff"):
+        DOC_METRICS[f"{_m}_{_kind}"] = (
+            lambda pred, doc, _k=f"{_m}_{_kind}": _tqa_gen_scores(pred, doc)[_k]
+        )
+
+
 # ----------------------------------------------------------------- unitxt
 # Native implementations of the metrics the reference's unitxt task suite
 # delegates to the `unitxt` package (reference: lm_eval/tasks/unitxt/

@@ -109,11 +109,18 @@ assert len(BBH_ZEROSHOT_DESCRIPTIONS) == 27
 # WMDP multiple-choice subsets (reference: lm_eval/tasks/wmdp).
 WMDP_TOPICS = {"bio": "biology", "chem": "chemistry", "cyber": "cybersecurity"}
 
-# AGIEval English multiple-choice subsets (reference: lm_eval/tasks/agieval
-# — the agieval_en group; Chinese/gaokao subsets are out of scope).
+# AGIEval multiple-choice subsets (reference: lm_eval/tasks/agieval).
+# gaokao_english sits in the agieval_en group (the AGIEval codebase lists
+# it under english_qa_tasks); the generation subtasks (agieval_math,
+# agieval_gaokao_mathcloze) are concrete yamls, not family members.
 AGIEVAL_EN_SUBSETS = [
     "aqua_rat", "logiqa_en", "lsat_ar", "lsat_lr", "lsat_rc",
-    "sat_en", "sat_en_without_passage", "sat_math",
+    "sat_en", "sat_en_without_passage", "sat_math", "gaokao_english",
+]
+AGIEVAL_CN_MC_SUBSETS = [
+    "gaokao_biology", "gaokao_chemistry", "gaokao_chinese",
+    "gaokao_geography", "gaokao_history", "gaokao_physics",
+    "gaokao_mathqa", "jec_qa_ca", "jec_qa_kd", "logiqa_zh",
 ]
 
 # MATH subjects (reference: lm_eval/tasks/{hendrycks_math,minerva_math} —
@@ -432,7 +439,7 @@ def build_derived_families(mmlu_subjects) -> Dict[str, Dict[str, Dict[str, Any]]
         # (reference: lm_eval/tasks/agieval/*.yaml dataset_path)
         "agieval": {
             s: {"hf_path": "hails/agieval-" + s.replace("_", "-")}
-            for s in AGIEVAL_EN_SUBSETS
+            for s in AGIEVAL_EN_SUBSETS + AGIEVAL_CN_MC_SUBSETS
         },
         "xcopa": {s: {"process_docs": f"xcopa_{s}"} for s in XCOPA_LANGS},
         "xstorycloze": {s: {} for s in XSTORYCLOZE_LANGS},

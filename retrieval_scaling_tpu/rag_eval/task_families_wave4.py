@@ -68,7 +68,7 @@ KMMLU_SUBJECTS: Dict[str, str] = {
 # TMMLU+ subjects (reference: tmmluplus/default/_generate_configs.py).
 TMMLUPLUS_SUBJECTS = [
     'engineering_math', 'dentistry', 'traditional_chinese_medicine_clinical_medicine',
-    'clinical_psychology', 'technical', 'culinary_skills',
+    'clinical_psychology', 'technical', 'culinary_skills', 'linear_algebra',
     'mechanical', 'logic_reasoning', 'real_estate',
     'general_principles_of_law', 'finance_banking', 'anti_money_laundering',
     'ttqav2', 'marketing_management', 'business_management',

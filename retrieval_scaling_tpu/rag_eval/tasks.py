@@ -34,6 +34,7 @@ import yaml
 logger = logging.getLogger(__name__)
 
 from retrieval_scaling_tpu.rag_eval.task_families import (
+    AGIEVAL_CN_MC_SUBSETS,
     AGIEVAL_EN_SUBSETS,
     BBH_ZEROSHOT_DESCRIPTIONS,
     BELEBELE_CODES,
@@ -110,6 +111,11 @@ class TaskConfig:
     # Replacement for empty/whitespace-only generations before scoring
     # (reference: scrolls/task.py Qasper.process_results -> "Unanswerable").
     empty_prediction: Optional[str] = None
+    # Multiple-choice tasks whose argmax choice indexes into a doc field of
+    # answer TEXTS scored with SQuAD token F1 + exact match against the
+    # gold answers instead of accuracy (ReCoRD; reference:
+    # super_glue/record/util.py process_results).
+    choice_text_field: Optional[str] = None
     # Named multi-step filter pipelines (reference: lm_eval/filters/ —
     # e.g. GSM8K's strict-match vs flexible-extract): each entry
     # {name, steps: [{type: regex|take_first|lowercase|strip|remove_commas,
@@ -366,14 +372,20 @@ GROUPS: Dict[str, List[str]] = {
         "arithmetic_2dm", "arithmetic_1dc",
     ],
     "lambada": ["lambada_openai", "lambada_standard"],
-    "truthfulqa": ["truthfulqa_mc1", "truthfulqa_mc2"],
+    "truthfulqa": ["truthfulqa_mc1", "truthfulqa_mc2", "truthfulqa_gen"],
     "blimp": [f"blimp_{p}" for p in BLIMP_PARADIGMS],
     "bbh_zeroshot": [f"bbh_zeroshot_{t}" for t in sorted(BBH_ZEROSHOT_DESCRIPTIONS)],
     "wmdp": [f"wmdp_{s}" for s in sorted(WMDP_TOPICS)],
-    "agieval_en": [f"agieval_{s}" for s in AGIEVAL_EN_SUBSETS],
-    # English-only build: the full agieval rollup equals the _en subset
-    # (reference also defines gaokao/Chinese members we don't ship).
-    "agieval": [f"agieval_{s}" for s in AGIEVAL_EN_SUBSETS],
+    # reference group membership: gaokao_english + agieval_math are _en;
+    # the remaining gaokao/jec/logiqa_zh subtasks are _cn
+    "agieval_en": [f"agieval_{s}" for s in AGIEVAL_EN_SUBSETS]
+    + ["agieval_math"],
+    "agieval_cn": [f"agieval_{s}" for s in AGIEVAL_CN_MC_SUBSETS]
+    + ["agieval_gaokao_mathcloze"],
+    "agieval": [f"agieval_{s}" for s in AGIEVAL_EN_SUBSETS]
+    + ["agieval_math"]
+    + [f"agieval_{s}" for s in AGIEVAL_CN_MC_SUBSETS]
+    + ["agieval_gaokao_mathcloze"],
     "hendrycks_ethics": [
         "ethics_cm", "ethics_deontology", "ethics_justice",
         "ethics_utilitarianism", "ethics_virtue",
@@ -392,7 +404,19 @@ GROUPS: Dict[str, List[str]] = {
     "hendrycks_math": [f"hendrycks_math_{s}" for s in MATH_SUBJECTS],
     "storycloze": ["storycloze_2016"],
     "qasper": ["qasper_bool", "qasper_freeform"],
-    "super_glue": ["boolq", "cb", "copa", "multirc", "rte", "wic", "wsc"],
+    # reference group super-glue-lm-eval-v1 (record + sglue_rte included)
+    "super_glue": [
+        "boolq", "cb", "copa", "multirc", "record", "sglue_rte", "wic", "wsc",
+    ],
+    "super-glue-lm-eval-v1": [
+        "boolq", "cb", "copa", "multirc", "record", "sglue_rte", "wic", "wsc",
+    ],
+    "super-glue-lm-eval-v1-seq2seq": ["boolq_seq2seq"],
+    "super-glue-t5-prompt": [
+        f"super_glue_{s}_t5_prompt"
+        for s in ("boolq", "cb", "copa", "multirc", "record", "rte", "wic",
+                  "wsc")
+    ],
     "unscramble": [
         "anagrams1", "anagrams2", "cycle_letters", "random_insertion",
         "reversed_words",
@@ -651,6 +675,103 @@ for _v in _MMLU_FLAN_VARIANTS:
         for cat in ("stem", "other", "social_sciences", "humanities")
     ]
 
+# CrowS-Pairs french + per-bias-category subtasks (reference:
+# lm_eval/tasks/crows_pairs/ — 22 tasks over one config).
+_CROWS_CATS = (
+    "age", "autre", "disability", "gender", "nationality",
+    "physical_appearance", "race_color", "religion", "sexual_orientation",
+    "socioeconomic",
+)
+DERIVED_FAMILIES["crows_pairs"] = {
+    "french": {"hf_name": "french"},
+    **{
+        f"{lang}_{cat}": {"hf_name": lang, "process_docs": f"crows_{cat}"}
+        for lang in ("english", "french")
+        for cat in _CROWS_CATS
+    },
+}
+GROUPS["crows_pairs"] = ["crows_pairs_english", "crows_pairs_french"] + [
+    f"crows_pairs_{lang}_{cat}"
+    for lang in ("english", "french")
+    for cat in _CROWS_CATS
+]
+
+# GPQA prompt-style variants over the three subsets (reference:
+# lm_eval/tasks/gpqa/{zeroshot,n_shot,cot_zeroshot,cot_n_shot,generative}).
+_GPQA_VARIANTS = (
+    "zeroshot", "n_shot", "cot_zeroshot", "cot_n_shot", "generative_n_shot",
+)
+for _v in _GPQA_VARIANTS:
+    DERIVED_FAMILIES[f"gpqa_{_v}"] = {
+        # subsets share plain gpqa's per-subset ingestion cache
+        sub: {"hf_name": f"gpqa_{sub}", "dataset_path": f"gpqa/{sub}"}
+        for sub in ("main", "extended", "diamond")
+    }
+    GROUPS[f"gpqa_{_v}"] = [
+        f"gpqa_{_v}_{sub}" for sub in ("main", "extended", "diamond")
+    ]
+
+# KMMLU-HARD chain-of-thought (reference: lm_eval/tasks/kmmlu/cot_hard/ —
+# per-subject Korean CoT preambles + published 5-shot exemplars).
+from retrieval_scaling_tpu.rag_eval.task_data_kmmlu_cot import (  # noqa: E402
+    KMMLU_COT,
+)
+
+DERIVED_FAMILIES["kmmlu_hard_cot"] = {
+    s: {
+        "doc_to_text": spec["doc_to_text"],
+        "hf_name": spec["hf_name"],
+        "fewshot_samples": spec["samples"],
+        # share kmmlu_hard's per-subject ingestion cache
+        "dataset_path": f"kmmlu_hard/{s}",
+    }
+    for s, spec in KMMLU_COT.items()
+}
+GROUPS["kmmlu_hard_cot"] = [f"kmmlu_hard_cot_{s}" for s in sorted(KMMLU_COT)]
+
+# MMLU continuation + generative prompt styles (reference: lm_eval/tasks/
+# mmlu/{continuation,generative}).
+DERIVED_FAMILIES["mmlu_continuation"] = {
+    s: {
+        # note: "questions", not "multiple choice questions" (reference:
+        # continuation/mmlu_<sub>.yaml descriptions)
+        "description": (
+            "The following are questions (with answers) about "
+            f"{s.replace('_', ' ')}.\n\n"
+        ),
+        "dataset_path": f"mmlu/{s}",
+    }
+    for s in MMLU_SUBJECT_CATEGORIES
+}
+DERIVED_FAMILIES["mmlu_generative"] = {
+    s: {
+        "description": (
+            "The following are multiple choice questions (with answers) "
+            f"about {s.replace('_', ' ')}.\n\n"
+        ),
+        "dataset_path": f"mmlu/{s}",
+    }
+    for s in MMLU_SUBJECT_CATEGORIES
+}
+for _cat in ("stem", "humanities", "social_sciences", "other"):
+    _members = [
+        s for s in sorted(MMLU_SUBJECT_CATEGORIES)
+        if MMLU_SUBJECT_CATEGORIES[s] == _cat
+    ]
+    GROUPS[f"mmlu_continuation_{_cat}"] = [
+        f"mmlu_continuation_{s}" for s in _members
+    ]
+    # reference generative groups are named mmlu_<cat>_generative
+    GROUPS[f"mmlu_{_cat}_generative"] = [f"mmlu_generative_{s}" for s in _members]
+GROUPS["mmlu_continuation"] = [
+    f"mmlu_continuation_{c}"
+    for c in ("stem", "other", "social_sciences", "humanities")
+]
+GROUPS["mmlu_generative"] = [
+    f"mmlu_{c}_generative"
+    for c in ("stem", "other", "social_sciences", "humanities")
+]
+
 # The Pile per-source perplexity suite (reference: lm_eval/tasks/pile/
 # pile_<subset>.yaml — 22 rolling-perplexity tasks over EleutherAI/pile).
 PILE_SUBSETS = [
@@ -745,6 +866,43 @@ TASK_ALIASES: Dict[str, str] = {
     },
     # reference unitxt task names are bare (lm_eval/tasks/unitxt/<name>.yaml)
     **{s: f"unitxt_{s}" for s in DERIVED_FAMILIES["unitxt"]},
+    # reference aexams task names keep the HF config's capitalization
+    # (lm_eval/tasks/aexams/aexams_Biology.yaml etc.)
+    **{
+        f"aexams_{cap}": f"aexams_{cap.lower()}"
+        for cap in ("Biology", "IslamicStudies", "Physics", "Science", "Social")
+    },
+    # reference lambada_multilingual names (lm_eval/tasks/
+    # lambada_multilingual/lambada_mt_<l>.yaml declares task
+    # lambada_openai_mt_<l>)
+    **{
+        f"lambada_openai_mt_{lang}": f"lambada_mt_{lang}"
+        for lang in ("de", "en", "es", "fr", "it")
+    },
+    # reference cloze yamls carry a literal `_yaml` suffix in their task
+    # names (lm_eval/tasks/lambada_cloze/*.yaml)
+    "lambada_openai_cloze_yaml": "lambada_openai_cloze",
+    "lambada_standard_cloze_yaml": "lambada_standard_cloze",
+    # reference generative MMLU names carry the variant as a SUFFIX
+    # (lm_eval/tasks/mmlu/generative/mmlu_<sub>.yaml: mmlu_<sub>_generative)
+    **{
+        f"mmlu_{s}_generative": f"mmlu_generative_{s}"
+        for s in MMLU_SUBJECT_CATEGORIES
+    },
+    # reference gpqa names put the subset FIRST (gpqa_main_cot_zeroshot)
+    **{
+        f"gpqa_{sub}_{v}": f"gpqa_{v}_{sub}"
+        for v in _GPQA_VARIANTS
+        for sub in ("main", "extended", "diamond")
+    },
+    # reference super_glue variant names are hyphenated
+    # (super_glue/<sub>/{t5-prompt,seq2seq}.yaml)
+    "boolq-seq2seq": "boolq_seq2seq",
+    **{
+        f"super_glue-{sub}-t5-prompt": f"super_glue_{sub}_t5_prompt"
+        for sub in ("boolq", "cb", "copa", "multirc", "record", "rte",
+                    "wic", "wsc")
+    },
 }
 
 
@@ -1238,6 +1396,8 @@ class Task:
                 if self.cfg.doc_to_gold_list:
                     # multi-true choices (TruthfulQA mc2): 0/1 mask per choice
                     req["gold_mask"] = [int(v) for v in doc[self.cfg.doc_to_gold_list]]
+                if self.cfg.choice_text_field:
+                    req["score_choice_text"] = True
                 requests.append(req)
             elif self.cfg.output_type == "loglikelihood_rolling":
                 # full-document perplexity (wikitext-style; reference:

@@ -1,0 +1,271 @@
+"""Session-5 long-tail variants: MMLU continuation/generative, KMMLU-HARD
+CoT, GPQA prompt styles, CrowS-Pairs categories, ReCoRD, super_glue T5
+prompts, gsm8k CoT, TruthfulQA gen (reference: the matching
+lm_eval/tasks/* directories, cited per test)."""
+
+import json
+import os
+
+import pytest
+
+from retrieval_scaling_tpu.rag_eval.evaluator import simple_evaluate
+from retrieval_scaling_tpu.rag_eval.metrics import (
+    DOC_METRICS,
+    PAIR_METRICS,
+    multirc_t5_em,
+    multirc_t5_f1,
+    record_t5_em,
+    record_t5_f1,
+    wsc_t5_accuracy,
+)
+from retrieval_scaling_tpu.rag_eval.tasks import GROUPS, Task, get_task
+
+
+def _materialize(tmp_path, cfg, rows, split=None):
+    d = tmp_path / cfg.dataset_path
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / f"{split or cfg.test_split}.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return Task(cfg, data_root=str(tmp_path))
+
+
+# ------------------------------------------------------------- resolution
+REPRESENTATIVE = {
+    # reference name -> (canonical task, output_type)
+    "mmlu_continuation_virology": ("mmlu_continuation_virology", "multiple_choice"),
+    "mmlu_virology_generative": ("mmlu_generative_virology", "generate_until"),
+    "kmmlu_hard_cot_biology": ("kmmlu_hard_cot_biology", "generate_until"),
+    "gpqa_diamond_cot_n_shot": ("gpqa_cot_n_shot_diamond", "generate_until"),
+    "gpqa_main_zeroshot": ("gpqa_zeroshot_main", "multiple_choice"),
+    "crows_pairs_french_religion": ("crows_pairs_french_religion", "multiple_choice"),
+    "record": ("record", "multiple_choice"),
+    "sglue_rte": ("sglue_rte", "multiple_choice"),
+    "boolq-seq2seq": ("boolq_seq2seq", "generate_until"),
+    "super_glue-wsc-t5-prompt": ("super_glue_wsc_t5_prompt", "generate_until"),
+    "gsm8k_cot": ("gsm8k_cot", "generate_until"),
+    "gsm8k_cot_self_consistency": ("gsm8k_cot_self_consistency", "generate_until"),
+    "truthfulqa_gen": ("truthfulqa_gen", "generate_until"),
+    "fld_logical_formula_star": ("fld_logical_formula_star", "generate_until"),
+    "logieval": ("logieval", "generate_until"),
+    "agieval_gaokao_biology": ("agieval_gaokao_biology", "multiple_choice"),
+    "agieval_math": ("agieval_math", "generate_until"),
+    "mnli_mismatch": ("mnli_mismatch", "multiple_choice"),
+    "storycloze_2018": ("storycloze_2018", "multiple_choice"),
+    "headqa_es": ("headqa_es", "multiple_choice"),
+    "tmmluplus_linear_algebra": ("tmmluplus_linear_algebra", "multiple_choice"),
+    "aexams_Biology": ("aexams_biology", "multiple_choice"),
+    "lambada_openai_mt_de": ("lambada_mt_de", "loglikelihood"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(REPRESENTATIVE))
+def test_reference_names_resolve(name):
+    want_task, want_type = REPRESENTATIVE[name]
+    cfg = get_task(name)
+    assert cfg.task == want_task
+    assert cfg.output_type == want_type
+
+
+_REF_TASKS = "/root/reference/rag-evaluation-harness/lm_eval/tasks"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_TASKS), reason="reference absent")
+def test_every_reference_task_name_resolves():
+    """Full name-level parity: every `task:` in the reference fork's 2,237
+    task YAMLs must resolve here (directly, via an alias, or as a group)."""
+    import glob
+    import re
+
+    names = set()
+    for p in glob.glob(_REF_TASKS + "/**/*.yaml", recursive=True):
+        m = re.search(
+            r'^["\']?task["\']?:\s*["\']?([A-Za-z0-9_\-.]+)["\']?\s*$',
+            open(p).read(), re.M,
+        )
+        if m:
+            names.add(m.group(1))
+    assert len(names) > 2200
+    unresolved = []
+    for n in sorted(names):
+        if n in GROUPS:
+            continue
+        try:
+            get_task(n)
+        except Exception:
+            unresolved.append(n)
+    assert unresolved == []
+
+
+# ------------------------------------------------------------- behaviors
+def test_mmlu_continuation_scores_choice_texts(tmp_path):
+    cfg = get_task("mmlu_continuation_virology")
+    doc = {"question": "Q?", "choices": ["v1", "v2", "v3", "v4"], "gold": 2}
+    task = _materialize(tmp_path, cfg, [doc])
+    assert task.doc_text(doc) == "Question: Q?\nAnswer:"
+    assert task.doc_choices(doc) == ["v1", "v2", "v3", "v4"]
+    assert task.doc_target(doc) == "v3"
+
+
+def test_kmmlu_hard_cot_prompt_and_filter(tmp_path):
+    cfg = get_task("kmmlu_hard_cot_biology")
+    # the kmmlu shim emits both gold (index) and letter
+    doc = {"question": "질문?", "A": "a1", "B": "b1", "C": "c1", "D": "d1",
+           "gold": 1, "letter": "B"}
+    task = _materialize(tmp_path, cfg, [doc])
+    ctx = task.fewshot_context(doc, num_fewshot=5)
+    # 5 published Korean CoT exemplars render ahead of the doc
+    assert ctx.count("차근 차근 생각해봅시다") >= 6
+    assert ctx.endswith("D.d1\n정답: 차근 차근 생각해봅시다. 생물학 관련 정보를 위해 위키피디아를 참조하겠습니다.")
+    assert task.doc_target(doc) == "B"
+    got = cfg.apply_filter_steps("따라서, 정답은 (B) 입니다.", cfg.filters[0]["steps"])
+    assert got == "B"
+
+
+def test_record_choice_text_scoring(tmp_path):
+    """ReCoRD: argmax entity scored with token F1/EM vs the answer set
+    (reference: super_glue/record/util.py process_results)."""
+    cfg = get_task("record")
+    doc = {
+        "text": "Story.\n\n  - A highlight.\n",
+        "entities": ["Alice", "Bob"],
+        "answers": ["Bob"],
+        "choices": ["  - Alice won", "  - Bob won"],
+        "gold": 1,
+        "target": "  - Bob won",
+    }
+    task = _materialize(tmp_path, cfg, [doc])
+
+    class PickSecond:
+        def loglikelihood(self, pairs):
+            return [(0.0 if "Bob" in cont else -5.0, False) for _, cont in pairs]
+
+    res = simple_evaluate(PickSecond(), ["record"], data_root=str(tmp_path),
+                          bootstrap_iters=0)
+    row = res["results"]["record"]
+    assert row["f1"] == 1.0 and row["em"] == 1.0
+
+
+def test_record_shim_highlights_and_entities():
+    from retrieval_scaling_tpu.rag_eval import ingest
+
+    row = {"passage": "Intro text.\n@highlight\nkey fact one\n@highlight\nkey fact two",
+           "query": "@placeholder was there", "entities": ["B", "A", "B"],
+           "answers": ["B"], "idx": {"passage": 3, "query": 7}}
+    doc = ingest.PROCESS_DOCS["record"](row)
+    assert doc["text"] == "Intro text.\n\n  - key fact one.\n  - key fact two.\n"
+    assert doc["entities"] == ["A", "B"]
+    assert doc["choices"] == ["  - A was there", "  - B was there"]
+    assert doc["gold"] == 1
+    t5_docs = ingest.PROCESS_DOCS["record_t5"](row)
+    assert t5_docs[0]["ref"] == "3+7_B"
+    assert "record query: @placeholder was there entities: B, A, B" in t5_docs[0]["text"]
+
+
+def test_wsc_t5_accuracy_fuzzy_match():
+    # subset match + determiner stripping (reference: wsc/t5_utils.py)
+    doc = {"span1_text": "the fuzzy bunny", "label": 1}
+    assert wsc_t5_accuracy("bunny", doc) == 1.0
+    assert wsc_t5_accuracy("a dog", doc) == 0.0
+    # apostrophe mismatch forces non-referent
+    assert wsc_t5_accuracy("Bob's hat", {"span1_text": "Bob", "label": 1}) == 0.0
+    assert wsc_t5_accuracy("unrelated", {"span1_text": "Bob", "label": 0}) == 1.0
+
+
+def test_multirc_t5_group_scoring():
+    pairs = [("True", "7_True"), ("False", "7_False"),
+             ("True", "8_False"), ("garbage", "8_True")]
+    # q7: both right; q8: both wrong ("garbage" counts as the wrong label)
+    assert multirc_t5_em(pairs) == 0.5
+    # parsed labels: (1,1), (0,0), (1,0), (0,1) -> tp=1 fp=1 fn=1
+    assert multirc_t5_f1(pairs) == pytest.approx(0.5)
+
+
+def test_record_t5_group_scoring():
+    pairs = [("Bob", "1+1_Bob"), ("Bob", "1+1_Robert"),
+             ("Alice", "2+2_Eve")]
+    # group 1+1: both predictions match SOME gold in the group -> 1, 1;
+    # group 2+2: miss -> 0; mean = 2/3
+    assert record_t5_em(pairs) == pytest.approx(2 / 3)
+    # f1 scores only the FIRST prediction per group
+    assert record_t5_f1(pairs) == pytest.approx(0.5)
+    assert "mean_3class_f1" in PAIR_METRICS
+
+
+def test_gsm8k_cot_exemplars_render(tmp_path):
+    cfg = get_task("gsm8k_cot")
+    doc = {"question": "2+2?", "answer": "easy\n#### 4"}
+    task = _materialize(tmp_path, cfg, [doc])
+    ctx = task.fewshot_context(doc)
+    assert ctx.startswith("Q: There are 15 trees in the grove.")
+    assert ctx.count("The answer is") == 8
+    assert ctx.endswith("Q: 2+2?\nA:")
+    strict = cfg.apply_filter_steps(
+        "6 - 2 = 4. The answer is 4.", cfg.filters[0]["steps"]
+    )
+    assert strict == "4"
+    assert cfg.extract_target("easy\n#### 4") == "4"
+
+
+def test_truthfulqa_gen_doc_metrics():
+    doc = {"correct_answers": ["The sky is blue."],
+           "incorrect_answers": ["The sky is green."]}
+    good = DOC_METRICS["rouge1_acc"]("It is blue.", doc)
+    bad = DOC_METRICS["rouge1_acc"]("It is green.", doc)
+    assert good == 1.0 and bad == 0.0
+    assert DOC_METRICS["bleu_max"]("The sky is blue.", doc) == pytest.approx(100.0)
+    diff = DOC_METRICS["rougeL_diff"]("The sky is blue.", doc)
+    assert diff > 0
+
+
+def test_truthfulqa_gen_end_to_end(tmp_path):
+    cfg = get_task("truthfulqa_gen")
+    doc = {"question": "Color of the sky?",
+           "correct_answers": ["The sky is blue."],
+           "incorrect_answers": ["The sky is green."]}
+    task = _materialize(tmp_path, cfg, [doc])
+    assert task.doc_text(doc).endswith("Q: Color of the sky?")
+    assert task.doc_text(doc).startswith(
+        "Q: What is human life expectancy in the United States?"
+    )
+
+    class BlueLM:
+        def generate_until(self, reqs):
+            return ["The sky is blue."]
+
+    res = simple_evaluate(BlueLM(), ["truthfulqa_gen"], data_root=str(tmp_path),
+                          bootstrap_iters=0)
+    row = res["results"]["truthfulqa_gen"]
+    assert row["bleu_acc"] == 1.0 and row["rougeL_acc"] == 1.0
+    assert row["bleu_max"] == pytest.approx(100.0)
+
+
+def test_super_glue_t5_prompt_cb(tmp_path):
+    cfg = get_task("super_glue-cb-t5-prompt")
+    rows = [{"premise": "P one.", "hypothesis": "H one.", "label": 0},
+            {"premise": "P two.", "hypothesis": "H two.", "label": 1}]
+    task = _materialize(tmp_path, cfg, rows)
+    assert task.doc_text(rows[0]) == "cb hypothesis: H one. premise: P one."
+    assert task.doc_target(rows[0]) == "entailment"
+
+    class EntailLM:
+        def generate_until(self, reqs):
+            return ["entailment", "entailment"]
+
+    res = simple_evaluate(EntailLM(), ["super_glue-cb-t5-prompt"],
+                          data_root=str(tmp_path), bootstrap_iters=0)
+    row = res["results"]["super_glue_cb_t5_prompt"]
+    assert row["exact_match"] == 0.5
+    # classes seen: entailment (f1 2/3), contradiction (0) -> macro 1/3
+    assert row["mean_3class_f1"] == pytest.approx(1 / 3)
+
+
+def test_groups_updated():
+    assert "record" in GROUPS["super_glue"] and "sglue_rte" in GROUPS["super_glue"]
+    assert len(GROUPS["super-glue-t5-prompt"]) == 8
+    assert "truthfulqa_gen" in GROUPS["truthfulqa"]
+    assert len(GROUPS["kmmlu_hard_cot"]) == 45
+    assert len(GROUPS["mmlu_continuation"]) == 4  # nested category groups
+    assert len(GROUPS["agieval"]) == 21
+    assert "agieval_math" in GROUPS["agieval_en"]
+    assert "agieval_gaokao_mathcloze" in GROUPS["agieval_cn"]

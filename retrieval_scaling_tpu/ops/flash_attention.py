@@ -277,7 +277,10 @@ def flash_attention(
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if block_q is None:
-        block_q = 256 if segment_ids is not None else 512
+        # whole-row q blocks win at S<=1024 (measured: 2.28 vs 2.48 ms at
+        # b8h16S1024d128, 2.86 vs 3.33 at the Llama b8h32S1024d64 shape);
+        # 512 stays ahead at S>=2048
+        block_q = 256 if segment_ids is not None else (1024 if sq <= 1024 else 512)
     if block_k is None:
         block_k = 256 if segment_ids is not None else 1024
     if sm_scale is None:

@@ -225,6 +225,16 @@ def _score_task(
                                     f"_mt_pairs,{filt['name']}", []
                                 ).append((pred, refs))
                             continue
+                        if name in DOC_METRICS:
+                            val = DOC_METRICS[name](pred, doc)
+                            inst_metrics[col] = val
+                            metric_values.setdefault(col, []).append(val)
+                            continue
+                        if name in PAIR_METRICS:
+                            metric_values.setdefault(
+                                f"_pairmetric:{name},{filt['name']}", []
+                            ).append((pred, refs[0]))
+                            continue
                         if name in _CLF_PAIR_METRICS:
                             # set-level classification F1 over filtered
                             # (pred, gold) label pairs (polemo2; reference:
@@ -261,27 +271,6 @@ def _score_task(
                                 (prediction.strip().lower(),
                                  refs[0].strip().lower())
                             )
-                        continue
-                    if name == "spearman":
-                        # regression-as-text (stsb; reference: unitxt
-                        # metrics.spearman over float-cast predictions)
-                        from retrieval_scaling_tpu.rag_eval.metrics import (
-                            parse_float,
-                        )
-
-                        metric_values.setdefault("_spearman_pairs", []).append(
-                            (parse_float(prediction), parse_float(refs[0]))
-                        )
-                        continue
-                    if name == "f1_micro_multi_label":
-                        metric_values.setdefault(
-                            "_multilabel_pairs", []
-                        ).append((prediction, refs[0]))
-                        continue
-                    if name == "ner_f1":
-                        metric_values.setdefault("_ner_pairs", []).append(
-                            (prediction, refs[0])
-                        )
                         continue
                     if name in DOC_METRICS:
                         # doc-aware per-instance scorer (e.g. T5 WSC
@@ -488,34 +477,12 @@ def _score_task(
                     scores[col + "_stderr"] = bootstrap_stderr(
                         fn, vals, iters=bootstrap_iters
                     )
-        elif name == "_spearman_pairs":
-            from retrieval_scaling_tpu.rag_eval.metrics import spearman_pairs
-
-            scores["spearman"] = spearman_pairs(vals)
-            scores["spearman_stderr"] = bootstrap_stderr(
-                spearman_pairs, vals, iters=bootstrap_iters
-            )
-        elif name == "_multilabel_pairs":
-            from retrieval_scaling_tpu.rag_eval.metrics import (
-                f1_multi_label_pairs,
-            )
-
-            scores["f1_micro_multi_label"] = f1_multi_label_pairs(vals)
-            scores["f1_micro_multi_label_stderr"] = bootstrap_stderr(
-                f1_multi_label_pairs, vals, iters=bootstrap_iters
-            )
-        elif name == "_ner_pairs":
-            from retrieval_scaling_tpu.rag_eval.metrics import ner_span_f1_pairs
-
-            scores["ner_f1"] = ner_span_f1_pairs(vals)
-            scores["ner_f1_stderr"] = bootstrap_stderr(
-                ner_span_f1_pairs, vals, iters=bootstrap_iters
-            )
         elif name.startswith("_pairmetric:"):
-            mname = name.split(":", 1)[1]
+            mname, _, filt_name = name.split(":", 1)[1].partition(",")
             fn = PAIR_METRICS[mname]
-            scores[mname] = fn(vals)
-            scores[mname + "_stderr"] = bootstrap_stderr(
+            col = f"{mname},{filt_name}" if filt_name else mname
+            scores[col] = fn(vals)
+            scores[col + "_stderr"] = bootstrap_stderr(
                 fn, vals, iters=bootstrap_iters
             )
         else:

@@ -913,14 +913,20 @@ def _multirc_t5(row):
 # CrowS-Pairs per-bias-category filters (reference: lm_eval/tasks/
 # crows_pairs/utils.py filter_dataset — keep rows whose bias_type starts
 # with the category).
-CROWS_BIAS_TYPES = (
-    "age", "autre", "disability", "gender", "nationality",
-    "physical_appearance", "race_color", "religion", "sexual_orientation",
-    "socioeconomic",
-)
-for _cat in CROWS_BIAS_TYPES:
-    def _crows_filter(row, _cat=_cat):
-        return row if str(row.get("bias_type", "")).startswith(_cat) else None
+# task-name category -> the dataset's bias_type prefix (the dataset stores
+# HYPHENATED values: race-color, sexual-orientation, physical-appearance —
+# reference: crows_pairs/utils.py filter_race_color etc.)
+CROWS_BIAS_TYPES = {
+    "age": "age", "autre": "autre", "disability": "disability",
+    "gender": "gender", "nationality": "nationality",
+    "physical_appearance": "physical-appearance",
+    "race_color": "race-color", "religion": "religion",
+    "sexual_orientation": "sexual-orientation",
+    "socioeconomic": "socioeconomic",
+}
+for _cat, _prefix in CROWS_BIAS_TYPES.items():
+    def _crows_filter(row, _prefix=_prefix):
+        return row if str(row.get("bias_type", "")).startswith(_prefix) else None
 
     PROCESS_DOCS[f"crows_{_cat}"] = _crows_filter
 

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import functools
 import re
 import string
 from collections import Counter
@@ -297,30 +298,39 @@ _TER_MAX_BLOCK = 10  # tercom's max shifted-block size
 
 def _ter_numerator(pred_toks, ref_toks) -> int:
     """edits + shifts via tercom's greedy block-shift search: repeatedly
-    take the shift (contiguous pred block that appears in the reference,
-    moved elsewhere) that most reduces edit distance; each costs 1."""
+    take the shift (contiguous pred block that also appears in the
+    reference, moved so it lines up with one of its reference occurrences
+    — tercom only considers destinations that match the reference, which
+    keeps the search near-linear) that most reduces edit distance; each
+    accepted shift costs 1."""
     cur = list(pred_toks)
     best = _edit_distance(cur, ref_toks)
-    ref_blocks = set()
+    # block tuple -> its start positions in the reference
+    ref_pos: Dict[tuple, List[int]] = {}
     for n in range(1, min(_TER_MAX_BLOCK, len(ref_toks)) + 1):
         for i in range(len(ref_toks) - n + 1):
-            ref_blocks.add(tuple(ref_toks[i:i + n]))
+            ref_pos.setdefault(tuple(ref_toks[i:i + n]), []).append(i)
     shifts = 0
     while best > 0:
         improved = None
         for n in range(min(_TER_MAX_BLOCK, len(cur)), 0, -1):
             for i in range(len(cur) - n + 1):
                 block = tuple(cur[i:i + n])
-                if block not in ref_blocks:
+                positions = ref_pos.get(block)
+                if not positions:
                     continue
                 rest = cur[:i] + cur[i + n:]
-                for j in range(len(rest) + 1):
-                    if j == i:
-                        continue
-                    cand = rest[:j] + list(block) + rest[j:]
-                    d = _edit_distance(cand, ref_toks)
-                    if improved is None or d < improved[0]:
-                        improved = (d, cand)
+                for p in positions:
+                    # land the block at its reference position; when the
+                    # removal point precedes the target, later indices have
+                    # shifted left by n — try both mappings
+                    for j in {min(p, len(rest)), min(max(p - n, 0), len(rest))}:
+                        if j == i:
+                            continue
+                        cand = rest[:j] + list(block) + rest[j:]
+                        d = _edit_distance(cand, ref_toks)
+                        if improved is None or d < improved[0]:
+                            improved = (d, cand)
         if improved is None or improved[0] >= best:
             break
         best, cur = improved
@@ -328,23 +338,37 @@ def _ter_numerator(pred_toks, ref_toks) -> int:
     return best + shifts
 
 
+@functools.lru_cache(maxsize=65536)
+def _ter_pair_stats(pred: str, refs: tuple):
+    """(min edits+shifts over refs, average ref length) for one segment —
+    memoized so bootstrap resampling never re-runs the shift search."""
+    ptoks = _ter_tokens(pred)
+    nums, lens = [], []
+    for ref in refs:
+        rtoks = _ter_tokens(ref)
+        nums.append(_ter_numerator(ptoks, rtoks))
+        lens.append(len(rtoks))
+    if not nums:
+        return 0, 0.0
+    return min(nums), sum(lens) / len(lens)
+
+
 def corpus_ter(pairs: List[tuple]) -> float:
     """Corpus TER (Snover et al. 2006, tercom convention): per segment the
     minimum (edits + shifts) over the references, divided by the AVERAGE
-    reference length; corpus score pools both sums. x100."""
+    reference length; corpus score pools both sums. x100.
+
+    Matches sacrebleu exactly on swap/substitution corruption (pinned by
+    test); on heavily block-shuffled text the greedy shift search can pick
+    different shift sequences than tercom's (sometimes better, sometimes
+    worse — tercom's own search is a heuristic), keeping corpus scores
+    within a few percent relative."""
     total_num = 0
     total_len = 0.0
     for pred, refs in pairs:
-        ptoks = _ter_tokens(pred)
-        nums, lens = [], []
-        for ref in refs:
-            rtoks = _ter_tokens(ref)
-            nums.append(_ter_numerator(ptoks, rtoks))
-            lens.append(len(rtoks))
-        if not nums:
-            continue
-        total_num += min(nums)
-        total_len += sum(lens) / len(lens)
+        num, avg_len = _ter_pair_stats(pred, tuple(refs))
+        total_num += num
+        total_len += avg_len
     if total_len == 0:
         return 100.0 * float(total_num > 0)
     return 100.0 * total_num / total_len
@@ -801,9 +825,29 @@ def record_t5_f1(pairs) -> float:
 
 PAIR_METRICS["record_t5_em"] = record_t5_em
 PAIR_METRICS["record_t5_f1"] = record_t5_f1
-# T5 CommitmentBank macro F1 over the three generated class names
-# (reference: super_glue/cb/t5_utils.py mean_3class_f1)
-PAIR_METRICS["mean_3class_f1"] = lambda pairs: f1_macro_pairs(pairs)
+_CB_LABELS = ("entailment", "contradiction", "neutral")
+
+
+def mean_3class_f1(pairs) -> float:
+    """T5 CommitmentBank macro F1 with a FIXED 3-class denominator;
+    off-vocabulary generations map to class 0 (reference:
+    super_glue/cb/t5_utils.py mean_3class_f1 — sklearn fbeta_score with
+    labels=range(3), average='macro')."""
+    idx = {lbl: i for i, lbl in enumerate(_CB_LABELS)}
+    parsed = [(idx.get(p, 0), idx.get(g, 0)) for p, g in pairs]
+    scores = _per_class_f1(parsed, [0, 1, 2])
+    return sum(scores) / 3
+
+
+PAIR_METRICS["mean_3class_f1"] = mean_3class_f1
+
+# unitxt set-level metrics route through the same generic pair registry so
+# they also work behind filter pipelines (definitions further down).
+PAIR_METRICS["spearman"] = lambda pairs: spearman_pairs(
+    [(parse_float(a), parse_float(b)) for a, b in pairs]
+)
+PAIR_METRICS["f1_micro_multi_label"] = lambda pairs: f1_multi_label_pairs(pairs)
+PAIR_METRICS["ner_f1"] = lambda pairs: ner_span_f1_pairs(pairs)
 
 
 # TruthfulQA generation scoring (reference: truthfulqa/utils.py

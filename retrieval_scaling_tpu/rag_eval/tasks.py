@@ -402,7 +402,7 @@ GROUPS: Dict[str, List[str]] = {
     "belebele": [f"belebele_{s}" for s in BELEBELE_CODES],
     "minerva_math": [f"minerva_math_{s}" for s in MATH_SUBJECTS],
     "hendrycks_math": [f"hendrycks_math_{s}" for s in MATH_SUBJECTS],
-    "storycloze": ["storycloze_2016"],
+    "storycloze": ["storycloze_2016", "storycloze_2018"],
     "qasper": ["qasper_bool", "qasper_freeform"],
     # reference group super-glue-lm-eval-v1 (record + sglue_rte included)
     "super_glue": [
@@ -445,11 +445,13 @@ GROUPS: Dict[str, List[str]] = {
     ],
     # SCROLLS long-document suite (reference: lm_eval/tasks/scrolls/task.py;
     # qasper runs as the existing qasper_bool/qasper_freeform pair)
+    # reference scrolls group: exactly one qasper member (the hybrid task);
+    # the split qasper_bool/qasper_freeform pair stays under the separate
+    # "qasper" group, matching lm_eval/tasks/qasper
     "scrolls": [
         "scrolls_govreport", "scrolls_summscreenfd", "scrolls_qmsum",
         "scrolls_narrativeqa", "scrolls_qasper", "scrolls_quality",
         "scrolls_contractnli",
-        "qasper_bool", "qasper_freeform",
     ],
     # okapi multilingual rollups (reference: lm_eval/tasks/okapi/* groups)
     "arc_multilingual": [f"arc_{s}" for s in OKAPI_ARC_LANGS],
@@ -1256,17 +1258,13 @@ class Task:
 
     def fewshot_shots(self, doc: dict, num_fewshot: int | None = None):
         """Sampled (prompt, target) pairs for multiturn chat rendering
-        (reference: lm_eval --fewshot_as_multiturn)."""
+        (reference: lm_eval --fewshot_as_multiturn). Delegates to
+        sample_shots so the configured sampler (first_n/balanced/inline
+        exemplars) applies on this path too."""
         n = self.cfg.num_fewshot if num_fewshot is None else num_fewshot
         if not n:
             return []
-        if self.cfg.fewshot_samples:
-            shots = self.cfg.fewshot_samples[:n]
-        else:
-            pool = self.fewshot_docs if self.fewshot_docs is not None else self.docs
-            pool = [d for d in pool if d is not doc]
-            shots = self.rng.sample(pool, min(n, len(pool)))
-        return [(self.doc_text(s), self.doc_target(s)) for s in shots]
+        return [(self.doc_text(s), self.doc_target(s)) for s in self.sample_shots(doc, n)]
 
     def fewshot_context(self, doc: dict, num_fewshot: int | None = None) -> str:
         """description + N sampled shots + the doc's own prompt.
@@ -1290,7 +1288,12 @@ class Task:
             # (reference: lm_eval fewshot_config samples + first_n sampler)
             return self.cfg.fewshot_samples[:n]
         pool = self.fewshot_docs if self.fewshot_docs is not None else self.docs
-        pool = [d for d in pool if d is not doc]
+        # exclude the doc under evaluation by VALUE, not identity: when
+        # fewshot_split == test_split (GPQA n_shot) the pools are separate
+        # loads of the same jsonl, so identity alone leaks the question +
+        # its gold answer into its own prompt (reference: lm_eval
+        # ContextSampler samples n+1 and drops the doc by equality)
+        pool = [d for d in pool if d is not doc and d != doc]
         n = min(n, len(pool))
         sampler = self.cfg.fewshot_sampler
         if sampler == "first_n":

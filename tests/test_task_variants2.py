@@ -256,8 +256,9 @@ def test_super_glue_t5_prompt_cb(tmp_path):
                           data_root=str(tmp_path), bootstrap_iters=0)
     row = res["results"]["super_glue_cb_t5_prompt"]
     assert row["exact_match"] == 0.5
-    # classes seen: entailment (f1 2/3), contradiction (0) -> macro 1/3
-    assert row["mean_3class_f1"] == pytest.approx(1 / 3)
+    # fixed 3-class macro (reference: cb/t5_utils.py labels=range(3)):
+    # entailment f1 2/3, contradiction 0, neutral 0 -> 2/9
+    assert row["mean_3class_f1"] == pytest.approx(2 / 9)
 
 
 def test_groups_updated():
@@ -269,3 +270,87 @@ def test_groups_updated():
     assert len(GROUPS["agieval"]) == 21
     assert "agieval_math" in GROUPS["agieval_en"]
     assert "agieval_gaokao_mathcloze" in GROUPS["agieval_cn"]
+
+
+# ------------------------------------------------------ review-pass fixes
+def test_crows_filters_match_hyphenated_bias_types():
+    """The dataset stores race-color/sexual-orientation/physical-appearance
+    HYPHENATED (reference: crows_pairs/utils.py filter_race_color)."""
+    from retrieval_scaling_tpu.rag_eval import ingest
+
+    row = {"sent_more": "m", "sent_less": "l", "bias_type": "race-color"}
+    assert ingest.PROCESS_DOCS["crows_race_color"](row) is row
+    assert ingest.PROCESS_DOCS["crows_age"](row) is None
+    row2 = {"bias_type": "sexual-orientation"}
+    assert ingest.PROCESS_DOCS["crows_sexual_orientation"](row2) is row2
+    assert ingest.PROCESS_DOCS["crows_physical_appearance"](
+        {"bias_type": "physical-appearance"}) is not None
+
+
+def test_fewshot_excludes_doc_by_value(tmp_path):
+    """fewshot_split == test_split (GPQA n_shot): the question under
+    evaluation must never appear among its own exemplars even though the
+    pools are separate loads of the same file."""
+    cfg = get_task("gpqa_n_shot_main")
+    rows = [{"question": f"q{i}", "choices": ["a", "b", "c", "d"], "gold": 0}
+            for i in range(4)]
+    task = _materialize(tmp_path, cfg, rows, split="train")
+    doc = task.docs[2]
+    for _ in range(20):
+        shots = task.sample_shots(doc, 3)
+        assert all(s["question"] != "q2" for s in shots)
+
+
+def test_fewshot_shots_honors_sampler(tmp_path):
+    """fewshot_shots (multiturn chat path) must use the same sampler as
+    fewshot_context — first_n tasks get the canonical exemplars."""
+    cfg = get_task("bbh_fewshot_boolean_expressions")
+    task = _materialize(tmp_path, cfg, [{"input": "x", "target": "True"}])
+    shots = task.fewshot_shots(task.docs[0], 3)
+    assert shots[0][0] == "Q: not ( ( not not True ) ) is\nA:"
+    assert shots[0][1] == "False"
+
+
+def test_scrolls_group_counts_qasper_once():
+    assert GROUPS["scrolls"].count("scrolls_qasper") == 1
+    assert "qasper_bool" not in GROUPS["scrolls"]
+    assert len(GROUPS["scrolls"]) == 7
+    assert GROUPS["qasper"] == ["qasper_bool", "qasper_freeform"]
+    assert GROUPS["storycloze"] == ["storycloze_2016", "storycloze_2018"]
+
+
+def test_pair_metrics_work_behind_filters(tmp_path):
+    """PAIR_METRICS / DOC_METRICS dispatch must also exist on the named
+    filter-pipeline path."""
+    from retrieval_scaling_tpu.rag_eval.tasks import TaskConfig
+
+    cfg = TaskConfig(
+        task="toy_pairs", dataset_path="toy_pairs",
+        output_type="generate_until",
+        doc_to_text="{q}", doc_to_target="{t}",
+        metric_list=["spearman"],
+        filters=[{"name": "digits", "steps": [
+            {"type": "regex", "pattern": r"([-0-9.]+)", "select": "first"}]}],
+    )
+    d = tmp_path / "toy_pairs"
+    d.mkdir()
+    with open(d / "test.jsonl", "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"q": f"q{i}", "t": str(float(i))}) + "\n")
+
+    class MonoLM:
+        def generate_until(self, reqs):
+            return [f"score = {i * 2.0}!" for i in range(len(reqs))]
+
+    res = simple_evaluate(MonoLM(), [cfg], data_root=str(tmp_path),
+                          bootstrap_iters=0)
+    assert res["results"]["toy_pairs"]["spearman,digits"] == pytest.approx(1.0)
+
+
+def test_mean_3class_f1_fixed_denominator():
+    from retrieval_scaling_tpu.rag_eval.metrics import mean_3class_f1
+
+    # off-vocabulary prediction maps to class 0 (reference: cb/t5_utils.py)
+    pairs = [("entailment", "entailment"), ("garbage", "contradiction")]
+    # parsed: (0,0), (0,1): class0 f1 = 2/3, class1 = 0, class2 = 0
+    assert mean_3class_f1(pairs) == pytest.approx(2 / 9)

@@ -324,3 +324,47 @@ def test_unitxt_stsb_spearman_end_to_end(tmp_path):
     res = simple_evaluate(RegLM(), ["unitxt_stsb"], data_root=str(tmp_path),
                           bootstrap_iters=0)
     assert res["results"]["unitxt_stsb"]["spearman"] == pytest.approx(1.0)
+
+
+def test_ter_hard_fuzz_close_to_sacrebleu_and_fast():
+    """Heavy block-shuffle corruption: the greedy shift search may pick
+    different (sometimes better) shift sequences than tercom, but corpus
+    scores stay within a few percent — and the memoized per-pair stats
+    keep re-scoring (bootstrap resampling) effectively free."""
+    sacrebleu = pytest.importorskip("sacrebleu")
+    import random
+    import time
+
+    from retrieval_scaling_tpu.rag_eval.metrics import _ter_pair_stats
+
+    rng = random.Random(0)
+    vocab = ("the a cat dog sat ran on under mat rug quickly 42 3.14 it's "
+             "don't hello , . ! ? ( )").split()
+
+    def sent(k):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    preds, refs = [], []
+    for _ in range(30):
+        r = sent(rng.randint(8, 40))
+        toks = r.split()
+        if len(toks) > 8 and rng.random() < 0.6:
+            n = rng.randint(2, 4)
+            i = rng.randrange(len(toks) - n)
+            blk = toks[i:i + n]
+            del toks[i:i + n]
+            j = rng.randrange(len(toks) + 1)
+            toks[j:j] = blk
+        if rng.random() < 0.6:
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        preds.append(" ".join(toks))
+        refs.append(r)
+    _ter_pair_stats.cache_clear()
+    pairs = [(p, [r]) for p, r in zip(preds, refs)]
+    ours = corpus_ter(pairs)
+    sacre = sacrebleu.corpus_ter(preds, [refs]).score
+    assert ours == pytest.approx(sacre, rel=0.05)
+    # memoized: the bootstrap path re-scores resamples at ~zero cost
+    t0 = time.perf_counter()
+    corpus_ter(pairs)
+    assert time.perf_counter() - t0 < 0.05

@@ -216,6 +216,43 @@ HF_FIXTURES = {
     ("Idavidrein/gpqa", "gpqa_main"): {
         "train": [{"Question": "Hard q?", "Correct Answer": "right", "Incorrect Answer 1": "w1", "Incorrect Answer 2": "w2", "Incorrect Answer 3": "w3"}]
     },
+    ("super_glue", "record"): {
+        "validation": [{
+            "passage": "Intro.\n@highlight\nkey fact",
+            "query": "@placeholder did it", "entities": ["Alice", "Bob"],
+            "answers": ["Bob"], "idx": {"passage": 0, "query": 0},
+        }]
+    },
+    ("super_glue", "wsc"): {
+        "validation": [{
+            "text": "Mark told Pete many lies about himself .",
+            "span1_text": "Mark", "span1_index": 0,
+            "span2_text": "himself", "span2_index": 5, "label": 0,
+        }]
+    },
+    ("super_glue", "multirc"): {
+        "validation": [{
+            "paragraph": "Para text.", "question": "Q?", "answer": "cand",
+            "label": 1, "idx": {"question": 7, "answer": 0},
+        }]
+    },
+    ("BigScienceBiasEval/crows_pairs_multilingual", "english"): {
+        "test": [
+            {"sent_more": "stereo", "sent_less": "anti", "bias_type": "race-color"},
+            {"sent_more": "s2", "sent_less": "a2", "bias_type": "age"},
+        ]
+    },
+    ("truthful_qa", "generation"): {
+        "validation": [{
+            "question": "Sky color? ",
+            "correct_answers": ["The sky is blue"],
+            "incorrect_answers": ["The sky is green."],
+        }]
+    },
+    ("hitachi-nlp/FLD.v2", "star"): {
+        "test": [{"prompt_serial": "facts...", "hypothesis_formula": "Ha",
+                  "context_formula": "Fa", "world_assump_label": "PROVED"}]
+    },
     ("EleutherAI/arithmetic", "arithmetic_2da"): {
         "validation": [{"context": "Question: What is 11 plus 22?\nAnswer:", "completion": " 33"}]
     },
@@ -435,6 +472,14 @@ FLAGSHIP = [
     "mmlu_flan_n_shot_loglikelihood_abstract_algebra",
     "mmlu_flan_cot_fewshot_abstract_algebra",
     "wmt14_fr_en", "pile_enron", "scrolls_qasper", "unitxt_ag_news",
+    # session 5 continued: ReCoRD, T5 prompts, crows categories, gpqa
+    # styles, mmlu continuation/generative, tqa gen, fld formula
+    # (canonical names — results tables key on these)
+    "record", "super_glue_record_t5_prompt", "super_glue_wsc_t5_prompt",
+    "super_glue_multirc_t5_prompt", "crows_pairs_english_race_color",
+    "gpqa_cot_zeroshot_main", "mmlu_continuation_abstract_algebra",
+    "mmlu_generative_abstract_algebra", "truthfulqa_gen",
+    "fld_logical_formula_star", "gsm8k_cot_zeroshot",
 ]
 
 

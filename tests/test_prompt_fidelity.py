@@ -146,6 +146,60 @@ CASES = [
         ["he worked all night.", "he slept well."],
         "he worked all night.",
     ),
+    # lm_eval/tasks/gpqa/zeroshot/_gpqa_zeroshot_yaml: no space after the
+    # colon before the question (reference quirk preserved)
+    (
+        "gpqa_main_zeroshot",
+        {"question": "What is X?", "choices": ["w1", "w2", "w3", "right"],
+         "gold": 3},
+        "What is the correct answer to this question:What is X?\nChoices:\n"
+        "(A) w1\n(B) w2\n(C) w3\n(D) right\nAnswer:",
+        ["(A)", "(B)", "(C)", "(D)"],
+        "(D)",
+    ),
+    # lm_eval/tasks/mmlu/generative/_default_template_yaml: lettered options,
+    # letter target, per-subject description handled by fewshot_context
+    (
+        "mmlu_abstract_algebra_generative",
+        {"question": "Order of Z_5?", "choices": ["5", "6", "7", "8"],
+         "gold": 0},
+        "The following are multiple choice questions (with answers) about "
+        "abstract algebra.\n\n"
+        "Order of Z_5?\nA. 5\nB. 6\nC. 7\nD. 8\nAnswer:",
+        ["A", "B", "C", "D"],
+        "A",
+    ),
+    # lm_eval/tasks/mmlu/continuation/_continuation_template_yaml: bare
+    # Question/Answer prompt, choice TEXTS scored, "questions" (not
+    # "multiple choice questions") in the description
+    (
+        "mmlu_continuation_virology",
+        {"question": "Which virus?", "choices": ["a", "b", "c", "d"],
+         "gold": 1},
+        "The following are questions (with answers) about virology.\n\n"
+        "Question: Which virus?\nAnswer:",
+        ["a", "b", "c", "d"],
+        "b",
+    ),
+    # lm_eval/tasks/super_glue/boolq/seq2seq.yaml: empty target_delimiter,
+    # leading-space choices
+    (
+        "boolq-seq2seq",
+        {"passage": "Cats are mammals.", "question": "are cats mammals",
+         "label": 1},
+        "Cats are mammals.\nQuestion: are cats mammals?\nAnswer:",
+        [" no", " yes"],
+        " yes",
+    ),
+    # lm_eval/tasks/translation/wmt14_fr-en.yaml (generated): leading-space
+    # target preserved
+    (
+        "wmt14-fr-en",
+        {"translation": {"fr": "le chat", "en": "the cat"}},
+        "French phrase: le chat\nEnglish phrase:",
+        None,
+        " the cat",
+    ),
 ]
 
 

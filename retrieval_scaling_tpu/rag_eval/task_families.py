@@ -87,11 +87,22 @@ BBH_ZEROSHOT_DESCRIPTIONS: Dict[str, str] = {
         "Select the humorous edit that 'ruins' the input movie or musical artist name.",
     "salient_translation_error_detection":
         "Detect the type of error in an English translation of a German source sentence.",
-    "snarks": "Determine which of two sentences is sarcastic.",
+    # snarks carries the full Cambridge-dictionary definition and
+    # temporal_sequences keeps its "Task description: " prefix — both
+    # reference quirks (lm_eval/tasks/bbh/zeroshot/{snarks,
+    # temporal_sequences}.yaml)
+    "snarks": (
+        "Determine which of two sentences is sarcastic.\n\n"
+        "According to Cambridge University Dictionary, sarcasm is \"the use "
+        "of remarks that clearly mean the opposite of what they say, made "
+        "in order to hurt someone's feelings or to criticize something in "
+        "a humorous way.\" Sarcastic sentences often contain satirical or "
+        "ironic utterances, hyperboles, ambivalent or witty remarks."
+    ),
     "sports_understanding":
         "Determine whether an artificially constructed sentence relating to sports is plausible or not.",
     "temporal_sequences":
-        "Answer questions about which times certain events could have occurred.",
+        "Task description: Answer questions about which times certain events could have occurred.",
     "tracking_shuffled_objects_five_objects":
         "A task requiring determining the final positions of a set of objects given their "
         "initial positions and a description of a sequence of swaps.",

@@ -358,6 +358,86 @@ def _flexible_extract_filter():
     }
 
 
+
+# Per-subject task descriptions extracted from the reference yamls
+# (lm_eval/tasks/tmmluplus/default/*.yaml, lm_eval/tasks/aexams/*.yaml).
+TMMLUPLUS_DESCRIPTIONS = {'accounting': '以下為會計學的單選題，請提供正確答案的選項。\n\n',
+ 'administrative_law': '以下為行政法的單選題，請提供正確答案的選項。\n\n',
+ 'advance_chemistry': '以下為化學的單選題，請提供正確答案的選項。\n\n',
+ 'agriculture': '以下為農業的單選題，請提供正確答案的選項。\n\n',
+ 'anti_money_laundering': '以下為洗錢防制的單選題，請提供正確答案的選項。\n\n',
+ 'auditing': '以下為審計學的單選題，請提供正確答案的選項。\n\n',
+ 'basic_medical_science': '以下為基礎醫學的單選題，請提供正確答案的選項。\n\n',
+ 'business_management': '以下為企業管理的單選題，請提供正確答案的選項。\n\n',
+ 'chinese_language_and_literature': '以下為國文的單選題，請提供正確答案的選項。\n\n',
+ 'clinical_psychology': '以下為臨床心理學的單選題，請提供正確答案的選項。\n\n',
+ 'computer_science': '以下為資訊工程的單選題，請提供正確答案的選項。\n\n',
+ 'culinary_skills': '以下為餐旅的單選題，請提供正確答案的選項。\n\n',
+ 'dentistry': '以下為牙醫學的單選題，請提供正確答案的選項。\n\n',
+ 'economics': '以下為經濟學的單選題，請提供正確答案的選項。\n\n',
+ 'education': '以下為教育常識的單選題，請提供正確答案的選項。\n\n',
+ 'education_(profession_level)': '以下為教育專業的單選題，請提供正確答案的選項。\n\n',
+ 'educational_psychology': '以下為教育心理的單選題，請提供正確答案的選項。\n\n',
+ 'engineering_math': '以下為工程數學的單選題，請提供正確答案的選項。\n\n',
+ 'finance_banking': '以下為金融與法規的單選題，請提供正確答案的選項。\n\n',
+ 'financial_analysis': '以下為財務分析的單選題，請提供正確答案的選項。\n\n',
+ 'fire_science': '以下為火災學的單選題，請提供正確答案的選項。\n\n',
+ 'general_principles_of_law': '以下為法學大意的單選題，請提供正確答案的選項。\n\n',
+ 'geography_of_taiwan': '以下為台灣地理的單選題，請提供正確答案的選項。\n\n',
+ 'human_behavior': '以下為人類行為與社會的單選題，請提供正確答案的選項。\n\n',
+ 'insurance_studies': '以下為保險學的單選題，請提供正確答案的選項。\n\n',
+ 'introduction_to_law': '以下為法律概論的單選題，請提供正確答案的選項。\n\n',
+ 'jce_humanities': '以下為指考人文科目的單選題，請提供正確答案的選項。\n\n',
+ 'junior_chemistry': '以下為國中理化的單選題，請提供正確答案的選項。\n\n',
+ 'junior_chinese_exam': '以下為國中會考基測國文的單選題，請提供正確答案的選項。\n\n',
+ 'junior_math_exam': '以下為國中會考基測數學科的單選題，請提供正確答案的選項。\n\n',
+ 'junior_science_exam': '以下為國中會考基測自然科的單選題，請提供正確答案的選項。\n\n',
+ 'junior_social_studies': '以下為國中會考基測社會科的單選題，請提供正確答案的選項。\n\n',
+ 'linear_algebra': '以下為線代的單選題，請提供正確答案的選項。\n\n',
+ 'logic_reasoning': '以下為邏輯思維的單選題，請提供正確答案的選項。\n\n',
+ 'macroeconomics': '以下為總經的單選題，請提供正確答案的選項。\n\n',
+ 'management_accounting': '以下為管理會計的單選題，請提供正確答案的選項。\n\n',
+ 'marketing_management': '以下為行銷管理的單選題，請提供正確答案的選項。\n\n',
+ 'mechanical': '以下為機械與機電概論的單選題，請提供正確答案的選項。\n\n',
+ 'music': '以下為音樂科的單選題，請提供正確答案的選項。\n\n',
+ 'national_protection': '以下為軍事的單選題，請提供正確答案的選項。\n\n',
+ 'nautical_science': '以下為航海的單選題，請提供正確答案的選項。\n\n',
+ 'occupational_therapy_for_psychological_disorders': '以下為心理障礙職能治療學的單選題，請提供正確答案的選項。\n'
+                                                     '\n',
+ 'official_document_management': '以下為機關文書的單選題，請提供正確答案的選項。\n\n',
+ 'optometry': '以下為視光學的單選題，請提供正確答案的選項。\n\n',
+ 'organic_chemistry': '以下為有機化學的單選題，請提供正確答案的選項。\n\n',
+ 'pharmacology': '以下為藥理學的單選題，請提供正確答案的選項。\n\n',
+ 'pharmacy': '以下為藥劑學的單選題，請提供正確答案的選項。\n\n',
+ 'physical_education': '以下為體育的單選題，請提供正確答案的選項。\n\n',
+ 'physics': '以下為物理的單選題，請提供正確答案的選項。\n\n',
+ 'politic_science': '以下為政治的單選題，請提供正確答案的選項。\n\n',
+ 'real_estate': '以下為房地產的單選題，請提供正確答案的選項。\n\n',
+ 'secondary_physics': '以下為高中物理的單選題，請提供正確答案的選項。\n\n',
+ 'statistics_and_machine_learning': '以下為統計與機器學習的單選題，請提供正確答案的選項。\n\n',
+ 'taiwanese_hokkien': '以下為閩南語的單選題，請提供正確答案的選項。\n\n',
+ 'taxation': '以下為稅務的單選題，請提供正確答案的選項。\n\n',
+ 'technical': '以下為技術工相關的單選題，請提供正確答案的選項。\n\n',
+ 'three_principles_of_people': '以下為三民主義的單選題，請提供正確答案的選項。\n\n',
+ 'trade': '以下為貿易的單選題，請提供正確答案的選項。\n\n',
+ 'traditional_chinese_medicine_clinical_medicine': '以下為中醫臨床醫學的單選題，請提供正確答案的選項。\n'
+                                                   '\n',
+ 'trust_practice': '以下為信託實務的單選題，請提供正確答案的選項。\n\n',
+ 'ttqav2': '以下為台灣在地用語的單選題，請提供正確答案的選項。\n\n',
+ 'tve_chinese_language': '以下為統測國文的單選題，請提供正確答案的選項。\n\n',
+ 'tve_design': '以下為統測 設計的單選題，請提供正確答案的選項。\n\n',
+ 'tve_mathematics': '以下為統測數學的單選題，請提供正確答案的選項。\n\n',
+ 'tve_natural_sciences': '以下為統測自然科的單選題，請提供正確答案的選項。\n\n',
+ 'veterinary_pathology': '以下為獸醫病理學的單選題，請提供正確答案的選項。\n\n',
+ 'veterinary_pharmacology': '以下為獸醫藥理學的單選題，請提供正確答案的選項。\n\n'}
+
+AEXAMS_DESCRIPTIONS = {'biology': 'قم بالإجابة على مايلي في مجال العلوم الحيوية\n\n',
+ 'islamicstudies': 'قم بالإجابة على مايلي في مجال العلوم الإسلامية \n\n',
+ 'physics': 'قم بالإجابة على مايلي في مجال الفيزياء \n\n',
+ 'science': 'قم بالإجابة على مايلي في مجال العلوم \n\n',
+ 'social': 'قم بالإجابة على مايلي في مجال العلوم الإجتماعية \n\n'}
+
+
 def build_wave4_families(mmlu_subjects) -> Dict[str, Dict[str, Dict[str, Any]]]:
     """Family template name -> {subtask suffix -> TaskConfig overrides}.
 
@@ -385,7 +465,10 @@ def build_wave4_families(mmlu_subjects) -> Dict[str, Dict[str, Dict[str, Any]]]:
         s: {"description": f"以下是关于{topic}的单项选择题，请直接给出正确答案的选项。\n\n"}
         for s, topic in ACLUE_TOPICS.items()
     }
-    fams["tmmluplus"] = {s: {"hf_name": s} for s in TMMLUPLUS_SUBJECTS}
+    fams["tmmluplus"] = {
+        s: {"hf_name": s, "description": TMMLUPLUS_DESCRIPTIONS[s]}
+        for s in TMMLUPLUS_SUBJECTS
+    }
     ammlu_cat = {}
     for s in AMMLU_SOCIAL:
         ammlu_cat[s] = "social_sciences"
@@ -397,7 +480,11 @@ def build_wave4_families(mmlu_subjects) -> Dict[str, Dict[str, Dict[str, Any]]]:
         s: {"description": AMMLU_DESCRIPTIONS[ammlu_cat.get(s, "stem")]}
         for s in mmlu_subjects
     }
-    fams["aexams"] = {s.lower(): {"hf_name": s} for s in AEXAMS_SUBJECTS}
+    fams["aexams"] = {
+        s.lower(): {"hf_name": s,
+                    "description": AEXAMS_DESCRIPTIONS[s.lower()]}
+        for s in AEXAMS_SUBJECTS
+    }
 
     # --- Basque -------------------------------------------------------------
     eus = {}

@@ -645,8 +645,12 @@ def _mmlu_flan_overrides(variant: str) -> Dict[str, Dict[str, Any]]:
         if variant == "cot_fewshot":
             # quirk preserved: the reference's cot_fewshot description is a
             # plain YAML scalar with NO trailing blank line (every other
-            # variant ends ".\n\n")
-            ov["description"] = desc
+            # variant ends ".\n\n"), and two subjects carry a LEADING
+            # newline (flan_cot_fewshot/mmlu_{electrical_engineering,
+            # conceptual_physics}.yaml)
+            lead = "\n" if s in ("electrical_engineering",
+                                 "conceptual_physics") else ""
+            ov["description"] = lead + desc
             # exemplar targets render through doc_to_target="{gold}"
             ov["fewshot_samples"] = [
                 {**d, "gold": d["target"]} for d in MMLU_COT_EXEMPLARS[s]

@@ -354,3 +354,57 @@ def test_mean_3class_f1_fixed_denominator():
     pairs = [("entailment", "entailment"), ("garbage", "contradiction")]
     # parsed: (0,0), (0,1): class0 f1 = 2/3, class1 = 0, class2 = 0
     assert mean_3class_f1(pairs) == pytest.approx(2 / 9)
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_TASKS), reason="reference absent")
+def test_every_reference_description_matches():
+    """Description fidelity sweep: every reference task with a literal
+    (non-templated) description must render the IDENTICAL string here —
+    covers the per-subject Chinese/Arabic instruction prefixes and the
+    snarks/temporal_sequences/mmlu-leading-newline quirks."""
+    import glob
+    import re
+
+    import yaml
+
+    def load(path):
+        try:
+            return yaml.safe_load(
+                re.sub(r"!function [^\s]+", '"x"', open(path).read())
+            )
+        except Exception:
+            return None
+
+    def resolved(path):
+        y = load(path)
+        if not isinstance(y, dict):
+            return None
+        inc = y.get("include")
+        if inc:
+            parent = resolved(os.path.join(os.path.dirname(path), inc)) or {}
+            parent = dict(parent)
+            parent.update({k: v for k, v in y.items() if k != "include"})
+            return parent
+        return y
+
+    mismatches, checked, seen = [], 0, set()
+    for p in glob.glob(_REF_TASKS + "/**/*.yaml", recursive=True):
+        y = resolved(p)
+        if not isinstance(y, dict) or not isinstance(y.get("task"), str):
+            continue
+        name = y["task"]
+        if name in seen:
+            continue
+        seen.add(name)
+        ref_desc = y.get("description")
+        if not isinstance(ref_desc, str) or "{" in ref_desc or "%" in ref_desc:
+            continue
+        try:
+            cfg = get_task(name)
+        except Exception:
+            continue
+        checked += 1
+        if cfg.description != ref_desc:
+            mismatches.append(name)
+    assert checked > 700
+    assert mismatches == []

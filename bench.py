@@ -430,6 +430,44 @@ def main() -> None:
     )
     del q_w, k_w, v_w
 
+    # ---- aux: dense causal flash kernel at the reader shapes --------------
+    # (session-5 pass reduction: 3.86 -> ~2.3 ms at b8h16S1024d128; the
+    # Llama b8h32S1024d64 flagship shape ~2.9 ms vs XLA ~6.4)
+    def _causal_loop(fn, qq, kk, vv, iters):
+        def loop(params, args):
+            a, b_, c = args
+
+            def body(i, acc):
+                out = fn(a + acc * 0.0, b_, c, causal=True)
+                return acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-12
+
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+        return loop
+
+    fi = 16
+    q_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
+    k_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
+    v_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
+    ms_flash_d128 = timed_loop(
+        "causal flash b8h16S1024d128", _causal_loop(flash_attention, q_f, k_f, v_f, fi),
+        fi, big=(q_f, k_f, v_f),
+    )
+    del q_f, k_f, v_f
+    q_l = jnp.asarray(rng.randn(8, 32, 1024, 64), jnp.bfloat16)
+    k_l = jnp.asarray(rng.randn(8, 32, 1024, 64), jnp.bfloat16)
+    v_l = jnp.asarray(rng.randn(8, 32, 1024, 64), jnp.bfloat16)
+    ms_flash_llama = timed_loop(
+        "causal flash b8h32S1024d64 (Llama shape)",
+        _causal_loop(flash_attention, q_l, k_l, v_l, fi), fi, big=(q_l, k_l, v_l),
+    )
+    ms_xla_llama = timed_loop(
+        "causal XLA b8h32S1024d64",
+        _causal_loop(xla_attention, q_l, k_l, v_l, fi), fi, big=(q_l, k_l, v_l),
+    )
+    log(f"flash vs XLA at the Llama shape: {ms_xla_llama / ms_flash_llama:.2f}x")
+    del q_l, k_l, v_l
+
     # ---- aux: reader scoring throughput (Pythia-1B config, 8 x 1024) ------
     # The perplexity-inference hot loop (reference runs it at batch 1 on GPU,
     # src/evaluate_perplexity.py:114-139); here label-masked batched scoring.
@@ -666,6 +704,9 @@ def main() -> None:
                     "ivf_pq_refine_qps_recall098": round(pqr_qps, 1),
                     "serving_p50_ms": round(serving_p50, 3),
                     "flash_window_speedup_s2048_w1024": round(ms_win_xla / ms_win_flash, 2),
+                    "flash_causal_b8h16s1024d128_ms": round(ms_flash_d128, 3),
+                    "flash_causal_llama_shape_ms": round(ms_flash_llama, 3),
+                    "flash_vs_xla_llama_shape": round(ms_xla_llama / ms_flash_llama, 2),
                     "flash_window_max_abs_err": win_err,
                     "reader_tokens_per_s": round(reader_tok_s, 1),
                     "reader_dense_loss_ms": round(per_reader_dense, 2),

@@ -1045,7 +1045,19 @@ def prepare_split(cfg, split: str, cache_dir: Optional[str] = None) -> str:
         "Ingesting %s: load_dataset(%r, %r) split %r -> %s",
         cfg.task, cfg.hf_path, cfg.hf_name, hf_split, out_path,
     )
-    ds = datasets.load_dataset(cfg.hf_path, cfg.hf_name)
+    try:
+        ds = datasets.load_dataset(cfg.hf_path, cfg.hf_name)
+    except (ConnectionError, OSError) as e:
+        # Offline / unreachable hub: tell the user the two local escapes
+        # instead of surfacing a bare datasets traceback.
+        raise ConnectionError(
+            f"task {cfg.task!r} needs dataset {cfg.hf_path!r} from the HF hub "
+            f"and the hub is unreachable ({e.__class__.__name__}: {e}). "
+            f"Offline alternatives: put a prepared {split}.jsonl under "
+            f"<data_root>/{cfg.dataset_path}/ (--data_root), or pre-populate "
+            f"the ingest cache at {out_path} on a machine with network "
+            f"(--cache_dir / RST_TASK_CACHE)."
+        ) from e
     if hf_split not in ds:
         raise KeyError(
             f"split {hf_split!r} not in dataset {cfg.hf_path!r} "

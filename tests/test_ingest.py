@@ -612,6 +612,20 @@ def test_prepare_split_unknown_split_raises(fake_hf, tmp_path):
         ingest.prepare_split(cfg, "test", cache_dir=str(tmp_path))
 
 
+def test_unreachable_hub_error_names_offline_escapes(monkeypatch, tmp_path):
+    """A hub outage surfaces the two local fallbacks, not a bare traceback."""
+    module = types.ModuleType("datasets")
+
+    def boom(path, name=None, **kwargs):
+        raise ConnectionError(f"Couldn't reach '{path}' on the Hub")
+
+    module.load_dataset = boom
+    monkeypatch.setitem(sys.modules, "datasets", module)
+    cfg = get_task("nq_open")
+    with pytest.raises(ConnectionError, match="data_root.*cache"):
+        ingest.prepare_split(cfg, "validation", cache_dir=str(tmp_path))
+
+
 # ---------------------------------------------------------------- raw data
 def test_download_raw_data_resumable(tmp_path):
     """Raw-datastore downloader (reference: scripts/download_raw_data.sh):

@@ -211,6 +211,73 @@ def _flash_kernel(
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_oneshot_kernel(
+    q_ref,      # [1, 1, block_q, D]
+    k_ref,      # [1, 1, Sk_pad, D]
+    v_ref,      # [1, 1, Sk_pad, D]
+    *rest,      # [mask_ref if has_mask], then o_ref
+    sm_scale: float,
+    causal: bool,
+    q_offset_per_block: int,
+    seq_delta: int,
+    has_mask: bool,
+    logit_cap: float | None,
+    window: int | None,
+):
+    """One softmax over the whole key row per q block.
+
+    For moderate key lengths the [block_q, Sk] score tile fits VMEM, so the
+    online-softmax carry (running max / normalizer / accumulator rescale per
+    key block) is pure overhead: this body does one big QK^T matmul, one
+    masked softmax, one PV matmul. The causal/window mask comes from a
+    [bq, 1] x [1, Sk] broadcast compare (no [bq, Sk] iota materialization),
+    applied BEFORE the row max so an arbitrarily dominant masked score can
+    never distort the visible probabilities.
+    """
+    rest = list(rest)
+    mask_ref = rest.pop(0) if has_mask else None
+    (o_ref,) = rest
+    block_q = q_ref.shape[2]
+    sk_pad = k_ref.shape[2]
+    qi = pl.program_id(2)
+
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, Sk_pad]
+    if logit_cap:
+        s = logit_cap * jnp.tanh(s / logit_cap)
+    if has_mask:
+        s = s + mask_ref[0, 0][None, :]
+    if causal or window is not None:
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+            + qi * q_offset_per_block
+            + seq_delta
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, sk_pad), 1)
+        keep = col <= row
+        if window is not None:
+            keep = keep & (col > row - window)
+        s = jnp.where(keep, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    # same exp-reference clamp as the looped kernel: masked rows/entries
+    # underflow to exact 0 without a guard select
+    p = jnp.exp(s - jnp.maximum(m, NEG_INF * 0.5))
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+# one-shot feasibility: the [block_q, Sk_pad] f32 score + prob tiles (plus
+# whole-row K/V in f32) must fit scoped VMEM alongside pipeline buffers
+_ONESHOT_MAX_SCORE_ELEMS = 1024 * 2048
+
+
 def segment_bounds(segment_ids: jax.Array):
     """Per-token [lo, hi) span of the token's segment along the row.
 
@@ -238,7 +305,8 @@ def segment_bounds(segment_ids: jax.Array):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "causal", "sm_scale", "block_q", "block_k", "interpret", "logit_cap", "window"
+        "causal", "sm_scale", "block_q", "block_k", "interpret", "logit_cap",
+        "window", "one_shot",
     ),
 )
 def flash_attention(
@@ -261,6 +329,7 @@ def flash_attention(
     segment_ids: jax.Array | None = None,
     logit_cap: float | None = None,
     window: int | None = None,
+    one_shot: bool | None = None,
 ) -> jax.Array:
     """Pallas flash attention. q,k,v: [B, H, S, D]; kv_mask: [B, Sk] bool.
 
@@ -273,6 +342,11 @@ def flash_attention(
     ``logit_cap``: Gemma-2 tanh soft-capping fused pre-mask. ``window``:
     causal sliding window (implies causal masking; key blocks fully outside
     the window band are skipped, so compute is O(S * window)).
+
+    ``one_shot``: compute each q block's softmax over the whole key row in
+    one pass (no online-softmax carry) when the [block_q, Sk] f32 score
+    tile fits VMEM; falls back to the looped kernel when it doesn't (or
+    for segmented rows). None = auto.
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -320,19 +394,44 @@ def flash_attention(
 
     grid = (b, h, sq_pad // block_q)
 
-    kernel = functools.partial(
-        _flash_kernel,
-        sm_scale=sm_scale,
-        block_k=block_k,
-        sk_pad=sk_pad,
-        causal=causal,
-        q_offset_per_block=block_q,
-        seq_delta=sk - sq,
-        has_mask=has_mask,
-        segmented=segment_ids is not None,
-        logit_cap=logit_cap,
-        window=window,
+    # One-shot softmax (no online carry, no per-k-block loop) when the
+    # [block_q, Sk_pad] f32 score tile fits VMEM. None = auto (off until the
+    # on-chip sweep justifies flipping a shape class). Segmented rows and a
+    # small window relative to Sk keep the looped kernel: its key-block
+    # skipping is what makes them linear-in-tokens / O(S*window).
+    if one_shot is None:
+        one_shot = False
+    use_oneshot = (
+        one_shot
+        and segment_ids is None
+        and block_q * sk_pad <= _ONESHOT_MAX_SCORE_ELEMS
     )
+
+    if use_oneshot:
+        kernel = functools.partial(
+            _flash_oneshot_kernel,
+            sm_scale=sm_scale,
+            causal=causal,
+            q_offset_per_block=block_q,
+            seq_delta=sk - sq,
+            has_mask=has_mask,
+            logit_cap=logit_cap,
+            window=window,
+        )
+    else:
+        kernel = functools.partial(
+            _flash_kernel,
+            sm_scale=sm_scale,
+            block_k=block_k,
+            sk_pad=sk_pad,
+            causal=causal,
+            q_offset_per_block=block_q,
+            seq_delta=sk - sq,
+            has_mask=has_mask,
+            segmented=segment_ids is not None,
+            logit_cap=logit_cap,
+            window=window,
+        )
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),

@@ -168,6 +168,10 @@ def main() -> None:
         results["flash"] = timed(
             "flash(causal)", lambda a, b_, c: fa(a, b_, c, causal=True)
         )
+        results["flash_1shot"] = timed(
+            "flash(one_shot)",
+            lambda a, b_, c: fa(a, b_, c, causal=True, block_q=bq, one_shot=True),
+        )
         if "flash_nc" in modes:
             results["flash_nc"] = timed(
                 "flash(nc)", lambda a, b_, c: fa(a, b_, c, causal=False)

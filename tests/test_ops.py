@@ -27,6 +27,61 @@ def test_flash_matches_xla(causal, sq, sk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("window,cap", [(None, None), (48, None), (None, 30.0)])
+@pytest.mark.parametrize("sq,sk", [(128, 128), (40, 40), (64, 128)])
+def test_flash_oneshot_matches_xla(causal, window, cap, sq, sk):
+    """The one-shot (whole-key-row softmax) kernel is numerically identical
+    to the looped online-softmax kernel's reference on every mask combo."""
+    if window is not None and not causal:
+        causal = True  # window implies causal
+    rng = np.random.RandomState(3)
+    b, h, d = 2, 3, 32
+    q = jnp.asarray(rng.randn(b, h, sq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, sk, d), jnp.float32)
+    lengths = np.array([sk, max(3, sk - 21)])
+    mask = jnp.asarray(np.arange(sk)[None, :] < lengths[:, None])
+    ref = xla_attention(
+        q, k, v, kv_mask=mask, causal=causal, window=window, logit_cap=cap
+    )
+    out = flash_attention(
+        q, k, v, kv_mask=mask, causal=causal, window=window, logit_cap=cap,
+        block_q=128, interpret=True, one_shot=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_oneshot_dominant_masked_score_is_exact():
+    """A masked (future) score far above every visible one must not distort
+    the softmax — pins the mask-before-max design of the one-shot kernel."""
+    b, h, s, d = 1, 1, 8, 4
+    q = np.zeros((b, h, s, d), np.float32)
+    k = np.zeros((b, h, s, d), np.float32)
+    v = np.asarray(np.random.RandomState(0).randn(b, h, s, d), np.float32)
+    q[0, 0, 0] = 10.0  # query 0 aligns hugely with key 7 (masked: future)
+    k[0, 0, 7] = 10.0
+    k[0, 0, 0] = 0.01
+    ref = xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True,
+        interpret=True, one_shot=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_oneshot_infeasible_falls_back():
+    """block_q * Sk beyond the VMEM gate routes to the looped kernel."""
+    rng = np.random.RandomState(4)
+    b, h, s, d = 1, 1, 4096, 8
+    q = jnp.asarray(rng.randn(b, h, 1024, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    ref = xla_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True, one_shot=True, block_q=1024)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_flash_with_padding_mask():
     rng = np.random.RandomState(1)
     b, h, s, d = 2, 2, 48, 16

@@ -686,6 +686,33 @@ def main() -> None:
     log(f"decode int8 speedup: {decode_int8 / decode_bf16:.2f}x")
     del rparams_q8
 
+    # ---- aux: prompt-lookup speculative decoding --------------------------
+    # Same workload/engine-signature as the bf16 decode above; the whole
+    # draft+verify loop runs inside one jitted call, so wall clock is
+    # relay-honest. Output is token-exact vs the static engine (tests pin
+    # it); tokens-per-round is the realized acceptance.
+    from retrieval_scaling_tpu.models.speculative import make_speculative_generate_fn
+
+    spec_fn = make_speculative_generate_fn(
+        rcfg, gnew, eos_id=-1, draft_len=7, with_stats=True
+    )
+    t0 = time.perf_counter()
+    np.asarray(spec_fn(rparams, g_ids, g_lens, 0)[0])  # compile + first
+    log(f"decode speculative compile+run: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    spec_toks, spec_rounds, spec_emitted = spec_fn(rparams, g_ids, g_lens, 0)
+    np.asarray(spec_toks)
+    spec_dt = time.perf_counter() - t0
+    spec_rounds = int(np.asarray(spec_rounds))
+    spec_emitted = int(np.asarray(spec_emitted))
+    spec_tok_s = gb * gnew / spec_dt
+    spec_tpr = spec_emitted / max(gb * spec_rounds, 1)
+    log(
+        f"decode speculative: {spec_tok_s:.0f} tok/s, {spec_rounds} rounds "
+        f"for {spec_emitted} tokens = {spec_tpr:.2f} tok/round/row "
+        f"({spec_tok_s / decode_bf16:.2f}x vs static greedy)"
+    )
+
     print(
         json.dumps(
             {
@@ -719,6 +746,9 @@ def main() -> None:
                     "gen_continuous_batching_s": round(cb_s, 2),
                     "gen_static_slot_steps": static_slot_steps,
                     "gen_cb_slot_steps": cb_slot_steps,
+                    "gen_spec_tok_s": round(spec_tok_s, 1),
+                    "gen_spec_tok_per_round": round(spec_tpr, 2),
+                    "gen_spec_speedup_vs_static": round(spec_tok_s / decode_bf16, 2),
                     "gen_cb_device_work_ratio": round(
                         static_slot_steps / max(cb_slot_steps, 1), 2
                     ),

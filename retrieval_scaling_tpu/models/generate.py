@@ -273,13 +273,19 @@ def quantize_decode_params(params, cfg, scheme: str = "int8"):
     return out
 
 
-def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, write_onehot, scales=None):
+def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, write_onehot, scales=None, all_visible=None):
     """One transformer block writing its new K/V into the cache.
 
     positions: [B, S] absolute positions of x's tokens.
     write_onehot: [B, M, S] one-hot of each token's cache slot.
+    all_visible: every query may see every valid key (single-token decode);
+    None = infer from the write path. Multi-token verify segments
+    (speculative decoding) use dus writes but still need the per-query
+    ``key_pos <= q_pos`` causal mask.
     Returns (x_out, new_cache_k, new_cache_v).
     """
+    if all_visible is None:
+        all_visible = write_onehot is None
     ln1 = _layer_norm(x, layer["ln1_scale"], layer["ln1_bias"], cfg.layer_norm_eps)
     q, k, v = neox_qkv(layer, cfg, ln1)  # [B, H, S, hd]
 
@@ -307,7 +313,7 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
 
     attn = _attention_with_cache(
         q, new_k, new_v, positions, key_valid, k_scale=nks, v_scale=nvs,
-        all_visible=write_onehot is None,
+        all_visible=all_visible,
     )
     attn_out = neox_attn_out(layer, attn)
 
@@ -328,13 +334,15 @@ def _llama_norm(cfg: LlamaConfig, v, scale):
     return _rms_norm(v, scale, cfg.rms_eps, cfg.rms_norm_offset)
 
 
-def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positions, key_valid, write_onehot, window=None, scales=None):
+def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positions, key_valid, write_onehot, window=None, scales=None, all_visible=None):
     """Llama-family block writing grouped K/V into the cache — mirrors
     ``llama_forward`` across the family variants (Gemma/Gemma-2/OLMo-1/2:
     norm type/placement, gelu-tanh MLP, soft-capping, sliding windows).
 
     Cache holds ``num_kv_heads``; queries repeat them at attention time.
     """
+    if all_visible is None:
+        all_visible = write_onehot is None
     post_only = cfg.norm_placement == "post_output"
     pre_post = cfg.norm_placement == "pre_post"
     h = x if post_only else _llama_norm(cfg, x, layer["input_norm"])
@@ -362,7 +370,7 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
         cfg.query_pre_attn_scalar ** -0.5
         if cfg.query_pre_attn_scalar is not None else None
     )
-    if write_onehot is None and n_rep > 1:
+    if write_onehot is None and n_rep > 1 and q.shape[2] == 1:
         # decode-step GQA: fold the query groups into the S axis instead of
         # repeat_kv, which would copy the whole grouped cache n_rep times
         # every step. All n_rep queries share one position -> positions
@@ -381,7 +389,7 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
             sm_scale=sm_scale, logit_cap=cfg.attn_logit_softcap, window=window,
             k_scale=None if nks is None else repeat_kv(nks[..., None], n_rep)[..., 0],
             v_scale=None if nvs is None else repeat_kv(nvs[..., None], n_rep)[..., 0],
-            all_visible=write_onehot is None,
+            all_visible=all_visible,
         )
     attn_out = _llama_attn_out(layer, attn)
     if post_only or pre_post:
@@ -404,12 +412,19 @@ def forward_with_cache(
     cache: KVCache,
     key_valid: jax.Array,   # [B, M] which cache slots hold real keys AFTER this call
     write_mask: jax.Array | None = None,  # [B, S] tokens that may write (pads must not)
+    contiguous_writes: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run a segment, writing K/V at ``positions``; returns (logits, cache).
 
     Cache writes are additive one-hots into zeroed slots, so tokens beyond a
     row's real length MUST be masked out of ``write_mask`` or they would
     pollute slots that decode writes into later.
+
+    ``contiguous_writes``: positions are per-row contiguous runs
+    (``start + arange(S)``), so K/V writes go through the per-row
+    ``dynamic_update_slice`` path — REPLACING slot contents instead of
+    adding into zeroed ones. Speculative verify segments rely on this to
+    overwrite slots holding rejected drafts from the previous step.
     """
     b, s = input_ids.shape
     max_len = cache.k[0].shape[2]
@@ -420,8 +435,8 @@ def forward_with_cache(
     if not is_llama and cfg.learned_positions:  # GPT-2 / OPT
         x = x + params["pos_embed"][positions + cfg.position_offset]
 
-    if s == 1 and write_mask is None:
-        # decode step: per-row in-place slice writes (see _write_kv)
+    if write_mask is None and (s == 1 or contiguous_writes):
+        # decode step / verify segment: per-row in-place slice writes
         write_onehot = None
     else:
         slots = jnp.arange(max_len)[None, :, None]                  # [1, M, 1]
@@ -431,6 +446,8 @@ def forward_with_cache(
             write_onehot = write_onehot * write_mask[:, None, :].astype(cdtype)
 
     quantized = cache.k_scale is not None
+    # dus-written multi-token segments still need intra-segment causality
+    all_visible = write_onehot is None and s == 1
     new_ks, new_vs, new_kss, new_vss = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         scales = (cache.k_scale[li], cache.v_scale[li]) if quantized else None
@@ -444,12 +461,12 @@ def forward_with_cache(
                 window = cfg.sliding_window
             x, nk, nv, nsc = _llama_block_with_cache(
                 layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid,
-                write_onehot, window=window, scales=scales,
+                write_onehot, window=window, scales=scales, all_visible=all_visible,
             )
         else:
             x, nk, nv, nsc = _block_with_cache(
                 layer, cfg, x, cache.k[li], cache.v[li], positions, key_valid,
-                write_onehot, scales=scales,
+                write_onehot, scales=scales, all_visible=all_visible,
             )
         new_ks.append(nk)
         new_vs.append(nv)

@@ -1,0 +1,239 @@
+"""Prompt-lookup speculative decoding (n-gram drafting, exact greedy).
+
+Replaces sequential one-token decode steps with draft-and-verify rounds.
+The drafter is the sequence itself: RAG continuations constantly copy
+spans from the retrieved contexts and the question (vLLM ships the same
+idea as "prompt lookup" / ngram speculative decoding,
+reference: rag-evaluation-harness/lm_eval/models/vllm_causallms.py backend
+surface), so the last ``ngram`` generated tokens usually reappear earlier
+in prompt+generation, and the tokens that followed that earlier occurrence
+are a high-quality draft.
+
+TPU-native design — the whole round is ONE jitted step, the same dispatch
+count as plain decode:
+
+  * drafting runs ON DEVICE: a vectorized sliding-window compare over the
+    [B, T] token history picks the latest n-gram match (no host sync);
+  * verification is one ``forward_with_cache`` call on the
+    [B, draft_len+1] segment ``[last_token, d_1..d_g]`` — decode is
+    HBM-weight-bound, so scoring g+1 tokens streams the same weights as
+    scoring 1: acceptance rate ~= wall-clock speedup;
+  * K/V for the segment lands in the cache via per-row contiguous
+    ``dynamic_update_slice`` (REPLACING slot contents), so slots written
+    for rejected drafts are provably overwritten by the next round before
+    ``key_valid`` ever exposes them.
+
+Acceptance keeps the longest draft prefix where the model's own greedy
+argmax agrees, then takes the model's next token as a bonus — the output
+is token-for-token IDENTICAL to sequential greedy decoding (pinned by
+tests against ``make_generate_fn``). Sampling (temperature > 0) is not
+supported; callers fall back to the static engine.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from retrieval_scaling_tpu.models.generate import (
+    KVCache,
+    forward_with_cache,
+    init_cache,
+)
+from retrieval_scaling_tpu.models.llama import LlamaConfig
+
+
+class SpecState(NamedTuple):
+    cache: KVCache
+    all_tokens: jax.Array  # [B, T] prompt + emitted history (drafting pool)
+    tokens: jax.Array      # [B, max_new + g + 1] output buffer (eos-filled)
+    last_token: jax.Array  # [B] newest real token, not yet in cache
+    cur_len: jax.Array     # [B] cache slot of last_token
+    gen_count: jax.Array   # [B] tokens emitted so far
+    finished: jax.Array    # [B]
+    step: jax.Array
+
+
+def _draft_ngram(all_tokens, last_token, cur_len, ngram: int, draft_len: int):
+    """Latest-match prompt lookup, vectorized over the batch.
+
+    all_tokens: [B, T] history with ``last_token`` stored at index
+    ``cur_len``. Finds the latest start p <= cur_len - ngram with
+    ``all_tokens[p : p + ngram] == all_tokens[cur_len - ngram + 1 :
+    cur_len + 1]`` and returns the ``draft_len`` tokens following the
+    match. No match -> the (clamped) gather yields arbitrary history
+    tokens; verification rejects bad drafts, so any filler is safe.
+    """
+    b, t = all_tokens.shape
+    n_win = t - ngram + 1
+    # the trailing n-gram, ending at last_token
+    tail_idx = cur_len[:, None] + jnp.arange(-ngram + 1, 1)[None, :]
+    tail = jnp.take_along_axis(all_tokens, jnp.maximum(tail_idx, 0), axis=1)
+    match = jnp.ones((b, n_win), bool)
+    for j in range(ngram):
+        match = match & (all_tokens[:, j : j + n_win] == tail[:, j : j + 1])
+    starts = jnp.arange(n_win)[None, :]
+    # match must end strictly before the trailing n-gram's end (exclude the
+    # trivial self-match; overlap with the tail is fine — continuations
+    # reaching past the history read the -1 fill and verification rejects)
+    valid = starts <= (cur_len[:, None] - ngram)
+    p = jnp.max(jnp.where(match & valid, starts, -1), axis=1)  # [B]
+    cont_idx = jnp.clip(p[:, None] + ngram + jnp.arange(draft_len)[None, :], 0, t - 1)
+    return jnp.take_along_axis(all_tokens, cont_idx, axis=1)  # [B, g]
+
+
+def make_speculative_generate_fn(
+    cfg,
+    max_new_tokens: int,
+    eos_id: int,
+    draft_len: int = 7,
+    ngram: int = 2,
+    kv_cache: str | None = None,
+    mesh=None,
+    with_stats: bool = False,
+):
+    """Jitted ``(params, prompt_ids, prompt_lens, seed) -> tokens [B, max_new]``.
+
+    Greedy-only drop-in for ``make_generate_fn(temperature=0)`` — identical
+    outputs, fewer device rounds. ``seed`` is accepted (and ignored) so the
+    call signature matches the static engine. ``with_stats``: also return
+    ``(rounds, emitted)`` — decode rounds taken and total tokens emitted,
+    whose ratio is the realized acceptance (tokens per round).
+    """
+    if kv_cache not in (None, "", "none", "int8"):
+        raise ValueError(f"unknown kv_cache {kv_cache!r}")
+    g = int(draft_len)
+    if g < 1:
+        raise ValueError("draft_len must be >= 1")
+
+    def fn(params, prompt_ids, prompt_lens, seed):
+        del seed  # greedy only
+        b, s_pad = prompt_ids.shape
+        max_len = s_pad + max_new_tokens + g + 1  # verify-segment headroom
+        if max_len > cfg.max_position_embeddings:
+            raise ValueError(
+                f"prompt ({s_pad}) + max_new_tokens ({max_new_tokens}) + "
+                f"draft headroom ({g + 1}) exceeds max_position_embeddings "
+                f"({cfg.max_position_embeddings})"
+            )
+        embed = params["embed"] if isinstance(cfg, LlamaConfig) else params["embed_in"]
+        cache_dtype = jnp.int8 if kv_cache == "int8" else embed.dtype
+        cache = init_cache(cfg, b, max_len, dtype=cache_dtype)
+
+        # ---- prefill (identical to the static engine) ----------------------
+        positions = jnp.broadcast_to(jnp.arange(s_pad)[None, :], (b, s_pad))
+        key_valid = jnp.arange(max_len)[None, :] < prompt_lens[:, None]
+        write_mask = jnp.arange(s_pad)[None, :] < prompt_lens[:, None]
+        logits, cache = forward_with_cache(
+            params, cfg, prompt_ids, positions, cache, key_valid, write_mask
+        )
+        last_logits = jnp.take_along_axis(
+            logits, (prompt_lens - 1)[:, None, None], axis=1
+        )[:, 0]
+        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+
+        t_hist = s_pad + max_new_tokens + g + 2
+        all_tokens = jnp.zeros((b, t_hist), jnp.int32)
+        all_tokens = jax.lax.dynamic_update_slice(all_tokens, prompt_ids, (0, 0))
+        # pad tokens beyond each row's real prompt must not produce n-gram
+        # matches: overwrite them with -1 (no real token id)
+        hist_idx = jnp.arange(t_hist)[None, :]
+        all_tokens = jnp.where(hist_idx < prompt_lens[:, None], all_tokens, -1)
+        all_tokens = jnp.where(
+            hist_idx == prompt_lens[:, None], first[:, None], all_tokens
+        )
+
+        out_buf = jnp.full((b, max_new_tokens + g + 1), eos_id, jnp.int32)
+        out_buf = out_buf.at[:, 0].set(first)
+
+        state = SpecState(
+            cache=cache,
+            all_tokens=all_tokens,
+            tokens=out_buf,
+            last_token=first,
+            cur_len=prompt_lens,
+            gen_count=jnp.ones((b,), jnp.int32),
+            finished=(first == eos_id) | (max_new_tokens <= 1),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        def cond(st: SpecState):
+            return (st.step < max_new_tokens) & ~jnp.all(st.finished)
+
+        def body(st: SpecState):
+            n = st.cur_len
+            draft = _draft_ngram(st.all_tokens, st.last_token, n, ngram, g)
+            seg = jnp.concatenate([st.last_token[:, None], draft], axis=1)  # [B, g+1]
+            positions = n[:, None] + jnp.arange(g + 1)[None, :]
+            key_valid = jnp.arange(max_len)[None, :] < (n + g + 1)[:, None]
+            logits, cache = forward_with_cache(
+                params, cfg, seg, positions, st.cache, key_valid,
+                contiguous_writes=True,
+            )
+            y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
+
+            # longest draft prefix the model itself would have produced
+            agree = draft == y[:, :g]                      # [B, g]
+            a = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)
+            rem = jnp.maximum(max_new_tokens - st.gen_count, 1)
+            emit = jnp.minimum(a + 1, rem)                 # accepted + bonus
+            emit = jnp.where(st.finished, 0, emit)
+            a_eff = jnp.maximum(emit - 1, 0)
+
+            # emission vector: accepted drafts, then the bonus token, eos fill
+            j = jnp.arange(g + 1)[None, :]
+            bonus = jnp.take_along_axis(y, a_eff[:, None], axis=1)  # [B, 1]
+            cand = jnp.concatenate(
+                [draft, jnp.full((b, 1), eos_id, jnp.int32)], axis=1
+            )
+            e = jnp.where(j < a_eff[:, None], cand, bonus)
+            e = jnp.where(j > a_eff[:, None], eos_id, e)
+            # finished rows emit nothing — without this their write below
+            # would stamp a garbage bonus token into the eos tail
+            e = jnp.where(st.finished[:, None], eos_id, e)
+            # propagate the first emitted eos over the rest of the vector
+            is_eos = (e == eos_id) & (j < emit[:, None])
+            prior_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos
+            e = jnp.where(prior_eos > 0, eos_id, e)
+
+            def write_row(buf, vec, off):
+                return jax.lax.dynamic_update_slice(buf, vec, (off,))
+
+            tokens = jax.vmap(write_row)(st.tokens, e, st.gen_count)
+            all_tokens = jax.vmap(write_row)(st.all_tokens, e, n + 1)
+
+            new_last = jnp.take_along_axis(e, jnp.maximum(emit - 1, 0)[:, None], axis=1)[:, 0]
+            new_last = jnp.where(st.finished, st.last_token, new_last)
+            hit_eos = jnp.any(is_eos, axis=1)
+            gen_count = st.gen_count + emit
+            return SpecState(
+                cache=cache,
+                all_tokens=all_tokens,
+                tokens=tokens,
+                last_token=new_last,
+                cur_len=n + emit,
+                gen_count=gen_count,
+                finished=st.finished | hit_eos | (gen_count >= max_new_tokens),
+                step=st.step + 1,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        if with_stats:
+            return (
+                final.tokens[:, :max_new_tokens],
+                final.step,
+                jnp.sum(final.gen_count),
+            )
+        return final.tokens[:, :max_new_tokens]
+
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rows = NamedSharding(mesh, P("data"))
+    rows2d = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+    out_sh = (rows2d, rep, rep) if with_stats else rows2d
+    return jax.jit(fn, in_shardings=(rep, rows2d, rows, rep), out_shardings=out_sh)

@@ -48,6 +48,7 @@ def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int =
             kv_cache=model_args.get("kv_cache"),
             cache_dir=model_args.get("cache_dir"),
             gen_engine=model_args.get("gen_engine"),
+            draft_len=int(model_args.get("draft_len", 7)),
         )
     if model in ("openai", "openai-completions", "local-completions"):
         from retrieval_scaling_tpu.rag_eval.models import OpenAICompatLM

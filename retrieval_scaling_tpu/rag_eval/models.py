@@ -93,6 +93,7 @@ class JaxReaderLM:
         quantization: str | None = None,
         kv_cache: str | None = None,
         gen_engine: str | None = None,
+        draft_len: int = 7,
     ):
         import jax
         import jax.numpy as jnp
@@ -154,9 +155,13 @@ class JaxReaderLM:
                 out_shardings=(rep, rep),
             )
         self._gen_fns = {}
-        if gen_engine not in (None, "", "static", "continuous"):
+        if gen_engine not in (None, "", "static", "continuous", "speculative"):
             raise ValueError(f"unknown gen_engine {gen_engine!r}")
         self.gen_engine = gen_engine or "static"
+        # speculative: prompt-lookup drafting + one-forward verification —
+        # exact greedy equivalence, ~acceptance-rate x fewer decode rounds
+        # on RAG workloads (generations copy retrieved-context spans)
+        self.draft_len = int(draft_len)
         self._cb_engine = None
         self.apply_chat_template = chat_template_formatter(tokenizer)
 
@@ -165,6 +170,7 @@ class JaxReaderLM:
         cls, name_or_path: str, batch_size: int = 8, mesh=None,
         quantization: str | None = None, kv_cache: str | None = None,
         cache_dir: str | None = None, gen_engine: str | None = None,
+        draft_len: int = 7,
     ):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
@@ -172,7 +178,7 @@ class JaxReaderLM:
         return cls(
             params, cfg, load_tokenizer(name_or_path), batch_size,
             mesh=mesh, quantization=quantization, kv_cache=kv_cache,
-            gen_engine=gen_engine,
+            gen_engine=gen_engine, draft_len=draft_len,
         )
 
     # ------------------------------------------------------------ ll
@@ -257,13 +263,28 @@ class JaxReaderLM:
 
     def _gen_fn(self, max_new: int):
         if max_new not in self._gen_fns:
-            from retrieval_scaling_tpu.models.generate import make_generate_fn
+            if self.gen_engine == "speculative":
+                from retrieval_scaling_tpu.models.speculative import (
+                    make_speculative_generate_fn,
+                )
 
-            self._gen_fns[max_new] = make_generate_fn(
-                self.cfg, max_new, self._eos_id(), kv_cache=self.kv_cache,
-                mesh=self.mesh,
-            )
+                self._gen_fns[max_new] = make_speculative_generate_fn(
+                    self.cfg, max_new, self._eos_id(), draft_len=self.draft_len,
+                    kv_cache=self.kv_cache, mesh=self.mesh,
+                )
+            else:
+                from retrieval_scaling_tpu.models.generate import make_generate_fn
+
+                self._gen_fns[max_new] = make_generate_fn(
+                    self.cfg, max_new, self._eos_id(), kv_cache=self.kv_cache,
+                    mesh=self.mesh,
+                )
         return self._gen_fns[max_new]
+
+    def _gen_headroom(self) -> int:
+        # speculative verify segments write draft_len+1 positions past the
+        # last real token; keep them inside the position-embedding budget
+        return self.draft_len + 1 if self.gen_engine == "speculative" else 0
 
     def _generate_continuous(self, reqs: Sequence[dict]) -> List[str]:
         """Continuous-batching generate_until: slot-based admission removes
@@ -322,13 +343,14 @@ class JaxReaderLM:
             # keep at least 16 prompt tokens even when max_gen_toks >= the
             # model context (a `[-0:]` slice would keep everything and
             # overflow the position budget)
-            max_new = min(max_new, self.max_length - 16)
+            budget = self.max_length - self._gen_headroom()
+            max_new = min(max_new, budget - 16)
             enc = [
-                self.tokenizer(r["context"])["input_ids"][-(self.max_length - max_new):]
+                self.tokenizer(r["context"])["input_ids"][-(budget - max_new):]
                 for r in batch
             ]
             lens = [len(e) for e in enc]
-            width = _bucket(max(lens), self.max_length - max_new)
+            width = _bucket(max(lens), budget - max_new)
             ids_np = np.full((self.batch_size, width), self._eos_id(), np.int32)
             len_np = np.ones(self.batch_size, np.int32)
             for r, e in enumerate(enc):

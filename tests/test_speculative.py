@@ -1,0 +1,164 @@
+"""Prompt-lookup speculative decoding: exact greedy equivalence.
+
+The speculative engine must emit token-for-token what sequential greedy
+decode emits — on repetitive prompts (real draft acceptance), random
+prompts (rejections), eos mid-stream, ragged prompt lengths, GQA llama
+configs, and the int8 KV cache.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retrieval_scaling_tpu.models.generate import make_generate_fn
+from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, init_gpt_neox_params
+from retrieval_scaling_tpu.models.llama import LlamaConfig, init_llama_params
+from retrieval_scaling_tpu.models.speculative import (
+    _draft_ngram,
+    make_speculative_generate_fn,
+)
+
+NEOX = GPTNeoXConfig(
+    vocab_size=61,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=128,
+    attention_impl="xla",
+)
+LLAMA = LlamaConfig(
+    vocab_size=61,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,  # GQA: exercises the decode-fold guard for S > 1
+    intermediate_size=64,
+    max_position_embeddings=128,
+    attention_impl="xla",
+)
+
+
+def _params(cfg):
+    if isinstance(cfg, LlamaConfig):
+        return init_llama_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return init_gpt_neox_params(cfg, jax.random.PRNGKey(0))
+
+
+def _prompts(kind, vocab, rows=3):
+    rng = np.random.RandomState(7)
+    lens = np.array([16, 9, 13][:rows])
+    ids = rng.randint(1, vocab, (rows, 16)).astype(np.int32)
+    if kind == "repetitive":
+        # rows repeat a short phrase — the n-gram drafter should fire
+        phrase = rng.randint(1, vocab, 4)
+        for r in range(rows):
+            reps = np.tile(phrase, 5)[: lens[r]]
+            ids[r, : lens[r]] = reps
+    for r in range(rows):
+        ids[r, lens[r]:] = 0
+    return jnp.asarray(ids), jnp.asarray(lens.astype(np.int32))
+
+
+@pytest.mark.parametrize("cfg", [NEOX, LLAMA], ids=["neox", "llama-gqa"])
+@pytest.mark.parametrize("kind", ["repetitive", "random"])
+@pytest.mark.parametrize("draft_len", [3, 7])
+def test_speculative_matches_sequential_greedy(cfg, kind, draft_len):
+    params = _params(cfg)
+    ids, lens = _prompts(kind, cfg.vocab_size)
+    max_new = 12
+    ref_fn = make_generate_fn(cfg, max_new_tokens=max_new, eos_id=0)
+    spec_fn = make_speculative_generate_fn(
+        cfg, max_new_tokens=max_new, eos_id=0, draft_len=draft_len
+    )
+    ref = np.asarray(ref_fn(params, ids, lens, 0))
+    got = np.asarray(spec_fn(params, ids, lens, 0))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_speculative_with_real_eos_cut():
+    """Force an eos the model actually produces: run once, pick the 3rd
+    generated token as eos, and check both engines cut identically."""
+    params = _params(NEOX)
+    ids, lens = _prompts("random", NEOX.vocab_size)
+    probe = np.asarray(make_generate_fn(NEOX, 8, eos_id=-1)(params, ids, lens, 0))
+    eos = int(probe[0, 3])
+    ref = np.asarray(make_generate_fn(NEOX, 8, eos_id=eos)(params, ids, lens, 0))
+    got = np.asarray(
+        make_speculative_generate_fn(NEOX, 8, eos_id=eos)(params, ids, lens, 0)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_speculative_max_new_one():
+    params = _params(NEOX)
+    ids, lens = _prompts("random", NEOX.vocab_size)
+    ref = np.asarray(make_generate_fn(NEOX, 1, eos_id=0)(params, ids, lens, 0))
+    got = np.asarray(make_speculative_generate_fn(NEOX, 1, eos_id=0)(params, ids, lens, 0))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_speculative_int8_kv_matches_static_int8():
+    params = _params(LLAMA)
+    ids, lens = _prompts("repetitive", LLAMA.vocab_size)
+    ref = np.asarray(
+        make_generate_fn(LLAMA, 10, eos_id=0, kv_cache="int8")(params, ids, lens, 0)
+    )
+    got = np.asarray(
+        make_speculative_generate_fn(LLAMA, 10, eos_id=0, kv_cache="int8")(
+            params, ids, lens, 0
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_draft_ngram_picks_latest_match():
+    # history: 5 6 7 9 5 6 8 2 | tail bigram (5, 6) at positions 4-5?  No:
+    # last_token = 6 stored at cur_len = 5; matches at p=0 and p=4; p=4 is
+    # the trivial self-match (excluded) -> p=0, continuation 7 9 2...
+    hist = jnp.asarray([[5, 6, 7, 9, 5, 6, -1, -1]], jnp.int32)
+    draft = _draft_ngram(hist, jnp.asarray([6]), jnp.asarray([5]), ngram=2, draft_len=3)
+    np.testing.assert_array_equal(np.asarray(draft)[0], [7, 9, 5])
+
+    # two real matches: latest non-self one wins
+    hist2 = jnp.asarray([[5, 6, 1, 5, 6, 2, 5, 6, -1, -1]], jnp.int32)
+    draft2 = _draft_ngram(hist2, jnp.asarray([6]), jnp.asarray([7]), ngram=2, draft_len=2)
+    np.testing.assert_array_equal(np.asarray(draft2)[0], [2, 5])
+
+
+def test_speculative_rejects_sampling_config():
+    with pytest.raises(ValueError):
+        make_speculative_generate_fn(NEOX, 4, eos_id=0, draft_len=0)
+
+
+def test_jax_reader_lm_speculative_engine():
+    """JaxReaderLM(gen_engine=speculative) produces the same texts as the
+    static engine, including stop-string truncation and per-request
+    max_gen_toks."""
+    from tests.helpers import make_word_tokenizer
+
+    from retrieval_scaling_tpu.rag_eval.models import JaxReaderLM
+
+    corpus = " ".join(f"w{i}" for i in range(60))
+    tok = make_word_tokenizer([corpus])
+    cfg = GPTNeoXConfig(
+        vocab_size=tok.vocab_size + 10,
+        hidden_size=32,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=128,
+        attention_impl="xla",
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(1))
+    lm_static = JaxReaderLM(params, cfg, tok, batch_size=2)
+    lm_spec = JaxReaderLM(
+        params, cfg, tok, batch_size=2, gen_engine="speculative", draft_len=4
+    )
+    reqs = [
+        {"context": f"w{i} w{i+1} w{i+2} w{i} w{i+1}",
+         "gen_kwargs": {"until": ["\n"], "max_gen_toks": 6 + 2 * (i % 3)}}
+        for i in range(5)
+    ]
+    assert lm_spec.generate_until(reqs) == lm_static.generate_until(reqs)

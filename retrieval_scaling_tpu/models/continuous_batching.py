@@ -81,6 +81,9 @@ class ContinuousBatcher:
         max_len: int = 2048,
         chunk: int = 16,
         dtype=None,
+        speculative: bool = False,
+        draft_len: int = 7,
+        ngram: int = 2,
     ):
         if max_len > cfg.max_position_embeddings:
             max_len = cfg.max_position_embeddings
@@ -96,12 +99,22 @@ class ContinuousBatcher:
         self.slots = int(slots)
         self.max_len = int(max_len)
         self.chunk = int(chunk)
+        # speculative rounds write draft_len+1 positions past a slot's last
+        # real token; shrink the usable budget so verify segments stay
+        # inside the pool (clamp_request keeps prompts within it)
+        self.speculative = bool(speculative)
+        self.draft_len = int(draft_len)
+        self.ngram = int(ngram)
+        self._headroom = self.draft_len + 1 if self.speculative else 0
         self.pool = init_cache(cfg, self.slots, self.max_len, dtype=dtype)
         self._prefill_fns = {}
         # device-work accounting (decode_chunks * slots * chunk = slot-steps
         # executed; wall clock through a relayed harness overstates the
         # per-chunk sync cost, slot-steps do not)
-        self.stats = {"decode_chunks": 0, "prefills": 0}
+        self.stats = {"decode_chunks": 0, "prefills": 0, "spec_rounds": 0, "spec_emitted": 0}
+        if self.speculative:
+            # per-slot token history for the n-gram drafter (-1 = no token)
+            self.hist = jnp.full((self.slots, self.max_len), -1, jnp.int32)
 
         # ---- decode chunk: scan `chunk` single-token steps over the pool
         def decode_chunk(params, pool: KVCache, last, cur_len):
@@ -127,6 +140,68 @@ class ContinuousBatcher:
             return pool, last, cur_len, toks.T  # [slots, chunk]
 
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
+
+        # ---- speculative chunk: R draft+verify rounds over the pool.
+        # Each round advances every slot by a VARIABLE 1..draft_len+1
+        # tokens (accepted prefix + bonus); the host unpacks
+        # (tokens [slots, R, g+1], counts [slots, R]) in order. The
+        # emitted stream per slot is token-exact greedy — acceptance only
+        # decides how many greedy tokens one weight-stream pass yields.
+        self.rounds = max(1, self.chunk // 4)
+
+        def spec_chunk(params, pool: KVCache, last, cur_len, hist):
+            from retrieval_scaling_tpu.models.speculative import _draft_ngram
+
+            g = self.draft_len
+
+            def rnd(carry, _):
+                pool, last, cur_len, hist = carry
+                # keep verify segments inside the pool even for stale free
+                # slots (live slots never clamp: clamp_request reserves
+                # the headroom)
+                n = jnp.minimum(cur_len, self.max_len - g - 1)
+                draft = _draft_ngram(hist, last, n, self.ngram, g)
+                seg = jnp.concatenate([last[:, None], draft], axis=1)
+                positions = n[:, None] + jnp.arange(g + 1)[None, :]
+                key_valid = jnp.arange(self.max_len)[None, :] < (n + g + 1)[:, None]
+                logits, pool = forward_with_cache(
+                    params, self.cfg, seg, positions, pool, key_valid,
+                    contiguous_writes=True,
+                )
+                y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [slots, g+1]
+                agree = draft == y[:, :g]
+                a = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)
+                emit = a + 1
+                j = jnp.arange(g + 1)[None, :]
+                bonus = jnp.take_along_axis(y, a[:, None], axis=1)
+                cand = jnp.concatenate(
+                    [draft, jnp.zeros((self.slots, 1), jnp.int32)], axis=1
+                )
+                e = jnp.where(j < a[:, None], cand, bonus)  # [slots, g+1]
+
+                def wr(h, vec, off):
+                    return jax.lax.dynamic_update_slice(h, vec, (off,))
+
+                hist = jax.vmap(wr)(hist, e, n + 1)
+                return (pool, bonus[:, 0], n + emit, hist), (e, emit)
+
+            (pool, last, cur_len, hist), (toks, counts) = jax.lax.scan(
+                rnd, (pool, last, cur_len, hist), None, length=self.rounds
+            )
+            # scan stacks on axis 0: [R, slots, ...] -> slot-major
+            return pool, last, cur_len, hist, toks.transpose(1, 0, 2), counts.T
+
+        self._spec_chunk = jax.jit(spec_chunk, donate_argnums=(1,))
+
+        # admission writes the prompt + first token into the drafter history
+        def hist_write(hist, ids, slot, plen, first):
+            row = jnp.full((self.max_len,), -1, jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, ids[0, : self.max_len], (0,))
+            row = jnp.where(jnp.arange(self.max_len) < plen, row, -1)
+            row = jnp.where(jnp.arange(self.max_len) == plen, first, row)
+            return jax.lax.dynamic_update_slice(hist, row[None, :], (slot, 0))
+
+        self._hist_write = jax.jit(hist_write, donate_argnums=(0,))
 
         # ---- insert: copy a batch-1 prefilled cache into slot `slot`
         def insert(pool: KVCache, pre: KVCache, slot):
@@ -195,7 +270,9 @@ class ContinuousBatcher:
             while pending and free:
                 i = pending.pop()  # shortest-first from the back
                 prompt, max_new = requests[i]
-                prompt, max_new, width = clamp_request(prompt, max_new, self.max_len)
+                prompt, max_new, width = clamp_request(
+                    prompt, max_new, self.max_len - self._headroom
+                )
                 ids = np.full((1, width), self.eos_id, np.int32)
                 ids[0, : len(prompt)] = prompt
                 first, pre = self._prefill_fn(width)(
@@ -206,6 +283,11 @@ class ContinuousBatcher:
                 # slot as a device scalar: a Python int would bake the slot
                 # index into the compilation and recompile per slot
                 self.pool = self._insert(self.pool, pre, jnp.asarray(slot, jnp.int32))
+                if self.speculative:
+                    self.hist = self._hist_write(
+                        self.hist, jnp.asarray(ids), jnp.asarray(slot, jnp.int32),
+                        jnp.asarray(len(prompt), jnp.int32), first[0],
+                    )
                 active[slot] = i
                 budget[i] = max_new
                 first_tok = int(first[0])
@@ -221,9 +303,20 @@ class ContinuousBatcher:
 
         admit()
         while active:
-            pool, last_j, cur_j, toks = self._decode_chunk(
-                self.params, self.pool, jnp.asarray(last), jnp.asarray(cur_len)
-            )
+            if self.speculative:
+                pool, last_j, cur_j, hist, toks, counts = self._spec_chunk(
+                    self.params, self.pool, jnp.asarray(last),
+                    jnp.asarray(cur_len), self.hist,
+                )
+                self.hist = hist
+                counts_np = np.asarray(counts)
+                self.stats["spec_rounds"] += int(self.rounds)
+                self.stats["spec_emitted"] += int(counts_np.sum())
+            else:
+                pool, last_j, cur_j, toks = self._decode_chunk(
+                    self.params, self.pool, jnp.asarray(last), jnp.asarray(cur_len)
+                )
+                counts_np = None
             self.stats["decode_chunks"] += 1
             self.pool = pool
             toks_np = np.asarray(toks)
@@ -232,7 +325,15 @@ class ContinuousBatcher:
             for slot in list(active):
                 i = active[slot]
                 done = False
-                for t in toks_np[slot]:
+                if counts_np is None:
+                    emitted = toks_np[slot]
+                else:
+                    emitted = [
+                        t
+                        for r in range(toks_np.shape[1])
+                        for t in toks_np[slot, r, : counts_np[slot, r]]
+                    ]
+                for t in emitted:
                     tokens[i].append(int(t))
                     if int(t) == self.eos_id or len(tokens[i]) >= budget[i]:
                         done = True

@@ -155,7 +155,9 @@ class JaxReaderLM:
                 out_shardings=(rep, rep),
             )
         self._gen_fns = {}
-        if gen_engine not in (None, "", "static", "continuous", "speculative"):
+        if gen_engine not in (
+            None, "", "static", "continuous", "speculative", "continuous_spec",
+        ):
             raise ValueError(f"unknown gen_engine {gen_engine!r}")
         self.gen_engine = gen_engine or "static"
         # speculative: prompt-lookup drafting + one-forward verification —
@@ -297,6 +299,8 @@ class JaxReaderLM:
             self._cb_engine = ContinuousBatcher(
                 self.params, self.cfg, eos,
                 slots=self.batch_size, max_len=self.max_length,
+                speculative=self.gen_engine == "continuous_spec",
+                draft_len=self.draft_len,
             )
         engine = self._cb_engine
         requests = []
@@ -330,7 +334,7 @@ class JaxReaderLM:
         return out
 
     def generate_until(self, reqs: Sequence[dict]):
-        if self.gen_engine == "continuous":
+        if self.gen_engine in ("continuous", "continuous_spec"):
             return self._generate_continuous(reqs)
         jnp = self._jnp
         results: List[str] = [""] * len(reqs)

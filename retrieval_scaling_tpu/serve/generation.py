@@ -46,6 +46,8 @@ class GenerationService:
         max_len: int = 1024,
         chunk: int = 8,
         default_max_new: int = 64,
+        speculative: bool = False,
+        draft_len: int = 7,
     ):
         from retrieval_scaling_tpu.models.continuous_batching import ContinuousBatcher
 
@@ -56,7 +58,8 @@ class GenerationService:
             eos = tokenizer.pad_token_id or 0
         self.eos_id = int(eos)
         self.engine = ContinuousBatcher(
-            params, cfg, self.eos_id, slots=slots, max_len=max_len, chunk=chunk
+            params, cfg, self.eos_id, slots=slots, max_len=max_len, chunk=chunk,
+            speculative=speculative, draft_len=draft_len,
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._shutdown = threading.Event()

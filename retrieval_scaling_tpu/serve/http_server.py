@@ -220,6 +220,8 @@ def serve_worker_from_config(cfg, port: int | None = None, registry_path: str | 
             params, reader_cfg, load_tokenizer(gen_model),
             slots=int(serve_opt("generation_slots", 4)),
             max_len=int(serve_opt("generation_max_len", 1024)),
+            speculative=bool(serve_opt("generation_speculative", False)),
+            draft_len=int(serve_opt("generation_draft_len", 7)),
         )
 
     server = SearchAPIServer(

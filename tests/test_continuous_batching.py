@@ -106,6 +106,66 @@ def test_pool_reuse_across_calls(params):
     assert out == _trim(_static_reference(params, prompt, 8))
 
 
+def test_speculative_cb_matches_plain_cb(params):
+    """The speculative slot-pool engine emits the same token streams as the
+    plain chunked engine (both exact greedy) on a mixed-length workload
+    with slot churn, and reports acceptance stats."""
+    rng = np.random.RandomState(11)
+    reqs = [
+        (rng.randint(1, 97, int(L)).tolist(), int(m))
+        for L, m in zip([9, 30, 5, 17, 12], [8, 5, 12, 7, 9])
+    ]
+    plain = ContinuousBatcher(params, CFG, EOS, slots=2, max_len=96, chunk=8)
+    spec = ContinuousBatcher(
+        params, CFG, EOS, slots=2, max_len=96, chunk=8,
+        speculative=True, draft_len=4,
+    )
+    out_plain = plain.generate(reqs)
+    out_spec = spec.generate(reqs)
+    assert out_spec == out_plain
+    assert spec.stats["spec_rounds"] > 0
+    assert spec.stats["spec_emitted"] >= spec.stats["spec_rounds"]
+
+
+def test_speculative_cb_slot_reuse_isolated(params):
+    """A reused slot's drafter history and cache must not leak the prior
+    request (same guarantee the plain engine pins for the pool)."""
+    rng = np.random.RandomState(3)
+    spec = ContinuousBatcher(
+        params, CFG, EOS, slots=2, max_len=96, chunk=8,
+        speculative=True, draft_len=4,
+    )
+    first_requests = [(rng.randint(1, 97, 40).tolist(), 8) for _ in range(2)]
+    spec.generate(first_requests)
+    prompt = rng.randint(1, 97, 5).tolist()
+    out = spec.generate([(prompt, 8)])[0]
+    assert out == _trim(_static_reference(params, prompt, 8))
+
+
+def test_speculative_cb_stop_strings(params):
+    """stop_check fires on the spec engine's per-chunk cadence too."""
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(1, 97, 12).tolist()
+    spec = ContinuousBatcher(
+        params, CFG, EOS, slots=1, max_len=96, chunk=8,
+        speculative=True, draft_len=3,
+    )
+    ref = spec.generate([(prompt, 20)])[0]
+    if len(ref) < 3:
+        pytest.skip("reference generation too short to stop mid-way")
+    needle = ref[2]
+    spec2 = ContinuousBatcher(
+        params, CFG, EOS, slots=1, max_len=96, chunk=8,
+        speculative=True, draft_len=3,
+    )
+    out = spec2.generate(
+        [(prompt, 20)], stop_check=lambda i, toks: needle in toks
+    )[0]
+    assert needle in out
+    # the stop fires at a chunk boundary; everything before it is exact
+    assert out == ref[: len(out)]
+
+
 def test_jax_reader_lm_continuous_engine(tmp_path):
     """JaxReaderLM(gen_engine=continuous) produces the same texts as the
     static engine, including stop-string truncation."""

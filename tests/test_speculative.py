@@ -161,4 +161,11 @@ def test_jax_reader_lm_speculative_engine():
          "gen_kwargs": {"until": ["\n"], "max_gen_toks": 6 + 2 * (i % 3)}}
         for i in range(5)
     ]
-    assert lm_spec.generate_until(reqs) == lm_static.generate_until(reqs)
+    out_static = lm_static.generate_until(reqs)
+    assert lm_spec.generate_until(reqs) == out_static
+
+    # the combined engine (continuous batching x speculative rounds)
+    lm_cb_spec = JaxReaderLM(
+        params, cfg, tok, batch_size=2, gen_engine="continuous_spec", draft_len=4
+    )
+    assert lm_cb_spec.generate_until(reqs) == out_static

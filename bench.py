@@ -433,7 +433,9 @@ def main() -> None:
     # ---- aux: dense causal flash kernel at the reader shapes --------------
     # (session-5 pass reduction: 3.86 -> ~2.3 ms at b8h16S1024d128; the
     # Llama b8h32S1024d64 flagship shape ~2.9 ms vs XLA ~6.4)
-    def _causal_loop(fn, qq, kk, vv, iters):
+    def _causal_loop(fn, iters):
+        # tensors flow in via timed_loop's `big` argument (never closures:
+        # the relay serializes closure constants into the compile payload)
         def loop(params, args):
             a, b_, c = args
 
@@ -450,7 +452,7 @@ def main() -> None:
     k_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
     v_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
     ms_flash_d128 = timed_loop(
-        "causal flash b8h16S1024d128", _causal_loop(flash_attention, q_f, k_f, v_f, fi),
+        "causal flash b8h16S1024d128", _causal_loop(flash_attention, fi),
         fi, big=(q_f, k_f, v_f),
     )
     del q_f, k_f, v_f
@@ -459,11 +461,11 @@ def main() -> None:
     v_l = jnp.asarray(rng.randn(8, 32, 1024, 64), jnp.bfloat16)
     ms_flash_llama = timed_loop(
         "causal flash b8h32S1024d64 (Llama shape)",
-        _causal_loop(flash_attention, q_l, k_l, v_l, fi), fi, big=(q_l, k_l, v_l),
+        _causal_loop(flash_attention, fi), fi, big=(q_l, k_l, v_l),
     )
     ms_xla_llama = timed_loop(
         "causal XLA b8h32S1024d64",
-        _causal_loop(xla_attention, q_l, k_l, v_l, fi), fi, big=(q_l, k_l, v_l),
+        _causal_loop(xla_attention, fi), fi, big=(q_l, k_l, v_l),
     )
     log(f"flash vs XLA at the Llama shape: {ms_xla_llama / ms_flash_llama:.2f}x")
     del q_l, k_l, v_l

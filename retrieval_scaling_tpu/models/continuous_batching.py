@@ -106,6 +106,13 @@ class ContinuousBatcher:
         self.draft_len = int(draft_len)
         self.ngram = int(ngram)
         self._headroom = self.draft_len + 1 if self.speculative else 0
+        if self.speculative and (self.draft_len < 1 or self._headroom + 32 > self.max_len):
+            # a silent negative prompt budget would index rotary tables with
+            # negative positions and emit deterministic garbage — refuse
+            raise ValueError(
+                f"draft_len={self.draft_len} leaves no usable context in "
+                f"max_len={self.max_len} (need draft_len+33 <= max_len)"
+            )
         self.pool = init_cache(cfg, self.slots, self.max_len, dtype=dtype)
         self._prefill_fns = {}
         # device-work accounting (decode_chunks * slots * chunk = slot-steps
@@ -150,7 +157,10 @@ class ContinuousBatcher:
         self.rounds = max(1, self.chunk // 4)
 
         def spec_chunk(params, pool: KVCache, last, cur_len, hist):
-            from retrieval_scaling_tpu.models.speculative import _draft_ngram
+            from retrieval_scaling_tpu.models.speculative import (
+                _draft_ngram,
+                greedy_emission,
+            )
 
             g = self.draft_len
 
@@ -169,21 +179,15 @@ class ContinuousBatcher:
                     contiguous_writes=True,
                 )
                 y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [slots, g+1]
-                agree = draft == y[:, :g]
-                a = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)
+                a, e = greedy_emission(draft, y)  # shared accept/emit core
                 emit = a + 1
-                j = jnp.arange(g + 1)[None, :]
-                bonus = jnp.take_along_axis(y, a[:, None], axis=1)
-                cand = jnp.concatenate(
-                    [draft, jnp.zeros((self.slots, 1), jnp.int32)], axis=1
-                )
-                e = jnp.where(j < a[:, None], cand, bonus)  # [slots, g+1]
+                last_new = e[:, g]  # positions >= a repeat the bonus token
 
                 def wr(h, vec, off):
                     return jax.lax.dynamic_update_slice(h, vec, (off,))
 
                 hist = jax.vmap(wr)(hist, e, n + 1)
-                return (pool, bonus[:, 0], n + emit, hist), (e, emit)
+                return (pool, last_new, n + emit, hist), (e, emit)
 
             (pool, last, cur_len, hist), (toks, counts) = jax.lax.scan(
                 rnd, (pool, last, cur_len, hist), None, length=self.rounds
@@ -310,8 +314,13 @@ class ContinuousBatcher:
                 )
                 self.hist = hist
                 counts_np = np.asarray(counts)
-                self.stats["spec_rounds"] += int(self.rounds)
-                self.stats["spec_emitted"] += int(counts_np.sum())
+                # acceptance stats count ACTIVE slots only — free/finished
+                # slots keep stepping on device and their junk rounds would
+                # inflate the realized tokens-per-round metric
+                self.stats["spec_rounds"] += int(self.rounds) * len(active)
+                self.stats["spec_emitted"] += int(
+                    counts_np[sorted(active)].sum()
+                )
             else:
                 pool, last_j, cur_j, toks = self._decode_chunk(
                     self.params, self.pool, jnp.asarray(last), jnp.asarray(cur_len)

@@ -84,6 +84,26 @@ def _draft_ngram(all_tokens, last_token, cur_len, ngram: int, draft_len: int):
     return jnp.take_along_axis(all_tokens, cont_idx, axis=1)  # [B, g]
 
 
+def greedy_emission(draft, y, pad_id: int = 0):
+    """Shared accept/emit core for both speculative engines.
+
+    draft: [B, g] drafted tokens; y: [B, g+1] the model's greedy argmax
+    after each segment position. Returns ``(a, stream)``: ``a`` [B] is the
+    longest draft prefix the model itself would have produced, and
+    ``stream`` [B, g+1] holds the next greedy tokens — accepted drafts
+    then the bonus token (positions past ``a`` repeat the bonus; callers
+    cap how many they consume). Any prefix of ``stream`` up to ``a+1``
+    tokens is exactly what sequential greedy decode emits.
+    """
+    b, g = draft.shape
+    agree = draft == y[:, :g]
+    a = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)
+    j = jnp.arange(g + 1)[None, :]
+    bonus = jnp.take_along_axis(y, a[:, None], axis=1)
+    cand = jnp.concatenate([draft, jnp.full((b, 1), pad_id, jnp.int32)], axis=1)
+    return a, jnp.where(j < a[:, None], cand, bonus)
+
+
 def make_speculative_generate_fn(
     cfg,
     max_new_tokens: int,
@@ -174,24 +194,18 @@ def make_speculative_generate_fn(
             )
             y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
 
-            # longest draft prefix the model itself would have produced
-            agree = draft == y[:, :g]                      # [B, g]
-            a = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)
+            a, stream = greedy_emission(draft, y)
             rem = jnp.maximum(max_new_tokens - st.gen_count, 1)
             emit = jnp.minimum(a + 1, rem)                 # accepted + bonus
             emit = jnp.where(st.finished, 0, emit)
-            a_eff = jnp.maximum(emit - 1, 0)
 
-            # emission vector: accepted drafts, then the bonus token, eos fill
+            # emission vector: the stream's first `emit` tokens, eos fill.
+            # (A budget-capped prefix is still exact: stream[emit-1] equals
+            # the accepted draft there, which IS the model's greedy token.)
             j = jnp.arange(g + 1)[None, :]
-            bonus = jnp.take_along_axis(y, a_eff[:, None], axis=1)  # [B, 1]
-            cand = jnp.concatenate(
-                [draft, jnp.full((b, 1), eos_id, jnp.int32)], axis=1
-            )
-            e = jnp.where(j < a_eff[:, None], cand, bonus)
-            e = jnp.where(j > a_eff[:, None], eos_id, e)
+            e = jnp.where(j < emit[:, None], stream, eos_id)
             # finished rows emit nothing — without this their write below
-            # would stamp a garbage bonus token into the eos tail
+            # would stamp a garbage token into the eos tail
             e = jnp.where(st.finished[:, None], eos_id, e)
             # propagate the first emitted eos over the rest of the vector
             is_eos = (e == eos_id) & (j < emit[:, None])

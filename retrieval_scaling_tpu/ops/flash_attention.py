@@ -274,8 +274,10 @@ def _flash_oneshot_kernel(
 
 
 # one-shot feasibility: the [block_q, Sk_pad] f32 score + prob tiles (plus
-# whole-row K/V in f32) must fit scoped VMEM alongside pipeline buffers
-_ONESHOT_MAX_SCORE_ELEMS = 1024 * 2048
+# whole-row K/V in f32 and double-buffered bf16 operands) must fit scoped
+# VMEM. 1M elems = 4 MB s + 4 MB p + ~3 MB operands — comfortably inside
+# the 16 MB v5e budget; 2M would already be s+p = 16 MB alone.
+_ONESHOT_MAX_SCORE_ELEMS = 1024 * 1024
 
 
 def segment_bounds(segment_ids: jax.Array):
@@ -404,6 +406,9 @@ def flash_attention(
     use_oneshot = (
         one_shot
         and segment_ids is None
+        # a window smaller than the key row needs the looped kernel's
+        # key-block skipping to stay O(S * window)
+        and (window is None or window >= sk)
         and block_q * sk_pad <= _ONESHOT_MAX_SCORE_ELEMS
     )
 

@@ -1047,9 +1047,13 @@ def prepare_split(cfg, split: str, cache_dir: Optional[str] = None) -> str:
     )
     try:
         ds = datasets.load_dataset(cfg.hf_path, cfg.hf_name)
-    except (ConnectionError, OSError) as e:
-        # Offline / unreachable hub: tell the user the two local escapes
-        # instead of surfacing a bare datasets traceback.
+    except ConnectionError as e:
+        # Offline / unreachable hub (datasets normalizes this case to a
+        # builtins ConnectionError): tell the user the two local escapes.
+        # Anything else — DatasetNotFoundError for a typo'd hf_path, auth
+        # errors on gated datasets, disk errors — propagates unchanged so
+        # the user fixes the actual problem instead of chasing offline
+        # workarounds.
         raise ConnectionError(
             f"task {cfg.task!r} needs dataset {cfg.hf_path!r} from the HF hub "
             f"and the hub is unreachable ({e.__class__.__name__}: {e}). "

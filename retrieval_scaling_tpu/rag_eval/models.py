@@ -285,8 +285,17 @@ class JaxReaderLM:
 
     def _gen_headroom(self) -> int:
         # speculative verify segments write draft_len+1 positions past the
-        # last real token; keep them inside the position-embedding budget
-        return self.draft_len + 1 if self.gen_engine == "speculative" else 0
+        # last real token; shave the prompt budget ONLY by however much
+        # that overflows the position-embedding table, so prompt truncation
+        # (and therefore the generated text) matches the static engine
+        # whenever max_length leaves any slack
+        if self.gen_engine != "speculative":
+            return 0
+        overflow = (
+            self.max_length + self.draft_len + 1
+            - self.cfg.max_position_embeddings
+        )
+        return max(0, overflow)
 
     def _generate_continuous(self, reqs: Sequence[dict]) -> List[str]:
         """Continuous-batching generate_until: slot-based admission removes

@@ -136,13 +136,8 @@ def main() -> None:
 
         return fn
 
-    def run_shape(B, H, S, D, bq, modes, iters):
-        rng = np.random.RandomState(0)
-        q = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
-        k = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
-        v = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
-        sm_scale = D**-0.5
-        log(f"---- B{B} H{H} S{S} D{D} bq{bq} ----")
+    def make_timed(q, k, v, iters):
+        """Relay-safe timer shared by every section (one methodology)."""
 
         def timed(label, fn):
             def loop(args):
@@ -163,6 +158,17 @@ def main() -> None:
             ms = (time.perf_counter() - t0) * 1e3 / iters
             log(f"{label:18s} {ms:8.3f} ms/iter   (compile+first {compile_s:.1f}s)")
             return ms
+
+        return timed
+
+    def run_shape(B, H, S, D, bq, modes, iters):
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+        sm_scale = D**-0.5
+        log(f"---- B{B} H{H} S{S} D{D} bq{bq} ----")
+        timed = make_timed(q, k, v, iters)
 
         results = {}
         results["flash"] = timed(
@@ -196,6 +202,23 @@ def main() -> None:
                 log(f"  {mode:14s} +{ms - results['mm_only']:7.3f} ms")
         return results
 
+    def run_window(B, H, S, D, bq, win, iters):
+        # windows smaller than the key row always route to the looped
+        # kernel (one_shot is gated off: key-block skipping keeps
+        # O(S*window)); this section just records the looped window cost
+        # next to the dense numbers measured above
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+        log(f"---- window B{B} H{H} S{S} D{D} w{win} ----")
+        timed = make_timed(q, k, v, iters)
+        return {
+            "flash_win": timed(
+                "flash(window)", lambda a, b_, c: fa(a, b_, c, window=win)
+            ),
+        }
+
     all_modes = (
         "flash_nc", "mm_only", "mm_exp", "mm_exp_max",
         "oneshot_where", "oneshot_mul", "oneshot_bf16",
@@ -210,6 +233,9 @@ def main() -> None:
         # S=2048: whole-S key rows per program; [512, 2048] f32 s/p tiles
         out["s2048"] = run_shape(8, 16, 2048, 128, 512,
                                  ("mm_only", "oneshot_where"), 8)
+        # windowed routing decision at S=2048 w=1024: the looped kernel
+        # skips out-of-band key blocks (O(S*window)); one-shot pays full S
+        out["s2048_window"] = run_window(8, 16, 2048, 128, 512, 1024, 8)
     print(repr(out))
 
 

@@ -28,7 +28,10 @@ def test_flash_matches_xla(causal, sq, sk):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("window,cap", [(None, None), (48, None), (None, 30.0)])
+# window=48 < sk exercises the fall-back to the looped kernel (key-block
+# skipping keeps O(S*window)); window=999 >= sk exercises the one-shot
+# kernel's own band mask (the decode-style full-coverage window)
+@pytest.mark.parametrize("window,cap", [(None, None), (48, None), (999, None), (None, 30.0)])
 @pytest.mark.parametrize("sq,sk", [(128, 128), (40, 40), (64, 128)])
 def test_flash_oneshot_matches_xla(causal, window, cap, sq, sk):
     """The one-shot (whole-key-row softmax) kernel is numerically identical

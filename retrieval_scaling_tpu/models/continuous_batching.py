@@ -83,7 +83,7 @@ class ContinuousBatcher:
         dtype=None,
         speculative: bool = False,
         draft_len: int = 7,
-        ngram: int = 2,
+        ngram: int = 3,
     ):
         if max_len > cfg.max_position_embeddings:
             max_len = cfg.max_position_embeddings

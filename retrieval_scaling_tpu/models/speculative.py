@@ -60,27 +60,38 @@ def _draft_ngram(all_tokens, last_token, cur_len, ngram: int, draft_len: int):
     """Latest-match prompt lookup, vectorized over the batch.
 
     all_tokens: [B, T] history with ``last_token`` stored at index
-    ``cur_len``. Finds the latest start p <= cur_len - ngram with
-    ``all_tokens[p : p + ngram] == all_tokens[cur_len - ngram + 1 :
-    cur_len + 1]`` and returns the ``draft_len`` tokens following the
-    match. No match -> the (clamped) gather yields arbitrary history
-    tokens; verification rejects bad drafts, so any filler is safe.
+    ``cur_len``. Tries n-gram lengths from ``ngram`` down to 1 (longer
+    matches give higher-precision drafts; shorter ones keep the drafter
+    firing when the long tail is novel): for the longest n with a match,
+    finds the latest start p <= cur_len - n with ``all_tokens[p : p + n]
+    == all_tokens[cur_len - n + 1 : cur_len + 1]`` and returns the
+    ``draft_len`` tokens following it. No match at any level -> the
+    (clamped) gather yields arbitrary history tokens; verification
+    rejects bad drafts, so any filler is safe.
     """
     b, t = all_tokens.shape
-    n_win = t - ngram + 1
-    # the trailing n-gram, ending at last_token
-    tail_idx = cur_len[:, None] + jnp.arange(-ngram + 1, 1)[None, :]
-    tail = jnp.take_along_axis(all_tokens, jnp.maximum(tail_idx, 0), axis=1)
-    match = jnp.ones((b, n_win), bool)
-    for j in range(ngram):
-        match = match & (all_tokens[:, j : j + n_win] == tail[:, j : j + 1])
-    starts = jnp.arange(n_win)[None, :]
-    # match must end strictly before the trailing n-gram's end (exclude the
-    # trivial self-match; overlap with the tail is fine — continuations
-    # reaching past the history read the -1 fill and verification rejects)
-    valid = starts <= (cur_len[:, None] - ngram)
-    p = jnp.max(jnp.where(match & valid, starts, -1), axis=1)  # [B]
-    cont_idx = jnp.clip(p[:, None] + ngram + jnp.arange(draft_len)[None, :], 0, t - 1)
+    starts_full = jnp.arange(t)[None, :]
+    best_p = jnp.full((b,), -1, jnp.int32)
+    best_n = jnp.zeros((b,), jnp.int32)
+    for n in range(1, ngram + 1):  # ascending: a longer match overwrites
+        n_win = t - n + 1
+        tail_idx = cur_len[:, None] + jnp.arange(-n + 1, 1)[None, :]
+        tail = jnp.take_along_axis(all_tokens, jnp.maximum(tail_idx, 0), axis=1)
+        match = jnp.ones((b, n_win), bool)
+        for j in range(n):
+            match = match & (all_tokens[:, j : j + n_win] == tail[:, j : j + 1])
+        starts = starts_full[:, :n_win]
+        # match must end strictly before the trailing n-gram's end (exclude
+        # the trivial self-match; overlap with the tail is fine —
+        # continuations reaching past the history read the -1 fill and
+        # verification rejects)
+        valid = starts <= (cur_len[:, None] - n)
+        p = jnp.max(jnp.where(match & valid, starts, -1), axis=1)  # [B]
+        best_p = jnp.where(p >= 0, p, best_p)
+        best_n = jnp.where(p >= 0, n, best_n)
+    cont_idx = jnp.clip(
+        best_p[:, None] + best_n[:, None] + jnp.arange(draft_len)[None, :], 0, t - 1
+    )
     return jnp.take_along_axis(all_tokens, cont_idx, axis=1)  # [B, g]
 
 
@@ -109,7 +120,7 @@ def make_speculative_generate_fn(
     max_new_tokens: int,
     eos_id: int,
     draft_len: int = 7,
-    ngram: int = 2,
+    ngram: int = 3,
     kv_cache: str | None = None,
     mesh=None,
     with_stats: bool = False,

@@ -263,25 +263,28 @@ class JaxReaderLM:
             else (self.tokenizer.pad_token_id or 0)
         )
 
-    def _gen_fn(self, max_new: int):
-        if max_new not in self._gen_fns:
-            if self.gen_engine == "speculative":
+    def _gen_fn(self, max_new: int, temperature: float = 0.0):
+        key = (max_new, temperature)
+        if key not in self._gen_fns:
+            if self.gen_engine == "speculative" and temperature <= 0.0:
                 from retrieval_scaling_tpu.models.speculative import (
                     make_speculative_generate_fn,
                 )
 
-                self._gen_fns[max_new] = make_speculative_generate_fn(
+                self._gen_fns[key] = make_speculative_generate_fn(
                     self.cfg, max_new, self._eos_id(), draft_len=self.draft_len,
                     kv_cache=self.kv_cache, mesh=self.mesh,
                 )
             else:
+                # sampled requests on the speculative engine fall back to
+                # the static sampler (prompt-lookup verification is greedy)
                 from retrieval_scaling_tpu.models.generate import make_generate_fn
 
-                self._gen_fns[max_new] = make_generate_fn(
+                self._gen_fns[key] = make_generate_fn(
                     self.cfg, max_new, self._eos_id(), kv_cache=self.kv_cache,
-                    mesh=self.mesh,
+                    temperature=temperature, mesh=self.mesh,
                 )
-        return self._gen_fns[max_new]
+        return self._gen_fns[key]
 
     def _gen_headroom(self) -> int:
         # speculative verify segments write draft_len+1 positions past the
@@ -342,15 +345,50 @@ class JaxReaderLM:
             out.append(text)
         return out
 
+    @staticmethod
+    def _req_temperature(r: dict) -> float:
+        # reference backends honor do_sample/temperature gen_kwargs
+        # (lm_eval models pass them through to HF/vLLM generate)
+        gk = r.get("gen_kwargs", {})
+        if not gk.get("do_sample", True):
+            return 0.0
+        return max(float(gk.get("temperature", 0.0)), 0.0)
+
     def generate_until(self, reqs: Sequence[dict]):
         if self.gen_engine in ("continuous", "continuous_spec"):
-            return self._generate_continuous(reqs)
+            # the slot-pool engines decode greedily; requests that ask for
+            # sampling route through the static sampled path instead of
+            # having their temperature silently dropped
+            sampled = [i for i, r in enumerate(reqs) if self._req_temperature(r) > 0]
+            if not sampled:
+                return self._generate_continuous(reqs)
+            greedy = [i for i in range(len(reqs)) if self._req_temperature(reqs[i]) == 0]
+            results = [""] * len(reqs)
+            if greedy:
+                for i, text in zip(greedy, self._generate_continuous([reqs[i] for i in greedy])):
+                    results[i] = text
+            sampled_out = self._generate_static([reqs[i] for i in sampled])
+            for i, text in zip(sampled, sampled_out):
+                results[i] = text
+            return results
+        return self._generate_static(reqs)
+
+    def _generate_static(self, reqs: Sequence[dict]):
         jnp = self._jnp
         results: List[str] = [""] * len(reqs)
-        order = sorted(range(len(reqs)), key=lambda i: len(reqs[i]["context"]))
+        # temperature-homogeneous batches: sort by (temperature, length)
+        # and never let a batch span a temperature boundary
+        order = sorted(
+            range(len(reqs)),
+            key=lambda i: (self._req_temperature(reqs[i]), len(reqs[i]["context"])),
+        )
         pos = 0
         while pos < len(order):
-            take = order[pos : pos + self.batch_size]
+            temp = self._req_temperature(reqs[order[pos]])
+            take = [
+                i for i in order[pos : pos + self.batch_size]
+                if self._req_temperature(reqs[i]) == temp
+            ]
             batch = [reqs[i] for i in take]
             max_new = max(r["gen_kwargs"].get("max_gen_toks", 32) for r in batch)
             # keep at least 16 prompt tokens even when max_gen_toks >= the
@@ -370,7 +408,9 @@ class JaxReaderLM:
                 ids_np[r, : len(e)] = e
                 len_np[r] = len(e)
             tokens = np.asarray(
-                self._gen_fn(max_new)(self.params, jnp.asarray(ids_np), jnp.asarray(len_np), 0)
+                self._gen_fn(max_new, temp)(
+                    self.params, jnp.asarray(ids_np), jnp.asarray(len_np), pos
+                )
             )
             for r, i in enumerate(take):
                 # a mixed batch decodes to the BATCH max; honor each
@@ -385,7 +425,7 @@ class JaxReaderLM:
                     if idx >= 0:
                         text = text[:idx]
                 results[i] = text
-            pos += self.batch_size
+            pos += len(take)
         return results
 
 

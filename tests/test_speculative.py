@@ -99,6 +99,22 @@ def test_speculative_max_new_one():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_speculative_with_int8_weight_quant():
+    """Weight-only int8 readers (the fast decode config) compose with the
+    speculative engine: same tokens as static decode on the same
+    quantized params."""
+    from retrieval_scaling_tpu.models.generate import quantize_decode_params
+
+    params = _params(LLAMA)
+    qparams = jax.jit(lambda p: quantize_decode_params(p, LLAMA))(params)
+    ids, lens = _prompts("repetitive", LLAMA.vocab_size)
+    ref = np.asarray(make_generate_fn(LLAMA, 10, eos_id=0)(qparams, ids, lens, 0))
+    got = np.asarray(
+        make_speculative_generate_fn(LLAMA, 10, eos_id=0)(qparams, ids, lens, 0)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_speculative_int8_kv_matches_static_int8():
     params = _params(LLAMA)
     ids, lens = _prompts("repetitive", LLAMA.vocab_size)
@@ -111,6 +127,55 @@ def test_speculative_int8_kv_matches_static_int8():
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def _tiny_lm(gen_engine=None, **kw):
+    from tests.helpers import make_word_tokenizer
+
+    from retrieval_scaling_tpu.rag_eval.models import JaxReaderLM
+
+    corpus = " ".join(f"w{i}" for i in range(60))
+    tok = make_word_tokenizer([corpus])
+    cfg = GPTNeoXConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=64, max_position_embeddings=128,
+        attention_impl="xla",
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(1))
+    return JaxReaderLM(params, cfg, tok, batch_size=2, gen_engine=gen_engine, **kw)
+
+
+def test_generate_until_honors_sampling_kwargs():
+    """temperature>0 + do_sample produces sampled (non-greedy) text; the
+    same request with do_sample=False matches greedy; batches never span a
+    temperature boundary (reference backends pass sampling kwargs through)."""
+    lm = _tiny_lm()
+    base = {"context": "w1 w2 w3", "gen_kwargs": {"until": [], "max_gen_toks": 10}}
+    hot = {"context": "w1 w2 w3",
+           "gen_kwargs": {"until": [], "max_gen_toks": 10, "temperature": 5.0}}
+    cold = {"context": "w1 w2 w3",
+            "gen_kwargs": {"until": [], "max_gen_toks": 10, "temperature": 5.0,
+                           "do_sample": False}}
+    # mixed batch: the greedy and hot requests must not share a batch
+    out = lm.generate_until([base, hot, cold, hot])
+    greedy_text = lm.generate_until([base])[0]
+    assert out[0] == greedy_text
+    assert out[2] == greedy_text  # do_sample=False overrides temperature
+    # at temperature 5 on a random model, matching greedy for 10 tokens is
+    # vanishingly unlikely; two hot requests in one batch also differ
+    assert out[1] != greedy_text or out[3] != greedy_text
+
+
+def test_continuous_engine_routes_sampled_requests():
+    """The greedy slot-pool engine must not silently drop temperature."""
+    lm = _tiny_lm(gen_engine="continuous")
+    base = {"context": "w4 w5 w6", "gen_kwargs": {"until": [], "max_gen_toks": 8}}
+    hot = {"context": "w4 w5 w6",
+           "gen_kwargs": {"until": [], "max_gen_toks": 8, "temperature": 5.0}}
+    out = lm.generate_until([base, hot])
+    greedy_text = lm.generate_until([base])[0]
+    assert out[0] == greedy_text
+    assert out[1] != greedy_text
 
 
 def test_draft_ngram_picks_latest_match():

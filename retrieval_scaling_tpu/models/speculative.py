@@ -26,8 +26,10 @@ count as plain decode:
 Acceptance keeps the longest draft prefix where the model's own greedy
 argmax agrees, then takes the model's next token as a bonus — the output
 is token-for-token IDENTICAL to sequential greedy decoding (pinned by
-tests against ``make_generate_fn``). Sampling (temperature > 0) is not
-supported; callers fall back to the static engine.
+tests against ``make_generate_fn``). ``temperature > 0`` switches to
+speculative REJECTION sampling (accept d with prob p(d); resample the
+first rejection from the residual), which is distribution-identical to
+sequential ancestral sampling — pinned by a statistical test.
 """
 
 from __future__ import annotations
@@ -54,6 +56,7 @@ class SpecState(NamedTuple):
     gen_count: jax.Array   # [B] tokens emitted so far
     finished: jax.Array    # [B]
     step: jax.Array
+    rng: jax.Array         # sampling stream (unused on the greedy path)
 
 
 def _draft_ngram(all_tokens, last_token, cur_len, ngram: int, draft_len: int):
@@ -124,23 +127,31 @@ def make_speculative_generate_fn(
     kv_cache: str | None = None,
     mesh=None,
     with_stats: bool = False,
+    temperature: float = 0.0,
 ):
     """Jitted ``(params, prompt_ids, prompt_lens, seed) -> tokens [B, max_new]``.
 
-    Greedy-only drop-in for ``make_generate_fn(temperature=0)`` — identical
-    outputs, fewer device rounds. ``seed`` is accepted (and ignored) so the
-    call signature matches the static engine. ``with_stats``: also return
-    ``(rounds, emitted)`` — decode rounds taken and total tokens emitted,
-    whose ratio is the realized acceptance (tokens per round).
+    Drop-in for ``make_generate_fn`` with fewer device rounds. Greedy
+    (``temperature <= 0``) output is token-for-token identical to the
+    static engine. ``temperature > 0`` runs speculative REJECTION
+    sampling: each drafted token d is accepted with probability p(d)
+    (the drafter is a point mass, so min(1, p/q) = p(d)); on the first
+    rejection the replacement is drawn from the residual p with d zeroed,
+    and a full acceptance draws the bonus from the next distribution —
+    the emitted stream is distribution-identical to sequential ancestral
+    sampling (pinned by a statistical test), though not seed-for-seed
+    equal to the static sampler (different randomness consumption).
+    ``with_stats``: also return ``(rounds, emitted)`` — decode rounds and
+    total tokens, whose ratio is the realized acceptance.
     """
     if kv_cache not in (None, "", "none", "int8"):
         raise ValueError(f"unknown kv_cache {kv_cache!r}")
     g = int(draft_len)
     if g < 1:
         raise ValueError("draft_len must be >= 1")
+    sampled = temperature is not None and temperature > 0.0
 
     def fn(params, prompt_ids, prompt_lens, seed):
-        del seed  # greedy only
         b, s_pad = prompt_ids.shape
         max_len = s_pad + max_new_tokens + g + 1  # verify-segment headroom
         if max_len > cfg.max_position_embeddings:
@@ -163,7 +174,14 @@ def make_speculative_generate_fn(
         last_logits = jnp.take_along_axis(
             logits, (prompt_lens - 1)[:, None, None], axis=1
         )[:, 0]
-        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        rng0 = jax.random.PRNGKey(seed)
+        if sampled:
+            first = jax.random.categorical(
+                jax.random.fold_in(rng0, 0),
+                last_logits.astype(jnp.float32) / temperature, axis=-1,
+            ).astype(jnp.int32)
+        else:
+            first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
 
         t_hist = s_pad + max_new_tokens + g + 2
         all_tokens = jnp.zeros((b, t_hist), jnp.int32)
@@ -188,6 +206,7 @@ def make_speculative_generate_fn(
             gen_count=jnp.ones((b,), jnp.int32),
             finished=(first == eos_id) | (max_new_tokens <= 1),
             step=jnp.zeros((), jnp.int32),
+            rng=rng0,
         )
 
         def cond(st: SpecState):
@@ -203,9 +222,38 @@ def make_speculative_generate_fn(
                 params, cfg, seg, positions, st.cache, key_valid,
                 contiguous_writes=True,
             )
-            y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
-
-            a, stream = greedy_emission(draft, y)
+            if sampled:
+                # speculative rejection sampling with a point-mass drafter:
+                # accept d_j with prob p_j(d_j); first rejection resamples
+                # from p_j with d_j zeroed; full acceptance draws the bonus
+                # from p_{g+1}. Distribution-identical to sequential
+                # ancestral sampling at this temperature.
+                probs = jax.nn.softmax(
+                    logits.astype(jnp.float32) / temperature, axis=-1
+                )  # [B, g+1, V]
+                r_acc, r_new = jax.random.split(jax.random.fold_in(st.rng, st.step + 1))
+                pd = jnp.take_along_axis(
+                    probs[:, :g], draft[..., None], axis=2
+                )[..., 0]  # [B, g]
+                acc = jax.random.uniform(r_acc, (b, g)) < pd
+                a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+                p_last = jnp.take_along_axis(probs, a[:, None, None], axis=1)[:, 0]
+                rej_tok = jnp.take_along_axis(
+                    draft, jnp.minimum(a, g - 1)[:, None], axis=1
+                )[:, 0]
+                vocab = jnp.arange(p_last.shape[-1])[None, :]
+                p_res = jnp.where(
+                    (a < g)[:, None] & (vocab == rej_tok[:, None]), 0.0, p_last
+                )
+                repl = jax.random.categorical(r_new, jnp.log(p_res), axis=-1).astype(jnp.int32)
+                j_g = jnp.arange(g + 1)[None, :]
+                cand = jnp.concatenate(
+                    [draft, jnp.zeros((b, 1), jnp.int32)], axis=1
+                )
+                stream = jnp.where(j_g < a[:, None], cand, repl[:, None])
+            else:
+                y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
+                a, stream = greedy_emission(draft, y)
             rem = jnp.maximum(max_new_tokens - st.gen_count, 1)
             emit = jnp.minimum(a + 1, rem)                 # accepted + bonus
             emit = jnp.where(st.finished, 0, emit)
@@ -242,6 +290,7 @@ def make_speculative_generate_fn(
                 gen_count=gen_count,
                 finished=st.finished | hit_eos | (gen_count >= max_new_tokens),
                 step=st.step + 1,
+                rng=st.rng,
             )
 
         final = jax.lax.while_loop(cond, body, state)

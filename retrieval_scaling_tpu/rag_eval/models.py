@@ -266,18 +266,19 @@ class JaxReaderLM:
     def _gen_fn(self, max_new: int, temperature: float = 0.0):
         key = (max_new, temperature)
         if key not in self._gen_fns:
-            if self.gen_engine == "speculative" and temperature <= 0.0:
+            if self.gen_engine == "speculative":
                 from retrieval_scaling_tpu.models.speculative import (
                     make_speculative_generate_fn,
                 )
 
+                # temperature > 0 runs speculative rejection sampling —
+                # distribution-identical to the static sampler
                 self._gen_fns[key] = make_speculative_generate_fn(
                     self.cfg, max_new, self._eos_id(), draft_len=self.draft_len,
                     kv_cache=self.kv_cache, mesh=self.mesh,
+                    temperature=temperature,
                 )
             else:
-                # sampled requests on the speculative engine fall back to
-                # the static sampler (prompt-lookup verification is greedy)
                 from retrieval_scaling_tpu.models.generate import make_generate_fn
 
                 self._gen_fns[key] = make_generate_fn(

@@ -129,6 +129,43 @@ def test_speculative_int8_kv_matches_static_int8():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_sampled_speculative_matches_sequential_distribution():
+    """Speculative rejection sampling is distribution-identical to
+    sequential ancestral sampling: the joint empirical distribution of the
+    first two sampled tokens matches the static sampler's within a total-
+    variation tolerance. Deterministic: fixed model, fixed seed set."""
+    cfg = GPTNeoXConfig(
+        vocab_size=8, hidden_size=16, num_layers=1, num_heads=2,
+        intermediate_size=32, max_position_embeddings=64, attention_impl="xla",
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(2))
+    bsz, calls, temp = 150, 64, 1.3
+    ids = jnp.asarray(np.tile([3, 5, 2, 6], (bsz, 1)), jnp.int32)
+    lens = jnp.full((bsz,), 4, jnp.int32)
+    static_fn = make_generate_fn(cfg, 2, eos_id=-1, temperature=temp)
+    spec_fn = make_speculative_generate_fn(
+        cfg, 2, eos_id=-1, draft_len=3, temperature=temp
+    )
+
+    def joint_counts(fn, seed_base):
+        counts = np.zeros((8, 8), np.int64)
+        for s in range(calls):
+            toks = np.asarray(fn(params, ids, lens, seed_base + s))
+            np.add.at(counts, (toks[:, 0], toks[:, 1]), 1)
+        return counts / counts.sum()
+
+    p_static = joint_counts(static_fn, 0)
+    p_spec = joint_counts(spec_fn, 10_000)
+    tv = 0.5 * np.abs(p_static - p_spec).sum()
+    # measured: TV tracks the 1/sqrt(N) two-sample noise floor (~0.046 at
+    # this N), confirming identical distributions; 0.06 gives headroom
+    assert tv < 0.06, f"total variation {tv:.3f} too large"
+    # and the sampled path really is stochastic across seeds
+    one = np.asarray(spec_fn(params, ids, lens, 0))
+    two = np.asarray(spec_fn(params, ids, lens, 1))
+    assert not np.array_equal(one, two)
+
+
 def _tiny_lm(gen_engine=None, **kw):
     from tests.helpers import make_word_tokenizer
 

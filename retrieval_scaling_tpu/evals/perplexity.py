@@ -148,10 +148,25 @@ def make_row_loss_fn(cfg, mesh=None, tensor_parallel=False, params=None):
 
     ``cfg`` may be any supported reader config (GPT-NeoX or llama family).
     """
+    import contextlib
+
     from retrieval_scaling_tpu.models.hf_convert import reader_logits
     from retrieval_scaling_tpu.models.loss import blockwise_row_lm_loss, use_blockwise
+    from retrieval_scaling_tpu.ops.flash_attention import attention_head_sharding
+
+    def _attn_ctx():
+        # TP: route the Pallas flash kernel through shard_map over the
+        # 'model' axis (GSPMD would otherwise replicate the pallas_call —
+        # q/k/v all-gather + full-head compute on every chip).
+        if mesh is not None and tensor_parallel:
+            return attention_head_sharding(mesh)
+        return contextlib.nullcontext()
 
     def fn(params, ids, labels):
+        with _attn_ctx():
+            return _fn(params, ids, labels)
+
+    def _fn(params, ids, labels):
         if use_blockwise(ids.shape[1], cfg.vocab_size):
             # streamed loss (models/loss.py): head applied per sequence
             # block, no [B, S, V] f32 round trip through HBM

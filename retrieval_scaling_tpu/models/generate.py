@@ -498,7 +498,7 @@ class GenState(NamedTuple):
 
 
 def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float = 0.0,
-                     kv_cache: str | None = None, mesh=None):
+                     kv_cache: str | None = None, mesh=None, param_shardings=None):
     """Build a jitted ``(params, prompt_ids, prompt_lens, seed) -> tokens`` fn.
 
     prompt_ids: [B, S_pad] right-padded; prompt_lens: [B]. Output: [B,
@@ -508,6 +508,11 @@ def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float =
     ``mesh``: data-parallel generation — prompt rows (and the KV cache
     with them) shard over the mesh's ``data`` axis, weights replicate
     (the HF-accelerate DDP analog for generate_until batches).
+    ``param_shardings``: tensor-parallel generation — a NamedSharding
+    tree (parallel/reader_tp.py Megatron layout) instead of replicated
+    weights; the decode forwards are plain einsums, so GSPMD shards the
+    per-step matmuls over the mesh 'model' axis and inserts the two
+    all-reduces per layer (the vLLM tensor_parallel_size analog).
     """
     if kv_cache not in (None, "", "none", "int8"):
         raise ValueError(f"unknown kv_cache {kv_cache!r}")
@@ -590,6 +595,7 @@ def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float =
     rep = NamedSharding(mesh, P())
     return jax.jit(
         fn,
-        in_shardings=(rep, rows2d, rows, rep),
+        in_shardings=(param_shardings if param_shardings is not None else rep,
+                      rows2d, rows, rep),
         out_shardings=rows2d,
     )

@@ -293,7 +293,6 @@ def llama_forward(
         x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
     s = input_ids.shape[1]
     cos, sin = rotary_cos_sin(s, cfg.hd, cfg.rope_base, cfg=cfg)
-    n_rep = cfg.num_heads // cfg.num_kv_heads
     kv_mask = None if attention_mask is None else attention_mask.astype(bool)
 
     def norm(v, scale):
@@ -321,7 +320,9 @@ def llama_forward(
         q, k, v = _qkv(layer, cfg, h)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
-        k, v = repeat_kv(k, n_rep), repeat_kv(v, n_rep)
+        # GQA k/v stay at num_kv_heads: the flash kernel maps query head ->
+        # kv head in its index map (no n_rep x HBM materialization) and the
+        # XLA path broadcasts internally.
         attn = multi_head_attention(
             q, k, v, kv_mask=kv_mask, causal=not bidirectional,
             impl=cfg.attention_impl, sm_scale=sm_scale,

@@ -13,7 +13,9 @@ the interpreter mode of the Pallas kernel).
 
 from __future__ import annotations
 
+import contextlib
 import functools
+from contextvars import ContextVar
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +23,76 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# Active (mesh, head_axis, batch_axis) for tensor-parallel attention — see
+# attention_head_sharding below.
+_HEAD_SHARDING: ContextVar = ContextVar("flash_head_sharding", default=None)
+
+
+@contextlib.contextmanager
+def attention_head_sharding(mesh, head_axis: str = "model", batch_axis: str | None = "data"):
+    """Route flash attention through ``shard_map`` over ``mesh`` inside
+    GSPMD-jitted programs.
+
+    Under plain ``jit`` + ``NamedSharding`` (the Megatron TP layout in
+    parallel/reader_tp.py), XLA's partitioner treats a ``pallas_call`` as
+    replicated: it would all-gather q/k/v and run the full-head kernel on
+    every chip. Attention is embarrassingly parallel over (batch, head),
+    so wrapping the kernel in ``shard_map`` with heads split over the
+    ``model`` axis keeps each chip computing only its own heads — the
+    same sharding the surrounding qkv/out-proj einsums already use, so
+    the partitioner inserts no extra collectives.
+
+    Enter this context around TRACING of the TP-jitted forward (the
+    reader scoring fn); it is a no-op for meshes whose axes don't divide
+    the head/batch counts (those fall back to the replicated kernel).
+    """
+    token = _HEAD_SHARDING.set((mesh, head_axis, batch_axis))
+    try:
+        yield
+    finally:
+        _HEAD_SHARDING.reset(token)
+
+
+def _flash_head_sharded(causal, sm_scale, logit_cap, window, q, k, v, mask_f, seg):
+    """shard_map-wrapped _flash_diffable, or None if the mesh doesn't fit."""
+    ctx = _HEAD_SHARDING.get()
+    if ctx is None:
+        return None
+    mesh, head_axis, batch_axis = ctx
+    if head_axis not in mesh.shape:
+        return None
+    tp = mesh.shape[head_axis]
+    dp = mesh.shape.get(batch_axis, 1) if batch_axis else 1
+    bax = batch_axis if (batch_axis and batch_axis in mesh.shape) else None
+    b, h = q.shape[0], q.shape[1]
+    hkv = k.shape[1]
+    # per-shard GQA grouping must stay integral: (h/tp) % (hkv/tp) == 0
+    # holds whenever both divide, since n_rep is unchanged per shard
+    if h % tp or hkv % tp or (bax and b % dp):
+        return None
+
+    P = jax.sharding.PartitionSpec
+    qspec = P(bax, head_axis, None, None)
+    args = [q, k, v]
+    specs = [qspec, qspec, qspec]
+    if mask_f is not None:
+        args.append(mask_f)
+        specs.append(P(bax, None))
+    if seg is not None:
+        args.append(seg)
+        specs.append(P(bax, None))
+
+    def inner(*xs):
+        it = iter(xs)
+        q_, k_, v_ = next(it), next(it), next(it)
+        m_ = next(it) if mask_f is not None else None
+        s_ = next(it) if seg is not None else None
+        return _flash_diffable(causal, sm_scale, logit_cap, window, q_, k_, v_, m_, s_)
+
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=tuple(specs), out_specs=qspec, check_vma=False
+    )(*args)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -50,9 +122,16 @@ def xla_attention(
     ``window``: causal sliding window — key j visible to query i iff
     i - window < j <= i (HF's sliding_window semantics).
     ``segment_ids``: [B, S] int; tokens attend only within their own
-    segment (packed-sequence block-diagonal masking; requires Sq == Sk)."""
+    segment (packed-sequence block-diagonal masking; requires Sq == Sk).
+
+    GQA: k/v may carry fewer heads than q ([B, Hkv, S, D] with
+    H % Hkv == 0); they are broadcast to the query heads here."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    if k.shape[1] != q.shape[1]:
+        rep = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * sm_scale
     if logit_cap:
@@ -349,8 +428,19 @@ def flash_attention(
     one pass (no online-softmax carry) when the [block_q, Sk] f32 score
     tile fits VMEM; falls back to the looped kernel when it doesn't (or
     for segmented rows). None = auto.
+
+    GQA: k/v may be [B, Hkv, Sk, D] with H % Hkv == 0 (grouped-query
+    attention, reference models' num_key_value_heads). The kernel maps
+    query head -> kv head in the BlockSpec index map, so the grouped
+    K/V are never repeated in HBM and consecutive query-head programs
+    reuse the same resident K/V block (the repeat the torch reference
+    does at e.g. transformers' repeat_kv costs n_rep x the K/V HBM
+    traffic; here it is free).
     """
     b, h, sq, d = q.shape
+    hkv = k.shape[1]
+    assert h % hkv == 0, f"q heads {h} not a multiple of kv heads {hkv}"
+    n_rep = h // hkv
     sk = k.shape[2]
     if block_q is None:
         # whole-row q blocks win at S<=1024 (measured: 2.28 vs 2.48 ms at
@@ -440,8 +530,11 @@ def flash_attention(
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-        pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-        pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+        # GQA: query head hi reads kv head hi // n_rep; with the grid's
+        # h dimension outer to qi, consecutive programs hit the same kv
+        # block index and Pallas skips the re-copy.
+        pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi // n_rep, 0, 0)),
+        pl.BlockSpec((1, 1, sk_pad, d), lambda bi, hi, qi: (bi, hi // n_rep, 0, 0)),
     ]
     operands = [q, k, v]
     if has_mask:
@@ -565,6 +658,11 @@ def multi_head_attention(
         if sm_scale is None:
             sm_scale = q.shape[-1] ** -0.5
         mask_f = None if kv_mask is None else kv_mask.astype(jnp.float32)
+        out = _flash_head_sharded(
+            causal, float(sm_scale), cap, win, q, k, v, mask_f, segment_ids
+        )
+        if out is not None:
+            return out
         return _flash_diffable(
             causal, float(sm_scale), cap, win, q, k, v, mask_f, segment_ids
         )

@@ -36,12 +36,20 @@ def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int =
         from retrieval_scaling_tpu.rag_eval.models import JaxReaderLM
 
         mesh = None
-        if data_parallel > 1:
+        # the vLLM backend's tensor_parallel_size analog
+        # (reference: lm_eval/models/vllm_causallms.py:34)
+        tensor_parallel = int(model_args.get("tensor_parallel", 1))
+        if data_parallel > 1 or tensor_parallel > 1:
             # DDP analog: batches shard over the mesh 'data' axis
             # (reference: accelerate multi-GPU, lm_eval/models/huggingface.py:151-333).
+            import jax
+
             from retrieval_scaling_tpu.parallel.mesh import build_mesh
 
-            mesh = build_mesh(data_axis=data_parallel, model_axis=1)
+            mesh = build_mesh(
+                data_axis=data_parallel, model_axis=tensor_parallel,
+                devices=jax.devices()[: data_parallel * tensor_parallel],
+            )
         return JaxReaderLM.from_pretrained(
             model_args["pretrained"], batch_size=batch_size, mesh=mesh,
             quantization=model_args.get("quantization"),
@@ -49,6 +57,7 @@ def build_lm(model: str, model_args: dict, batch_size: int, data_parallel: int =
             cache_dir=model_args.get("cache_dir"),
             gen_engine=model_args.get("gen_engine"),
             draft_len=int(model_args.get("draft_len", 7)),
+            tensor_parallel=tensor_parallel > 1,
         )
     if model in ("openai", "openai-completions", "local-completions"):
         from retrieval_scaling_tpu.rag_eval.models import OpenAICompatLM

@@ -94,6 +94,7 @@ class JaxReaderLM:
         kv_cache: str | None = None,
         gen_engine: str | None = None,
         draft_len: int = 7,
+        tensor_parallel: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -105,6 +106,12 @@ class JaxReaderLM:
         if kv_cache not in (None, "", "none", "int8"):
             raise ValueError(f"unknown kv_cache {kv_cache!r}")
         self.kv_cache = kv_cache if kv_cache == "int8" else None
+        self.tensor_parallel = bool(tensor_parallel) and mesh is not None
+        if self.tensor_parallel and quantization in ("int8", "int4"):
+            raise ValueError(
+                "tensor_parallel and reader quantization are mutually "
+                "exclusive (TP shard specs cover float keys only)"
+            )
         if quantization in ("int8", "int4"):
             # Weight-only int8 (per-output-channel): halves the decode
             # weight stream and quarters reader HBM vs f32. The model
@@ -142,6 +149,7 @@ class JaxReaderLM:
             is_greedy = jnp.all(jnp.where(mask, greedy, True), axis=-1)
             return ll, is_greedy
 
+        self._param_shardings = None
         if mesh is None:
             self._row_ll = jax.jit(row_ll_greedy)
         else:
@@ -149,17 +157,49 @@ class JaxReaderLM:
 
             rows = NamedSharding(mesh, P("data", None))
             rep = NamedSharding(mesh, P())
-            self._row_ll = jax.jit(
-                row_ll_greedy,
-                in_shardings=(rep, rows, rows),
-                out_shardings=(rep, rep),
-            )
+            if self.tensor_parallel:
+                # Megatron layout over the mesh 'model' axis (the vLLM
+                # tensor_parallel_size analog); the flash kernel routes
+                # through shard_map via attention_head_sharding so GSPMD
+                # never replicates the pallas_call.
+                from retrieval_scaling_tpu.ops.flash_attention import (
+                    attention_head_sharding,
+                )
+                from retrieval_scaling_tpu.parallel.reader_tp import (
+                    reader_param_shardings,
+                    shard_reader_params,
+                )
+
+                self.params = params = shard_reader_params(mesh, params)
+                self._param_shardings = reader_param_shardings(mesh, params)
+
+                def row_ll_tp(params, ids, labels):
+                    with attention_head_sharding(mesh):
+                        return row_ll_greedy(params, ids, labels)
+
+                self._row_ll = jax.jit(
+                    row_ll_tp,
+                    in_shardings=(self._param_shardings, rows, rows),
+                    out_shardings=(rep, rep),
+                )
+            else:
+                self._row_ll = jax.jit(
+                    row_ll_greedy,
+                    in_shardings=(rep, rows, rows),
+                    out_shardings=(rep, rep),
+                )
         self._gen_fns = {}
         if gen_engine not in (
             None, "", "static", "continuous", "speculative", "continuous_spec",
         ):
             raise ValueError(f"unknown gen_engine {gen_engine!r}")
         self.gen_engine = gen_engine or "static"
+        if self.tensor_parallel and self.gen_engine != "static":
+            raise ValueError(
+                "tensor_parallel generation supports gen_engine=static "
+                "(the slot-pool engines manage replicated weights; shard "
+                "them with data_parallel instead)"
+            )
         # speculative: prompt-lookup drafting + one-forward verification —
         # exact greedy equivalence, ~acceptance-rate x fewer decode rounds
         # on RAG workloads (generations copy retrieved-context spans)
@@ -172,7 +212,7 @@ class JaxReaderLM:
         cls, name_or_path: str, batch_size: int = 8, mesh=None,
         quantization: str | None = None, kv_cache: str | None = None,
         cache_dir: str | None = None, gen_engine: str | None = None,
-        draft_len: int = 7,
+        draft_len: int = 7, tensor_parallel: bool = False,
     ):
         from retrieval_scaling_tpu.models.hf_convert import load_hf_reader, load_tokenizer
 
@@ -181,6 +221,7 @@ class JaxReaderLM:
             params, cfg, load_tokenizer(name_or_path), batch_size,
             mesh=mesh, quantization=quantization, kv_cache=kv_cache,
             gen_engine=gen_engine, draft_len=draft_len,
+            tensor_parallel=tensor_parallel,
         )
 
     # ------------------------------------------------------------ ll
@@ -284,6 +325,7 @@ class JaxReaderLM:
                 self._gen_fns[key] = make_generate_fn(
                     self.cfg, max_new, self._eos_id(), kv_cache=self.kv_cache,
                     temperature=temperature, mesh=self.mesh,
+                    param_shardings=self._param_shardings,
                 )
         return self._gen_fns[key]
 

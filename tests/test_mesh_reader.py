@@ -125,6 +125,86 @@ def test_jax_reader_tensor_parallel_matches_single_device():
     )
 
 
+def test_jax_reader_lm_tensor_parallel_matches_single_device():
+    """JaxReaderLM tensor_parallel (the vLLM tensor_parallel_size analog):
+    dp x tp scoring AND static greedy generation match single-device."""
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, init_gpt_neox_params
+    from retrieval_scaling_tpu.rag_eval.models import JaxReaderLM
+
+    tok = make_word_tokenizer(_texts())
+    cfg = GPTNeoXConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=64, max_position_embeddings=64,
+        attention_impl="xla",
+    )
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        init_gpt_neox_params(cfg, jax.random.PRNGKey(1)),
+    )
+    texts = _texts()
+    pairs = list(zip(texts[:8], [" " + t for t in texts[8:16]]))
+    reqs = [
+        {"context": t, "gen_kwargs": {"max_new_tokens": 8, "until": []}}
+        for t in texts[:4]
+    ]
+
+    single = JaxReaderLM(params, cfg, tok, batch_size=4)
+    mesh = build_mesh(data_axis=4, model_axis=2)
+    tp = JaxReaderLM(
+        params, cfg, tok, batch_size=4, mesh=mesh, tensor_parallel=True
+    )
+    ll_s = single.loglikelihood(pairs)
+    ll_t = tp.loglikelihood(pairs)
+    np.testing.assert_allclose(
+        [v for v, _ in ll_s], [v for v, _ in ll_t], rtol=1e-4, atol=1e-5
+    )
+    assert [g for _, g in ll_s] == [g for _, g in ll_t]
+    assert single.generate_until(reqs) == tp.generate_until(reqs)
+
+    with pytest.raises(ValueError, match="tensor_parallel"):
+        JaxReaderLM(
+            params, cfg, tok, batch_size=4, mesh=mesh, tensor_parallel=True,
+            gen_engine="continuous",
+        )
+
+
+def test_jax_reader_tp_flash_shard_map_matches_single_device():
+    """TP + the Pallas flash kernel: the attention_head_sharding context
+    routes the kernel through shard_map over the 'model' axis (GSPMD would
+    replicate a bare pallas_call), and numbers match single-device. Uses a
+    GQA llama config so grouped K/V shard with the heads."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from retrieval_scaling_tpu.evals.perplexity import JaxReader
+    from retrieval_scaling_tpu.models.llama import LlamaConfig, init_llama_params
+
+    tok = make_word_tokenizer(_texts())
+    cfg = LlamaConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=2,
+        num_heads=4, num_kv_heads=2, intermediate_size=64,
+        max_position_embeddings=64, attention_impl="flash",
+    )
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    texts = _texts()
+    contexts, targets = texts[:8], texts[8:16]
+
+    with pltpu.force_tpu_interpret_mode():
+        single = JaxReader(params, cfg, tok, batch_size=4, dtype=jnp.float32)
+        ref = single.score(contexts, targets)
+        mesh = build_mesh(data_axis=4, model_axis=2)
+        tp = JaxReader(
+            params, cfg, tok, batch_size=4, dtype=jnp.float32,
+            mesh=mesh, tensor_parallel=True,
+        )
+        got = tp.score(contexts, targets)
+    np.testing.assert_allclose(ref, got, rtol=1e-4, atol=1e-5)
+
+
 def test_llama_reader_tp_specs_cover_params():
     import jax
 

@@ -98,6 +98,59 @@ def test_flash_with_padding_mask():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("one_shot", [False, True])
+@pytest.mark.parametrize("causal,window", [(False, None), (True, None), (True, 48)])
+def test_flash_gqa_matches_xla(causal, window, one_shot):
+    """Grouped-query k/v ([B, Hkv, S, D], Hkv < H) flow through the kernel's
+    head->group index map and match the explicitly repeated reference."""
+    rng = np.random.RandomState(7)
+    b, h, hkv, s, d = 2, 6, 2, 128, 32
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, hkv, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, hkv, s, d), jnp.float32)
+    lengths = np.array([s, s - 37])
+    mask = jnp.asarray(np.arange(s)[None, :] < lengths[:, None])
+    rep = h // hkv
+    ref = xla_attention(
+        q, jnp.repeat(k, rep, axis=1), jnp.repeat(v, rep, axis=1),
+        kv_mask=mask, causal=causal, window=window,
+    )
+    out = flash_attention(
+        q, k, v, kv_mask=mask, causal=causal, window=window,
+        block_q=64, block_k=64, interpret=True, one_shot=one_shot,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_gqa_gradients_match_repeat_reference():
+    """Grads through the GQA flash path: dk/dv come back at [B, Hkv, S, D]
+    and equal the repeat-then-attend reference's grads summed over groups."""
+    rng = np.random.RandomState(8)
+    b, h, hkv, s, d = 1, 4, 2, 64, 16
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, hkv, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, hkv, s, d), jnp.float32)
+    rep = h // hkv
+
+    def loss_flash(q_, k_, v_):
+        return multi_head_attention(q_, k_, v_, causal=True, impl="flash").sum()
+
+    def loss_ref(q_, k_, v_):
+        return xla_attention(
+            q_, jnp.repeat(k_, rep, axis=1), jnp.repeat(v_, rep, axis=1),
+            causal=True,
+        ).sum()
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        assert a.shape == b_.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4)
+
+
 def test_multi_head_attention_dispatch_cpu():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 2, 16, 8), jnp.float32)

@@ -41,7 +41,6 @@ from retrieval_scaling_tpu.models.llama import (
     attn_out_proj as _llama_attn_out,
     llama_logits as _llama_logits,
     llama_mlp as _llama_mlp,
-    repeat_kv,
     rotary_cos_sin as _llama_rotary_cos_sin,
 )
 
@@ -98,7 +97,24 @@ def _attention_with_cache(
     int8 cache: ``k_scale``/``v_scale`` [B, H, M] dequantize per key slot
     — folded into the SCORES (scores * k_scale) and the PROBS
     (probs * v_scale), so the [M, hd]-sized cache reads stay int8 and no
-    dequantized copy ever exists."""
+    dequantized copy ever exists.
+
+    GQA: keys/values may carry fewer heads than q ([B, Hkv, M, hd]).
+    Query groups fold into the row axis (HF's kv-major head order makes
+    head h = kv * n_rep + r, so a reshape groups the rows exactly) — the
+    grouped cache is never repeated in HBM."""
+    b, h, sq, hd = q.shape
+    hkv = keys.shape[1]
+    if hkv != h:
+        g = h // hkv
+        q2 = q.reshape(b, hkv, g * sq, hd)
+        qpos2 = jnp.broadcast_to(q_pos[:, None, :], (b, g, sq)).reshape(b, g * sq)
+        out = _attention_with_cache(
+            q2, keys, values, qpos2, key_valid,
+            sm_scale=sm_scale, logit_cap=logit_cap, window=window,
+            k_scale=k_scale, v_scale=v_scale, all_visible=all_visible,
+        )
+        return out.reshape(b, h, sq, hd)
     if (
         all_visible and k_scale is None
         and keys.shape[2] >= 256 and jax.default_backend() == "tpu"
@@ -384,12 +400,12 @@ def _llama_block_with_cache(layer, cfg: LlamaConfig, x, cache_k, cache_v, positi
             k_scale=nks, v_scale=nvs, all_visible=True,
         ).reshape(b_, h_, 1, hd_)
     else:
+        # grouped K/V go in directly: _attention_with_cache folds the
+        # query groups into the row axis (no n_rep x cache copy)
         attn = _attention_with_cache(
-            q, repeat_kv(new_k, n_rep), repeat_kv(new_v, n_rep), positions, key_valid,
+            q, new_k, new_v, positions, key_valid,
             sm_scale=sm_scale, logit_cap=cfg.attn_logit_softcap, window=window,
-            k_scale=None if nks is None else repeat_kv(nks[..., None], n_rep)[..., 0],
-            v_scale=None if nvs is None else repeat_kv(nvs[..., None], n_rep)[..., 0],
-            all_visible=all_visible,
+            k_scale=nks, v_scale=nvs, all_visible=all_visible,
         )
     attn_out = _llama_attn_out(layer, attn)
     if post_only or pre_post:

@@ -125,32 +125,34 @@ def xla_attention(
     segment (packed-sequence block-diagonal masking; requires Sq == Sk).
 
     GQA: k/v may carry fewer heads than q ([B, Hkv, S, D] with
-    H % Hkv == 0); they are broadcast to the query heads here."""
+    H % Hkv == 0). Query heads fold into a group axis over their kv head
+    (HF's kv-major repeat_kv order), so the grouped K/V are contracted
+    directly — never materialized at the full head count."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    if k.shape[1] != q.shape[1]:
-        rep = q.shape[1] // k.shape[1]
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    b, h, sq, d = q.shape
+    hkv, sk = k.shape[1], k.shape[2]
+    g = h // hkv
+    qg = q.reshape(b, hkv, g, sq, d)
+    scores = jnp.einsum("bkgqd,bkmd->bkgqm", qg, k, preferred_element_type=jnp.float32)
     scores = scores * sm_scale
     if logit_cap:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
     if kv_mask is not None:
-        scores = jnp.where(kv_mask[:, None, None, :], scores, NEG_INF)
+        scores = jnp.where(kv_mask[:, None, None, None, :], scores, NEG_INF)
     if segment_ids is not None:
-        same = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        same = segment_ids[:, None, None, :, None] == segment_ids[:, None, None, None, :]
         scores = jnp.where(same, scores, NEG_INF)
     if causal or window is not None:
-        sq, sk = q.shape[2], k.shape[2]
         qi = jnp.arange(sq)[:, None] + (sk - sq)
         ki = jnp.arange(sk)[None, :]
         keep = ki <= qi
         if window is not None:
             keep = keep & (ki > qi - window)
-        scores = jnp.where(keep[None, None], scores, NEG_INF)
+        scores = jnp.where(keep[None, None, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    out = jnp.einsum("bkgqm,bkmd->bkgqd", probs.astype(v.dtype), v)
+    return out.reshape(b, h, sq, d)
 
 
 # --------------------------------------------------------------------------

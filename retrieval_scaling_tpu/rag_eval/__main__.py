@@ -146,9 +146,128 @@ def main(argv=None):
         "--cache_dir", default=None,
         help="dataset ingestion cache directory ({task}/{split}.jsonl files)",
     )
+    # remaining reference-CLI flags (reference: lm_eval/__main__.py)
+    parser.add_argument(
+        "--gen_kwargs", default=None,
+        help="key=value[,key=value..] merged into every generate_until "
+        "request (e.g. temperature=0.7,do_sample=True,max_gen_toks=64)",
+    )
+    parser.add_argument(
+        "--seed", default=None,
+        help="one int, or up to 4 comma-separated ints seeding "
+        "python,numpy,torch,fewshot-sampling (reference --seed format)",
+    )
+    parser.add_argument(
+        "--include_path", default=None,
+        help="extra task-config YAML directory (searched before built-ins); "
+        "os.pathsep-separated list allowed",
+    )
+    parser.add_argument(
+        "--write_out", action="store_true",
+        help="log each task's first rendered prompt and target",
+    )
+    parser.add_argument(
+        "--show_config", action="store_true",
+        help="print the resolved run configuration before evaluating",
+    )
+    parser.add_argument(
+        "--check_integrity", action="store_true",
+        help="fail fast if a requested task has no docs or renders an empty prompt",
+    )
+    parser.add_argument("--verbosity", default="INFO")
+    parser.add_argument(
+        "--wandb_args", default=None,
+        help="wandb init args, e.g. project=rag-eval,name=run1",
+    )
+    parser.add_argument(
+        "--device", default=None,
+        help="force a JAX platform for the run (cpu/tpu); default = auto",
+    )
+    parser.add_argument(
+        "--max_batch_size", type=int, default=None,
+        help="upper bound on --batch_size",
+    )
+    parser.add_argument(
+        "--trust_remote_code", action="store_true",
+        help="allow HF datasets ingestion to run dataset scripts",
+    )
+    parser.add_argument(
+        "--cache_requests", default=None,
+        help="accepted for reference-CLI compatibility; request construction "
+        "here reads the local/ingested jsonl cache directly (see --cache_dir)",
+    )
+    parser.add_argument(
+        "--hf_hub_log_args", default=None,
+        help="accepted for reference-CLI compatibility; no hub telemetry here",
+    )
     args = parser.parse_args(argv)
 
-    logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+    logging.basicConfig(
+        level=getattr(logging, str(args.verbosity).upper(), logging.INFO),
+        stream=sys.stdout,
+    )
+    if args.device:
+        # must land before the first jax import in build_lm
+        import os as _os
+
+        _os.environ["JAX_PLATFORMS"] = args.device
+    if args.trust_remote_code:
+        import os as _os
+
+        _os.environ["HF_DATASETS_TRUST_REMOTE_CODE"] = "1"
+    if args.include_path:
+        import os as _os
+
+        from retrieval_scaling_tpu.rag_eval.tasks import register_task_dir
+
+        for p in args.include_path.split(_os.pathsep):
+            if p:
+                register_task_dir(p)
+    if args.max_batch_size is not None:
+        args.batch_size = min(args.batch_size, args.max_batch_size)
+    if args.cache_requests:
+        logging.getLogger(__name__).info(
+            "--cache_requests: request construction reads the on-disk "
+            "ingestion cache directly; nothing further to cache"
+        )
+
+    fewshot_seed = 1234
+    if args.seed is not None:
+        import random as _random
+
+        parts = [s.strip() for s in str(args.seed).split(",")]
+        if len(parts) == 1:
+            parts = parts * 4
+        if parts[0] not in ("", "None"):
+            _random.seed(int(parts[0]))
+        if len(parts) > 1 and parts[1] not in ("", "None"):
+            import numpy as _np
+
+            _np.random.seed(int(parts[1]))
+        if len(parts) > 2 and parts[2] not in ("", "None"):
+            try:
+                import torch as _torch
+
+                _torch.manual_seed(int(parts[2]))
+            except ImportError:
+                pass
+        if len(parts) > 3 and parts[3] not in ("", "None"):
+            fewshot_seed = int(parts[3])
+
+    gen_kwargs = None
+    if args.gen_kwargs:
+        import ast
+
+        gen_kwargs = {}
+        for part in args.gen_kwargs.split(","):
+            key, _, val = part.partition("=")
+            try:
+                gen_kwargs[key.strip()] = ast.literal_eval(val.strip())
+            except (ValueError, SyntaxError):
+                gen_kwargs[key.strip()] = val.strip()
+
+    if args.show_config:
+        print(json.dumps({k: v for k, v in vars(args).items()}, indent=2, default=str))
 
     if args.tasks == "list":
         from retrieval_scaling_tpu.rag_eval.tasks import list_tasks
@@ -165,6 +284,22 @@ def main(argv=None):
         lm = CachingLM(lm, args.use_cache, model_tag=f"{args.model}:{args.model_args}")
     from retrieval_scaling_tpu.rag_eval.loggers import build_loggers
 
+    extra_loggers = []
+    if args.wandb_args:
+        from retrieval_scaling_tpu.rag_eval.loggers import WandbLogger
+
+        wb = {}
+        for part in args.wandb_args.split(","):
+            key, _, val = part.partition("=")
+            wb[key.strip()] = val.strip()
+        extra_loggers.append(
+            WandbLogger(
+                project=wb.pop("project", "rag-eval"),
+                run_name=wb.pop("name", wb.pop("run_name", None)),
+                **wb,
+            )
+        )
+
     samples_save_dir = None
     if args.log_samples or args.predict_only:
         import os
@@ -180,7 +315,7 @@ def main(argv=None):
         tasks=args.tasks.split(","),
         num_fewshot=args.num_fewshot,
         decontamination_ngrams=args.decontamination_ngrams,
-        loggers=build_loggers(args.log_to),
+        loggers=build_loggers(args.log_to) + extra_loggers,
         data_root=args.data_root,
         limit=args.limit,
         save_inputs_only=args.save_inputs_only,
@@ -200,6 +335,10 @@ def main(argv=None):
         predict_only=args.predict_only,
         samples_save_dir=samples_save_dir,
         cache_dir=args.cache_dir,
+        gen_kwargs=gen_kwargs,
+        fewshot_seed=fewshot_seed,
+        write_out=args.write_out,
+        check_integrity=args.check_integrity,
     )
     if results is not None:
         printable = {k: v for k, v in results.items() if k != "samples"}

@@ -530,7 +530,18 @@ def simple_evaluate(
     predict_only: bool = False,
     samples_save_dir: Optional[str] = None,
     cache_dir: Optional[str] = None,
+    gen_kwargs: Optional[dict] = None,
+    fewshot_seed: int = 1234,
+    write_out: bool = False,
+    check_integrity: bool = False,
 ) -> Optional[dict]:
+    """``gen_kwargs``: overrides merged into every generate_until
+    request's kwargs (reference: lm_eval --gen_kwargs). ``fewshot_seed``:
+    seeds the per-task fewshot sampler (reference --seed 4th field).
+    ``write_out``: log each task's first rendered prompt/target for
+    inspection (reference --write_out). ``check_integrity``: fail fast if
+    a task renders an empty prompt or has no docs (reference
+    --check_integrity's run_task_tests analog)."""
     if fewshot_as_multiturn and not apply_chat_template:
         raise ValueError("fewshot_as_multiturn requires apply_chat_template")
     if predict_only:
@@ -548,7 +559,7 @@ def simple_evaluate(
         cfg = get_task(task_name) if isinstance(task_name, str) else task_name
         if limit:
             cfg.limit = limit
-        task = Task(cfg, data_root=data_root, cache_dir=cache_dir)
+        task = Task(cfg, data_root=data_root, cache_dir=cache_dir, seed=fewshot_seed)
         # Multiturn chat: shots become user/assistant turns instead of being
         # baked into the prompt string, so build 0-shot requests here.
         request_fewshot = 0 if fewshot_as_multiturn else num_fewshot
@@ -557,6 +568,25 @@ def simple_evaluate(
             for req in requests:
                 req["shots"] = task.fewshot_shots(req["doc"], num_fewshot)
         logger.info("Task %s: %d requests", cfg.task, len(requests))
+        if gen_kwargs:
+            for req in requests:
+                if req.get("type") == "generate_until":
+                    req["gen_kwargs"] = {**req["gen_kwargs"], **gen_kwargs}
+        if check_integrity:
+            if not requests:
+                raise ValueError(f"task {cfg.task}: no documents / requests")
+            first_ctx = requests[0].get("context") or next(
+                iter(requests[0].get("contexts", [])), None
+            )
+            if not isinstance(first_ctx, str) or not first_ctx.strip():
+                raise ValueError(f"task {cfg.task}: empty rendered prompt")
+        if write_out:
+            r0 = requests[0] if requests else {}
+            ctx0 = r0.get("context") or next(iter(r0.get("contexts", [])), "")
+            tgt0 = task.references(r0["doc"]) if r0.get("doc") is not None else []
+            logger.info(
+                "write_out %s | prompt:\n%s\n| target(s): %r", cfg.task, ctx0, tgt0
+            )
 
         # --- query export for offline retrieval (step 1 of the RAG pipeline)
         if inputs_save_dir:

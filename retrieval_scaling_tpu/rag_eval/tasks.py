@@ -1350,7 +1350,11 @@ class Task:
                         "type": "generate_until",
                         "doc": doc,
                         "context": context,
+                        # full passthrough: sampling keys (do_sample,
+                        # temperature, ...) reach the backend — reference
+                        # task YAMLs carry them and vLLM/HF honor them
                         "gen_kwargs": {
+                            **self.cfg.generation_kwargs,
                             "until": self.cfg.generation_kwargs.get("until", ["\n"]),
                             "max_gen_toks": self.cfg.generation_kwargs.get("max_gen_toks", 32),
                         },

@@ -659,3 +659,93 @@ def test_benchmark_group_overrides(tmp_path):
     assert isinstance(by_name["truthfulqa_mc1"], str)
     assert groups["openllm"][0] == "arc_challenge"
     assert "mmlu" in groups and len(groups["mmlu"]) == 57
+
+
+# ------------------------------------------------- reference-CLI additions
+def test_gen_kwargs_override_reaches_requests(tmp_path):
+    """simple_evaluate(gen_kwargs=...) merges into every generate_until
+    request (reference: lm_eval --gen_kwargs)."""
+    root = _write_task_data(tmp_path)
+    seen = []
+
+    class RecordingLM:
+        def generate_until(self, reqs):
+            seen.extend(r["gen_kwargs"] for r in reqs)
+            return ["x"] * len(reqs)
+
+    simple_evaluate(
+        RecordingLM(), ["nq_open"], data_root=root,
+        gen_kwargs={"temperature": 0.7, "max_gen_toks": 7},
+    )
+    assert seen
+    assert all(g["temperature"] == 0.7 and g["max_gen_toks"] == 7 for g in seen)
+    # task-level keys not overridden survive
+    assert all(g["until"] == ["\n", ".", ","] for g in seen)
+
+
+def test_task_generation_kwargs_full_passthrough(tmp_path):
+    """Sampling keys in a task's generation_kwargs reach the request dict
+    (reference task YAMLs carry do_sample/temperature)."""
+    root = _write_task_data(tmp_path)
+    cfg = get_task("nq_open")
+    cfg.generation_kwargs = dict(cfg.generation_kwargs)
+    cfg.generation_kwargs.update({"do_sample": True, "temperature": 0.4})
+    task = Task(cfg, data_root=root)
+    req = task.build_requests()[0]
+    assert req["gen_kwargs"]["do_sample"] is True
+    assert req["gen_kwargs"]["temperature"] == 0.4
+
+
+def test_fewshot_seed_is_deterministic_and_varies(tmp_path):
+    root = _write_task_data(tmp_path, n=12)
+    cfg = get_task("nq_open")
+    ctx = lambda seed: Task(cfg, data_root=root, seed=seed).fewshot_context(
+        Task(cfg, data_root=root, seed=seed).docs[0], num_fewshot=5
+    )
+    assert ctx(7) == ctx(7)
+    assert ctx(7) != ctx(8)
+
+
+def test_check_integrity_flags_empty_prompt(tmp_path):
+    root = _write_task_data(tmp_path)
+    cfg = get_task("nq_open")
+    cfg.doc_to_text = ""
+    cfg.description = ""
+    with pytest.raises(ValueError, match="empty rendered prompt"):
+        simple_evaluate(DummyLM(), [cfg], data_root=root, check_integrity=True)
+
+
+def test_cli_flags_end_to_end(tmp_path, capsys):
+    """--gen_kwargs/--seed/--write_out/--check_integrity/--show_config/
+    --include_path parse and run through the real CLI entry point."""
+    from retrieval_scaling_tpu.rag_eval.__main__ import main
+    from retrieval_scaling_tpu.rag_eval import tasks as tasks_mod
+
+    root = _write_task_data(tmp_path)
+    # custom task dir for --include_path
+    inc = tmp_path / "extra_tasks"
+    inc.mkdir()
+    (inc / "my_custom_qa.yaml").write_text(
+        "task: my_custom_qa\n"
+        "dataset_path: nq_open\n"
+        "test_split: validation\n"
+        "output_type: generate_until\n"
+        "doc_to_text: \"Q: {question}?\\nA:\"\n"
+        "doc_to_target: \"{answer[0]}\"\n"
+        "metric_list: [exact_match]\n"
+    )
+    n_extra = len(tasks_mod._EXTRA_DIRS)
+    try:
+        main([
+            "--model", "dummy", "--tasks", "my_custom_qa",
+            "--data_root", root, "--include_path", str(inc),
+            "--gen_kwargs", "temperature=0.0,max_gen_toks=4",
+            "--seed", "3,4,5,6", "--write_out", "--check_integrity",
+            "--show_config", "--verbosity", "INFO",
+            "--max_batch_size", "2",
+        ])
+    finally:
+        del tasks_mod._EXTRA_DIRS[n_extra:]
+    out = capsys.readouterr().out
+    assert '"my_custom_qa"' in out      # results table printed
+    assert '"show_config": true' in out  # config dump printed

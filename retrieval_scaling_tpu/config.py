@@ -195,6 +195,11 @@ class Config:
                 raise ValueError(f"Override {ov!r} must be key=value")
             key, _, raw = ov.partition("=")
             key = key.lstrip("+").strip()
+            # reference-config interop: the reference spells batch sizes
+            # per-GPU (ric/conf/default.yaml per_gpu_batch_size); here the
+            # accelerator-neutral name is canonical
+            if key.rsplit(".", 1)[-1] == "per_gpu_batch_size":
+                key = key[: -len("per_gpu_batch_size")] + "per_device_batch_size"
             self.set_dotted(key, yaml.safe_load(raw) if raw != "" else None)
 
     def __deepcopy__(self, memo):
@@ -221,6 +226,20 @@ class Config:
 
     def __repr__(self) -> str:
         return f"Config({self._data!r})"
+
+
+def _normalize_interop_keys(tree):
+    """Rename reference-config spellings to the canonical ones
+    (per_gpu_batch_size -> per_device_batch_size), recursively."""
+    if isinstance(tree, dict):
+        return {
+            ("per_device_batch_size" if k == "per_gpu_batch_size" else k):
+                _normalize_interop_keys(v)
+            for k, v in tree.items()
+        }
+    if isinstance(tree, list):
+        return [_normalize_interop_keys(v) for v in tree]
+    return tree
 
 
 def _deep_merge(base: dict, overlay: dict) -> dict:
@@ -254,6 +273,7 @@ def load_config(
             path = alt if os.path.exists(alt) else path
         with open(path) as f:
             tree = yaml.safe_load(f) or {}
+        tree = _normalize_interop_keys(tree)
         base = tree.pop("base", None)
         if base:
             tree = _deep_merge(load_tree(base, seen + (name,)), tree)

@@ -79,3 +79,20 @@ def test_to_dict_resolve():
     cfg = config_from_dict({"a": 2, "b": "${a}"})
     d = cfg.to_dict(resolve=True)
     assert d == {"a": 2, "b": 2}
+
+
+def test_per_gpu_batch_size_interop(tmp_path):
+    """Reference configs/overrides spell batch sizes per-GPU
+    (ric/conf/default.yaml per_gpu_batch_size); both the YAML key and the
+    dotlist override map to per_device_batch_size here."""
+    from retrieval_scaling_tpu.config import load_config
+
+    p = tmp_path / "ref_style.yaml"
+    p.write_text(
+        "datastore:\n  embedding:\n    per_gpu_batch_size: 123\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.datastore.embedding.per_device_batch_size == 123
+
+    cfg.merge_overrides(["evaluation.search.per_gpu_batch_size=77"])
+    assert cfg.evaluation.search.per_device_batch_size == 77

@@ -470,6 +470,70 @@ def main() -> None:
     log(f"flash vs XLA at the Llama shape: {ms_xla_llama / ms_flash_llama:.2f}x")
     del q_l, k_l, v_l
 
+    # ---- aux: one-shot softmax (whole key row per q block, no online
+    # carry) at the d128 reader shape ---------------------------------------
+    def _oneshot_loop(iters):
+        def loop(params, args):
+            a, b_, c = args
+
+            def body(i, acc):
+                out = flash_attention(
+                    a + acc * 0.0, b_, c, causal=True, block_q=1024, one_shot=True
+                )
+                return acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-12
+
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+        return loop
+
+    q_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
+    k_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
+    v_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
+    ms_flash_1shot = timed_loop(
+        "one-shot flash b8h16S1024d128", _oneshot_loop(fi), fi, big=(q_f, k_f, v_f)
+    )
+    log(f"one-shot vs looped flash at d128: {ms_flash_d128 / ms_flash_1shot:.2f}x")
+    del q_f, k_f, v_f
+
+    # ---- aux: GQA-native flash (grouped K/V via the head->group index
+    # map) vs repeat-then-flash at the Llama-3-8B attention shape -----------
+    gb, gh, gkv, gs, gd = 8, 32, 8, 1024, 128
+    n_rep_g = gh // gkv
+    q_g = jnp.asarray(rng.randn(gb, gh, gs, gd), jnp.bfloat16)
+    k_g = jnp.asarray(rng.randn(gb, gkv, gs, gd), jnp.bfloat16)
+    v_g = jnp.asarray(rng.randn(gb, gkv, gs, gd), jnp.bfloat16)
+
+    def _gqa_loop(repeat_first, iters):
+        def loop(params, args):
+            a, b_, c = args
+
+            def body(i, acc):
+                if repeat_first:
+                    out = flash_attention(
+                        a + acc * 0.0,
+                        jnp.repeat(b_, n_rep_g, axis=1),
+                        jnp.repeat(c, n_rep_g, axis=1),
+                        causal=True,
+                    )
+                else:
+                    out = flash_attention(a + acc * 0.0, b_, c, causal=True)
+                return acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-12
+
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+        return loop
+
+    ms_gqa_repeat = timed_loop(
+        "repeat+flash b8h32kv8S1024d128", _gqa_loop(True, fi), fi,
+        big=(q_g, k_g, v_g),
+    )
+    ms_gqa_native = timed_loop(
+        "gqa flash b8h32kv8S1024d128", _gqa_loop(False, fi), fi,
+        big=(q_g, k_g, v_g),
+    )
+    log(f"GQA-native vs repeat+flash: {ms_gqa_repeat / ms_gqa_native:.2f}x")
+    del q_g, k_g, v_g
+
     # ---- aux: reader scoring throughput (Pythia-1B config, 8 x 1024) ------
     # The perplexity-inference hot loop (reference runs it at batch 1 on GPU,
     # src/evaluate_perplexity.py:114-139); here label-masked batched scoring.
@@ -736,6 +800,10 @@ def main() -> None:
                     "flash_causal_b8h16s1024d128_ms": round(ms_flash_d128, 3),
                     "flash_causal_llama_shape_ms": round(ms_flash_llama, 3),
                     "flash_vs_xla_llama_shape": round(ms_xla_llama / ms_flash_llama, 2),
+                    "flash_oneshot_d128_ms": round(ms_flash_1shot, 3),
+                    "flash_oneshot_vs_looped_d128": round(ms_flash_d128 / ms_flash_1shot, 2),
+                    "flash_gqa_native_ms": round(ms_gqa_native, 3),
+                    "flash_gqa_vs_repeat": round(ms_gqa_repeat / ms_gqa_native, 2),
                     "flash_window_max_abs_err": win_err,
                     "reader_tokens_per_s": round(reader_tok_s, 1),
                     "reader_dense_loss_ms": round(per_reader_dense, 2),

@@ -128,6 +128,7 @@ def make_speculative_generate_fn(
     mesh=None,
     with_stats: bool = False,
     temperature: float = 0.0,
+    param_shardings=None,
 ):
     """Jitted ``(params, prompt_ids, prompt_lens, seed) -> tokens [B, max_new]``.
 
@@ -310,4 +311,9 @@ def make_speculative_generate_fn(
     rows2d = NamedSharding(mesh, P("data", None))
     rep = NamedSharding(mesh, P())
     out_sh = (rows2d, rep, rep) if with_stats else rows2d
-    return jax.jit(fn, in_shardings=(rep, rows2d, rows, rep), out_shardings=out_sh)
+    return jax.jit(
+        fn,
+        in_shardings=(param_shardings if param_shardings is not None else rep,
+                      rows2d, rows, rep),
+        out_shardings=out_sh,
+    )

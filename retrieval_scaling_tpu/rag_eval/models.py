@@ -194,12 +194,10 @@ class JaxReaderLM:
         ):
             raise ValueError(f"unknown gen_engine {gen_engine!r}")
         self.gen_engine = gen_engine or "static"
-        if self.tensor_parallel and self.gen_engine != "static":
-            raise ValueError(
-                "tensor_parallel generation supports gen_engine=static "
-                "(the slot-pool engines manage replicated weights; shard "
-                "them with data_parallel instead)"
-            )
+        # tensor_parallel generation: static + speculative jits take the
+        # Megatron param shardings explicitly; the slot-pool engines' jits
+        # infer them from the sharded param arrays (GSPMD partitions the
+        # decode einsums over 'model' — no pallas in the cache path).
         # speculative: prompt-lookup drafting + one-forward verification —
         # exact greedy equivalence, ~acceptance-rate x fewer decode rounds
         # on RAG workloads (generations copy retrieved-context spans)
@@ -318,6 +316,7 @@ class JaxReaderLM:
                     self.cfg, max_new, self._eos_id(), draft_len=self.draft_len,
                     kv_cache=self.kv_cache, mesh=self.mesh,
                     temperature=temperature,
+                    param_shardings=self._param_shardings,
                 )
             else:
                 from retrieval_scaling_tpu.models.generate import make_generate_fn

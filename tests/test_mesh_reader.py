@@ -164,11 +164,15 @@ def test_jax_reader_lm_tensor_parallel_matches_single_device():
     assert [g for _, g in ll_s] == [g for _, g in ll_t]
     assert single.generate_until(reqs) == tp.generate_until(reqs)
 
-    with pytest.raises(ValueError, match="tensor_parallel"):
-        JaxReaderLM(
+    # the slot-pool and speculative engines run under TP too (the vLLM
+    # analog combines tensor_parallel_size with continuous batching):
+    # greedy output stays token-exact vs the single-device static engine
+    for engine in ("continuous", "speculative"):
+        tp_e = JaxReaderLM(
             params, cfg, tok, batch_size=4, mesh=mesh, tensor_parallel=True,
-            gen_engine="continuous",
+            gen_engine=engine, draft_len=3,
         )
+        assert tp_e.generate_until(reqs) == single.generate_until(reqs), engine
 
 
 def test_jax_reader_tp_flash_shard_map_matches_single_device():

@@ -97,7 +97,12 @@ def main(argv=None):
         help="comma-separated task names; 'list' prints the registry and exits",
     )
     parser.add_argument("--num_fewshot", type=int, default=None)
-    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument(
+        "--batch_size", default="8",
+        help="int, or the reference's 'auto'/'auto:N' (XLA scoring runs "
+        "fixed length-bucketed shapes, so auto resolves to the default "
+        "batch and auto:N to N)",
+    )
     parser.add_argument(
         "--data_parallel", type=int, default=1,
         help="shard reader batches over this many devices (DDP analog)",
@@ -206,6 +211,18 @@ def main(argv=None):
         level=getattr(logging, str(args.verbosity).upper(), logging.INFO),
         stream=sys.stdout,
     )
+    # reference interop: --batch_size auto / auto:N (HF backend memory
+    # probing). Scoring here compiles fixed length-bucketed shapes, so
+    # "auto" keeps the default batch and "auto:N" takes N.
+    bs = str(args.batch_size)
+    if bs.startswith("auto"):
+        _, _, n = bs.partition(":")
+        args.batch_size = int(n) if n.strip() else 8
+        logging.getLogger(__name__).info(
+            "--batch_size %s -> %d (fixed-shape XLA batching)", bs, args.batch_size
+        )
+    else:
+        args.batch_size = int(bs)
     if args.device:
         # must land before the first jax import in build_lm
         import os as _os

@@ -749,3 +749,15 @@ def test_cli_flags_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out
     assert '"my_custom_qa"' in out      # results table printed
     assert '"show_config": true' in out  # config dump printed
+
+
+def test_cli_batch_size_auto(tmp_path, capsys):
+    """Reference-style --batch_size auto / auto:N parses (fixed-shape XLA
+    batching resolves auto to the default, auto:N to N)."""
+    from retrieval_scaling_tpu.rag_eval.__main__ import main
+
+    root = _write_task_data(tmp_path)
+    main(["--model", "dummy", "--tasks", "nq_open", "--data_root", root,
+          "--batch_size", "auto:4", "--limit", "4"])
+    out = capsys.readouterr().out
+    assert '"nq_open"' in out

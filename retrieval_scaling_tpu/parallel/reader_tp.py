@@ -86,16 +86,35 @@ def reader_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     raise ValueError(f"unknown reader param tree: {sorted(params)[:5]}")
 
 
-def shard_reader_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
-    specs = reader_param_specs(params)
-    return jax.device_put(
-        params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                             is_leaf=lambda x: isinstance(x, P))
-    )
+def _fit_spec(mesh: Mesh, param, spec: P) -> P:
+    """Drop sharding on dims the mesh doesn't divide (e.g. GPT-2's odd
+    50257-vocab head under model=2) — those leaves replicate instead of
+    erroring, so TP works for any checkpoint."""
+    shape = getattr(param, "shape", None)
+    if shape is None or len(shape) < len(spec):
+        return spec
+    fitted = []
+    for dim, axes in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if axes is None:
+            fitted.append(None)
+            continue
+        ax_tuple = axes if isinstance(axes, tuple) else (axes,)
+        total = 1
+        for a in ax_tuple:
+            total *= mesh.shape[a]
+        fitted.append(axes if dim % total == 0 else None)
+    while fitted and fitted[-1] is None:
+        fitted.pop()
+    return P(*fitted)
 
 
 def reader_param_shardings(mesh: Mesh, params: Dict[str, Any]):
     specs = reader_param_specs(params)
     return jax.tree.map(
-        lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
+        lambda p, s: NamedSharding(mesh, _fit_spec(mesh, p, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def shard_reader_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    return jax.device_put(params, reader_param_shardings(mesh, params))

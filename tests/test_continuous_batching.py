@@ -244,6 +244,38 @@ def test_generation_service_concurrent_requests():
         svc.shutdown()
 
 
+def test_generation_service_tensor_parallel_matches_single_device():
+    """Serving generation with Megatron-sharded reader weights
+    (serve.generation_tensor_parallel) emits identical text."""
+    from tests.helpers import make_word_tokenizer
+
+    from retrieval_scaling_tpu.parallel.mesh import build_mesh
+    from retrieval_scaling_tpu.parallel.reader_tp import shard_reader_params
+    from retrieval_scaling_tpu.serve.generation import GenerationService
+
+    corpus = " ".join(f"w{i}" for i in range(60))
+    tok = make_word_tokenizer([corpus])
+    cfg = GPTNeoXConfig(
+        vocab_size=tok.vocab_size + 10, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=64, max_position_embeddings=128,
+        attention_impl="xla",
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(1))
+    mesh = build_mesh(data_axis=1, model_axis=2, devices=jax.devices()[:2])
+    svc = GenerationService(params, cfg, tok, slots=2, max_len=96, chunk=4)
+    svc_tp = GenerationService(
+        shard_reader_params(mesh, params), cfg, tok, slots=2, max_len=96, chunk=4
+    )
+    try:
+        for prompt in ("w1 w2", "w5 w6 w7"):
+            assert svc.generate(prompt, max_tokens=6) == svc_tp.generate(
+                prompt, max_tokens=6
+            )
+    finally:
+        svc.shutdown()
+        svc_tp.shutdown()
+
+
 def test_http_generate_route():
     import json
     import urllib.request

@@ -260,3 +260,25 @@ def test_generation_identical_on_mesh():
     a = np.asarray(single(params, prompts, lens, 0))
     bb = np.asarray(sharded(params, prompts, lens, 0))
     np.testing.assert_array_equal(a, bb)
+
+
+def test_tp_specs_fit_odd_vocab():
+    """Dims the mesh doesn't divide (GPT-2's 50257-vocab head under
+    model=2) replicate instead of erroring."""
+    import jax
+    import numpy as np_
+
+    from retrieval_scaling_tpu.models.gpt_neox import GPTNeoXConfig, init_gpt_neox_params
+    from retrieval_scaling_tpu.parallel.reader_tp import reader_param_shardings
+
+    cfg = GPTNeoXConfig(
+        vocab_size=73, hidden_size=32, num_layers=1, num_heads=4,
+        intermediate_size=64, max_position_embeddings=32,
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(0))
+    mesh = build_mesh(data_axis=4, model_axis=2)
+    sh = reader_param_shardings(mesh, params)
+    # odd vocab head falls back to replicated
+    assert sh["embed_out"].spec == jax.sharding.PartitionSpec()
+    # head-divisible projections stay sharded
+    assert "model" in str(sh["layers"][0]["qkv_w"].spec)

@@ -230,13 +230,17 @@ class Config:
 
 def _normalize_interop_keys(tree):
     """Rename reference-config spellings to the canonical ones
-    (per_gpu_batch_size -> per_device_batch_size), recursively."""
+    (per_gpu_batch_size -> per_device_batch_size), recursively. When a
+    dict carries BOTH spellings, the canonical key wins."""
     if isinstance(tree, dict):
-        return {
-            ("per_device_batch_size" if k == "per_gpu_batch_size" else k):
-                _normalize_interop_keys(v)
-            for k, v in tree.items()
-        }
+        out = {}
+        for k, v in tree.items():
+            if k == "per_gpu_batch_size":
+                if "per_device_batch_size" in tree:
+                    continue  # explicit canonical key wins
+                k = "per_device_batch_size"
+            out[k] = _normalize_interop_keys(v)
+        return out
     if isinstance(tree, list):
         return [_normalize_interop_keys(v) for v in tree]
     return tree

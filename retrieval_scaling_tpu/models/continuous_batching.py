@@ -84,6 +84,7 @@ class ContinuousBatcher:
         speculative: bool = False,
         draft_len: int = 7,
         ngram: int = 3,
+        mesh=None,
     ):
         if max_len > cfg.max_position_embeddings:
             max_len = cfg.max_position_embeddings
@@ -95,6 +96,24 @@ class ContinuousBatcher:
             dtype = embed.dtype
         self.params = params
         self.cfg = cfg
+        # TP (``mesh`` with a >1 'model' axis, params Megatron-sharded):
+        # decode-step flash must trace inside the head-sharding context or
+        # GSPMD replicates the pallas_call and all-gathers the sharded
+        # KV pool every chunk. Slots are not data-sharded (batch_axis=None).
+        self.mesh = mesh
+
+        def _tp_ctx():
+            if mesh is not None and mesh.shape.get("model", 1) > 1:
+                from retrieval_scaling_tpu.ops.flash_attention import (
+                    attention_head_sharding,
+                )
+
+                return attention_head_sharding(mesh, batch_axis=None)
+            import contextlib
+
+            return contextlib.nullcontext()
+
+        self._tp_ctx = _tp_ctx
         self.eos_id = int(eos_id)
         self.slots = int(slots)
         self.max_len = int(max_len)
@@ -125,6 +144,10 @@ class ContinuousBatcher:
 
         # ---- decode chunk: scan `chunk` single-token steps over the pool
         def decode_chunk(params, pool: KVCache, last, cur_len):
+            with self._tp_ctx():
+                return _decode_chunk(params, pool, last, cur_len)
+
+        def _decode_chunk(params, pool: KVCache, last, cur_len):
             # last: [slots] int32; cur_len: [slots] int32 (next write pos).
             # Free slots still step, harmlessly: their writes land at a
             # stale position and are overwritten or masked out by
@@ -157,6 +180,10 @@ class ContinuousBatcher:
         self.rounds = max(1, self.chunk // 4)
 
         def spec_chunk(params, pool: KVCache, last, cur_len, hist):
+            with self._tp_ctx():
+                return _spec_chunk(params, pool, last, cur_len, hist)
+
+        def _spec_chunk(params, pool: KVCache, last, cur_len, hist):
             from retrieval_scaling_tpu.models.speculative import (
                 _draft_ngram,
                 greedy_emission,

@@ -130,13 +130,13 @@ def _attention_with_cache(
         # fold into the [B, M] key mask (all decode rows share one
         # position), and soft-capping is fused in the kernel, so
         # Mistral/Gemma-2/Phi-3 decode takes this route too.
-        from retrieval_scaling_tpu.ops.flash_attention import flash_attention
+        from retrieval_scaling_tpu.ops.flash_attention import flash_attention_sharded
 
         mask = key_valid
         if window is not None:
             key_pos = jnp.arange(keys.shape[2])[None, :]          # [1, M]
             mask = mask & (key_pos > q_pos[:, :1] - window)       # [B, M]
-        return flash_attention(
+        return flash_attention_sharded(
             q, keys, values, kv_mask=mask,
             sm_scale=sm_scale if sm_scale is not None else q.shape[-1] ** -0.5,
             logit_cap=float(logit_cap) if logit_cap else None,
@@ -534,6 +534,19 @@ def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float =
         raise ValueError(f"unknown kv_cache {kv_cache!r}")
 
     def fn(params, prompt_ids, prompt_lens, seed):
+        # TP: decode-step flash (>=256-slot caches) must trace inside the
+        # head-sharding context or GSPMD replicates the pallas_call and
+        # all-gathers the head-sharded KV cache every token
+        if mesh is not None and param_shardings is not None:
+            from retrieval_scaling_tpu.ops.flash_attention import (
+                attention_head_sharding,
+            )
+
+            with attention_head_sharding(mesh):
+                return _fn(params, prompt_ids, prompt_lens, seed)
+        return _fn(params, prompt_ids, prompt_lens, seed)
+
+    def _fn(params, prompt_ids, prompt_lens, seed):
         b, s_pad = prompt_ids.shape
         max_len = s_pad + max_new_tokens
         if max_len > cfg.max_position_embeddings:

@@ -273,13 +273,6 @@ def _rms_norm_full(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale[None, :, None, :]
 
 
-def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
-    """[B, Hkv, S, hd] -> [B, Hkv*n_rep, S, hd] (HF interleaving order)."""
-    if n_rep == 1:
-        return x
-    return jnp.repeat(x, n_rep, axis=1)
-
-
 def llama_forward(
     params: Params,
     cfg: LlamaConfig,

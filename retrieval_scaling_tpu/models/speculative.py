@@ -153,6 +153,18 @@ def make_speculative_generate_fn(
     sampled = temperature is not None and temperature > 0.0
 
     def fn(params, prompt_ids, prompt_lens, seed):
+        # TP: decode flash must trace inside the head-sharding context
+        # (see models/generate.py make_generate_fn)
+        if mesh is not None and param_shardings is not None:
+            from retrieval_scaling_tpu.ops.flash_attention import (
+                attention_head_sharding,
+            )
+
+            with attention_head_sharding(mesh):
+                return _fn(params, prompt_ids, prompt_lens, seed)
+        return _fn(params, prompt_ids, prompt_lens, seed)
+
+    def _fn(params, prompt_ids, prompt_lens, seed):
         b, s_pad = prompt_ids.shape
         max_len = s_pad + max_new_tokens + g + 1  # verify-segment headroom
         if max_len > cfg.max_position_embeddings:

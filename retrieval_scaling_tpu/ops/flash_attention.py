@@ -95,6 +95,32 @@ def _flash_head_sharded(causal, sm_scale, logit_cap, window, q, k, v, mask_f, se
     )(*args)
 
 
+def flash_attention_sharded(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None = None,
+    sm_scale: float | None = None,
+    logit_cap: float | None = None,
+) -> jax.Array:
+    """``flash_attention`` that honors an active ``attention_head_sharding``
+    context (decode-path helper: generate.py calls the kernel directly,
+    not through ``multi_head_attention``, so without this a TP decode step
+    would replicate the pallas_call — all-gathering the head-sharded KV
+    cache every token)."""
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    mask_f = None if kv_mask is None else kv_mask.astype(jnp.float32)
+    out = _flash_head_sharded(
+        False, float(sm_scale), logit_cap, None, q, k, v, mask_f, None
+    )
+    if out is not None:
+        return out
+    return flash_attention(
+        q, k, v, kv_mask=kv_mask, sm_scale=sm_scale, logit_cap=logit_cap
+    )
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 

@@ -572,17 +572,24 @@ def simple_evaluate(
             for req in requests:
                 if req.get("type") == "generate_until":
                     req["gen_kwargs"] = {**req["gen_kwargs"], **gen_kwargs}
+        def _first_text(req):
+            # generate_until/loglikelihood carry 'context';
+            # loglikelihood_rolling tasks carry only 'text'
+            return (
+                req.get("context")
+                or next(iter(req.get("contexts", [])), None)
+                or req.get("text")
+            )
+
         if check_integrity:
             if not requests:
                 raise ValueError(f"task {cfg.task}: no documents / requests")
-            first_ctx = requests[0].get("context") or next(
-                iter(requests[0].get("contexts", [])), None
-            )
+            first_ctx = _first_text(requests[0])
             if not isinstance(first_ctx, str) or not first_ctx.strip():
                 raise ValueError(f"task {cfg.task}: empty rendered prompt")
         if write_out:
             r0 = requests[0] if requests else {}
-            ctx0 = r0.get("context") or next(iter(r0.get("contexts", [])), "")
+            ctx0 = _first_text(r0) or ""
             tgt0 = task.references(r0["doc"]) if r0.get("doc") is not None else []
             logger.info(
                 "write_out %s | prompt:\n%s\n| target(s): %r", cfg.task, ctx0, tgt0

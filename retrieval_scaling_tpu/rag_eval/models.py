@@ -106,7 +106,12 @@ class JaxReaderLM:
         if kv_cache not in (None, "", "none", "int8"):
             raise ValueError(f"unknown kv_cache {kv_cache!r}")
         self.kv_cache = kv_cache if kv_cache == "int8" else None
-        self.tensor_parallel = bool(tensor_parallel) and mesh is not None
+        if tensor_parallel and mesh is None:
+            raise ValueError(
+                "tensor_parallel=True requires a mesh (pass mesh=... or use "
+                "the CLI's --model_args tensor_parallel=M, which builds one)"
+            )
+        self.tensor_parallel = bool(tensor_parallel)
         if self.tensor_parallel and quantization in ("int8", "int4"):
             raise ValueError(
                 "tensor_parallel and reader quantization are mutually "
@@ -167,11 +172,10 @@ class JaxReaderLM:
                 )
                 from retrieval_scaling_tpu.parallel.reader_tp import (
                     reader_param_shardings,
-                    shard_reader_params,
                 )
 
-                self.params = params = shard_reader_params(mesh, params)
                 self._param_shardings = reader_param_shardings(mesh, params)
+                self.params = params = jax.device_put(params, self._param_shardings)
 
                 def row_ll_tp(params, ids, labels):
                     with attention_head_sharding(mesh):
@@ -355,6 +359,7 @@ class JaxReaderLM:
                 slots=self.batch_size, max_len=self.max_length,
                 speculative=self.gen_engine == "continuous_spec",
                 draft_len=self.draft_len,
+                mesh=self.mesh if self.tensor_parallel else None,
             )
         engine = self._cb_engine
         requests = []
@@ -389,8 +394,12 @@ class JaxReaderLM:
 
     @staticmethod
     def _req_temperature(r: dict) -> float:
-        # reference backends honor do_sample/temperature gen_kwargs
-        # (lm_eval models pass them through to HF/vLLM generate)
+        # vLLM-backend semantics (this backend's reference analog,
+        # lm_eval/models/vllm_causallms.py:495-497 modify_gen_kwargs):
+        # do_sample=False or missing temperature -> greedy; a present
+        # temperature otherwise samples. (The HF backend differs — it
+        # inherits GenerationConfig's do_sample=False — but task YAMLs
+        # that want greedy set do_sample: false explicitly.)
         gk = r.get("gen_kwargs", {})
         if not gk.get("do_sample", True):
             return 0.0

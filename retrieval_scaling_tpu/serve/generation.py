@@ -48,6 +48,7 @@ class GenerationService:
         default_max_new: int = 64,
         speculative: bool = False,
         draft_len: int = 7,
+        mesh=None,
     ):
         from retrieval_scaling_tpu.models.continuous_batching import ContinuousBatcher
 
@@ -59,7 +60,7 @@ class GenerationService:
         self.eos_id = int(eos)
         self.engine = ContinuousBatcher(
             params, cfg, self.eos_id, slots=slots, max_len=max_len, chunk=chunk,
-            speculative=speculative, draft_len=draft_len,
+            speculative=speculative, draft_len=draft_len, mesh=mesh,
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._shutdown = threading.Event()

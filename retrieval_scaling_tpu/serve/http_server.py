@@ -217,6 +217,7 @@ def serve_worker_from_config(cfg, port: int | None = None, registry_path: str | 
 
         params, reader_cfg = load_hf_reader(gen_model)
         gen_tp = int(serve_opt("generation_tensor_parallel", 1))
+        gen_mesh = None
         if gen_tp > 1:
             # Megatron layout over the mesh 'model' axis; the slot-pool
             # jits infer the shardings from the param arrays (the vLLM
@@ -226,16 +227,17 @@ def serve_worker_from_config(cfg, port: int | None = None, registry_path: str | 
             from retrieval_scaling_tpu.parallel.mesh import build_mesh
             from retrieval_scaling_tpu.parallel.reader_tp import shard_reader_params
 
-            mesh = build_mesh(
+            gen_mesh = build_mesh(
                 data_axis=1, model_axis=gen_tp, devices=jax.devices()[:gen_tp]
             )
-            params = shard_reader_params(mesh, params)
+            params = shard_reader_params(gen_mesh, params)
         generator = GenerationService(
             params, reader_cfg, load_tokenizer(gen_model),
             slots=int(serve_opt("generation_slots", 4)),
             max_len=int(serve_opt("generation_max_len", 1024)),
             speculative=bool(serve_opt("generation_speculative", False)),
             draft_len=int(serve_opt("generation_draft_len", 7)),
+            mesh=gen_mesh,
         )
 
     server = SearchAPIServer(

@@ -96,3 +96,16 @@ def test_per_gpu_batch_size_interop(tmp_path):
 
     cfg.merge_overrides(["evaluation.search.per_gpu_batch_size=77"])
     assert cfg.evaluation.search.per_device_batch_size == 77
+
+
+def test_per_gpu_batch_size_does_not_clobber_canonical(tmp_path):
+    from retrieval_scaling_tpu.config import load_config
+
+    p = tmp_path / "both.yaml"
+    p.write_text(
+        "datastore:\n  embedding:\n"
+        "    per_device_batch_size: 64\n"
+        "    per_gpu_batch_size: 8\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.datastore.embedding.per_device_batch_size == 64

@@ -617,3 +617,34 @@ def test_multi_head_attention_window_grads_flow():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r), atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r), atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_sharded_decode_under_tp_context():
+    """generate.py's decode path calls the kernel directly (not via
+    multi_head_attention); flash_attention_sharded must honor an active
+    attention_head_sharding context (shard_map over the head axis) and
+    match the plain kernel."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from retrieval_scaling_tpu.ops.flash_attention import (
+        attention_head_sharding,
+        flash_attention_sharded,
+    )
+    from retrieval_scaling_tpu.parallel.mesh import build_mesh
+
+    rng = np.random.RandomState(11)
+    b, h, s, m, d = 2, 4, 4, 64, 32  # decode-style: short q rows,长 key row
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+    mask = jnp.asarray(np.arange(m)[None, :] < np.array([m, m - 13])[:, None])
+
+    ref = xla_attention(q, k, v, kv_mask=mask)
+    mesh = build_mesh(data_axis=1, model_axis=2, devices=jax.devices()[:2])
+    with pltpu.force_tpu_interpret_mode():
+        with attention_head_sharding(mesh, batch_axis=None):
+            got = jax.jit(
+                lambda a, b_, c, mm: flash_attention_sharded(a, b_, c, kv_mask=mm)
+            )(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)

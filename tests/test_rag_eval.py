@@ -434,7 +434,11 @@ def test_loglikelihood_rolling_wikitext(tmp_path):
         def generate_until(self, reqs):
             raise NotImplementedError
 
-    res = simple_evaluate(FixedLM(), ["wikitext"], data_root=str(tmp_path))
+    # --check_integrity must accept rolling tasks (requests carry 'text',
+    # not 'context') instead of flagging them as empty prompts
+    res = simple_evaluate(
+        FixedLM(), ["wikitext"], data_root=str(tmp_path), check_integrity=True
+    )
     row = res["results"]["wikitext"]
     assert abs(row["word_perplexity"] - math.exp(2.0)) < 1e-9
     total_ll = -2.0 * 6

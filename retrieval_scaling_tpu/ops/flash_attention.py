@@ -60,20 +60,20 @@ def _flash_head_sharded(causal, sm_scale, logit_cap, window, q, k, v, mask_f, se
     if ctx is None:
         return None
     mesh, head_axis, batch_axis = ctx
-    if head_axis not in mesh.shape:
-        return None
-    tp = mesh.shape[head_axis]
+    tp = mesh.shape.get(head_axis, 1) if head_axis else 1
     dp = mesh.shape.get(batch_axis, 1) if batch_axis else 1
-    bax = batch_axis if (batch_axis and batch_axis in mesh.shape) else None
     b, h = q.shape[0], q.shape[1]
     hkv = k.shape[1]
     # per-shard GQA grouping must stay integral: (h/tp) % (hkv/tp) == 0
     # holds whenever both divide, since n_rep is unchanged per shard
-    if h % tp or hkv % tp or (bax and b % dp):
+    hax = head_axis if (tp > 1 and h % tp == 0 and hkv % tp == 0) else None
+    bax = batch_axis if (dp > 1 and b % dp == 0) else None
+    if hax is None and bax is None:
+        # nothing shardable (1-axis mesh or indivisible shapes): plain call
         return None
 
     P = jax.sharding.PartitionSpec
-    qspec = P(bax, head_axis, None, None)
+    qspec = P(bax, hax, None, None)
     args = [q, k, v]
     specs = [qspec, qspec, qspec]
     if mask_f is not None:

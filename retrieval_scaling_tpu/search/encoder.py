@@ -216,10 +216,17 @@ class JaxEncoder:
 
             @partial(jax.jit, in_shardings=(None, batch_sharding, batch_sharding))
             def fn(params, input_ids, attention_mask):
-                emb = self.embed_fn(
-                    params, self.cfg, input_ids, attention_mask,
-                    normalize=normalize_emb and out_dim is None,
+                # DP: any pallas attention route (long-sequence embedders)
+                # shards over the batch instead of replicating under GSPMD
+                from retrieval_scaling_tpu.ops.flash_attention import (
+                    attention_head_sharding,
                 )
+
+                with attention_head_sharding(self.mesh, head_axis=None):
+                    emb = self.embed_fn(
+                        params, self.cfg, input_ids, attention_mask,
+                        normalize=normalize_emb and out_dim is None,
+                    )
                 if out_dim is not None:
                     emb = emb[:, :out_dim]
                     if normalize_emb:
@@ -334,10 +341,18 @@ class JaxEncoder:
 
             @partial(jax.jit, in_shardings=(None, rows, rows, rows, rows))
             def fn(params, ids, pos, seg, seg_starts):
-                emb = contriever_embed_packed(
-                    params, self.cfg, ids, pos, seg, seg_starts,
-                    normalize=normalize_emb and out_dim is None,
-                )  # [R, G, D]
+                # DP: the segmented flash kernel (always the pallas path on
+                # TPU) must trace inside the sharding context or GSPMD
+                # replicates it — all-gathering the batch on every chip
+                from retrieval_scaling_tpu.ops.flash_attention import (
+                    attention_head_sharding,
+                )
+
+                with attention_head_sharding(self.mesh, head_axis=None):
+                    emb = contriever_embed_packed(
+                        params, self.cfg, ids, pos, seg, seg_starts,
+                        normalize=normalize_emb and out_dim is None,
+                    )  # [R, G, D]
                 if out_dim is not None:
                     emb = emb[..., :out_dim]
                     if normalize_emb:

@@ -648,3 +648,34 @@ def test_flash_attention_sharded_decode_under_tp_context():
                 lambda a, b_, c, mm: flash_attention_sharded(a, b_, c, kv_mask=mm)
             )(q, k, v, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_segmented_flash_batch_sharded_matches_plain():
+    """Packed (segmented) attention under a data-parallel mesh: the
+    batch-only sharding context routes the kernel through shard_map and
+    matches the unsharded result."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from retrieval_scaling_tpu.ops.flash_attention import attention_head_sharding
+    from retrieval_scaling_tpu.parallel.mesh import build_mesh
+
+    rng = np.random.RandomState(13)
+    b, h, s, d = 4, 2, 64, 16
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    seg = jnp.asarray(
+        np.repeat(np.arange(1, 5)[None, :], b, axis=0).repeat(16, axis=1)[:, :s]
+    ).astype(jnp.int32)
+
+    ref = xla_attention(q, k, v, segment_ids=seg)
+    mesh = build_mesh(data_axis=4, model_axis=2)
+    with pltpu.force_tpu_interpret_mode():
+        with attention_head_sharding(mesh, head_axis=None):
+            got = jax.jit(
+                lambda a, b_, c, s_: multi_head_attention(
+                    a, b_, c, segment_ids=s_, impl="flash"
+                )
+            )(q, k, v, seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)

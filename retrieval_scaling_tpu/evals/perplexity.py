@@ -155,10 +155,12 @@ def make_row_loss_fn(cfg, mesh=None, tensor_parallel=False, params=None):
     from retrieval_scaling_tpu.ops.flash_attention import attention_head_sharding
 
     def _attn_ctx():
-        # TP: route the Pallas flash kernel through shard_map over the
-        # 'model' axis (GSPMD would otherwise replicate the pallas_call —
-        # q/k/v all-gather + full-head compute on every chip).
-        if mesh is not None and tensor_parallel:
+        # Any mesh: route the Pallas flash kernel through shard_map (GSPMD
+        # would otherwise replicate the pallas_call — all-gathering the
+        # operands and computing them fully on every chip). TP shards the
+        # heads over 'model'; plain DP shards the batch over 'data'
+        # (reader scoring at S >= 1024 takes the flash route on TPU).
+        if mesh is not None:
             return attention_head_sharding(mesh)
         return contextlib.nullcontext()
 

@@ -534,10 +534,11 @@ def make_generate_fn(cfg, max_new_tokens: int, eos_id: int, temperature: float =
         raise ValueError(f"unknown kv_cache {kv_cache!r}")
 
     def fn(params, prompt_ids, prompt_lens, seed):
-        # TP: decode-step flash (>=256-slot caches) must trace inside the
-        # head-sharding context or GSPMD replicates the pallas_call and
-        # all-gathers the head-sharded KV cache every token
-        if mesh is not None and param_shardings is not None:
+        # Any mesh: decode-step flash (>=256-slot caches) must trace inside
+        # the sharding context or GSPMD replicates the pallas_call — under
+        # TP that all-gathers the head-sharded KV cache every token; under
+        # plain DP it all-gathers the row-sharded batch
+        if mesh is not None:
             from retrieval_scaling_tpu.ops.flash_attention import (
                 attention_head_sharding,
             )

@@ -153,9 +153,9 @@ def make_speculative_generate_fn(
     sampled = temperature is not None and temperature > 0.0
 
     def fn(params, prompt_ids, prompt_lens, seed):
-        # TP: decode flash must trace inside the head-sharding context
+        # Any mesh: decode flash must trace inside the sharding context
         # (see models/generate.py make_generate_fn)
-        if mesh is not None and param_shardings is not None:
+        if mesh is not None:
             from retrieval_scaling_tpu.ops.flash_attention import (
                 attention_head_sharding,
             )

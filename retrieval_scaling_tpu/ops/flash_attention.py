@@ -54,6 +54,18 @@ def attention_head_sharding(mesh, head_axis: str = "model", batch_axis: str | No
         _HEAD_SHARDING.reset(token)
 
 
+def batch_shard_ctx():
+    """(mesh, batch_axis, dp) when a sharding context with a >1 batch axis
+    is active — lets other pallas entry points (ops/quant_matmul.py) shard
+    their row dimension instead of being replicated by GSPMD."""
+    ctx = _HEAD_SHARDING.get()
+    if ctx is None:
+        return None
+    mesh, _, batch_axis = ctx
+    dp = mesh.shape.get(batch_axis, 1) if batch_axis else 1
+    return (mesh, batch_axis, dp) if dp > 1 else None
+
+
 def _flash_head_sharded(causal, sm_scale, logit_cap, window, q, k, v, mask_f, seg):
     """shard_map-wrapped _flash_diffable, or None if the mesh doesn't fit."""
     ctx = _HEAD_SHARDING.get()

@@ -90,9 +90,6 @@ def _int8_matmul_xla(x2d, qw: QuantizedWeight, bias, activation: str, out_dtype)
     return _apply_activation(out, activation).astype(out_dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("activation", "impl", "interpret", "out_dtype")
-)
 def int8_matmul(
     x: jax.Array,                # [..., K] bf16/f32
     qw: QuantizedWeight,         # wq [K, N], scale [1, N]
@@ -102,7 +99,61 @@ def int8_matmul(
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """activation(dequant(int8dot(rowquant(x), wq)) + bias) -> [..., N]."""
+    """activation(dequant(int8dot(rowquant(x), wq)) + bias) -> [..., N].
+
+    Under an active sharding context (attention_head_sharding with a >1
+    batch axis — DP encoder/scoring jits), rows shard over the mesh via
+    shard_map: GSPMD treats a pallas_call as replicated and would
+    all-gather the batch and compute it fully on every chip. The context
+    read lives OUTSIDE the jitted body — a jit cache keyed only on
+    shapes/statics must not capture it."""
+    shard = _batch_shard()
+    if shard is not None:
+        k, n = qw.wq.shape
+        batch_shape = x.shape[:-1]
+        m = 1
+        for s in batch_shape:
+            m *= s
+        mesh, bax, dp = shard
+        if m > 0 and m % dp == 0:
+            x2d = x.reshape(m, k)
+            bias_row = (
+                jnp.zeros((1, n), jnp.float32)
+                if bias is None
+                else bias.astype(jnp.float32).reshape(1, n)
+            )
+            P = jax.sharding.PartitionSpec
+
+            def inner(x_, wq_, sc_, b_):
+                return _int8_matmul_jit(
+                    x_, QuantizedWeight(wq_, sc_), b_[0], activation=activation,
+                    impl=impl, interpret=interpret, out_dtype=out_dtype,
+                )
+
+            out = jax.shard_map(
+                inner, mesh=mesh,
+                in_specs=(P(bax, None), P(None, None), P(None, None), P(None, None)),
+                out_specs=P(bax, None), check_vma=False,
+            )(x2d, qw.wq, qw.scale, bias_row)
+            return out.reshape(*batch_shape, n)
+    return _int8_matmul_jit(
+        x, qw, bias, activation=activation, impl=impl, interpret=interpret,
+        out_dtype=out_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("activation", "impl", "interpret", "out_dtype")
+)
+def _int8_matmul_jit(
+    x: jax.Array,
+    qw: QuantizedWeight,
+    bias: Optional[jax.Array] = None,
+    activation: str = "none",
+    impl: str = "auto",
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
     k, n = qw.wq.shape
     batch_shape = x.shape[:-1]
     assert x.shape[-1] == k, (x.shape, qw.wq.shape)
@@ -198,6 +249,14 @@ def _pick_bn(k: int, n: int) -> int:
         if n % bn == 0 and bn <= cap:
             best = bn
     return best or 128
+
+
+def _batch_shard():
+    """Active (mesh, batch_axis, dp) from attention_head_sharding, or None
+    (lazy import: flash_attention does not import this module)."""
+    from retrieval_scaling_tpu.ops.flash_attention import batch_shard_ctx
+
+    return batch_shard_ctx()
 
 
 def has_q8(store, name: str) -> bool:
@@ -352,7 +411,6 @@ def _int8_res_ln_xla(h2d, x2d, qw, bias, ln_scale, ln_bias, eps):
     return out.astype(x2d.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "impl", "interpret"))
 def int8_matmul_residual_ln(
     h: jax.Array,            # [..., N] FFN hidden (bf16/f32)
     x: jax.Array,            # [..., K] residual input
@@ -364,7 +422,57 @@ def int8_matmul_residual_ln(
     impl: str = "auto",
     interpret: bool = False,
 ) -> jax.Array:
-    """LayerNorm(x + dequant(int8dot(rowquant(h), wq)) + bias) -> [..., K]."""
+    """LayerNorm(x + dequant(int8dot(rowquant(h), wq)) + bias) -> [..., K].
+
+    See int8_matmul: rows shard via shard_map under an active DP sharding
+    context (the context read stays outside the jitted body)."""
+    shard = _batch_shard()
+    if shard is not None:
+        n, k = qw.wq.shape
+        batch_shape = x.shape[:-1]
+        m = 1
+        for s in batch_shape:
+            m *= s
+        mesh, bax, dp = shard
+        if m > 0 and m % dp == 0:
+            h2d, x2d = h.reshape(m, n), x.reshape(m, k)
+            P = jax.sharding.PartitionSpec
+            rowspec, rep = P(bax, None), P(None, None)
+
+            def inner(h_, x_, wq_, sc_, b_, g_, lb_):
+                return _int8_res_ln_jit(
+                    h_, x_, QuantizedWeight(wq_, sc_), b_[0], g_[0], lb_[0],
+                    eps=eps, impl=impl, interpret=interpret,
+                )
+
+            out = jax.shard_map(
+                inner, mesh=mesh,
+                in_specs=(rowspec, rowspec, rep, rep, rep, rep, rep),
+                out_specs=rowspec, check_vma=False,
+            )(
+                h2d, x2d, qw.wq, qw.scale,
+                bias.astype(jnp.float32).reshape(1, k),
+                ln_scale.astype(jnp.float32).reshape(1, k),
+                ln_bias.astype(jnp.float32).reshape(1, k),
+            )
+            return out.reshape(*batch_shape, k)
+    return _int8_res_ln_jit(
+        h, x, qw, bias, ln_scale, ln_bias, eps=eps, impl=impl, interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "impl", "interpret"))
+def _int8_res_ln_jit(
+    h: jax.Array,
+    x: jax.Array,
+    qw: QuantizedWeight,
+    bias: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    eps: float = 1e-12,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
     n, k = qw.wq.shape
     batch_shape = x.shape[:-1]
     assert h.shape[:-1] == batch_shape and h.shape[-1] == n and x.shape[-1] == k

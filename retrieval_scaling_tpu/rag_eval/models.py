@@ -187,8 +187,19 @@ class JaxReaderLM:
                     out_shardings=(rep, rep),
                 )
             else:
+                # plain DP still needs the sharding context: scoring at
+                # S >= 1024 takes the flash route on TPU, and GSPMD would
+                # replicate the pallas_call across the data axis
+                from retrieval_scaling_tpu.ops.flash_attention import (
+                    attention_head_sharding,
+                )
+
+                def row_ll_dp(params, ids, labels):
+                    with attention_head_sharding(mesh):
+                        return row_ll_greedy(params, ids, labels)
+
                 self._row_ll = jax.jit(
-                    row_ll_greedy,
+                    row_ll_dp,
                     in_shardings=(rep, rows, rows),
                     out_shardings=(rep, rep),
                 )

@@ -214,25 +214,35 @@ class JaxEncoder:
         if key not in self._encode_jit:
             batch_sharding = NamedSharding(self.mesh, P(("data",), None))
 
-            @partial(jax.jit, in_shardings=(None, batch_sharding, batch_sharding))
-            def fn(params, input_ids, attention_mask):
-                # DP: any pallas attention route (long-sequence embedders)
-                # shards over the batch instead of replicating under GSPMD
-                from retrieval_scaling_tpu.ops.flash_attention import (
-                    attention_head_sharding,
+            def body(params, input_ids, attention_mask):
+                emb = self.embed_fn(
+                    params, self.cfg, input_ids, attention_mask,
+                    normalize=normalize_emb and out_dim is None,
                 )
-
-                with attention_head_sharding(self.mesh, head_axis=None):
-                    emb = self.embed_fn(
-                        params, self.cfg, input_ids, attention_mask,
-                        normalize=normalize_emb and out_dim is None,
-                    )
                 if out_dim is not None:
                     emb = emb[:, :out_dim]
                     if normalize_emb:
                         norm = jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True)
                         emb = (emb.astype(jnp.float32) / jnp.clip(norm, 1e-9, None)).astype(emb.dtype)
                 return emb
+
+            # The embed forward is purely data-parallel, so it runs under
+            # shard_map (batch split over 'data', params replicated) rather
+            # than GSPMD: any pallas kernel inside (flash attention for
+            # long-sequence embedders, the fused int8 FFN) would otherwise
+            # be treated as replicated by the partitioner — all-gathering
+            # the batch and computing it fully on every chip.
+            if self.mesh.shape.get("data", 1) > 1:
+                fn = jax.jit(
+                    jax.shard_map(
+                        body, mesh=self.mesh,
+                        in_specs=(P(), P(("data",), None), P(("data",), None)),
+                        out_specs=P(("data",), None),
+                        check_vma=False,
+                    )
+                )
+            else:
+                fn = partial(jax.jit, in_shardings=(None, batch_sharding, batch_sharding))(body)
 
             self._encode_jit[key] = fn
         return self._encode_jit[key]
@@ -339,26 +349,32 @@ class JaxEncoder:
 
             rows = NamedSharding(self.mesh, P(("data",), None))
 
-            @partial(jax.jit, in_shardings=(None, rows, rows, rows, rows))
-            def fn(params, ids, pos, seg, seg_starts):
-                # DP: the segmented flash kernel (always the pallas path on
-                # TPU) must trace inside the sharding context or GSPMD
-                # replicates it — all-gathering the batch on every chip
-                from retrieval_scaling_tpu.ops.flash_attention import (
-                    attention_head_sharding,
-                )
-
-                with attention_head_sharding(self.mesh, head_axis=None):
-                    emb = contriever_embed_packed(
-                        params, self.cfg, ids, pos, seg, seg_starts,
-                        normalize=normalize_emb and out_dim is None,
-                    )  # [R, G, D]
+            def body(params, ids, pos, seg, seg_starts):
+                emb = contriever_embed_packed(
+                    params, self.cfg, ids, pos, seg, seg_starts,
+                    normalize=normalize_emb and out_dim is None,
+                )  # [R, G, D]
                 if out_dim is not None:
                     emb = emb[..., :out_dim]
                     if normalize_emb:
                         norm = jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True)
                         emb = (emb.astype(jnp.float32) / jnp.clip(norm, 1e-9, None)).astype(emb.dtype)
                 return emb
+
+            # shard_map, not GSPMD: the segmented flash kernel is ALWAYS
+            # the pallas path on TPU, and the partitioner would replicate
+            # it (see _compiled); packed rows are purely data-parallel
+            if self.mesh.shape.get("data", 1) > 1:
+                fn = jax.jit(
+                    jax.shard_map(
+                        body, mesh=self.mesh,
+                        in_specs=(P(),) + (P(("data",), None),) * 4,
+                        out_specs=P(("data",), None, None),
+                        check_vma=False,
+                    )
+                )
+            else:
+                fn = partial(jax.jit, in_shardings=(None, rows, rows, rows, rows))(body)
 
             self._encode_jit[key] = fn
         return self._encode_jit[key]

@@ -582,3 +582,26 @@ def test_blockwise_loss_llama_softcap_head():
     )
     np.testing.assert_allclose(float(jnp.sum(row_loss)), float(dense_sum), rtol=1e-5)
     assert int(jnp.sum(row_n)) == int(dense_n)
+
+
+def test_encoder_mesh_matches_single_device():
+    """The shard_map DP embed path (pallas kernels shard over 'data'
+    instead of GSPMD-replicating) reproduces single-device embeddings."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import make_word_tokenizer, tiny_encoder
+    from retrieval_scaling_tpu.parallel.mesh import build_mesh
+    from retrieval_scaling_tpu.search.encoder import EncodeOptions
+
+    rng = np.random.RandomState(2)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(words, rng.randint(2, 16))) for _ in range(19)]
+    tok = make_word_tokenizer([" ".join(words)])
+    single = tiny_encoder(tok)
+    sharded = tiny_encoder(tok, mesh=build_mesh())
+    for packed in (False, True):
+        a = single.encode(texts, EncodeOptions(batch_size=8, maxlength=32, packed=packed))
+        b = sharded.encode(texts, EncodeOptions(batch_size=8, maxlength=32, packed=packed))
+        np.testing.assert_allclose(
+            a.astype(np.float32), b.astype(np.float32), atol=2e-3, rtol=2e-3
+        )

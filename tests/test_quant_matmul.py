@@ -403,3 +403,44 @@ def test_decode_int4_logits_track_float():
 
     with pytest.raises(ValueError):
         quantize_decode_params(params, cfg, scheme="int2")
+
+
+def test_int8_matmul_batch_sharded_matches_plain():
+    """Under an active DP sharding context the int8 matmuls shard their
+    rows via shard_map (GSPMD would replicate the pallas_call) and match
+    the unsharded result exactly."""
+    import jax
+
+    from retrieval_scaling_tpu.ops.flash_attention import attention_head_sharding
+    from retrieval_scaling_tpu.ops.quant_matmul import (
+        int8_matmul,
+        int8_matmul_residual_ln,
+        quantize_weight,
+    )
+    from retrieval_scaling_tpu.parallel.mesh import build_mesh
+
+    rng = np.random.RandomState(5)
+    m, k, n = 2048, 128, 256  # per-shard 256 rows keeps the pallas path (BM)
+    x = jnp.asarray(rng.randn(m, k), jnp.float32)
+    w = jnp.asarray(rng.randn(k, n) * 0.05, jnp.float32)
+    qw = quantize_weight(w)
+    plain = np.asarray(int8_matmul(x, qw, interpret=True))
+    mesh = build_mesh(data_axis=8, model_axis=1)
+    with attention_head_sharding(mesh, head_axis=None):
+        sharded = np.asarray(int8_matmul(x, qw, interpret=True))
+    np.testing.assert_allclose(sharded, plain, atol=1e-5, rtol=1e-5)
+
+    h = jnp.asarray(rng.randn(m, n), jnp.float32)
+    res = jnp.asarray(rng.randn(m, k), jnp.float32)
+    qw2 = quantize_weight(jnp.asarray(rng.randn(n, k) * 0.05, jnp.float32))
+    bias = jnp.asarray(rng.randn(k), jnp.float32)
+    g = jnp.ones((k,), jnp.float32)
+    b = jnp.zeros((k,), jnp.float32)
+    plain2 = np.asarray(
+        int8_matmul_residual_ln(h, res, qw2, bias, g, b, interpret=True)
+    )
+    with attention_head_sharding(mesh, head_axis=None):
+        sharded2 = np.asarray(
+            int8_matmul_residual_ln(h, res, qw2, bias, g, b, interpret=True)
+        )
+    np.testing.assert_allclose(sharded2, plain2, atol=1e-5, rtol=1e-5)

@@ -122,7 +122,6 @@ def int8_matmul(
                 if bias is None
                 else bias.astype(jnp.float32).reshape(1, n)
             )
-            P = jax.sharding.PartitionSpec
 
             def inner(x_, wq_, sc_, b_):
                 return _int8_matmul_jit(
@@ -130,11 +129,9 @@ def int8_matmul(
                     impl=impl, interpret=interpret, out_dtype=out_dtype,
                 )
 
-            out = jax.shard_map(
-                inner, mesh=mesh,
-                in_specs=(P(bax, None), P(None, None), P(None, None), P(None, None)),
-                out_specs=P(bax, None), check_vma=False,
-            )(x2d, qw.wq, qw.scale, bias_row)
+            out = _row_shard_map(
+                mesh, bax, inner, (x2d,), (qw.wq, qw.scale, bias_row)
+            )
             return out.reshape(*batch_shape, n)
     return _int8_matmul_jit(
         x, qw, bias, activation=activation, impl=impl, interpret=interpret,
@@ -259,6 +256,17 @@ def _batch_shard():
     return batch_shard_ctx()
 
 
+def _row_shard_map(mesh, bax, inner, row_args, rep_args):
+    """shard_map ``inner(*row_args, *rep_args)`` with the row args split
+    over ``bax`` and the rest replicated — the shared shape of the DP
+    wrappers below (GSPMD would replicate the pallas_call instead)."""
+    P = jax.sharding.PartitionSpec
+    specs = (P(bax, None),) * len(row_args) + (P(None, None),) * len(rep_args)
+    return jax.shard_map(
+        inner, mesh=mesh, in_specs=specs, out_specs=P(bax, None), check_vma=False
+    )(*row_args, *rep_args)
+
+
 def has_q8(store, name: str) -> bool:
     """True when ``store`` holds ``name`` quantized (int8 ``<name>@q8`` /
     ``<name>@s`` or int4 ``<name>@q4`` / ``<name>@s4g``) — produced by
@@ -309,7 +317,6 @@ def _int8_decode_kernel(x_ref, wq_ref, scale_ref, out_ref):
 M_DECODE_MAX = 128
 
 
-@functools.partial(jax.jit, static_argnames=("impl", "interpret", "out_dtype"))
 def int8_decode_matmul(
     x: jax.Array,            # [..., K]
     qw: QuantizedWeight,     # wq [K, N], scale [1, N]
@@ -317,7 +324,12 @@ def int8_decode_matmul(
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """x @ dequant(wq) for small leading dims (the decode hot path)."""
+    """x @ dequant(wq) for small leading dims (the decode hot path).
+
+    NOT jitted itself: the prefill-sized routes delegate to int8_matmul,
+    whose sharding-context read must stay outside any jit cache (a cached
+    trace keyed only on shapes/statics would bake a stale shard/no-shard
+    choice). The weight-streaming kernel path is its own jitted body."""
     k, n = qw.wq.shape
     batch_shape = x.shape[:-1]
     assert x.shape[-1] == k, (x.shape, qw.wq.shape)
@@ -348,7 +360,28 @@ def int8_decode_matmul(
             return out[:m].reshape(*batch_shape, n)
         out = int8_matmul(x2d, qw, impl=impl, interpret=interpret, out_dtype=out_dtype)
         return out.reshape(*batch_shape, n)
+    return _int8_decode_stream_jit(
+        x, qw, interpret=interpret, out_dtype=out_dtype
+    )
 
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _int8_decode_stream_jit(
+    x: jax.Array,
+    qw: QuantizedWeight,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """The weight-streaming decode kernel (replication under GSPMD is
+    near-free here: the weight stream dominates and is per-chip either
+    way, and the resident activations are tiny)."""
+    k, n = qw.wq.shape
+    batch_shape = x.shape[:-1]
+    m = 1
+    for s in batch_shape:
+        m *= s
+    x2d = x.reshape(m, k)
+    bn = BN_DECODE if n % BN_DECODE == 0 else 128
     assert m <= M_DECODE_MAX and k % 128 == 0 and n % bn == 0, (m, k, n)
     m_pad = max(M_DECODE, _round_up(m, 32))  # sublane-aligned resident block
     x_pad = jnp.pad(x2d, ((0, m_pad - m), (0, 0)))
@@ -436,8 +469,6 @@ def int8_matmul_residual_ln(
         mesh, bax, dp = shard
         if m > 0 and m % dp == 0:
             h2d, x2d = h.reshape(m, n), x.reshape(m, k)
-            P = jax.sharding.PartitionSpec
-            rowspec, rep = P(bax, None), P(None, None)
 
             def inner(h_, x_, wq_, sc_, b_, g_, lb_):
                 return _int8_res_ln_jit(
@@ -445,15 +476,14 @@ def int8_matmul_residual_ln(
                     eps=eps, impl=impl, interpret=interpret,
                 )
 
-            out = jax.shard_map(
-                inner, mesh=mesh,
-                in_specs=(rowspec, rowspec, rep, rep, rep, rep, rep),
-                out_specs=rowspec, check_vma=False,
-            )(
-                h2d, x2d, qw.wq, qw.scale,
-                bias.astype(jnp.float32).reshape(1, k),
-                ln_scale.astype(jnp.float32).reshape(1, k),
-                ln_bias.astype(jnp.float32).reshape(1, k),
+            out = _row_shard_map(
+                mesh, bax, inner, (h2d, x2d),
+                (
+                    qw.wq, qw.scale,
+                    bias.astype(jnp.float32).reshape(1, k),
+                    ln_scale.astype(jnp.float32).reshape(1, k),
+                    ln_bias.astype(jnp.float32).reshape(1, k),
+                ),
             )
             return out.reshape(*batch_shape, k)
     return _int8_res_ln_jit(

@@ -242,7 +242,7 @@ class JaxEncoder:
                     )
                 )
             else:
-                fn = partial(jax.jit, in_shardings=(None, batch_sharding, batch_sharding))(body)
+                fn = jax.jit(body, in_shardings=(None, batch_sharding, batch_sharding))
 
             self._encode_jit[key] = fn
         return self._encode_jit[key]
@@ -374,7 +374,7 @@ class JaxEncoder:
                     )
                 )
             else:
-                fn = partial(jax.jit, in_shardings=(None, rows, rows, rows, rows))(body)
+                fn = jax.jit(body, in_shardings=(None, rows, rows, rows, rows))
 
             self._encode_jit[key] = fn
         return self._encode_jit[key]

@@ -634,7 +634,7 @@ def test_flash_attention_sharded_decode_under_tp_context():
     from retrieval_scaling_tpu.parallel.mesh import build_mesh
 
     rng = np.random.RandomState(11)
-    b, h, s, m, d = 2, 4, 4, 64, 32  # decode-style: short q rows,长 key row
+    b, h, s, m, d = 2, 4, 4, 64, 32  # decode-style: short q rows, long key row
     q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
     k = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
     v = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)

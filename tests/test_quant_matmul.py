@@ -444,3 +444,38 @@ def test_int8_matmul_batch_sharded_matches_plain():
             int8_matmul_residual_ln(h, res, qw2, bias, g, b, interpret=True)
         )
     np.testing.assert_allclose(sharded2, plain2, atol=1e-5, rtol=1e-5)
+
+
+def test_int8_decode_matmul_context_not_baked_into_jit_cache():
+    """int8_decode_matmul routes prefill-sized calls through int8_matmul,
+    whose sharding-context read must happen per call — a cached no-context
+    trace at the same shape must not swallow a later in-context call
+    (and vice versa)."""
+    import jax
+
+    from retrieval_scaling_tpu.ops.flash_attention import attention_head_sharding
+    from retrieval_scaling_tpu.ops.quant_matmul import (
+        int8_decode_matmul,
+        quantize_weight,
+    )
+    from retrieval_scaling_tpu.parallel.mesh import build_mesh
+
+    rng = np.random.RandomState(6)
+    m, k, n = 2048, 128, 256
+    x = jnp.asarray(rng.randn(m, k), jnp.float32)
+    qw = quantize_weight(jnp.asarray(rng.randn(k, n) * 0.05, jnp.float32))
+    mesh = build_mesh(data_axis=8, model_axis=1)
+
+    # no-context first: traces the unsharded path at this shape
+    plain = int8_decode_matmul(x, qw, interpret=True)
+    assert "data" not in str(plain.sharding)
+    # same shape inside the context must still shard
+    with attention_head_sharding(mesh, head_axis=None):
+        sharded = int8_decode_matmul(x, qw, interpret=True)
+    assert "data" in str(sharded.sharding), sharded.sharding
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(plain), atol=1e-5, rtol=1e-5
+    )
+    # and a later no-context call must not inherit the sharded trace
+    plain2 = int8_decode_matmul(x, qw, interpret=True)
+    assert "data" not in str(plain2.sharding)

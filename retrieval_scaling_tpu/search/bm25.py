@@ -165,6 +165,77 @@ class BM25Index:
         return scores[top], top
 
 
+class BM25Searcher:
+    """Doc-store-backed searcher with the reference's full option surface.
+
+    Mirrors ``BM25Index.search(query, k, continuation=, shift=, raw_only=)``
+    (reference: src/index.py:118-155), which the tokenized-datastore path
+    uses via src/search.py:763-807:
+
+      * ``shift``      — return doc ``id+1`` instead of the hit itself
+        (next-block retrieval).
+      * ``continuation`` — concatenate the NEXT doc block onto each hit.
+        Reference quirk preserved: the "next" block is always
+        ``original_docid + 1`` even when ``shift`` already moved the hit
+        there (src/index.py:130), so shift+continuation doubles the block.
+        On the last block the reference logs and skips the concat
+        (src/index.py:136) — same here.
+      * ``raw_only=False`` — parse each raw jsonl doc and return its
+        ``input_ids`` (token-level datastores) instead of raw text.
+
+    ``raw_docs`` are the stored jsonl lines, in docid order — the analog of
+    Lucene's ``--storeRaw`` field.
+    """
+
+    def __init__(self, index: BM25Index, raw_docs: Sequence[str]):
+        if len(raw_docs) != index.n_docs:
+            raise ValueError(
+                f"doc store has {len(raw_docs)} rows but the index scores "
+                f"{index.n_docs} docs"
+            )
+        self.index = index
+        self.raw_docs = list(raw_docs)
+
+    def doc_raw(self, docid: int):
+        """Raw stored doc, or None when out of range (Lucene doc() analog)."""
+        if 0 <= docid < len(self.raw_docs):
+            return self.raw_docs[docid]
+        return None
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        continuation: bool = False,
+        shift: bool = False,
+        raw_only: bool = True,
+    ) -> List:
+        _, ids = self.index.search(query, k)
+        out: List = []
+        for hit in ids:
+            hit = int(hit)
+            docid = hit + 1 if shift else hit
+            raw = self.doc_raw(docid)
+            if raw is None:
+                # the reference would crash on .raw() of a missing shifted
+                # doc; skipping the hit with a warning is the sane analog
+                logger.warning(
+                    "shifted docid %d past the last block — dropping hit", docid
+                )
+                continue
+            next_raw = self.doc_raw(hit + 1) if continuation else None
+            if continuation and next_raw is None:
+                logger.info("The last block retrieved, so skipping continuation...")
+            if raw_only:
+                out.append(raw + next_raw if next_raw is not None else raw)
+            else:
+                input_ids = list(json.loads(raw)["input_ids"])
+                if next_raw is not None:
+                    input_ids += json.loads(next_raw)["input_ids"]
+                out.append(input_ids)
+        return out
+
+
 # ---------------------------------------------------------------- pipeline
 def get_bm25_index_dir(cfg, index_shard_ids: Sequence[int]) -> str:
     """Reference path scheme (reference: src/index.py:59-79)."""

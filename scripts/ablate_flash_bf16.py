@@ -19,7 +19,6 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ablate_flash_bf16.py
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -127,8 +126,17 @@ def main() -> None:
         log(f"---- B{B} H{H} S{S} D{D} bq{bq} ----")
         timed = make_timed(q, k, v, iters)
         out = {}
+        # full-f32 reference: cast q/k/v up front so xla_attention's PV
+        # contraction (which otherwise runs at v.dtype) accumulates in f32
         ref = np.asarray(
-            xla_attention(q, k, v, causal=True, sm_scale=sm_scale), np.float32
+            xla_attention(
+                q.astype(jnp.float32),
+                k.astype(jnp.float32),
+                v.astype(jnp.float32),
+                causal=True,
+                sm_scale=sm_scale,
+            ),
+            np.float32,
         )
         for mode in ("f32mm", "bf16qk", "bf16both"):
             fn = build(mode, B, H, S, D, bq, sm_scale)

@@ -182,3 +182,83 @@ def test_analyzer_version_mismatch_rejected(tmp_path):
     np.savez(path[:-4], **data)
     with pytest.raises(ValueError, match="analyzer version"):
         BM25Index.load(path)
+
+
+# ---- BM25Searcher option-tail parity (reference: src/index.py:118-155) ----
+
+def _block_store():
+    """4 sequential token blocks, BM25-indexed on their text field."""
+    blocks = [
+        {"id": i, "contents": txt, "input_ids": list(range(i * 10, i * 10 + 3))}
+        for i, txt in enumerate([
+            "alpha fox block zero",
+            "bravo fox block one",
+            "charlie dog block two",
+            "delta dog block three",
+        ])
+    ]
+    raw_docs = [json.dumps(b) for b in blocks]
+    index = BM25Index.build([b["contents"] for b in blocks])
+    from retrieval_scaling_tpu.search.bm25 import BM25Searcher
+
+    return BM25Searcher(index, raw_docs), blocks
+
+
+def test_searcher_raw_default_matches_index():
+    searcher, blocks = _block_store()
+    out = searcher.search("alpha fox", k=2)
+    assert out[0] == json.dumps(blocks[0])
+    assert all(isinstance(o, str) for o in out)
+
+
+def test_searcher_continuation_concats_next_block():
+    searcher, blocks = _block_store()
+    out = searcher.search("alpha fox", k=1, continuation=True)
+    assert out == [json.dumps(blocks[0]) + json.dumps(blocks[1])]
+
+
+def test_searcher_continuation_last_block_skips():
+    searcher, blocks = _block_store()
+    out = searcher.search("delta three", k=1, continuation=True)
+    # doc 3 is the last block: continuation skipped, raw returned alone
+    assert out == [json.dumps(blocks[3])]
+
+
+def test_searcher_shift_returns_next_block():
+    searcher, blocks = _block_store()
+    out = searcher.search("alpha fox", k=1, shift=True)
+    assert out == [json.dumps(blocks[1])]
+
+
+def test_searcher_shift_past_end_drops_hit():
+    searcher, blocks = _block_store()
+    out = searcher.search("delta three", k=1, shift=True)
+    assert out == []
+
+
+def test_searcher_tokenized_input_ids():
+    searcher, blocks = _block_store()
+    out = searcher.search("alpha fox", k=1, raw_only=False)
+    assert out == [blocks[0]["input_ids"]]
+
+
+def test_searcher_tokenized_continuation_concat():
+    searcher, blocks = _block_store()
+    out = searcher.search("alpha fox", k=1, raw_only=False, continuation=True)
+    assert out == [blocks[0]["input_ids"] + blocks[1]["input_ids"]]
+
+
+def test_searcher_shift_continuation_reference_quirk():
+    # reference quirk: continuation always concats original_docid+1, so
+    # shift+continuation doubles the shifted block (src/index.py:130)
+    searcher, blocks = _block_store()
+    out = searcher.search("alpha fox", k=1, shift=True, continuation=True)
+    assert out == [json.dumps(blocks[1]) + json.dumps(blocks[1])]
+
+
+def test_searcher_doc_count_mismatch_rejected():
+    from retrieval_scaling_tpu.search.bm25 import BM25Searcher
+
+    index = BM25Index.build(["one doc"])
+    with pytest.raises(ValueError):
+        BM25Searcher(index, [])

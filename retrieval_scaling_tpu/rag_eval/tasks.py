@@ -108,6 +108,13 @@ class TaskConfig:
     # samples:` — e.g. the canonical BBH 3-shot exemplars): literal doc
     # dicts used first_n instead of sampling a split.
     fewshot_samples: Optional[List[dict]] = None
+    # Promptsource template hook (reference: lm_eval/api/task.py:80,829 —
+    # `use_prompt: promptsource:<collection>/<name>` swaps doc_to_text/
+    # doc_to_target for a promptsource Jinja template). Accepted at the
+    # config level so reference YAMLs parse; MATERIALIZING such a task
+    # refuses loudly — promptsource's template library is a deliberate
+    # exclusion (MIGRATION.md "Deliberate exclusions").
+    use_prompt: Optional[str] = None
     # Replacement for empty/whitespace-only generations before scoring
     # (reference: scrolls/task.py Qasper.process_results -> "Unanswerable").
     empty_prediction: Optional[str] = None
@@ -1158,6 +1165,13 @@ class Task:
         seed: int = 1234,
         cache_dir: str | None = None,
     ):
+        if cfg.use_prompt is not None:
+            raise NotImplementedError(
+                f"task {cfg.task!r} sets use_prompt={cfg.use_prompt!r}: "
+                "promptsource templates are a deliberate exclusion "
+                "(MIGRATION.md) — port the template into doc_to_text/"
+                "doc_to_target format strings instead"
+            )
         self.cfg = cfg
         self.docs = load_documents(cfg, data_root=data_root, cache_dir=cache_dir)
         self._data_root = data_root

@@ -241,3 +241,24 @@ def test_math_family_scoring(tmp_path):
 
     res = simple_evaluate(BoxedLM(), ["hendrycks_math_geometry"], data_root=str(tmp_path))
     assert res["results"]["hendrycks_math_geometry"]["exact_match,boxed"] == 1.0
+
+
+def test_use_prompt_parses_but_refuses_materialization(tmp_path):
+    # config-level parity: the reference's promptsource hook key parses
+    # (lm_eval/api/task.py:80); materializing refuses with a porting hint
+    # (deliberate exclusion, MIGRATION.md)
+    import pytest
+    import yaml as _yaml
+
+    from retrieval_scaling_tpu.rag_eval.tasks import Task, TaskConfig
+
+    p = tmp_path / "t.yaml"
+    p.write_text(_yaml.safe_dump({
+        "task": "promptsource_task",
+        "dataset_path": "nq_open",
+        "use_prompt": "promptsource:natural_questions/answer",
+    }))
+    cfg = TaskConfig.from_yaml(str(p))
+    assert cfg.use_prompt == "promptsource:natural_questions/answer"
+    with pytest.raises(NotImplementedError, match="promptsource"):
+        Task(cfg, data_root=str(tmp_path))

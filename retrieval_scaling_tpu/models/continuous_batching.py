@@ -18,6 +18,23 @@ equivalent under XLA's static-shape rules:
 Static-shape consequences: every device program is compiled once per
 (prompt bucket) or once overall (decode chunk / insert); admission and
 completion are pure host bookkeeping.
+
+The scheduler is PIPELINED (round-4 rework; the round-3 version lost to
+static bucketing on wall-clock because every chunk and every admission
+blocked on a host↔device round trip):
+
+  * decode state ``(pool, last, cur_len)`` chains between chunk dispatches
+    as device arrays — the host never re-uploads it;
+  * up to ``pipeline_depth`` decode chunks stay in flight, so fetching
+    chunk k's tokens overlaps chunk k+1's device execution;
+  * admission dispatches every prefill + fused insert of a wave
+    asynchronously and blocks ONCE on the stacked first tokens;
+  * the insert program also refreshes the slot's ``last``/``cur_len``
+    entries, so admission costs one device call per request, zero syncs.
+
+A chunk dispatched before a slot's (re)admission carries junk for that
+slot (``valid_from`` filters it host-side); junk K/V writes are overwritten
+before they are read, exactly like the free-slot stepping below.
 """
 
 from __future__ import annotations
@@ -85,6 +102,7 @@ class ContinuousBatcher:
         draft_len: int = 7,
         ngram: int = 3,
         mesh=None,
+        pipeline_depth: int = 2,
     ):
         if max_len > cfg.max_position_embeddings:
             max_len = cfg.max_position_embeddings
@@ -118,6 +136,7 @@ class ContinuousBatcher:
         self.slots = int(slots)
         self.max_len = int(max_len)
         self.chunk = int(chunk)
+        self.depth = max(1, int(pipeline_depth))
         # speculative rounds write draft_len+1 positions past a slot's last
         # real token; shrink the usable budget so verify segments stay
         # inside the pool (clamp_request keeps prompts within it)
@@ -152,6 +171,9 @@ class ContinuousBatcher:
             # Free slots still step, harmlessly: their writes land at a
             # stale position and are overwritten or masked out by
             # key_valid when the slot is reused.
+            seed = last  # input token per slot: a freshly admitted slot's
+            # FIRST generated token (set by the fused insert), prepended to
+            # the output so admission never syncs on it host-side
             def step(carry, _):
                 pool, last, cur_len = carry
                 pos = jnp.minimum(cur_len, self.max_len - 1)[:, None]
@@ -167,7 +189,9 @@ class ContinuousBatcher:
             (pool, last, cur_len), toks = jax.lax.scan(
                 step, (pool, last, cur_len), None, length=self.chunk
             )
-            return pool, last, cur_len, toks.T  # [slots, chunk]
+            # [slots, 1 + chunk]: column 0 is the seed token
+            toks_full = jnp.concatenate([seed[:, None], toks.T], axis=1)
+            return pool, last, cur_len, toks_full
 
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
 
@@ -190,6 +214,7 @@ class ContinuousBatcher:
             )
 
             g = self.draft_len
+            seed = last  # see _decode_chunk: prepended as a count-1 round
 
             def rnd(carry, _):
                 pool, last, cur_len, hist = carry
@@ -219,8 +244,16 @@ class ContinuousBatcher:
             (pool, last, cur_len, hist), (toks, counts) = jax.lax.scan(
                 rnd, (pool, last, cur_len, hist), None, length=self.rounds
             )
-            # scan stacks on axis 0: [R, slots, ...] -> slot-major
-            return pool, last, cur_len, hist, toks.transpose(1, 0, 2), counts.T
+            # scan stacks on axis 0: [R, slots, ...] -> slot-major, with a
+            # synthetic count-1 "round 0" carrying the seed token
+            seed_toks = jnp.broadcast_to(
+                seed[:, None, None], (self.slots, 1, g + 1)
+            ).astype(toks.dtype)
+            toks_full = jnp.concatenate([seed_toks, toks.transpose(1, 0, 2)], axis=1)
+            counts_full = jnp.concatenate(
+                [jnp.ones((self.slots, 1), counts.dtype), counts.T], axis=1
+            )
+            return pool, last, cur_len, hist, toks_full, counts_full
 
         self._spec_chunk = jax.jit(spec_chunk, donate_argnums=(1,))
 
@@ -234,8 +267,10 @@ class ContinuousBatcher:
 
         self._hist_write = jax.jit(hist_write, donate_argnums=(0,))
 
-        # ---- insert: copy a batch-1 prefilled cache into slot `slot`
-        def insert(pool: KVCache, pre: KVCache, slot):
+        # ---- insert: copy a batch-1 prefilled cache into slot `slot` AND
+        # refresh the slot's decode state in the same device program (one
+        # call per admission, no host sync)
+        def insert(pool: KVCache, pre: KVCache, slot, last, cur_len, first, plen):
             new_k = tuple(
                 jax.lax.dynamic_update_slice(pk, nk, (slot, 0, 0, 0))
                 for pk, nk in zip(pool.k, pre.k)
@@ -244,9 +279,11 @@ class ContinuousBatcher:
                 jax.lax.dynamic_update_slice(pv, nv, (slot, 0, 0, 0))
                 for pv, nv in zip(pool.v, pre.v)
             )
-            return KVCache(new_k, new_v)
+            last = last.at[slot].set(first)
+            cur_len = cur_len.at[slot].set(plen)
+            return KVCache(new_k, new_v), last, cur_len
 
-        self._insert = jax.jit(insert, donate_argnums=(0,))
+        self._insert = jax.jit(insert, donate_argnums=(0, 3, 4))
 
     def _prefill_fn(self, width: int):
         if width not in self._prefill_fns:
@@ -274,7 +311,15 @@ class ContinuousBatcher:
         self,
         requests: Sequence[Tuple[List[int], int]],
         stop_check: Optional[Callable[[int, List[int]], bool]] = None,
+        on_finish: Optional[Callable[[int], None]] = None,
     ) -> List[List[int]]:
+        """Pipelined scheduler: device state chains between dispatches, up
+        to ``self.depth`` decode chunks stay in flight, and the host blocks
+        only on token fetches (overlapped with in-flight compute).
+        ``on_finish(i)`` fires when request ``i`` completes (latency
+        instrumentation)."""
+        from collections import deque
+
         n = len(requests)
         results: List[Optional[List[int]]] = [None] * n
         # longest-first admission reduces tail latency (the longest prompts
@@ -283,10 +328,13 @@ class ContinuousBatcher:
         free = list(range(self.slots))
         active: dict = {}  # slot -> request index
 
-        last = np.full(self.slots, self.eos_id, np.int32)
-        cur_len = np.zeros(self.slots, np.int32)
+        last_d = jnp.full((self.slots,), self.eos_id, jnp.int32)
+        cur_d = jnp.zeros((self.slots,), jnp.int32)
         tokens: List[List[int]] = [[] for _ in range(n)]
         budget = [0] * n
+        seq = 0                       # next chunk sequence number
+        valid_from = [0] * self.slots  # first chunk seq valid per slot
+        inflight: deque = deque()     # (seq, toks_handle, counts_handle)
 
         def finish(slot: int):
             i = active.pop(slot)
@@ -295,9 +343,14 @@ class ContinuousBatcher:
                 toks = toks[: toks.index(self.eos_id)]
             results[i] = toks
             free.append(slot)
+            if on_finish is not None:
+                on_finish(i)
 
         def admit():
-            nonlocal last, cur_len
+            nonlocal last_d, cur_d
+            # fully async: the prefill's first token never crosses to the
+            # host here — the fused insert seeds it into last_d, and the
+            # slot's first decode chunk returns it as its seed column
             while pending and free:
                 i = pending.pop()  # shortest-first from the back
                 prompt, max_new = requests[i]
@@ -306,67 +359,81 @@ class ContinuousBatcher:
                 )
                 ids = np.full((1, width), self.eos_id, np.int32)
                 ids[0, : len(prompt)] = prompt
+                ids_j = jnp.asarray(ids)
                 first, pre = self._prefill_fn(width)(
-                    self.params, jnp.asarray(ids), jnp.asarray([len(prompt)], np.int32)
+                    self.params, ids_j, jnp.asarray([len(prompt)], np.int32)
                 )
                 self.stats["prefills"] += 1
                 slot = free.pop()
-                # slot as a device scalar: a Python int would bake the slot
-                # index into the compilation and recompile per slot
-                self.pool = self._insert(self.pool, pre, jnp.asarray(slot, jnp.int32))
+                # slot as a device scalar: a Python int would bake the
+                # slot index into the compilation and recompile per slot
+                slot_j = jnp.asarray(slot, jnp.int32)
+                self.pool, last_d, cur_d = self._insert(
+                    self.pool, pre, slot_j, last_d, cur_d,
+                    first[0], jnp.asarray(len(prompt), jnp.int32),
+                )
                 if self.speculative:
                     self.hist = self._hist_write(
-                        self.hist, jnp.asarray(ids), jnp.asarray(slot, jnp.int32),
+                        self.hist, ids_j, slot_j,
                         jnp.asarray(len(prompt), jnp.int32), first[0],
                     )
                 active[slot] = i
                 budget[i] = max_new
-                first_tok = int(first[0])
-                tokens[i] = [first_tok]
-                last[slot] = first_tok
-                cur_len[slot] = len(prompt)
-                if (
-                    first_tok == self.eos_id
-                    or max_new <= 1
-                    or (stop_check and stop_check(i, tokens[i]))
-                ):
-                    finish(slot)
+                tokens[i] = []
+                valid_from[slot] = seq  # next dispatched chunk is valid
+
+        def dispatch():
+            nonlocal seq, last_d, cur_d
+            if self.speculative:
+                self.pool, last_d, cur_d, self.hist, toks, counts = self._spec_chunk(
+                    self.params, self.pool, last_d, cur_d, self.hist
+                )
+            else:
+                self.pool, last_d, cur_d, toks = self._decode_chunk(
+                    self.params, self.pool, last_d, cur_d
+                )
+                counts = None
+            self.stats["decode_chunks"] += 1
+            # start the device->host copy now; np.asarray at processing
+            # time then finds the data already staged
+            for h in (toks, counts):
+                if h is not None and hasattr(h, "copy_to_host_async"):
+                    h.copy_to_host_async()
+            inflight.append((seq, toks, counts))
+            seq += 1
 
         admit()
         while active:
+            while len(inflight) < self.depth:
+                dispatch()
+            s, toks_h, counts_h = inflight.popleft()
+            toks_np = np.asarray(toks_h)  # overlaps in-flight chunk compute
+            counts_np = np.asarray(counts_h) if counts_h is not None else None
             if self.speculative:
-                pool, last_j, cur_j, hist, toks, counts = self._spec_chunk(
-                    self.params, self.pool, jnp.asarray(last),
-                    jnp.asarray(cur_len), self.hist,
-                )
-                self.hist = hist
-                counts_np = np.asarray(counts)
-                # acceptance stats count ACTIVE slots only — free/finished
-                # slots keep stepping on device and their junk rounds would
-                # inflate the realized tokens-per-round metric
-                self.stats["spec_rounds"] += int(self.rounds) * len(active)
-                self.stats["spec_emitted"] += int(
-                    counts_np[sorted(active)].sum()
-                )
-            else:
-                pool, last_j, cur_j, toks = self._decode_chunk(
-                    self.params, self.pool, jnp.asarray(last), jnp.asarray(cur_len)
-                )
-                counts_np = None
-            self.stats["decode_chunks"] += 1
-            self.pool = pool
-            toks_np = np.asarray(toks)
-            last = np.asarray(last_j).copy()
-            cur_len = np.asarray(cur_j).copy()
+                # acceptance stats count slots whose tokens are valid for
+                # this chunk — junk rounds from free/stale slots would
+                # inflate the realized tokens-per-round metric; the seed
+                # round 0 is bookkeeping, not speculation
+                live = [sl for sl in active if valid_from[sl] <= s]
+                self.stats["spec_rounds"] += int(self.rounds) * len(live)
+                if live:
+                    self.stats["spec_emitted"] += int(counts_np[live, 1:].sum())
             for slot in list(active):
+                if valid_from[slot] > s:
+                    continue  # chunk was dispatched before this admission
+                # the slot's FIRST valid chunk carries its seed token in
+                # column/round 0; later chunks' seed repeats an already-
+                # emitted token and is skipped
+                fresh = valid_from[slot] == s and not tokens[active[slot]]
                 i = active[slot]
                 done = False
                 if counts_np is None:
-                    emitted = toks_np[slot]
+                    emitted = toks_np[slot] if fresh else toks_np[slot, 1:]
                 else:
+                    r0 = 0 if fresh else 1
                     emitted = [
                         t
-                        for r in range(toks_np.shape[1])
+                        for r in range(r0, toks_np.shape[1])
                         for t in toks_np[slot, r, : counts_np[slot, r]]
                     ]
                 for t in emitted:
@@ -379,4 +446,7 @@ class ContinuousBatcher:
                 if done:
                     finish(slot)
             admit()
+        # trailing in-flight chunks hold junk for already-finished slots;
+        # the chained pool/hist handles stay valid for the next call
+        inflight.clear()
         return [r if r is not None else [] for r in results]

@@ -111,17 +111,27 @@ class GenerationService:
         req.done.set()
 
     def _loop(self):
+        from collections import deque
+
         eng = self.engine
         free = list(range(eng.slots))
         active: dict = {}  # slot -> _Request
-        last = np.full(eng.slots, self.eos_id, np.int32)
-        cur_len = np.zeros(eng.slots, np.int32)
+        # decode state chains between dispatches as device arrays; up to
+        # eng.depth chunks stay in flight (same pipelined scheduler as
+        # ContinuousBatcher.generate — fetching chunk k's tokens overlaps
+        # chunk k+1's device execution)
+        last_d = jnp.full((eng.slots,), self.eos_id, jnp.int32)
+        cur_d = jnp.zeros((eng.slots,), jnp.int32)
+        seq = 0
+        valid_from = [0] * eng.slots
+        inflight: deque = deque()
 
         while not self._shutdown.is_set():
             # admit: block when idle, drain opportunistically when busy
             while free:
+                idle = not active and not inflight
                 try:
-                    req = self._queue.get(block=not active, timeout=None if active else 1.0)
+                    req = self._queue.get(block=idle, timeout=1.0 if idle else None)
                 except queue.Empty:
                     break
                 if req is None:
@@ -143,16 +153,16 @@ class GenerationService:
                         jnp.asarray([len(prompt)], np.int32),
                     )
                     slot = free.pop()
-                    eng.pool = eng._insert(eng.pool, pre, jnp.asarray(slot, jnp.int32))
-                    first_tok = int(first[0])
-                    req.tokens = [first_tok]
-                    last[slot] = first_tok
-                    cur_len[slot] = len(prompt)
-                    if first_tok == self.eos_id or req.max_new <= 1:
-                        self._finish(req)
-                        free.append(slot)
-                    else:
-                        active[slot] = req
+                    eng.pool, last_d, cur_d = eng._insert(
+                        eng.pool, pre, jnp.asarray(slot, jnp.int32),
+                        last_d, cur_d, first[0],
+                        jnp.asarray(len(prompt), jnp.int32),
+                    )
+                    valid_from[slot] = seq
+                    # no host sync on the first token: the slot's first
+                    # decode chunk returns it as its seed column
+                    req.tokens = []
+                    active[slot] = req
                 except Exception as e:  # noqa: BLE001
                     logger.exception("prefill failed")
                     if slot is not None and slot not in active:
@@ -162,18 +172,29 @@ class GenerationService:
                 if not active and self._queue.empty():
                     break
             if not active:
+                # trailing in-flight chunks hold junk for finished slots;
+                # drop them so the admission get() blocks again when idle
+                inflight.clear()
                 continue
-            pool, last_j, cur_j, toks = eng._decode_chunk(
-                eng.params, eng.pool, jnp.asarray(last), jnp.asarray(cur_len)
-            )
-            eng.pool = pool
-            toks_np = np.asarray(toks)
-            last = np.asarray(last_j).copy()
-            cur_len = np.asarray(cur_j).copy()
+            while len(inflight) < eng.depth:
+                eng.pool, last_d, cur_d, toks = eng._decode_chunk(
+                    eng.params, eng.pool, last_d, cur_d
+                )
+                if hasattr(toks, "copy_to_host_async"):
+                    toks.copy_to_host_async()
+                inflight.append((seq, toks))
+                seq += 1
+            s, toks_h = inflight.popleft()
+            toks_np = np.asarray(toks_h)
             for slot in list(active):
+                if valid_from[slot] > s:
+                    continue  # chunk predates this slot's admission
                 req = active[slot]
+                # column 0 is the seed token: real for the slot's first
+                # valid chunk, an already-emitted repeat afterwards
+                fresh = valid_from[slot] == s and not req.tokens
                 done = False
-                for t in toks_np[slot]:
+                for t in (toks_np[slot] if fresh else toks_np[slot, 1:]):
                     req.tokens.append(int(t))
                     if int(t) == self.eos_id or len(req.tokens) >= req.max_new:
                         done = True

@@ -699,25 +699,74 @@ def main() -> None:
         cb_bs * max(cb_budgets[i] for i in order[lo : lo + cb_bs])
         for lo in range(0, cb_n, cb_bs)
     )
-    engine = ContinuousBatcher(gparams, gcfg, eos_id=0, slots=cb_bs, max_len=768, chunk=32)
+    engine = ContinuousBatcher(
+        gparams, gcfg, eos_id=0, slots=cb_bs, max_len=768, chunk=32,
+        pipeline_depth=4,
+    )
     reqs = [(cb_prompts[i], cb_budgets[i]) for i in range(cb_n)]
     engine.generate(reqs)  # compile
     engine.stats = {"decode_chunks": 0, "prefills": 0}
     t0 = time.perf_counter()
     engine.generate(reqs)
     cb_s = time.perf_counter() - t0
-    cb_slot_steps = engine.stats["decode_chunks"] * cb_bs * engine.chunk
-    # Wall clock through the relayed bench harness overstates CB's cost:
-    # CB syncs to the host once per 32-token chunk (stop strings / eos /
-    # admission), each paying the tunnel RTT, while the static path makes
-    # ~3 device calls total. Deployed locally the sync is sub-ms, so
-    # device slot-steps (what the chip actually executes) is the
-    # hardware-honest comparison; both are reported.
+    cb_slot_steps = engine.stats.get("slot_steps", 0)
     log(
         f"mixed-length generation: static bucketed {static_s:.2f}s "
         f"({static_slot_steps} slot-steps) vs continuous batching "
         f"{cb_s:.2f}s ({cb_slot_steps} slot-steps) — device-work ratio "
-        f"{static_slot_steps / max(cb_slot_steps, 1):.2f}x"
+        f"{static_slot_steps / max(cb_slot_steps, 1):.2f}x, "
+        f"wall speedup {static_s / cb_s:.2f}x"
+    )
+
+    # throughput-at-latency at 4x the requests (no-head-of-line-blocking is
+    # where continuous batching pays): per-request completion latency from
+    # generate() start — CB retires each request at its own budget, static
+    # holds every row to its batch's max
+    cbx_n = 4 * cb_n
+    cbx_plens = rng.choice([32, 64, 128, 256], cbx_n)
+    cbx_prompts = [rng.randint(1, 50304, int(L)).tolist() for L in cbx_plens]
+    cbx_budgets = rng.choice([16, 32, 64, 128], cbx_n).tolist()
+    cbx_reqs = [(cbx_prompts[i], cbx_budgets[i]) for i in range(cbx_n)]
+    lat = np.zeros(cbx_n)
+    engine.generate(cbx_reqs)  # warm any new prefill widths
+    t0 = time.perf_counter()
+    engine.generate(
+        cbx_reqs, on_finish=lambda i: lat.__setitem__(i, time.perf_counter() - t0)
+    )
+    cbx_s = time.perf_counter() - t0
+
+    def static_run64():
+        order = sorted(range(cbx_n), key=lambda i: len(cbx_prompts[i]))
+        lat_s = np.zeros(cbx_n)
+        t0 = time.perf_counter()
+        for lo in range(0, cbx_n, cb_bs):
+            take = order[lo : lo + cb_bs]
+            mx = max(cbx_budgets[i] for i in take)
+            width = 32
+            while width < max(len(cbx_prompts[i]) for i in take):
+                width *= 2
+            key_ = (width, mx)
+            if key_ not in cb_gen_fns:
+                cb_gen_fns[key_] = _mk_gen(gcfg, mx, eos_id=0)
+            ids = np.zeros((cb_bs, width), np.int32)
+            lens = np.ones(cb_bs, np.int32)
+            for r, i in enumerate(take):
+                ids[r, : len(cbx_prompts[i])] = cbx_prompts[i]
+                lens[r] = len(cbx_prompts[i])
+            np.asarray(cb_gen_fns[key_](gparams, jnp.asarray(ids), jnp.asarray(lens), 0))
+            done = time.perf_counter() - t0
+            for i in take:
+                lat_s[i] = done
+        return time.perf_counter() - t0, lat_s
+
+    static_run64()  # compile any new buckets
+    staticx_s, lat_s = static_run64()
+    cb_p50, cb_p95 = float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
+    st_p50, st_p95 = float(np.percentile(lat_s, 50)), float(np.percentile(lat_s, 95))
+    log(
+        f"64-request curve: static {staticx_s:.2f}s (req p50 {st_p50:.2f}s "
+        f"p95 {st_p95:.2f}s) vs CB {cbx_s:.2f}s (req p50 {cb_p50:.2f}s "
+        f"p95 {cb_p95:.2f}s)"
     )
     del gparams, engine
 
@@ -779,6 +828,57 @@ def main() -> None:
         f"({spec_tok_s / decode_bf16:.2f}x vs static greedy)"
     )
 
+    # ---- aux: speculative decoding on a RAG-shaped workload ----------------
+    # Prompt-lookup's value case: RAG generations copy spans from retrieved
+    # contexts. No network -> no trained checkpoint whose greedy output
+    # copies, so the scripted harness (models/speculative.py `scripted`)
+    # fixes the EMITTED tokens to continuations that copy prompt spans at a
+    # controlled rate while every verify forward runs the full model
+    # compute. Prompts mimic nq_open concat_k=3: three context blocks +
+    # question; generation copies ~8-token context spans between short
+    # novel connectives (answer-extraction structure).
+    rag_plen, rag_new = 256, 64
+    rag_prompts = rng.randint(0, rcfg.vocab_size, (gb, rag_plen)).astype(np.int32)
+    rag_lens = jnp.full((gb,), rag_plen, jnp.int32)
+
+    def rag_script(copy_frac):
+        script = np.zeros((gb, rag_new), np.int32)
+        for r in range(gb):
+            pos = 0
+            while pos < rag_new:
+                if rng.rand() < copy_frac:
+                    start = rng.randint(0, rag_plen - 8)
+                    span = rag_prompts[r, start : start + min(8, rag_new - pos)]
+                else:
+                    span = rng.randint(0, rcfg.vocab_size, min(3, rag_new - pos))
+                script[r, pos : pos + len(span)] = span
+                pos += len(span)
+        return jnp.asarray(script)
+
+    spec_rag_fn = make_speculative_generate_fn(
+        rcfg, rag_new, eos_id=-1, draft_len=7, with_stats=True, scripted=True
+    )
+    static_rag_fn = make_generate_fn(rcfg, rag_new, eos_id=-1)
+    rag_ids = jnp.asarray(rag_prompts)
+    np.asarray(static_rag_fn(rparams, rag_ids, rag_lens, 0))  # compile
+    t0 = time.perf_counter()
+    np.asarray(static_rag_fn(rparams, rag_ids, rag_lens, 0))
+    static_rag_s = time.perf_counter() - t0
+    rag_rows = {}
+    for frac in (0.9, 0.5):
+        sc = rag_script(frac)
+        np.asarray(spec_rag_fn(rparams, rag_ids, rag_lens, 0, sc)[0])  # compile/warm
+        t0 = time.perf_counter()
+        toks_r, rounds_r, emitted_r = spec_rag_fn(rparams, rag_ids, rag_lens, 0, sc)
+        np.asarray(toks_r)
+        dt = time.perf_counter() - t0
+        tpr = int(np.asarray(emitted_r)) / max(gb * int(np.asarray(rounds_r)), 1)
+        rag_rows[frac] = (gb * rag_new / dt, tpr, static_rag_s / dt)
+        log(
+            f"spec RAG copy={frac:.0%}: {rag_rows[frac][0]:.0f} tok/s, "
+            f"{tpr:.2f} tok/round/row, {rag_rows[frac][2]:.2f}x vs static"
+        )
+
     print(
         json.dumps(
             {
@@ -819,9 +919,21 @@ def main() -> None:
                     "gen_spec_tok_s": round(spec_tok_s, 1),
                     "gen_spec_tok_per_round": round(spec_tpr, 2),
                     "gen_spec_speedup_vs_static": round(spec_tok_s / decode_bf16, 2),
+                    "gen_spec_rag_copy90_tok_s": round(rag_rows[0.9][0], 1),
+                    "gen_spec_rag_copy90_tok_per_round": round(rag_rows[0.9][1], 2),
+                    "gen_spec_rag_copy90_speedup": round(rag_rows[0.9][2], 2),
+                    "gen_spec_rag_copy50_tok_per_round": round(rag_rows[0.5][1], 2),
+                    "gen_spec_rag_copy50_speedup": round(rag_rows[0.5][2], 2),
                     "gen_cb_device_work_ratio": round(
                         static_slot_steps / max(cb_slot_steps, 1), 2
                     ),
+                    "gen_cb_wall_speedup_vs_static": round(static_s / cb_s, 2),
+                    "gen_static_64req_s": round(staticx_s, 2),
+                    "gen_cb_64req_s": round(cbx_s, 2),
+                    "gen_static_64req_p50_s": round(st_p50, 2),
+                    "gen_cb_64req_p50_s": round(cb_p50, 2),
+                    "gen_static_64req_p95_s": round(st_p95, 2),
+                    "gen_cb_64req_p95_s": round(cb_p95, 2),
                     "decode_bf16_tok_s": round(decode_bf16, 1),
                     "decode_int8_tok_s": round(decode_int8, 1),
                     "backend": backend,

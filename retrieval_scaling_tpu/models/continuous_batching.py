@@ -161,12 +161,20 @@ class ContinuousBatcher:
             # per-slot token history for the n-gram drafter (-1 = no token)
             self.hist = jnp.full((self.slots, self.max_len), -1, jnp.int32)
 
-        # ---- decode chunk: scan `chunk` single-token steps over the pool
-        def decode_chunk(params, pool: KVCache, last, cur_len):
-            with self._tp_ctx():
-                return _decode_chunk(params, pool, last, cur_len)
+        # ---- decode chunk: scan `length` single-token steps over the pool.
+        # Compiled per bucketed length: the scheduler picks the largest
+        # bucket not exceeding the smallest remaining budget among active
+        # slots, so chunks never overshoot a known budget (eos is the only
+        # source of wasted steps).
+        self._chunk_buckets = sorted(
+            {c for c in (4, 8, 16, 32, 64, 128) if c <= self.chunk} | {self.chunk}
+        )
 
-        def _decode_chunk(params, pool: KVCache, last, cur_len):
+        def decode_chunk(params, pool: KVCache, last, cur_len, *, length):
+            with self._tp_ctx():
+                return _decode_chunk(params, pool, last, cur_len, length)
+
+        def _decode_chunk(params, pool: KVCache, last, cur_len, length):
             # last: [slots] int32; cur_len: [slots] int32 (next write pos).
             # Free slots still step, harmlessly: their writes land at a
             # stale position and are overwritten or masked out by
@@ -187,13 +195,23 @@ class ContinuousBatcher:
                 return (pool, nxt, cur_len + 1), nxt
 
             (pool, last, cur_len), toks = jax.lax.scan(
-                step, (pool, last, cur_len), None, length=self.chunk
+                step, (pool, last, cur_len), None, length=length
             )
-            # [slots, 1 + chunk]: column 0 is the seed token
+            # [slots, 1 + length]: column 0 is the seed token
             toks_full = jnp.concatenate([seed[:, None], toks.T], axis=1)
             return pool, last, cur_len, toks_full
 
-        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
+        self._decode_chunk_fns = {}
+
+        def _decode_chunk_fn(length: int):
+            if length not in self._decode_chunk_fns:
+                self._decode_chunk_fns[length] = jax.jit(
+                    functools.partial(decode_chunk, length=length),
+                    donate_argnums=(1,),
+                )
+            return self._decode_chunk_fns[length]
+
+        self._decode_chunk_fn = _decode_chunk_fn
 
         # ---- speculative chunk: R draft+verify rounds over the pool.
         # Each round advances every slot by a VARIABLE 1..draft_len+1
@@ -335,6 +353,11 @@ class ContinuousBatcher:
         seq = 0                       # next chunk sequence number
         valid_from = [0] * self.slots  # first chunk seq valid per slot
         inflight: deque = deque()     # (seq, toks_handle, counts_handle)
+        # tokens scheduled per slot (seed + dispatched chunk lengths):
+        # once every active slot's schedule covers its budget, dispatching
+        # more chunks is pure waste — the needed tokens are already in
+        # flight, and eos/stop can only shorten them
+        sched = [0] * self.slots
 
         def finish(slot: int):
             i = active.pop(slot)
@@ -381,6 +404,29 @@ class ContinuousBatcher:
                 budget[i] = max_new
                 tokens[i] = []
                 valid_from[slot] = seq  # next dispatched chunk is valid
+                sched[slot] = 1         # the seed token is already scheduled
+
+        def pick_chunk_len() -> int:
+            # largest bucket not exceeding the smallest positive remaining
+            # budget among active slots (slots already fully scheduled are
+            # waiting on detection; stepping them further is unavoidable
+            # junk, so they don't cap the chunk)
+            remaining = [
+                budget[active[sl]] - sched[sl]
+                for sl in active
+                if budget[active[sl]] > sched[sl]
+            ]
+            if not remaining:
+                return self._chunk_buckets[0]
+            need = min(remaining)
+            length = self._chunk_buckets[0]
+            for c in self._chunk_buckets:
+                if c <= need:
+                    length = c
+            return length
+
+        def need_more() -> bool:
+            return any(budget[active[sl]] > sched[sl] for sl in active)
 
         def dispatch():
             nonlocal seq, last_d, cur_d
@@ -388,12 +434,20 @@ class ContinuousBatcher:
                 self.pool, last_d, cur_d, self.hist, toks, counts = self._spec_chunk(
                     self.params, self.pool, last_d, cur_d, self.hist
                 )
+                length = self.rounds * (self.draft_len + 1)  # upper bound
             else:
-                self.pool, last_d, cur_d, toks = self._decode_chunk(
+                length = pick_chunk_len()
+                self.pool, last_d, cur_d, toks = self._decode_chunk_fn(length)(
                     self.params, self.pool, last_d, cur_d
                 )
                 counts = None
             self.stats["decode_chunks"] += 1
+            self.stats["slot_steps"] = (
+                self.stats.get("slot_steps", 0)
+                + (length if not self.speculative else self.rounds) * self.slots
+            )
+            for sl in active:
+                sched[sl] += length
             # start the device->host copy now; np.asarray at processing
             # time then finds the data already staged
             for h in (toks, counts):
@@ -404,7 +458,9 @@ class ContinuousBatcher:
 
         admit()
         while active:
-            while len(inflight) < self.depth:
+            while len(inflight) < self.depth and (
+                self.speculative or need_more() or not inflight
+            ):
                 dispatch()
             s, toks_h, counts_h = inflight.popleft()
             toks_np = np.asarray(toks_h)  # overlaps in-flight chunk compute

@@ -129,6 +129,7 @@ def make_speculative_generate_fn(
     with_stats: bool = False,
     temperature: float = 0.0,
     param_shardings=None,
+    scripted: bool = False,
 ):
     """Jitted ``(params, prompt_ids, prompt_lens, seed) -> tokens [B, max_new]``.
 
@@ -144,6 +145,17 @@ def make_speculative_generate_fn(
     equal to the static sampler (different randomness consumption).
     ``with_stats``: also return ``(rounds, emitted)`` — decode rounds and
     total tokens, whose ratio is the realized acceptance.
+
+    ``scripted``: measurement harness — the returned fn takes an extra
+    ``script_ids [B, max_new_tokens]`` argument and emits exactly those
+    tokens instead of the model's argmax, while every verify forward still
+    runs the FULL model compute (weight streams, KV writes). Prompt-lookup
+    acceptance depends on how much the generation copies the prompt; with
+    no network access there is no trained checkpoint whose greedy output
+    copies retrieved contexts, so the bench scripts continuations with a
+    controlled prompt-copy rate and measures realized tokens/round and
+    tok/s at RAG-like copy structure. Timing is hardware-honest; only the
+    emitted token VALUES are scripted.
     """
     if kv_cache not in (None, "", "none", "int8"):
         raise ValueError(f"unknown kv_cache {kv_cache!r}")
@@ -151,8 +163,10 @@ def make_speculative_generate_fn(
     if g < 1:
         raise ValueError("draft_len must be >= 1")
     sampled = temperature is not None and temperature > 0.0
+    if scripted and sampled:
+        raise ValueError("scripted emission is greedy-only")
 
-    def fn(params, prompt_ids, prompt_lens, seed):
+    def fn(params, prompt_ids, prompt_lens, seed, script_ids=None):
         # Any mesh: decode flash must trace inside the sharding context
         # (see models/generate.py make_generate_fn)
         if mesh is not None:
@@ -161,10 +175,10 @@ def make_speculative_generate_fn(
             )
 
             with attention_head_sharding(mesh):
-                return _fn(params, prompt_ids, prompt_lens, seed)
-        return _fn(params, prompt_ids, prompt_lens, seed)
+                return _fn(params, prompt_ids, prompt_lens, seed, script_ids)
+        return _fn(params, prompt_ids, prompt_lens, seed, script_ids)
 
-    def _fn(params, prompt_ids, prompt_lens, seed):
+    def _fn(params, prompt_ids, prompt_lens, seed, script_ids=None):
         b, s_pad = prompt_ids.shape
         max_len = s_pad + max_new_tokens + g + 1  # verify-segment headroom
         if max_len > cfg.max_position_embeddings:
@@ -188,7 +202,9 @@ def make_speculative_generate_fn(
             logits, (prompt_lens - 1)[:, None, None], axis=1
         )[:, 0]
         rng0 = jax.random.PRNGKey(seed)
-        if sampled:
+        if scripted:
+            first = script_ids[:, 0].astype(jnp.int32)
+        elif sampled:
             first = jax.random.categorical(
                 jax.random.fold_in(rng0, 0),
                 last_logits.astype(jnp.float32) / temperature, axis=-1,
@@ -265,7 +281,17 @@ def make_speculative_generate_fn(
                 )
                 stream = jnp.where(j_g < a[:, None], cand, repl[:, None])
             else:
-                y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
+                if scripted:
+                    # the "model's" next tokens are the script at the
+                    # current emission offset (the forward above still ran
+                    # the full verify compute — see docstring)
+                    s_idx = jnp.clip(
+                        st.gen_count[:, None] + jnp.arange(g + 1)[None, :],
+                        0, script_ids.shape[1] - 1,
+                    )
+                    y = jnp.take_along_axis(script_ids, s_idx, axis=1).astype(jnp.int32)
+                else:
+                    y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g+1]
                 a, stream = greedy_emission(draft, y)
             rem = jnp.maximum(max_new_tokens - st.gen_count, 1)
             emit = jnp.minimum(a + 1, rem)                 # accepted + bonus
@@ -323,9 +349,8 @@ def make_speculative_generate_fn(
     rows2d = NamedSharding(mesh, P("data", None))
     rep = NamedSharding(mesh, P())
     out_sh = (rows2d, rep, rep) if with_stats else rows2d
-    return jax.jit(
-        fn,
-        in_shardings=(param_shardings if param_shardings is not None else rep,
-                      rows2d, rows, rep),
-        out_shardings=out_sh,
-    )
+    in_sh = (param_shardings if param_shardings is not None else rep,
+             rows2d, rows, rep)
+    if scripted:
+        in_sh = in_sh + (rows2d,)
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)

@@ -177,7 +177,7 @@ class GenerationService:
                 inflight.clear()
                 continue
             while len(inflight) < eng.depth:
-                eng.pool, last_d, cur_d, toks = eng._decode_chunk(
+                eng.pool, last_d, cur_d, toks = eng._decode_chunk_fn(eng.chunk)(
                     eng.params, eng.pool, last_d, cur_d
                 )
                 if hasattr(toks, "copy_to_host_async"):

@@ -71,7 +71,13 @@ def test_pq_recall_vs_exact(pq_index_env):
     for b in range(16):
         truth = set(np.argsort(-exact[b])[:10].tolist())
         recalls.append(len(truth & set(ids[b].tolist())) / 10)
-    assert np.mean(recalls) >= 0.6, np.mean(recalls)  # PQ-compressed recall@10
+    # PQ-compressed recall@10: measured 0.6375 in this exact config
+    # (m=8, n_bits=6, clustered synthetic, seed 0); gate just below the
+    # measurement so a quantizer regression trips it. The full quality
+    # ladder on REAL embeddings (m in {8,16,32} x {raw, OPQ, refine},
+    # recall vs exact at stated bytes/row) is pinned in BENCH.md from
+    # scripts/pq_recall_ladder.py.
+    assert np.mean(recalls) >= 0.62, np.mean(recalls)
 
 
 def test_pq_score_decomposition(pq_index_env):

@@ -271,3 +271,51 @@ def test_jax_reader_lm_speculative_engine():
         params, cfg, tok, batch_size=2, gen_engine="continuous_spec", draft_len=4
     )
     assert lm_cb_spec.generate_until(reqs) == out_static
+
+
+# ---- scripted emission (the RAG copy-rate measurement harness) -----------
+
+def test_scripted_emission_emits_exactly_the_script():
+    params = _params(NEOX)
+    ids, lens = _prompts("random", NEOX.vocab_size)
+    max_new = 12
+    fn = make_speculative_generate_fn(
+        NEOX, max_new, eos_id=0, draft_len=4, with_stats=True, scripted=True
+    )
+    rng = np.random.RandomState(3)
+    script = rng.randint(1, NEOX.vocab_size, (3, max_new)).astype(np.int32)
+    toks, rounds, emitted = fn(params, ids, lens, 0, jnp.asarray(script))
+    assert np.array_equal(np.asarray(toks), script)
+
+
+def test_scripted_copy_structure_raises_acceptance():
+    """A script that copies prompt spans must accept more tokens/round than
+    a novel-token script — the property the RAG bench measures."""
+    params = _params(NEOX)
+    rng = np.random.RandomState(5)
+    b, plen, max_new = 3, 16, 24
+    ids = jnp.asarray(rng.randint(1, NEOX.vocab_size, (b, plen)), jnp.int32)
+    lens = jnp.full((b,), plen, jnp.int32)
+    fn = make_speculative_generate_fn(
+        NEOX, max_new, eos_id=0, draft_len=4, with_stats=True, scripted=True
+    )
+
+    ids_np = np.asarray(ids)
+    copy_script = np.zeros((b, max_new), np.int32)
+    for r in range(b):
+        # continuation = verbatim copies of prompt spans (RAG-like)
+        pos = 0
+        while pos < max_new:
+            start = rng.randint(0, plen - 8)
+            span = ids_np[r, start : start + min(8, max_new - pos)]
+            copy_script[r, pos : pos + len(span)] = span
+            pos += len(span)
+    novel_script = rng.randint(1, NEOX.vocab_size, (b, max_new)).astype(np.int32)
+
+    toks_c, rounds_c, emitted_c = fn(params, ids, lens, 0, jnp.asarray(copy_script))
+    toks_n, rounds_n, emitted_n = fn(params, ids, lens, 0, jnp.asarray(novel_script))
+    assert np.array_equal(np.asarray(toks_c), copy_script)
+    tpr_copy = float(emitted_c) / (b * max(int(rounds_c), 1))
+    tpr_novel = float(emitted_n) / (b * max(int(rounds_n), 1))
+    assert tpr_copy > tpr_novel, (tpr_copy, tpr_novel)
+    assert tpr_copy >= 2.0, tpr_copy  # span copying must actually pay

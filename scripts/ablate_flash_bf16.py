@@ -146,10 +146,17 @@ def main() -> None:
             log(f"   max|err| {mode} = {err:.4e}")
         return out
 
+    shapes = {
+        "d128": (8, 16, 1024, 128, 1024, 16),
+        "llama_d64": (8, 32, 1024, 64, 1024, 16),
+        "s2048": (8, 16, 2048, 128, 512, 8),
+    }
+    # each mode pays a full relay compile: --shape runs one at a time so a
+    # bounded driver timeout still yields numbers
+    want = [a for a in sys.argv[1:] if a in shapes] or list(shapes)
     out = {}
-    out["d128"] = run_shape(8, 16, 1024, 128, 1024, 16)
-    out["llama_d64"] = run_shape(8, 32, 1024, 64, 1024, 16)
-    out["s2048"] = run_shape(8, 16, 2048, 128, 512, 8)
+    for name in want:
+        out[name] = run_shape(*shapes[name])
     print(repr(out))
 
 

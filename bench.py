@@ -701,7 +701,7 @@ def main() -> None:
     )
     engine = ContinuousBatcher(
         gparams, gcfg, eos_id=0, slots=cb_bs, max_len=768, chunk=32,
-        pipeline_depth=4,
+        pipeline_depth=6,
     )
     reqs = [(cb_prompts[i], cb_budgets[i]) for i in range(cb_n)]
     engine.generate(reqs)  # compile

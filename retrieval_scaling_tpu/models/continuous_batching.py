@@ -7,34 +7,38 @@ equivalent under XLA's static-shape rules:
 
   * a fixed KV slot pool ``[slots, Hkv, max_len, hd]`` per layer (reuses
     ``models/generate.py``'s per-layer in-place cache buffers);
-  * per-request PREFILL at a bucketed prompt width (batch 1), then INSERT
-    copies the prefilled K/V into a free slot via ``dynamic_update_slice``;
+  * ADMISSION WAVES: every admissible request joins ONE device program
+    that batch-prefills the wave at a shared width bucket and scatters
+    K/V + decode state into the pool (OOB slot index = dropped padding) —
+    one dispatch per wave, not a prefill+insert pair per request;
   * one jitted DECODE CHUNK (``lax.scan`` over ``chunk`` steps) advances
     every occupied slot ``chunk`` tokens per device call, so eos and
-    stop-string handling stay host-side without a per-token sync;
-  * a finished slot frees immediately and the next queued request prefills
-    into it while the other slots keep decoding.
+    stop-string handling stay host-side without a per-token sync.
 
 Static-shape consequences: every device program is compiled once per
-(prompt bucket) or once overall (decode chunk / insert); admission and
-completion are pure host bookkeeping.
+(wave, width) or per chunk bucket; admission and completion are pure
+host bookkeeping.
 
-The scheduler is PIPELINED (round-4 rework; the round-3 version lost to
-static bucketing on wall-clock because every chunk and every admission
-blocked on a host↔device round trip):
+The scheduler is PIPELINED with EAGER SLOT TURNOVER (round-4 rework; the
+round-3 version lost to static bucketing on wall-clock because every
+chunk and every admission blocked on a host↔device round trip, and slots
+idled between a request's last useful token and its retirement):
 
   * decode state ``(pool, last, cur_len)`` chains between chunk dispatches
     as device arrays — the host never re-uploads it;
   * up to ``pipeline_depth`` decode chunks stay in flight, so fetching
     chunk k's tokens overlaps chunk k+1's device execution;
-  * admission dispatches every prefill + fused insert of a wave
-    asynchronously and blocks ONCE on the stacked first tokens;
-  * the insert program also refreshes the slot's ``last``/``cur_len``
-    entries, so admission costs one device call per request, zero syncs.
+  * a slot frees as soon as its schedule GUARANTEES the request's budget
+    is in flight (greedy chunks yield exactly their length; a speculative
+    round yields at least one token) — the tokens are assembled later
+    from the in-flight chunks, routed by chunk sequence number;
+  * admission order is LPT (largest decode budget first), the classic
+    makespan heuristic.
 
 A chunk dispatched before a slot's (re)admission carries junk for that
-slot (``valid_from`` filters it host-side); junk K/V writes are overwritten
-before they are read, exactly like the free-slot stepping below.
+slot (the assembly records filter it host-side); junk K/V writes are
+overwritten before they are read, exactly like the free-slot stepping
+below.
 """
 
 from __future__ import annotations
@@ -102,7 +106,7 @@ class ContinuousBatcher:
         draft_len: int = 7,
         ngram: int = 3,
         mesh=None,
-        pipeline_depth: int = 2,
+        pipeline_depth: int = 4,
     ):
         if max_len > cfg.max_position_embeddings:
             max_len = cfg.max_position_embeddings
@@ -275,54 +279,93 @@ class ContinuousBatcher:
 
         self._spec_chunk = jax.jit(spec_chunk, donate_argnums=(1,))
 
-        # admission writes the prompt + first token into the drafter history
-        def hist_write(hist, ids, slot, plen, first):
-            row = jnp.full((self.max_len,), -1, jnp.int32)
-            row = jax.lax.dynamic_update_slice(row, ids[0, : self.max_len], (0,))
-            row = jnp.where(jnp.arange(self.max_len) < plen, row, -1)
-            row = jnp.where(jnp.arange(self.max_len) == plen, first, row)
-            return jax.lax.dynamic_update_slice(hist, row[None, :], (slot, 0))
+    def _admit_wave_fn(self, wave: int, width: int):
+        """ONE device program per admission wave (coalesced multi-slot
+        prefill): batch-prefill ``wave`` prompts at ``width`` and scatter
+        K/V + decode state (+ drafter history) into the pool. Padding
+        entries carry ``slot_idx == self.slots`` — out of bounds, so every
+        ``.at[...].set(mode='drop')`` drops them. Replaces the round-3
+        per-request prefill+insert pair (2 dispatches per admission)."""
+        key = (wave, width)
+        if key not in self._prefill_fns:
 
-        self._hist_write = jax.jit(hist_write, donate_argnums=(0,))
+            def admit(params, pool: KVCache, last, cur_len, hist,
+                      ids, lens, slot_idx):
+                with self._tp_ctx():
+                    return _admit(params, pool, last, cur_len, hist,
+                                  ids, lens, slot_idx)
 
-        # ---- insert: copy a batch-1 prefilled cache into slot `slot` AND
-        # refresh the slot's decode state in the same device program (one
-        # call per admission, no host sync)
-        def insert(pool: KVCache, pre: KVCache, slot, last, cur_len, first, plen):
-            new_k = tuple(
-                jax.lax.dynamic_update_slice(pk, nk, (slot, 0, 0, 0))
-                for pk, nk in zip(pool.k, pre.k)
-            )
-            new_v = tuple(
-                jax.lax.dynamic_update_slice(pv, nv, (slot, 0, 0, 0))
-                for pv, nv in zip(pool.v, pre.v)
-            )
-            last = last.at[slot].set(first)
-            cur_len = cur_len.at[slot].set(plen)
-            return KVCache(new_k, new_v), last, cur_len
-
-        self._insert = jax.jit(insert, donate_argnums=(0, 3, 4))
-
-    def _prefill_fn(self, width: int):
-        if width not in self._prefill_fns:
-
-            def prefill(params, ids, length):
-                # batch-1 prefill into a fresh width-sized cache
-                cache = init_cache(self.cfg, 1, width, dtype=self.pool.k[0].dtype)
-                positions = jnp.arange(width)[None, :]
-                key_valid = jnp.arange(width)[None, :] < length
-                write_mask = jnp.arange(width)[None, :] < length
-                logits, cache = forward_with_cache(
-                    params, self.cfg, ids, positions, cache, key_valid, write_mask
+            def _admit(params, pool, last, cur_len, hist, ids, lens, slot_idx):
+                cache = init_cache(
+                    self.cfg, wave, width, dtype=self.pool.k[0].dtype
                 )
-                last = jnp.take_along_axis(
-                    logits, (length - 1)[:, None, None], axis=1
+                positions = jnp.broadcast_to(
+                    jnp.arange(width)[None, :], (wave, width)
+                )
+                key_valid = jnp.arange(width)[None, :] < lens[:, None]
+                logits, cache = forward_with_cache(
+                    params, self.cfg, ids, positions, cache, key_valid,
+                    key_valid,
+                )
+                lastlog = jnp.take_along_axis(
+                    logits, (lens - 1)[:, None, None], axis=1
                 )[:, 0]
-                first = jnp.argmax(last, axis=-1).astype(jnp.int32)
-                return first, cache
+                first = jnp.argmax(lastlog, axis=-1).astype(jnp.int32)
+                new_k = tuple(
+                    pk.at[slot_idx, :, :width, :].set(ck, mode="drop")
+                    for pk, ck in zip(pool.k, cache.k)
+                )
+                new_v = tuple(
+                    pv.at[slot_idx, :, :width, :].set(cv, mode="drop")
+                    for pv, cv in zip(pool.v, cache.v)
+                )
+                last = last.at[slot_idx].set(first, mode="drop")
+                cur_len = cur_len.at[slot_idx].set(lens, mode="drop")
+                if hist is not None:
+                    rows = jnp.pad(
+                        ids[:, : self.max_len],
+                        ((0, 0), (0, max(self.max_len - width, 0))),
+                        constant_values=-1,
+                    )
+                    ar = jnp.arange(self.max_len)[None, :]
+                    rows = jnp.where(ar < lens[:, None], rows, -1)
+                    rows = jnp.where(ar == lens[:, None], first[:, None], rows)
+                    hist = hist.at[slot_idx].set(rows, mode="drop")
+                return KVCache(new_k, new_v), last, cur_len, hist
 
-            self._prefill_fns[width] = jax.jit(prefill)
-        return self._prefill_fns[width]
+            self._prefill_fns[key] = jax.jit(
+                admit, donate_argnums=(1, 2, 3, 4)
+            )
+        return self._prefill_fns[key]
+
+    def admit_wave(self, entries, last_d, cur_d):
+        """Admit ``entries = [(slot, prompt_ids), ...]`` in one device call.
+        Returns the chained (last, cur_len) device arrays."""
+        if not entries:
+            return last_d, cur_d
+        wv = 1
+        while wv < len(entries):
+            wv *= 2
+        wv = min(wv, self.slots)
+        width = _bucket(
+            max(len(p) for _, p in entries), self.max_len - self._headroom
+        )
+        ids = np.full((wv, width), self.eos_id, np.int32)
+        lens = np.ones((wv,), np.int32)
+        slot_idx = np.full((wv,), self.slots, np.int32)  # OOB -> dropped
+        for j, (slot, prompt) in enumerate(entries):
+            ids[j, : len(prompt)] = prompt
+            lens[j] = len(prompt)
+            slot_idx[j] = slot
+        hist = self.hist if self.speculative else None
+        self.pool, last_d, cur_d, hist = self._admit_wave_fn(wv, width)(
+            self.params, self.pool, last_d, cur_d, hist,
+            jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(slot_idx),
+        )
+        if self.speculative:
+            self.hist = hist
+        self.stats["prefills"] += len(entries)
+        return last_d, cur_d
 
     # ------------------------------------------------------------ schedule
     def generate(
@@ -334,87 +377,86 @@ class ContinuousBatcher:
         """Pipelined scheduler: device state chains between dispatches, up
         to ``self.depth`` decode chunks stay in flight, and the host blocks
         only on token fetches (overlapped with in-flight compute).
-        ``on_finish(i)`` fires when request ``i`` completes (latency
-        instrumentation)."""
+
+        Slots are freed EAGERLY: once a slot's schedule guarantees its
+        request's full budget is in flight (greedy chunks yield exactly
+        ``length`` tokens; a speculative round yields at least one), the
+        slot re-admits immediately — the remaining tokens are assembled
+        later from in-flight chunks, routed to per-request records by
+        chunk sequence number. Waiting for the tokens to RETIRE before
+        re-admitting (the round-3 scheme) wasted up to depth*chunk junk
+        slot-steps per turnover. ``on_finish(i)`` fires when request ``i``
+        completes (latency instrumentation)."""
         from collections import deque
 
         n = len(requests)
         results: List[Optional[List[int]]] = [None] * n
-        # longest-first admission reduces tail latency (the longest prompts
-        # otherwise sit behind a full pool at the end of the run)
-        pending = sorted(range(n), key=lambda i: -len(requests[i][0]))
+        # LPT admission: largest decode budget first (classic longest-
+        # processing-time makespan heuristic — a 128-token request admitted
+        # last would run alone at the tail while the other slots idle)
+        pending = sorted(
+            range(n), key=lambda i: (requests[i][1], len(requests[i][0]))
+        )
         free = list(range(self.slots))
-        active: dict = {}  # slot -> request index
+        cur: dict = {}  # slot -> request currently being SCHEDULED on it
 
         last_d = jnp.full((self.slots,), self.eos_id, jnp.int32)
         cur_d = jnp.zeros((self.slots,), jnp.int32)
-        tokens: List[List[int]] = [[] for _ in range(n)]
         budget = [0] * n
-        seq = 0                       # next chunk sequence number
-        valid_from = [0] * self.slots  # first chunk seq valid per slot
-        inflight: deque = deque()     # (seq, toks_handle, counts_handle)
-        # tokens scheduled per slot (seed + dispatched chunk lengths):
-        # once every active slot's schedule covers its budget, dispatching
-        # more chunks is pure waste — the needed tokens are already in
-        # flight, and eos/stop can only shorten them
+        seq = 0                    # next chunk sequence number
+        inflight: deque = deque()  # (seq, toks_handle, counts_handle)
+        # guaranteed tokens scheduled for the slot's CURRENT request
+        # (seed counts as 1; greedy chunk adds its length, a speculative
+        # chunk adds `rounds` — each round emits >= 1 token)
         sched = [0] * self.slots
+        # assembly records per slot, admission order: [a_seq, i, tokens,
+        # done] — a retired chunk `s` belongs to the newest record with
+        # a_seq <= s
+        recs: List[List[list]] = [[] for _ in range(self.slots)]
+        unfinished = 0
 
-        def finish(slot: int):
-            i = active.pop(slot)
-            toks = tokens[i]
+        def complete(rec):
+            nonlocal unfinished
+            rec[3] = True
+            unfinished -= 1
+            i = rec[1]
+            toks = rec[2]
             if self.eos_id in toks:
                 toks = toks[: toks.index(self.eos_id)]
             results[i] = toks
-            free.append(slot)
             if on_finish is not None:
                 on_finish(i)
 
         def admit():
-            nonlocal last_d, cur_d
+            nonlocal last_d, cur_d, unfinished
             # fully async: the prefill's first token never crosses to the
-            # host here — the fused insert seeds it into last_d, and the
-            # slot's first decode chunk returns it as its seed column
+            # host here — the fused wave seeds it into last_d, and each
+            # slot's first decode chunk returns it as its seed column.
+            # All admissible requests go in ONE device call (batched
+            # prefill + scatter insert), not one pair of calls each.
+            entries = []
             while pending and free:
                 i = pending.pop()  # shortest-first from the back
                 prompt, max_new = requests[i]
-                prompt, max_new, width = clamp_request(
+                prompt, max_new, _ = clamp_request(
                     prompt, max_new, self.max_len - self._headroom
                 )
-                ids = np.full((1, width), self.eos_id, np.int32)
-                ids[0, : len(prompt)] = prompt
-                ids_j = jnp.asarray(ids)
-                first, pre = self._prefill_fn(width)(
-                    self.params, ids_j, jnp.asarray([len(prompt)], np.int32)
-                )
-                self.stats["prefills"] += 1
                 slot = free.pop()
-                # slot as a device scalar: a Python int would bake the
-                # slot index into the compilation and recompile per slot
-                slot_j = jnp.asarray(slot, jnp.int32)
-                self.pool, last_d, cur_d = self._insert(
-                    self.pool, pre, slot_j, last_d, cur_d,
-                    first[0], jnp.asarray(len(prompt), jnp.int32),
-                )
-                if self.speculative:
-                    self.hist = self._hist_write(
-                        self.hist, ids_j, slot_j,
-                        jnp.asarray(len(prompt), jnp.int32), first[0],
-                    )
-                active[slot] = i
+                entries.append((slot, prompt))
+                cur[slot] = i
                 budget[i] = max_new
-                tokens[i] = []
-                valid_from[slot] = seq  # next dispatched chunk is valid
-                sched[slot] = 1         # the seed token is already scheduled
+                recs[slot].append([seq, i, [], False])
+                unfinished += 1
+                sched[slot] = 1  # the seed token is already scheduled
+            last_d, cur_d = self.admit_wave(entries, last_d, cur_d)
 
         def pick_chunk_len() -> int:
             # largest bucket not exceeding the smallest positive remaining
-            # budget among active slots (slots already fully scheduled are
-            # waiting on detection; stepping them further is unavoidable
-            # junk, so they don't cap the chunk)
+            # budget among scheduling slots
             remaining = [
-                budget[active[sl]] - sched[sl]
-                for sl in active
-                if budget[active[sl]] > sched[sl]
+                budget[cur[sl]] - sched[sl]
+                for sl in cur
+                if budget[cur[sl]] > sched[sl]
             ]
             if not remaining:
                 return self._chunk_buckets[0]
@@ -426,7 +468,15 @@ class ContinuousBatcher:
             return length
 
         def need_more() -> bool:
-            return any(budget[active[sl]] > sched[sl] for sl in active)
+            return any(budget[cur[sl]] > sched[sl] for sl in cur)
+
+        def free_covered():
+            # eager turnover: the slot's guaranteed schedule covers its
+            # budget -> every needed token is in flight; eos/stop can only
+            # shorten the request, never extend it
+            for sl in [s for s in cur if sched[s] >= budget[cur[s]]]:
+                del cur[sl]
+                free.append(sl)
 
         def dispatch():
             nonlocal seq, last_d, cur_d
@@ -434,20 +484,19 @@ class ContinuousBatcher:
                 self.pool, last_d, cur_d, self.hist, toks, counts = self._spec_chunk(
                     self.params, self.pool, last_d, cur_d, self.hist
                 )
-                length = self.rounds * (self.draft_len + 1)  # upper bound
+                guaranteed = self.rounds  # >= 1 emitted token per round
             else:
-                length = pick_chunk_len()
-                self.pool, last_d, cur_d, toks = self._decode_chunk_fn(length)(
+                guaranteed = pick_chunk_len()
+                self.pool, last_d, cur_d, toks = self._decode_chunk_fn(guaranteed)(
                     self.params, self.pool, last_d, cur_d
                 )
                 counts = None
             self.stats["decode_chunks"] += 1
             self.stats["slot_steps"] = (
-                self.stats.get("slot_steps", 0)
-                + (length if not self.speculative else self.rounds) * self.slots
+                self.stats.get("slot_steps", 0) + guaranteed * self.slots
             )
-            for sl in active:
-                sched[sl] += length
+            for sl in cur:
+                sched[sl] += guaranteed
             # start the device->host copy now; np.asarray at processing
             # time then finds the data already staged
             for h in (toks, counts):
@@ -455,34 +504,34 @@ class ContinuousBatcher:
                     h.copy_to_host_async()
             inflight.append((seq, toks, counts))
             seq += 1
+            free_covered()
+            admit()
 
         admit()
-        while active:
-            while len(inflight) < self.depth and (
-                self.speculative or need_more() or not inflight
-            ):
+        while unfinished or cur:
+            while len(inflight) < self.depth and (need_more() or not inflight):
                 dispatch()
+            if not inflight:
+                break  # every owed token has been assembled
             s, toks_h, counts_h = inflight.popleft()
             toks_np = np.asarray(toks_h)  # overlaps in-flight chunk compute
             counts_np = np.asarray(counts_h) if counts_h is not None else None
-            if self.speculative:
-                # acceptance stats count slots whose tokens are valid for
-                # this chunk — junk rounds from free/stale slots would
-                # inflate the realized tokens-per-round metric; the seed
-                # round 0 is bookkeeping, not speculation
-                live = [sl for sl in active if valid_from[sl] <= s]
-                self.stats["spec_rounds"] += int(self.rounds) * len(live)
-                if live:
-                    self.stats["spec_emitted"] += int(counts_np[live, 1:].sum())
-            for slot in list(active):
-                if valid_from[slot] > s:
-                    continue  # chunk was dispatched before this admission
-                # the slot's FIRST valid chunk carries its seed token in
+            live_slots = []
+            for slot in range(self.slots):
+                rec = None
+                for r in recs[slot]:
+                    if r[0] <= s:
+                        rec = r  # newest record whose window covers s
+                    else:
+                        break
+                if rec is None or rec[3]:
+                    continue
+                live_slots.append(slot)
+                i = rec[1]
+                # the record's FIRST chunk carries its seed token in
                 # column/round 0; later chunks' seed repeats an already-
                 # emitted token and is skipped
-                fresh = valid_from[slot] == s and not tokens[active[slot]]
-                i = active[slot]
-                done = False
+                fresh = rec[0] == s and not rec[2]
                 if counts_np is None:
                     emitted = toks_np[slot] if fresh else toks_np[slot, 1:]
                 else:
@@ -492,15 +541,25 @@ class ContinuousBatcher:
                         for r in range(r0, toks_np.shape[1])
                         for t in toks_np[slot, r, : counts_np[slot, r]]
                     ]
+                done = False
                 for t in emitted:
-                    tokens[i].append(int(t))
-                    if int(t) == self.eos_id or len(tokens[i]) >= budget[i]:
+                    rec[2].append(int(t))
+                    if int(t) == self.eos_id or len(rec[2]) >= budget[i]:
                         done = True
                         break
-                if not done and stop_check and stop_check(i, tokens[i]):
+                if not done and stop_check and stop_check(i, rec[2]):
                     done = True
                 if done:
-                    finish(slot)
+                    complete(rec)
+                    if cur.get(slot) == i:  # eos/stop beat the schedule
+                        del cur[slot]
+                        free.append(slot)
+            if self.speculative and live_slots:
+                # acceptance realized over slots whose tokens were valid
+                # for this chunk (junk rounds from free/stale slots would
+                # inflate tokens-per-round); the seed round 0 is bookkeeping
+                self.stats["spec_rounds"] += int(self.rounds) * len(live_slots)
+                self.stats["spec_emitted"] += int(counts_np[live_slots, 1:].sum())
             admit()
         # trailing in-flight chunks hold junk for already-finished slots;
         # the chained pool/hist handles stay valid for the next call

@@ -127,50 +127,43 @@ class GenerationService:
         inflight: deque = deque()
 
         while not self._shutdown.is_set():
-            # admit: block when idle, drain opportunistically when busy
+            # admit: block when idle, drain opportunistically when busy —
+            # every drained request joins ONE coalesced admission wave
+            # (batched prefill + scatter insert, a single device call)
+            wave = []
             while free:
-                idle = not active and not inflight
+                idle = not active and not inflight and not wave
                 try:
                     req = self._queue.get(block=idle, timeout=1.0 if idle else None)
                 except queue.Empty:
                     break
                 if req is None:
                     return
-                slot = None
-                try:
-                    from retrieval_scaling_tpu.models.continuous_batching import (
-                        clamp_request,
-                    )
+                from retrieval_scaling_tpu.models.continuous_batching import (
+                    clamp_request,
+                )
 
-                    prompt, max_new, width = clamp_request(
-                        req.prompt_ids, req.max_new, eng.max_len
-                    )
-                    req.max_new = max_new
-                    ids = np.full((1, width), self.eos_id, np.int32)
-                    ids[0, : len(prompt)] = prompt
-                    first, pre = eng._prefill_fn(width)(
-                        eng.params, jnp.asarray(ids),
-                        jnp.asarray([len(prompt)], np.int32),
-                    )
-                    slot = free.pop()
-                    eng.pool, last_d, cur_d = eng._insert(
-                        eng.pool, pre, jnp.asarray(slot, jnp.int32),
-                        last_d, cur_d, first[0],
-                        jnp.asarray(len(prompt), jnp.int32),
-                    )
-                    valid_from[slot] = seq
-                    # no host sync on the first token: the slot's first
-                    # decode chunk returns it as its seed column
-                    req.tokens = []
-                    active[slot] = req
+                prompt, max_new, _ = clamp_request(
+                    req.prompt_ids, req.max_new, eng.max_len
+                )
+                req.max_new = max_new
+                slot = free.pop()
+                wave.append((slot, prompt))
+                valid_from[slot] = seq
+                # no host sync on the first token: the slot's first
+                # decode chunk returns it as its seed column
+                req.tokens = []
+                active[slot] = req
+            if wave:
+                try:
+                    last_d, cur_d = eng.admit_wave(wave, last_d, cur_d)
                 except Exception as e:  # noqa: BLE001
-                    logger.exception("prefill failed")
-                    if slot is not None and slot not in active:
+                    logger.exception("admission wave failed")
+                    for slot, _ in wave:
+                        req = active.pop(slot)
                         free.append(slot)  # never leak capacity on failure
-                    req.error = str(e)
-                    req.done.set()
-                if not active and self._queue.empty():
-                    break
+                        req.error = str(e)
+                        req.done.set()
             if not active:
                 # trailing in-flight chunks hold junk for finished slots;
                 # drop them so the admission get() blocks again when idle

@@ -220,6 +220,12 @@ def _flash_kernel(
     else:
         (o_ref,) = rest
     block_q, d = q_ref.shape[2], q_ref.shape[3]
+    # f32 operands here are deliberate: an on-chip A/B (r04) found Mosaic
+    # lowers a bf16 dot whose k operand is a pl.ds-sliced block far slower
+    # than the f32-upcast version (S=2048 causal 3.7 -> 6.4 ms), while the
+    # one-shot kernel's whole-row static operands take the fast bf16 path.
+    # bf16-native dots live in _flash_oneshot_kernel, which now takes every
+    # shape where it does no extra dot work.
     q = q_ref[0, 0].astype(jnp.float32) * sm_scale
 
     num_k_blocks = sk_pad // block_k
@@ -360,14 +366,17 @@ def _flash_oneshot_kernel(
     sk_pad = k_ref.shape[2]
     qi = pl.program_id(2)
 
-    q = q_ref[0, 0].astype(jnp.float32) * sm_scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # same operand-dtype scheme as the looped kernel: bf16 MXU dots with
+    # f32 accumulation, sm_scale folded into the exp (exact; see there)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    es_scale = 1.0 if logit_cap else sm_scale
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [block_q, Sk_pad]
+    )  # [block_q, Sk_pad] f32, unscaled unless logit_cap
     if logit_cap:
-        s = logit_cap * jnp.tanh(s / logit_cap)
+        s = logit_cap * jnp.tanh(s * (sm_scale / logit_cap))
     if has_mask:
         s = s + mask_ref[0, 0][None, :]
     if causal or window is not None:
@@ -384,10 +393,11 @@ def _flash_oneshot_kernel(
     m = jnp.max(s, axis=-1, keepdims=True)
     # same exp-reference clamp as the looped kernel: masked rows/entries
     # underflow to exact 0 without a guard select
-    p = jnp.exp(s - jnp.maximum(m, NEG_INF * 0.5))
+    p = jnp.exp((s - jnp.maximum(m, NEG_INF * 0.5)) * es_scale)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v_ref.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0, 0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
@@ -527,12 +537,19 @@ def flash_attention(
     grid = (b, h, sq_pad // block_q)
 
     # One-shot softmax (no online carry, no per-k-block loop) when the
-    # [block_q, Sk_pad] f32 score tile fits VMEM. None = auto (off until the
-    # on-chip sweep justifies flipping a shape class). Segmented rows and a
+    # [block_q, Sk_pad] f32 score tile fits VMEM. None = auto: ON wherever
+    # one-shot does no extra dot work — non-causal rows, and causal rows
+    # with a single (whole-row) q block, where the looped kernel could not
+    # skip any key block either. That covers the S<=1024 reader shapes and
+    # every decode step (the 32-row q tail sees ~the whole cache). Multi-
+    # q-block causal rows (S>=2048 dense) keep the looped kernel's causal
+    # key-block skip, which one-shot forfeits. On-chip (r04, bf16 dots in
+    # the one-shot body): b8h16S1024d128 2.29 -> 1.96 ms, llama d64 3.19
+    # -> 2.83 ms, parity 1.4e-2 = bf16 resolution. Segmented rows and a
     # small window relative to Sk keep the looped kernel: its key-block
     # skipping is what makes them linear-in-tokens / O(S*window).
     if one_shot is None:
-        one_shot = False
+        one_shot = (not causal) or sq_pad == block_q
     use_oneshot = (
         one_shot
         and segment_ids is None

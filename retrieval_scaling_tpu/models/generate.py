@@ -243,14 +243,22 @@ def quantize_decode_params(params, cfg, scheme: str = "int8"):
 
     ``scheme="int4"``: group-128 4-bit weights (half the int8 stream
     again); weights whose K dim is not group-divisible stay int8.
+
+    ``scheme="bf16"``: NO quantization — a pure 2-D re-layout (bf16
+    weights, unit scales) so decode matmuls route through the same
+    weight-streaming Pallas kernel, which beats XLA's plain decode dots
+    at [B<=32, K] x [K, N] shapes (round-4 on-chip A/B at Pythia-1B b8:
+    3.73 vs 3.93 ms/step). Numerics are the bf16 weights unchanged;
+    prefill/scoring shapes fall back to a plain MXU dot.
     """
     from retrieval_scaling_tpu.ops.quant_matmul import (
         INT4_GROUP,
+        pad_cols_for_stream,
         quantize_weight,
         quantize_weight_int4,
     )
 
-    if scheme not in ("int8", "int4"):
+    if scheme not in ("int8", "int4", "bf16"):
         raise ValueError(f"unknown quantization scheme {scheme!r}")
     is_llama = isinstance(cfg, LlamaConfig)
     layer_keys = (
@@ -265,10 +273,23 @@ def quantize_decode_params(params, cfg, scheme: str = "int8"):
             w2d = w.reshape(-1, w.shape[-1])           # [H*hd, d]
         else:
             w2d = w.reshape(w.shape[0], -1)            # [d, ...]
+        # Column-pad awkward widths (the vocab head) so the streaming
+        # kernel gets full-cap blocks; q8_dot slices the pad back off via
+        # the static SHAPE of the @padcols marker (zero-filled columns).
+        itemsize = 2 if scheme == "bf16" else 1
+        k_rows = w2d.shape[0] // 2 if scheme == "int4" else w2d.shape[0]
+        pad = pad_cols_for_stream(k_rows, w2d.shape[1], itemsize)
+        if pad and (w2d.shape[1] + pad) % 128 == 0:
+            w2d = jnp.pad(w2d, ((0, 0), (0, pad)))
+            store[f"{name}@padcols"] = jnp.zeros((pad,), jnp.int8)
         if scheme == "int4" and w2d.shape[0] % INT4_GROUP == 0:
             qw4 = quantize_weight_int4(w2d)
             store[f"{name}@q4"] = qw4.packed
             store[f"{name}@s4g"] = qw4.scale
+            return
+        if scheme == "bf16":
+            store[f"{name}@q8"] = w2d.astype(jnp.bfloat16)
+            store[f"{name}@s"] = jnp.ones((1, w2d.shape[1]), jnp.float32)
             return
         qw = quantize_weight(w2d)
         store[f"{name}@q8"] = qw.wq

@@ -27,6 +27,7 @@ Reference analog: none — the reference encoder runs fp16 torch matmuls
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -279,12 +280,20 @@ def q8_dot(store, name: str, x: jax.Array, out_dtype=None) -> jax.Array:
 
     Routes by leading-dim size: decode shapes (rows <= M_DECODE) hit the
     weight-streaming kernel; prefill/scoring shapes hit the M-blocked
-    kernel (or the XLA fallback)."""
+    kernel (or the XLA fallback). Weights column-padded at quantize time
+    (``pad_cols_for_stream``) carry a ``<name>@padcols`` marker whose
+    static SHAPE is the pad width; the pad columns are sliced back off
+    here, on every route."""
     if f"{name}@q4" in store:
         qw4 = QuantizedWeight4(store[f"{name}@q4"], store[f"{name}@s4g"])
-        return int4_decode_matmul(x, qw4, out_dtype=out_dtype or x.dtype)
-    qw = QuantizedWeight(store[f"{name}@q8"], store[f"{name}@s"])
-    return int8_decode_matmul(x, qw, out_dtype=out_dtype or x.dtype)
+        out = int4_decode_matmul(x, qw4, out_dtype=out_dtype or x.dtype)
+    else:
+        qw = QuantizedWeight(store[f"{name}@q8"], store[f"{name}@s"])
+        out = int8_decode_matmul(x, qw, out_dtype=out_dtype or x.dtype)
+    pad_marker = store.get(f"{name}@padcols")
+    if pad_marker is not None and pad_marker.shape[0]:
+        out = out[..., : out.shape[-1] - pad_marker.shape[0]]
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -293,23 +302,75 @@ def q8_dot(store, name: str, x: jax.Array, out_dtype=None) -> jax.Array:
 # At decode, matmuls are [B<=~32, K] x [K, N] — arithmetic intensity is so
 # low that throughput equals weight bytes / HBM bandwidth. Storing weights
 # int8 halves the bytes; the kernel streams [K, BN] int8 weight blocks
-# while the (tiny, dynamically row-quantized) activations stay resident,
-# so the int8 MXU consumes the stream directly with no bf16 weight copy.
+# while the tiny activations stay resident in VMEM.
+#
+# The dot runs on the *bf16* MXU path against the streamed int8 block
+# (round-4 on-chip ablation, scripts/ablate_decode.py): every int8 value
+# is exact in bf16 and products/sums are exact in the f32 accumulator, so
+# x @ wq.astype(bf16) * scale EQUALS the dequantized-weight matmul — while
+# the int8 x int8 -> int32 dot that previously consumed the stream capped
+# the whole chain at ~300 GB/s effective at these M<=32 shapes. Dropping
+# the in-kernel activation row-quantization also removes that error term
+# entirely: decode int8 now has pure weight-RTN error. The int8 MXU's 2x
+# rate still pays at prefill/scoring shapes (compute-bound), which keep
+# the quantize-in-kernel int8-dot kernels above.
+#
+# Measured stream floors on chip (pure-DMA probes, round 4): int8 blocks
+# DMA HBM->VMEM at ~520 GB/s, bf16 blocks at ~1030 GB/s — int8 halves the
+# bytes but streams at half the byte rate, so its decode win over bf16
+# comes from the downstream (VMEM/MXU) side, not the HBM read. Marginal
+# pallas_call launch overhead is ~60 us (scripts/ablate_launch_overhead.py:
+# 16 chained streaming calls = 1.90 ms vs the identical work in ONE call
+# = 0.99 ms), which is why the decode path fuses launches aggressively.
 # --------------------------------------------------------------------------
 
-BN_DECODE = 256  # weight columns per grid step
 M_DECODE = 32    # resident activation rows (callers pad up)
+# per-block weight bytes: big blocks amortize per-grid-step overhead and
+# keep the DMA engine byte-fed (double-buffered: 2 blocks live in VMEM).
+# Env-tunable for on-chip sweeps (scripts/bench_decode_quick.py).
+DECODE_BLOCK_BYTES = int(os.environ.get("RST_DECODE_BLOCK_BYTES", 4 << 20))
 
 
-def _int8_decode_kernel(x_ref, wq_ref, scale_ref, out_ref):
-    x = x_ref[:].astype(jnp.float32)                      # [m_pad, K]
-    xq, row_scale = _rowquant(x)
+def _pick_bn_decode(k: int, n: int, itemsize: int) -> int:
+    """Largest multiple-of-128 divisor of n whose [K, bn] block stays
+    within DECODE_BLOCK_BYTES."""
+    cap = max(DECODE_BLOCK_BYTES // (k * itemsize), 128)
+    best = 0
+    for bn in range(128, min(n, cap) + 1, 128):
+        if n % bn == 0:
+            best = bn
+    return best or 128
+
+
+def pad_cols_for_stream(k: int, n: int, itemsize: int) -> int:
+    """Columns to ADD to an [K, n] streamed decode weight so its width
+    divides into full-cap blocks.
+
+    Awkward widths wreck the stream: Pythia's 50304-col vocab head factors
+    as 2^7*3*131, so the largest block divisor is 384 cols (0.79 MB int8)
+    -> 131 grid steps whose per-block overhead dominates (measured: the
+    head alone ran ~2.7x slower than its byte share). Padding to the next
+    multiple of the cap (50304 -> 51200 at bn=2048) costs <2% extra bytes
+    and restores full-size blocks. ``q8_dot`` slices the pad columns back
+    off (see the ``@padcols`` marker in models.generate)."""
+    cap = max(DECODE_BLOCK_BYTES // (k * itemsize), 128)
+    bn_t = (cap // 128) * 128
+    if n <= bn_t:
+        # single-block weight: lane-align only
+        return _round_up(n, 128) - n
+    # never trade >5% extra stream bytes for block shape: shrink the
+    # target block until the pad is cheap (128 always is: n % 128 pad)
+    while bn_t > 128 and (_round_up(n, bn_t) - n) * 20 > n:
+        bn_t = max(128, (bn_t // 2 // 128) * 128)
+    return _round_up(n, bn_t) - n
+
+
+def _w8_decode_kernel(x_ref, wq_ref, scale_ref, out_ref):
     acc = jax.lax.dot_general(
-        xq, wq_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )                                                     # [m_pad, BN]
-    out_ref[:] = (acc.astype(jnp.float32) * row_scale * scale_ref[:]).astype(
-        out_ref.dtype
-    )
+        x_ref[:], wq_ref[:].astype(x_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # [m_pad, BN] f32
+    out_ref[:] = (acc * scale_ref[:]).astype(out_ref.dtype)
 
 
 # Largest batch the weight-streaming kernel keeps resident; beyond this the
@@ -338,14 +399,22 @@ def int8_decode_matmul(
         m *= s
     x2d = x.reshape(m, k)
 
-    # lane-aligned column block: 256 when possible, 128 otherwise (50304-ish
-    # vocab heads are 128- but not 256-aligned)
-    bn = BN_DECODE if n % BN_DECODE == 0 else 128
-    aligned = k % 128 == 0 and n % bn == 0
+    aligned = k % 128 == 0 and n % 128 == 0
     on_tpu = interpret or jax.default_backend() == "tpu"
     use_decode = impl == "pallas" or (
         impl == "auto" and m <= M_DECODE_MAX and aligned and on_tpu
     )
+    if not use_decode and qw.wq.dtype != jnp.int8:
+        # bf16 2-D weights (scheme="bf16" re-layout) at prefill/scoring
+        # sizes: a plain MXU dot — the int8_matmul fallbacks below would
+        # rowquant-and-int8-dot a float weight
+        out = (
+            jnp.dot(
+                x2d.astype(qw.wq.dtype), qw.wq, preferred_element_type=jnp.float32
+            )
+            * qw.scale
+        ).astype(out_dtype)
+        return out.reshape(*batch_shape, n)
     if not use_decode:
         if (
             impl == "auto" and aligned and on_tpu and m % BM != 0
@@ -374,19 +443,22 @@ def _int8_decode_stream_jit(
 ) -> jax.Array:
     """The weight-streaming decode kernel (replication under GSPMD is
     near-free here: the weight stream dominates and is per-chip either
-    way, and the resident activations are tiny)."""
+    way, and the resident activations are tiny).
+
+    Activations enter the bf16 dot as bf16 (the decode path's native
+    dtype); the streamed block upcasts int8 -> bf16 on operand load."""
     k, n = qw.wq.shape
     batch_shape = x.shape[:-1]
     m = 1
     for s in batch_shape:
         m *= s
-    x2d = x.reshape(m, k)
-    bn = BN_DECODE if n % BN_DECODE == 0 else 128
+    x2d = x.reshape(m, k).astype(jnp.bfloat16)
+    bn = _pick_bn_decode(k, n, qw.wq.dtype.itemsize)
     assert m <= M_DECODE_MAX and k % 128 == 0 and n % bn == 0, (m, k, n)
     m_pad = max(M_DECODE, _round_up(m, 32))  # sublane-aligned resident block
     x_pad = jnp.pad(x2d, ((0, m_pad - m), (0, 0)))
     out = pl.pallas_call(
-        _int8_decode_kernel,
+        _w8_decode_kernel,
         grid=(n // bn,),
         in_specs=[
             pl.BlockSpec((m_pad, k), lambda j: (0, 0)),      # resident

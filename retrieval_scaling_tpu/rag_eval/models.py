@@ -101,7 +101,7 @@ class JaxReaderLM:
 
         from retrieval_scaling_tpu.models.hf_convert import reader_logits
 
-        if quantization not in (None, "", "none", "int8", "int4"):
+        if quantization not in (None, "", "none", "int8", "int4", "bf16"):
             raise ValueError(f"unknown reader quantization {quantization!r}")
         if kv_cache not in (None, "", "none", "int8"):
             raise ValueError(f"unknown kv_cache {kv_cache!r}")
@@ -112,12 +112,12 @@ class JaxReaderLM:
                 "the CLI's --model_args tensor_parallel=M, which builds one)"
             )
         self.tensor_parallel = bool(tensor_parallel)
-        if self.tensor_parallel and quantization in ("int8", "int4"):
+        if self.tensor_parallel and quantization in ("int8", "int4", "bf16"):
             raise ValueError(
                 "tensor_parallel and reader quantization are mutually "
                 "exclusive (TP shard specs cover float keys only)"
             )
-        if quantization in ("int8", "int4"):
+        if quantization in ("int8", "int4", "bf16"):
             # Weight-only int8 (per-output-channel): halves the decode
             # weight stream and quarters reader HBM vs f32. The model
             # forwards dispatch per-weight, so scoring AND generation run

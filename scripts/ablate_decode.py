@@ -158,17 +158,18 @@ def main() -> None:
 
     def stream_preq(xq, xs, wq, s, bn):
         k, n = wq.shape
+        mp = xq.shape[0]
         return pl.pallas_call(
             kern_preq,
             grid=(n // bn,),
             in_specs=[
-                pl.BlockSpec((MPAD, k), lambda j: (0, 0)),
-                pl.BlockSpec((MPAD, 1), lambda j: (0, 0)),
+                pl.BlockSpec((mp, k), lambda j: (0, 0)),
+                pl.BlockSpec((mp, 1), lambda j: (0, 0)),
                 pl.BlockSpec((k, bn), lambda j: (0, j)),
                 pl.BlockSpec((1, bn), lambda j: (0, j)),
             ],
-            out_specs=pl.BlockSpec((MPAD, bn), lambda j: (0, j)),
-            out_shape=jax.ShapeDtypeStruct((MPAD, n), jnp.bfloat16),
+            out_specs=pl.BlockSpec((mp, bn), lambda j: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((mp, n), jnp.bfloat16),
         )(xq, xs, wq, s)
 
     def stream_dual(aq, asc, hq, hsc, res, wo, so, w2, s2, bn):
@@ -191,6 +192,77 @@ def main() -> None:
             out_specs=pl.BlockSpec((MPAD, bn), lambda j: (0, j)),
             out_shape=jax.ShapeDtypeStruct((MPAD, n), jnp.bfloat16),
         )(aq, asc, hq, hsc, res, wo, so, w2, s2)
+
+    # int8-streamed weight, bf16 MXU dot: every int8 value is exact in
+    # bf16 and products/accumulation are exact in f32, so this equals the
+    # dequantized-weight matmul bit-for-bit — while streaming HALF the
+    # bytes of bf16 AND skipping activation quantization entirely. Tests
+    # whether the int8x int8->int32 dot (not DMA) caps the int8 variants
+    # at ~300 GB/s effective.
+    def kern_w8bf16(x_ref, wq_ref, s_ref, o_ref):
+        acc = jax.lax.dot_general(
+            x_ref[:], wq_ref[:].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = (acc * s_ref[:]).astype(o_ref.dtype)
+
+    def stream_w8bf16(x, wq, s, bn):
+        k, n = wq.shape
+        mp = x.shape[0]
+        return pl.pallas_call(
+            kern_w8bf16,
+            grid=(n // bn,),
+            in_specs=[
+                pl.BlockSpec((mp, k), lambda j: (0, 0)),
+                pl.BlockSpec((k, bn), lambda j: (0, j)),
+                pl.BlockSpec((1, bn), lambda j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((mp, bn), lambda j: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((mp, n), jnp.bfloat16),
+        )(x, wq, s)
+
+    # pure-DMA probes: the kernel copies ONE sublane row of the streamed
+    # block (the BlockSpec still DMAs the full [K, bn] block into VMEM),
+    # so the loop time is the stream floor with near-zero compute.
+    def kern_touch(w_ref, o_ref):
+        o_ref[:] = w_ref[:8, :].astype(jnp.float32)
+
+    def stream_touch(w, bn):
+        k, n = w.shape
+        return pl.pallas_call(
+            kern_touch,
+            grid=(n // bn,),
+            in_specs=[pl.BlockSpec((k, bn), lambda j: (0, j))],
+            out_specs=pl.BlockSpec((8, bn), lambda j: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        )(w)
+
+    def step_dma(x, ws):
+        # ws: flat list of weight arrays prebuilt OUTSIDE the loop (an
+        # in-loop astype would add a convert+write pass and ruin the probe)
+        acc = x
+        for w in ws:
+            bn = _divcap(w.shape[1], (4 << 20) // (w.shape[0] * w.dtype.itemsize))
+            acc = acc + (stream_touch(w, bn)[:1, :1] * 0.0).astype(acc.dtype)
+        return acc
+
+    def _divcap(n, cap):
+        best = 128
+        for bn in range(128, min(n, max(cap, 128)) + 1, 128):
+            if n % bn == 0:
+                best = bn
+        return best
+
+    # reduced resident-row variants: if the chain is MXU-issue-bound at
+    # m_pad=32 (25% row occupancy), fewer resident rows cut dot work
+    def step_preq_m(x, lys, hd, rows):
+        y = step_preq_big(x[:rows], lys, hd)
+        return jnp.concatenate([y, x[rows:]], axis=0)
+
+    def step_w8_m(x, lys, hd, rows):
+        y = step_w8bf16_huge(x[:rows], lys, hd)
+        return jnp.concatenate([y, x[rows:]], axis=0)
 
     # bf16 streaming kernels (same shapes, no quant)
     def kern_preq_bf16(x_ref, w_ref, o_ref):
@@ -327,6 +399,30 @@ def main() -> None:
         lg = stream_preq(xq, xs, *hd, 2048)[:, :V]
         return x + jnp.mean(lg, axis=-1, keepdims=True) * 0.0
 
+    def step_w8bf16(x, lys, hd):
+        for ly in lys:
+            qkv = stream_w8bf16(x, *ly["qkv"], 1024)
+            a = qkv[:, :D]
+            hh = jax.nn.gelu(stream_w8bf16(x, *ly["mi"], 1024)).astype(x.dtype)
+            ao = stream_w8bf16(a, *ly["ao"], 1024)
+            mo = stream_w8bf16(hh, *ly["mo"], 512)
+            x = x + ao + mo
+        lg = stream_w8bf16(x, *hd, 2048)[:, :V]
+        return x + jnp.mean(lg, axis=-1, keepdims=True) * 0.0
+
+    def step_w8bf16_huge(x, lys, hd):
+        # 4 MB int8 blocks (byte-matched to mm_bf16_big's 1024-wide bf16
+        # blocks) in case the DMA engine is issue-bound, not byte-bound
+        for ly in lys:
+            qkv = stream_w8bf16(x, *ly["qkv"], 2048)
+            a = qkv[:, :D]
+            hh = jax.nn.gelu(stream_w8bf16(x, *ly["mi"], 2048)).astype(x.dtype)
+            ao = stream_w8bf16(a, *ly["ao"], 2048)
+            mo = stream_w8bf16(hh, *ly["mo"], 512)
+            x = x + ao + mo
+        lg = stream_w8bf16(x, *hd, 2048)[:, :V]
+        return x + jnp.mean(lg, axis=-1, keepdims=True) * 0.0
+
     def step_bf16_big(x, lysb, hdb):
         for ly in lysb:
             qkv = stream_bf16(x, ly["qkv"], 1024)
@@ -359,6 +455,11 @@ def main() -> None:
     head_b = head[0].astype(jnp.bfloat16) * head[1].astype(jnp.bfloat16)
 
     x0 = jnp.asarray(rng.randn(MPAD, D).astype(np.float32), jnp.bfloat16)
+    ws_i8 = []
+    for ly in layers:
+        ws_i8 += [ly["qkv"][0], ly["ao"][0], ly["mi"][0], ly["mo"][0]]
+    ws_i8.append(head_pad[0])
+    ws_b16 = [w.astype(jnp.bfloat16) for w in ws_i8]
 
     def timed(name, step_fn, *args):
         # weights as jit args; static ints (bn_head) must be baked into
@@ -392,6 +493,23 @@ def main() -> None:
                      lambda x, lys, hd: step_bf16k(x, lys, hd, 384), (layers_bf, head_b)),
         "mm_preq_big": ("mm_preq_big (hoisted quant, 2-4MB blocks, padded head)",
                         step_preq_big, (layers, head_pad)),
+        "mm_w8bf16": ("mm_w8bf16 (int8 stream, bf16 MXU dot, 2-4MB blocks)",
+                      step_w8bf16, (layers, head_pad)),
+        "mm_dma_i8": ("mm_dma_i8 (pure int8 weight-stream floor)",
+                      lambda x, ws: step_dma(x, ws), (ws_i8,)),
+        "mm_dma_bf16": ("mm_dma_bf16 (pure bf16 weight-stream floor)",
+                        lambda x, ws: step_dma(x, ws), (ws_b16,)),
+        "mm_preq_m16": ("mm_preq_big at 16 resident rows",
+                        lambda x, lys, hd: step_preq_m(x, lys, hd, 16),
+                        (layers, head_pad)),
+        "mm_w8_m16": ("mm_w8bf16_huge at 16 resident rows",
+                      lambda x, lys, hd: step_w8_m(x, lys, hd, 16),
+                      (layers, head_pad)),
+        "mm_w8_m8": ("mm_w8bf16_huge at 8 resident rows",
+                     lambda x, lys, hd: step_w8_m(x, lys, hd, 8),
+                     (layers, head_pad)),
+        "mm_w8bf16_huge": ("mm_w8bf16 (int8 stream, bf16 dot, 4MB blocks)",
+                           step_w8bf16_huge, (layers, head_pad)),
         "mm_bf16_big": ("mm_bf16_big (bf16 stream, 2-4MB blocks, padded head)",
                         step_bf16_big,
                         (layers_b, jnp.pad(head_b, ((0, 0), (0, VPAD - V))))),

@@ -267,12 +267,7 @@ def quantize_decode_params(params, cfg, scheme: str = "int8"):
         else ("qkv_w", "attn_out_w", "mlp_in_w", "mlp_out_w")
     )
 
-    def quantize_into(store, name):
-        w = store.pop(name)
-        if name in ("attn_out_w", "o_w"):
-            w2d = w.reshape(-1, w.shape[-1])           # [H*hd, d]
-        else:
-            w2d = w.reshape(w.shape[0], -1)            # [d, ...]
+    def _pad_cols(store, name, w2d):
         # Column-pad awkward widths (the vocab head) so the streaming
         # kernel gets full-cap blocks; q8_dot slices the pad back off via
         # the static SHAPE of the @padcols marker (zero-filled columns).
@@ -282,6 +277,10 @@ def quantize_decode_params(params, cfg, scheme: str = "int8"):
         if pad and (w2d.shape[1] + pad) % 128 == 0:
             w2d = jnp.pad(w2d, ((0, 0), (0, pad)))
             store[f"{name}@padcols"] = jnp.zeros((pad,), jnp.int8)
+        return w2d
+
+    def _store_2d(store, name, w2d):
+        w2d = _pad_cols(store, name, w2d)
         if scheme == "int4" and w2d.shape[0] % INT4_GROUP == 0:
             qw4 = quantize_weight_int4(w2d)
             store[f"{name}@q4"] = qw4.packed
@@ -295,12 +294,66 @@ def quantize_decode_params(params, cfg, scheme: str = "int8"):
         store[f"{name}@q8"] = qw.wq
         store[f"{name}@s"] = qw.scale
 
+    def as_2d(w, name):
+        if name in ("attn_out_w", "o_w"):
+            return w.reshape(-1, w.shape[-1])           # [H*hd, d]
+        return w.reshape(w.shape[0], -1)                # [d, ...]
+
+    def quantize_into(store, name):
+        _store_2d(store, name, as_2d(store.pop(name), name))
+
+    def fuse_ncat(store, out_name, names):
+        # same-K column concat: one stream, callers split output columns
+        w2d = jnp.concatenate(
+            [as_2d(store.pop(n), n) for n in names], axis=1
+        )
+        _store_2d(store, out_name, w2d)
+
+    def fuse_kcat(store, out_name, names):
+        # row concat with exact per-part scales (q8_splitk_dot sums the
+        # two projections in one streamed kernel)
+        wa = as_2d(store.pop(names[0]), names[0])
+        wb = as_2d(store.pop(names[1]), names[1])
+        if scheme == "bf16":
+            w2d = jnp.concatenate([wa, wb], axis=0).astype(jnp.bfloat16)
+            sa = sb = jnp.ones((1, w2d.shape[1]), jnp.float32)
+        else:
+            qa, qb = quantize_weight(wa), quantize_weight(wb)
+            w2d = jnp.concatenate([qa.wq, qb.wq], axis=0)
+            sa, sb = qa.scale, qb.scale
+        pad = pad_cols_for_stream(w2d.shape[0], w2d.shape[1], w2d.dtype.itemsize)
+        if pad and (w2d.shape[1] + pad) % 128 == 0:
+            w2d = jnp.pad(w2d, ((0, 0), (0, pad)))
+            sa = jnp.pad(sa, ((0, 0), (0, pad)))
+            sb = jnp.pad(sb, ((0, 0), (0, pad)))
+            store[f"{out_name}@padcols"] = jnp.zeros((pad,), jnp.int8)
+        store[f"{out_name}@q8"] = w2d
+        store[f"{out_name}@sa"] = sa
+        store[f"{out_name}@sb"] = sb
+
+    # Launch fusion (~60 us marginal per pallas_call on chip — see
+    # ops/quant_matmul.py): merge per-layer weight streams so decode
+    # issues 2 calls/layer (NeoX parallel residual: qkv|mlp_in dual-input
+    # N-concat + attn_out;mlp_out split-K) or 4 (Llama: q|k|v and gate|up
+    # N-concats). int4 keeps per-weight streams (its kernel is
+    # group-scaled and unfused).
+    fuse = scheme in ("int8", "bf16")
+
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:
         new = dict(layer)
-        for name in layer_keys:
-            quantize_into(new, name)
+        if fuse and is_llama:
+            fuse_ncat(new, "qkv3", ("q_w", "k_w", "v_w"))
+            fuse_ncat(new, "gateup", ("gate_w", "up_w"))
+            quantize_into(new, "o_w")
+            quantize_into(new, "down_w")
+        elif fuse and not is_llama and cfg.use_parallel_residual:
+            fuse_ncat(new, "qkv_mi", ("qkv_w", "mlp_in_w"))
+            fuse_kcat(new, "ao_mo", ("attn_out_w", "mlp_out_w"))
+        else:
+            for name in layer_keys:
+                quantize_into(new, name)
         out["layers"].append(new)
     if is_llama:
         if not cfg.tie_embeddings and "lm_head" in out:

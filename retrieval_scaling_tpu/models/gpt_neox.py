@@ -114,10 +114,21 @@ def _apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def neox_qkv(layer: Params, cfg: GPTNeoXConfig, ln1: jax.Array):
     """Fused QKV projection -> (q, k, v) each [B, H, S, hd] (float or int8)."""
-    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+    from retrieval_scaling_tpu.ops.quant_matmul import (
+        has_q8,
+        q8_col_slice_dot,
+        q8_dot,
+    )
 
     b, s, _ = ln1.shape
-    if has_q8(layer, "qkv_w"):
+    if "qkv_mi@q8" in layer:
+        # launch-fused qkv|mlp_in storage (quantize_decode_params): the
+        # scoring path takes the qkv column span; decode takes the whole
+        # stream via q8_dual_in_dot in models.generate
+        nqkv = 3 * cfg.num_heads * cfg.head_dim
+        qkv = q8_col_slice_dot(layer, "qkv_mi", ln1, 0, nqkv)
+        qkv = qkv.reshape(b, s, 3, cfg.num_heads, cfg.head_dim) + layer["qkv_b"][None, None]
+    elif has_q8(layer, "qkv_w"):
         qkv = q8_dot(layer, "qkv_w", ln1).reshape(b, s, 3, cfg.num_heads, cfg.head_dim)
         qkv = qkv + layer["qkv_b"][None, None]
     else:
@@ -127,8 +138,16 @@ def neox_qkv(layer: Params, cfg: GPTNeoXConfig, ln1: jax.Array):
 
 def neox_attn_out(layer: Params, attn: jax.Array) -> jax.Array:
     """Output projection: attn [B, H, S, hd] -> [B, S, D] (float or int8)."""
-    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+    from retrieval_scaling_tpu.ops.quant_matmul import (
+        has_q8,
+        q8_dot,
+        q8_row_part_dot,
+    )
 
+    if "ao_mo@q8" in layer:
+        b, h, s, hd = attn.shape
+        flat = jnp.moveaxis(attn, 1, 2).reshape(b, s, h * hd)
+        return q8_row_part_dot(layer, "ao_mo", flat, "a") + layer["attn_out_b"]
     if has_q8(layer, "attn_out_w"):
         b, h, s, hd = attn.shape
         flat = jnp.moveaxis(attn, 1, 2).reshape(b, s, h * hd)
@@ -142,10 +161,26 @@ def _mlp_act(h: jax.Array, act) -> jax.Array:
     return jax.nn.gelu(h, approximate=bool(act is True or act == "tanh"))
 
 
-def neox_mlp(layer: Params, inp: jax.Array, act="exact") -> jax.Array:
-    """MLP (float or int8 weights); ``act``: exact gelu | "tanh" | "relu"."""
-    from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
+def neox_mlp(layer: Params, inp: jax.Array, act="exact", qkv_cols: int = 0) -> jax.Array:
+    """MLP (float or int8 weights); ``act``: exact gelu | "tanh" | "relu".
 
+    ``qkv_cols``: column offset of mlp_in inside launch-fused ``qkv_mi``
+    storage (= 3 * heads * head_dim; callers with a cfg pass it)."""
+    from retrieval_scaling_tpu.ops.quant_matmul import (
+        has_q8,
+        q8_col_slice_dot,
+        q8_dot,
+        q8_row_part_dot,
+    )
+
+    if "qkv_mi@q8" in layer:
+        n_total = layer["qkv_mi@q8"].shape[1]
+        pad_marker = layer.get("qkv_mi@padcols")
+        if pad_marker is not None:
+            n_total -= pad_marker.shape[0]
+        h = q8_col_slice_dot(layer, "qkv_mi", inp, qkv_cols, n_total) + layer["mlp_in_b"]
+        h = _mlp_act(h, act)
+        return q8_row_part_dot(layer, "ao_mo", h, "b") + layer["mlp_out_b"]
     if has_q8(layer, "mlp_in_w"):
         h = q8_dot(layer, "mlp_in_w", inp) + layer["mlp_in_b"]
         h = _mlp_act(h, act)
@@ -201,11 +236,11 @@ def gpt_neox_forward(
 
         if cfg.use_parallel_residual:
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + attn_out + neox_mlp(layer, ln2, act)
+            x = x + attn_out + neox_mlp(layer, ln2, act, qkv_cols=3 * cfg.num_heads * cfg.head_dim)
         else:
             x = x + attn_out
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + neox_mlp(layer, ln2, act)
+            x = x + neox_mlp(layer, ln2, act, qkv_cols=3 * cfg.num_heads * cfg.head_dim)
 
     x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
     if return_hidden:

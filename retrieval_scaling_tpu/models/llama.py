@@ -205,7 +205,21 @@ def _qkv(layer: Params, cfg: LlamaConfig, x: jax.Array):
     """Project to q,k,v heads: [B, H(_kv), S, hd]; GQA kv repeated to H."""
     from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
 
-    if has_q8(layer, "q_w"):
+    if "qkv3@q8" in layer:
+        # launch-fused q|k|v storage (quantize_decode_params): one weight
+        # stream per layer instead of three pallas calls at decode
+        b, s, _ = x.shape
+        nq = cfg.num_heads * cfg.hd
+        nkv = cfg.num_kv_heads * cfg.hd
+        qkv = q8_dot(layer, "qkv3", x)
+        q = jnp.moveaxis(qkv[..., :nq].reshape(b, s, cfg.num_heads, cfg.hd), 2, 1)
+        k = jnp.moveaxis(
+            qkv[..., nq : nq + nkv].reshape(b, s, cfg.num_kv_heads, cfg.hd), 2, 1
+        )
+        v = jnp.moveaxis(
+            qkv[..., nq + nkv :].reshape(b, s, cfg.num_kv_heads, cfg.hd), 2, 1
+        )
+    elif has_q8(layer, "q_w"):
         b, s, _ = x.shape
         q = jnp.moveaxis(q8_dot(layer, "q_w", x).reshape(b, s, cfg.num_heads, cfg.hd), 2, 1)
         k = jnp.moveaxis(q8_dot(layer, "k_w", x).reshape(b, s, cfg.num_kv_heads, cfg.hd), 2, 1)
@@ -231,6 +245,17 @@ def llama_mlp(layer: Params, cfg: LlamaConfig, h: jax.Array) -> jax.Array:
     """Gated MLP: down(act(gate(h)) * up(h)) (float or int8 weights)."""
     from retrieval_scaling_tpu.ops.quant_matmul import has_q8, q8_dot
 
+    if "gateup@q8" in layer:
+        # launch-fused gate|up storage: one stream, split the output
+        gu = q8_dot(layer, "gateup", h)
+        ff = gu.shape[-1] // 2
+        pre, up = gu[..., :ff], gu[..., ff:]
+        gate = (
+            jax.nn.gelu(pre, approximate=True)
+            if cfg.hidden_act == "gelu_tanh"
+            else jax.nn.silu(pre)
+        )
+        return q8_dot(layer, "down_w", gate * up)
     quant = has_q8(layer, "gate_w")
     pre = q8_dot(layer, "gate_w", h) if quant else jnp.dot(h, layer["gate_w"])
     gate = (

@@ -477,6 +477,167 @@ def _round_up(a: int, b: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# Fused decode streams (launch-count reduction).
+#
+# A pallas_call costs ~60 us marginal on chip (scripts/
+# ablate_launch_overhead.py: 16 chained streaming calls = 1.90 ms vs the
+# same work in ONE call = 0.99 ms), so the decode step fuses weight
+# streams to cut launches per layer:
+#
+#   * N-concat, same input (Llama q|k|v, gate|up): just store the weights
+#     column-concatenated — the ordinary q8_dot streams them as one call
+#     and the caller splits the output columns.
+#   * N-concat, TWO inputs (NeoX parallel-residual qkv|mlp_in, whose
+#     inputs are ln1(x) and ln2(x)): ``q8_dual_in_dot`` stacks both
+#     activation blocks in the resident rows and streams the concatenated
+#     weight ONCE; each output slab keeps only its own input's rows. The
+#     cross terms cost extra MXU work, which is ~free next to the stream.
+#   * K-concat, two inputs summed (NeoX parallel-residual attn_out +
+#     mlp_out, which the residual ADDS anyway): ``q8_splitk_dot`` streams
+#     [Wa; Wb] row-concatenated and computes xa@Wa*sa + xb@Wb*sb per
+#     block — the residual sum falls out of the kernel with exact
+#     per-matrix scales.
+# --------------------------------------------------------------------------
+
+
+def _slice_padcols(store, name: str, out: jax.Array) -> jax.Array:
+    pad_marker = store.get(f"{name}@padcols")
+    if pad_marker is not None and pad_marker.shape[0]:
+        out = out[..., : out.shape[-1] - pad_marker.shape[0]]
+    return out
+
+
+def q8_col_slice_dot(store, name: str, x: jax.Array, lo: int, hi: int, out_dtype=None) -> jax.Array:
+    """x @ dequant(store[name][:, lo:hi]) — per-part access to an
+    N-concat fused weight (prefill/scoring, where each projection is
+    consumed separately; XLA fuses the slice into the dot)."""
+    qw = QuantizedWeight(
+        store[f"{name}@q8"][:, lo:hi], store[f"{name}@s"][:, lo:hi]
+    )
+    return int8_decode_matmul(x, qw, out_dtype=out_dtype or x.dtype)
+
+
+def q8_row_part_dot(store, name: str, x: jax.Array, part: str, out_dtype=None) -> jax.Array:
+    """x @ dequant(Wa or Wb) of a K-concat fused weight ([Wa; Wb] rows,
+    scales ``@sa``/``@sb``). ``part="a"`` takes the first x.shape[-1]
+    rows; ``part="b"`` the last."""
+    wq = store[f"{name}@q8"]
+    kx = x.shape[-1]
+    if part == "a":
+        qw = QuantizedWeight(wq[:kx], store[f"{name}@sa"])
+    else:
+        qw = QuantizedWeight(wq[wq.shape[0] - kx :], store[f"{name}@sb"])
+    out = int8_decode_matmul(x, qw, out_dtype=out_dtype or x.dtype)
+    return _slice_padcols(store, name, out)
+
+
+def q8_dual_in_dot(store, name: str, x1: jax.Array, x2: jax.Array, n_split: int, out_dtype=None):
+    """(x1 @ W[:, :n_split], x2 @ W[:, n_split:]) with the N-concat fused
+    weight streamed ONCE.
+
+    Decode route: pad each input to the 32-row sublane block, stack
+    [x1_pad; x2_pad] as the resident activations, one streaming call;
+    slab rows 0..m-1 of columns [:n_split] are x1's projection, slab rows
+    part..part+m-1 of columns [n_split:] are x2's. Prefill/scoring (or
+    unaligned shapes) fall back to two column-slice dots."""
+    wq = store[f"{name}@q8"]
+    sc = store[f"{name}@s"]
+    k, n = wq.shape
+    batch_shape = x1.shape[:-1]
+    assert x2.shape == x1.shape and x1.shape[-1] == k, (x1.shape, x2.shape, wq.shape)
+    m = 1
+    for s in batch_shape:
+        m *= s
+    dt = out_dtype or x1.dtype
+    part = max(M_DECODE, _round_up(m, 32))
+    on_tpu = jax.default_backend() == "tpu"
+    if 2 * part <= M_DECODE_MAX and k % 128 == 0 and n % 128 == 0 and on_tpu:
+        x1p = jnp.pad(x1.reshape(m, k), ((0, part - m), (0, 0)))
+        x2p = jnp.pad(x2.reshape(m, k), ((0, part - m), (0, 0)))
+        stack = jnp.concatenate([x1p, x2p], axis=0)          # [2*part, k]
+        out = _int8_decode_stream_jit(stack, QuantizedWeight(wq, sc), out_dtype=dt)
+        y1 = out[:m, :n_split].reshape(*batch_shape, n_split)
+        y2 = out[part : part + m, n_split:].reshape(*batch_shape, n - n_split)
+        pad_marker = store.get(f"{name}@padcols")
+        if pad_marker is not None and pad_marker.shape[0]:
+            y2 = y2[..., : y2.shape[-1] - pad_marker.shape[0]]
+        return y1, y2
+    y1 = q8_col_slice_dot(store, name, x1, 0, n_split, out_dtype=dt)
+    y2 = q8_col_slice_dot(store, name, x2, n_split, n, out_dtype=dt)
+    pad_marker = store.get(f"{name}@padcols")
+    if pad_marker is not None and pad_marker.shape[0]:
+        y2 = y2[..., : y2.shape[-1] - pad_marker.shape[0]]
+    return y1, y2
+
+
+def q8_splitk_dot(store, name: str, xa: jax.Array, xb: jax.Array, out_dtype=None) -> jax.Array:
+    """xa @ dequant(Wa) + xb @ dequant(Wb) with [Wa; Wb] streamed as ONE
+    row-concatenated weight (store[name]@q8, scales ``@sa``/``@sb``).
+
+    The split-K dual dot keeps exact per-matrix dequant scales; MXU work
+    is identical to two separate dots. Fallback: two row-slice dots."""
+    wq = store[f"{name}@q8"]
+    sa, sb = store[f"{name}@sa"], store[f"{name}@sb"]
+    k, n = wq.shape
+    ka = xa.shape[-1]
+    batch_shape = xa.shape[:-1]
+    assert xb.shape[:-1] == batch_shape and ka + xb.shape[-1] == k
+    m = 1
+    for s in batch_shape:
+        m *= s
+    dt = out_dtype or xa.dtype
+    on_tpu = jax.default_backend() == "tpu"
+    aligned = ka % 128 == 0 and k % 128 == 0 and n % 128 == 0
+    if m <= M_DECODE_MAX and aligned and on_tpu:
+        x_cat = jnp.concatenate(
+            [xa.reshape(m, ka), xb.reshape(m, k - ka)], axis=-1
+        )
+        out = _w8_splitk_stream_jit(x_cat, wq, sa, sb, ka=ka, out_dtype=dt)
+        out = out.reshape(*batch_shape, n)
+    else:
+        ya = int8_decode_matmul(xa, QuantizedWeight(wq[:ka], sa), out_dtype=dt)
+        yb = int8_decode_matmul(xb, QuantizedWeight(wq[ka:], sb), out_dtype=dt)
+        out = (ya.astype(jnp.float32) + yb.astype(jnp.float32)).astype(dt)
+    return _slice_padcols(store, name, out)
+
+
+def _w8_splitk_kernel(x_ref, wq_ref, sa_ref, sb_ref, out_ref, *, ka):
+    w = wq_ref[:].astype(x_ref.dtype)
+    acc_a = jax.lax.dot_general(
+        x_ref[:, :ka], w[:ka], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_b = jax.lax.dot_general(
+        x_ref[:, ka:], w[ka:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = (acc_a * sa_ref[:] + acc_b * sb_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("ka", "out_dtype"))
+def _w8_splitk_stream_jit(x2d, wq, sa, sb, ka: int, out_dtype=jnp.bfloat16):
+    m, k = x2d.shape
+    _, n = wq.shape
+    bn = _pick_bn_decode(k, n, wq.dtype.itemsize)
+    assert n % bn == 0, (n, bn)
+    m_pad = max(M_DECODE, _round_up(m, 32))
+    x_pad = jnp.pad(x2d.astype(jnp.bfloat16), ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_w8_splitk_kernel, ka=ka),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((m_pad, k), lambda j: (0, 0)),      # resident
+            pl.BlockSpec((k, bn), lambda j: (0, j)),         # streamed
+            pl.BlockSpec((1, bn), lambda j: (0, j)),
+            pl.BlockSpec((1, bn), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+    )(x_pad, wq, sa, sb)
+    return out[:m]
+
+
+# --------------------------------------------------------------------------
 # Fused projection + residual + LayerNorm (the transformer FFN tail).
 #
 # In-context, a bare int8 matmul gains nothing over XLA's bf16 matmul: XLA

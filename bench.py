@@ -19,6 +19,7 @@ Prints ONE JSON line on stdout; auxiliary metrics go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -29,7 +30,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _serving_host_path_ms(n_rows: int = 20000, n_requests: int = 50, k: int = 10) -> float:
+def _serving_host_path_ms(n_rows: int = 20000, n_requests: int = 50, k: int = 10) -> float:  # noqa: D401
     """p50 host-side serving cost per request: tokenize + HTTP round trip
     through the real SearchAPIServer + PassageStore byte-offset fetches."""
     import json as _json
@@ -99,6 +100,12 @@ def _serving_host_path_ms(n_rows: int = 20000, n_requests: int = 50, k: int = 10
 
 def main() -> None:
     import jax
+
+    # A site hook may force JAX_PLATFORMS to the TPU plugin; the CPU smoke
+    # test needs a config-level override (same trick as tests/conftest.py).
+    if os.environ.get("RST_BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from retrieval_scaling_tpu.models.bert import BertConfig, contriever_embed, init_bert_params
@@ -107,8 +114,17 @@ def main() -> None:
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()}")
 
-    n, d, k = 1_000_000, 768, 100
-    chunk = 1_000_064  # single-chunk scan (measured 2x faster than 8x128K)
+    # RST_BENCH_SMOKE=1: every section runs at tiny shapes (interpret-mode
+    # Pallas off-TPU) so the CPU test suite exercises the bench's exact
+    # code paths — a bench-crashing regression fails tests before it can
+    # reach the driver (tests/test_bench_smoke.py).
+    smoke = os.environ.get("RST_BENCH_SMOKE") == "1"
+    interp = smoke and backend != "tpu"
+    if smoke:
+        log("RST_BENCH_SMOKE=1: tiny shapes, interpret-mode Pallas")
+
+    n, d, k = (4096, 768, 10) if smoke else (1_000_000, 768, 100)
+    chunk = n if smoke else 1_000_064  # single-chunk scan (measured 2x faster than 8x128K)
     rng = np.random.RandomState(0)
 
     t0 = time.perf_counter()
@@ -150,9 +166,10 @@ def main() -> None:
         return per
 
     # ---- headline: fused encode+search, batch 1, exact top-k -------------
-    n_iter = 32
-    q_ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (n_iter, 1, 64)), jnp.int32)
-    q_mask = jnp.ones((1, 64), jnp.int32)
+    n_iter = 4 if smoke else 32
+    qlen = 16 if smoke else 64
+    q_ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (n_iter, 1, qlen)), jnp.int32)
+    q_mask = jnp.ones((1, qlen), jnp.int32)
 
     def serve_loop(params, db):
         # Dependencies are threaded through FLOAT arithmetic only: XLA's
@@ -170,7 +187,7 @@ def main() -> None:
 
     # ---- aux: batched search throughput (batch 64, exact) ----------------
     qb = jnp.asarray(rng.randn(64, d), jnp.bfloat16)
-    bi = 8
+    bi = 2 if smoke else 8
 
     def batch_loop(params, db):
         def body(i, acc):
@@ -231,9 +248,9 @@ def main() -> None:
     del db_q8
 
     # ---- aux: encoder throughput (batch 2048 x 256 tokens, v5e-tuned) ----
-    eb = 2048
-    p_ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (eb, 256)), jnp.int32)
-    p_mask = jnp.ones((eb, 256), jnp.int32)
+    eb, elen = (16, 64) if smoke else (2048, 256)
+    p_ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (eb, elen)), jnp.int32)
+    p_mask = jnp.ones((eb, elen), jnp.int32)
     ei = 2
 
     def enc_loop(params, db):
@@ -243,7 +260,7 @@ def main() -> None:
             return acc + emb[0, 0].astype(jnp.float32) * 1e-12
         return jax.lax.fori_loop(0, ei, body, jnp.zeros((), jnp.float32))
 
-    per_enc = timed_loop(f"encode {eb}x256", enc_loop, ei)
+    per_enc = timed_loop(f"encode {eb}x{elen}", enc_loop, ei)
     psg_per_s = eb / (per_enc / 1e3)
     # reference: 3,518,123 passages in ~47 min on 1x L40 (README.md:94) ≈ 1248/s
     log(f"encoder throughput: {psg_per_s:.0f} passages/s (ref L40 ~1248/s -> {psg_per_s/1248:.1f}x)")
@@ -252,7 +269,7 @@ def main() -> None:
     from retrieval_scaling_tpu.models.bert import quantize_bert_params
 
     qparams = quantize_bert_params(params)
-    per_enc_q = timed_loop(f"encode int8-ffn {eb}x256", enc_loop, ei, big=None, params_override=qparams)
+    per_enc_q = timed_loop(f"encode int8-ffn {eb}x{elen}", enc_loop, ei, big=None, params_override=qparams)
     psg_q = eb / (per_enc_q / 1e3)
     log(
         f"encoder throughput int8-ffn: {psg_q:.0f} passages/s "
@@ -266,7 +283,7 @@ def main() -> None:
     from retrieval_scaling_tpu.index.ivf_common import TILE, probe_tile_schedule
     from retrieval_scaling_tpu.ops.ivf_gather import ivf_scan_topk_pallas, pq_scan_topk_pallas
 
-    nlist, tiles_per_list, nprobe, bq = 3904, 2, 64, 64
+    nlist, tiles_per_list, nprobe, bq = (64, 1, 4, 4) if smoke else (3904, 2, 64, 64)
     total_tiles = nlist * tiles_per_list  # ~1M rows at TILE=128
     key = jax.random.PRNGKey(1)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -289,13 +306,16 @@ def main() -> None:
     )(k3)
     flat_tiles.block_until_ready()
 
-    fi = 8
+    fi = 2 if smoke else 8
 
     def ivfflat_loop(params, tiles):
         def body(i, acc):
             q = qv + acc * 0
             _, tile_ids, valid, _ = probed_schedule(q)
-            s, _ = ivf_scan_topk_pallas(q.astype(jnp.bfloat16), tiles, row_ids, tile_ids, valid, k)
+            s, _ = ivf_scan_topk_pallas(
+                q.astype(jnp.bfloat16), tiles, row_ids, tile_ids, valid, k,
+                interpret=interp,
+            )
             return acc + s[0, 0] * 0 + 1
         return jax.lax.fori_loop(0, fi, body, jnp.zeros((), jnp.float32))
 
@@ -326,7 +346,10 @@ def main() -> None:
                 "bmd,mkd->bmk", q.reshape(bq, m, dsub), codebooks,
                 preferred_element_type=jnp.float32,
             )
-            s, _ = pq_scan_topk_pallas(lut, coarse, codes, row_ids, tile_ids, valid, probe_of, k)
+            s, _ = pq_scan_topk_pallas(
+                lut, coarse, codes, row_ids, tile_ids, valid, probe_of, k,
+                interpret=interp,
+            )
             return acc + s[0, 0] * 0 + 1
         return jax.lax.fori_loop(0, fi, body, jnp.zeros((), jnp.float32))
 
@@ -354,7 +377,8 @@ def main() -> None:
                 preferred_element_type=jnp.float32,
             )
             s, ids = pq_scan_topk_pallas(
-                lut, coarse, codes, row_ids, tile_ids, valid, probe_of, refine_r
+                lut, coarse, codes, row_ids, tile_ids, valid, probe_of, refine_r,
+                interpret=interp,
             )
             safe = jnp.maximum(ids, 0)
             g = jnp.take(rows, safe, axis=0).astype(jnp.float32)
@@ -379,7 +403,10 @@ def main() -> None:
     # dominate); the HOST path — real tokenizer, the real SearchAPIServer
     # over localhost, real byte-offset passage fetches — is measured
     # per-request here, and the deployable p50 is their sum.
-    serving_host_ms = _serving_host_path_ms()
+    serving_host_ms = (
+        _serving_host_path_ms(n_rows=500, n_requests=10) if smoke
+        else _serving_host_path_ms()
+    )
     serving_p50 = p50 + serving_host_ms
     log(
         f"serving p50 (device e2e {p50:.2f} + host path {serving_host_ms:.2f}): "
@@ -392,11 +419,11 @@ def main() -> None:
     # with O(S * window) key-block bounds.
     from retrieval_scaling_tpu.ops.flash_attention import flash_attention, xla_attention
 
-    wb, wh, ws, wd, wwin = 4, 16, 2048, 128, 1024
+    wb, wh, ws, wd, wwin = (1, 2, 256, 128, 128) if smoke else (4, 16, 2048, 128, 1024)
     q_w = jnp.asarray(rng.randn(wb, wh, ws, wd), jnp.bfloat16)
     k_w = jnp.asarray(rng.randn(wb, wh, ws, wd), jnp.bfloat16)
     v_w = jnp.asarray(rng.randn(wb, wh, ws, wd), jnp.bfloat16)
-    wi = 8
+    wi = 2 if smoke else 8
 
     def win_loop_xla(params, args):
         qq, kk, vv = args
@@ -411,7 +438,9 @@ def main() -> None:
         qq, kk, vv = args
 
         def body(i, acc):
-            out = flash_attention(qq + acc * 0.0, kk, vv, causal=True, window=wwin)
+            out = flash_attention(
+                qq + acc * 0.0, kk, vv, causal=True, window=wwin, interpret=interp
+            )
             return acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-12
 
         return jax.lax.fori_loop(0, wi, body, jnp.zeros((), jnp.float32))
@@ -421,7 +450,7 @@ def main() -> None:
     win_err = float(
         np.max(np.abs(
             np.asarray(xla_attention(q_w, k_w, v_w, causal=True, window=wwin), np.float32)
-            - np.asarray(flash_attention(q_w, k_w, v_w, causal=True, window=wwin), np.float32)
+            - np.asarray(flash_attention(q_w, k_w, v_w, causal=True, window=wwin, interpret=interp), np.float32)
         ))
     )
     log(
@@ -447,24 +476,29 @@ def main() -> None:
 
         return loop
 
-    fi = 16
-    q_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
-    k_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
-    v_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
+    def flash_i(*a, **kw):
+        return flash_attention(*a, interpret=interp, **kw)
+
+    fi = 2 if smoke else 16
+    cs_b, cs_h, cs_s, cs_d = (1, 2, 128, 128) if smoke else (8, 16, 1024, 128)
+    q_f = jnp.asarray(rng.randn(cs_b, cs_h, cs_s, cs_d), jnp.bfloat16)
+    k_f = jnp.asarray(rng.randn(cs_b, cs_h, cs_s, cs_d), jnp.bfloat16)
+    v_f = jnp.asarray(rng.randn(cs_b, cs_h, cs_s, cs_d), jnp.bfloat16)
     ms_flash_d128 = timed_loop(
-        "causal flash b8h16S1024d128", _causal_loop(flash_attention, fi),
+        f"causal flash b{cs_b}h{cs_h}S{cs_s}d{cs_d}", _causal_loop(flash_i, fi),
         fi, big=(q_f, k_f, v_f),
     )
     del q_f, k_f, v_f
-    q_l = jnp.asarray(rng.randn(8, 32, 1024, 64), jnp.bfloat16)
-    k_l = jnp.asarray(rng.randn(8, 32, 1024, 64), jnp.bfloat16)
-    v_l = jnp.asarray(rng.randn(8, 32, 1024, 64), jnp.bfloat16)
+    ls_b, ls_h, ls_s, ls_d = (1, 2, 128, 64) if smoke else (8, 32, 1024, 64)
+    q_l = jnp.asarray(rng.randn(ls_b, ls_h, ls_s, ls_d), jnp.bfloat16)
+    k_l = jnp.asarray(rng.randn(ls_b, ls_h, ls_s, ls_d), jnp.bfloat16)
+    v_l = jnp.asarray(rng.randn(ls_b, ls_h, ls_s, ls_d), jnp.bfloat16)
     ms_flash_llama = timed_loop(
-        "causal flash b8h32S1024d64 (Llama shape)",
-        _causal_loop(flash_attention, fi), fi, big=(q_l, k_l, v_l),
+        f"causal flash b{ls_b}h{ls_h}S{ls_s}d{ls_d} (Llama shape)",
+        _causal_loop(flash_i, fi), fi, big=(q_l, k_l, v_l),
     )
     ms_xla_llama = timed_loop(
-        "causal XLA b8h32S1024d64",
+        f"causal XLA b{ls_b}h{ls_h}S{ls_s}d{ls_d}",
         _causal_loop(xla_attention, fi), fi, big=(q_l, k_l, v_l),
     )
     log(f"flash vs XLA at the Llama shape: {ms_xla_llama / ms_flash_llama:.2f}x")
@@ -478,7 +512,8 @@ def main() -> None:
 
             def body(i, acc):
                 out = flash_attention(
-                    a + acc * 0.0, b_, c, causal=True, block_q=1024, one_shot=True
+                    a + acc * 0.0, b_, c, causal=True, block_q=cs_s, one_shot=True,
+                    interpret=interp,
                 )
                 return acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-12
 
@@ -486,18 +521,18 @@ def main() -> None:
 
         return loop
 
-    q_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
-    k_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
-    v_f = jnp.asarray(rng.randn(8, 16, 1024, 128), jnp.bfloat16)
+    q_f = jnp.asarray(rng.randn(cs_b, cs_h, cs_s, cs_d), jnp.bfloat16)
+    k_f = jnp.asarray(rng.randn(cs_b, cs_h, cs_s, cs_d), jnp.bfloat16)
+    v_f = jnp.asarray(rng.randn(cs_b, cs_h, cs_s, cs_d), jnp.bfloat16)
     ms_flash_1shot = timed_loop(
-        "one-shot flash b8h16S1024d128", _oneshot_loop(fi), fi, big=(q_f, k_f, v_f)
+        f"one-shot flash b{cs_b}h{cs_h}S{cs_s}d{cs_d}", _oneshot_loop(fi), fi, big=(q_f, k_f, v_f)
     )
     log(f"one-shot vs looped flash at d128: {ms_flash_d128 / ms_flash_1shot:.2f}x")
     del q_f, k_f, v_f
 
     # ---- aux: GQA-native flash (grouped K/V via the head->group index
     # map) vs repeat-then-flash at the Llama-3-8B attention shape -----------
-    gb, gh, gkv, gs, gd = 8, 32, 8, 1024, 128
+    gb, gh, gkv, gs, gd = (1, 4, 2, 128, 64) if smoke else (8, 32, 8, 1024, 128)
     n_rep_g = gh // gkv
     q_g = jnp.asarray(rng.randn(gb, gh, gs, gd), jnp.bfloat16)
     k_g = jnp.asarray(rng.randn(gb, gkv, gs, gd), jnp.bfloat16)
@@ -513,10 +548,10 @@ def main() -> None:
                         a + acc * 0.0,
                         jnp.repeat(b_, n_rep_g, axis=1),
                         jnp.repeat(c, n_rep_g, axis=1),
-                        causal=True,
+                        causal=True, interpret=interp,
                     )
                 else:
-                    out = flash_attention(a + acc * 0.0, b_, c, causal=True)
+                    out = flash_attention(a + acc * 0.0, b_, c, causal=True, interpret=interp)
                 return acc + out[0, 0, 0, 0].astype(jnp.float32) * 1e-12
 
             return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
@@ -524,11 +559,11 @@ def main() -> None:
         return loop
 
     ms_gqa_repeat = timed_loop(
-        "repeat+flash b8h32kv8S1024d128", _gqa_loop(True, fi), fi,
+        f"repeat+flash b{gb}h{gh}kv{gkv}S{gs}d{gd}", _gqa_loop(True, fi), fi,
         big=(q_g, k_g, v_g),
     )
     ms_gqa_native = timed_loop(
-        "gqa flash b8h32kv8S1024d128", _gqa_loop(False, fi), fi,
+        f"gqa flash b{gb}h{gh}kv{gkv}S{gs}d{gd}", _gqa_loop(False, fi), fi,
         big=(q_g, k_g, v_g),
     )
     log(f"GQA-native vs repeat+flash: {ms_gqa_repeat / ms_gqa_native:.2f}x")
@@ -547,12 +582,19 @@ def main() -> None:
         init_gpt_neox_params,
     )
 
-    rcfg = GPTNeoXConfig()  # pythia-1b shape: 16 layers x 2048 hidden
+    rcfg = (
+        GPTNeoXConfig(
+            vocab_size=512, hidden_size=128, num_layers=2, num_heads=4,
+            intermediate_size=256, max_position_embeddings=512,
+        )
+        if smoke
+        else GPTNeoXConfig()  # pythia-1b shape: 16 layers x 2048 hidden
+    )
     rparams = init_gpt_neox_params(rcfg, jax.random.PRNGKey(3), dtype=jnp.bfloat16)
-    rb, rs = 8, 1024
+    rb, rs = (2, 128) if smoke else (8, 1024)
     r_ids = jnp.asarray(rng.randint(0, rcfg.vocab_size, (rb, rs)), jnp.int32)
     r_labels = r_ids.at[:, : rs // 2].set(-100)  # first half = context
-    ri = 4
+    ri = 2 if smoke else 4
 
     def reader_loop(params, reader_params):
         # reader_params passed as the jit argument (closure pitfall: the
@@ -595,7 +637,7 @@ def main() -> None:
         pq_encode,
     )
 
-    bn, bd, bc = 500_000, 768, 4096
+    bn, bd, bc = (2048, 256, 64) if smoke else (500_000, 768, 4096)
     b_sample = jax.jit(lambda kk: jax.random.normal(kk, (bn, bd), jnp.float32))(
         jax.random.PRNGKey(7)
     )
@@ -606,7 +648,7 @@ def main() -> None:
         sample, cents = args
 
         def body(i, c):
-            sums, counts, _ = _lloyd_iteration(sample, c + 0.0, bc, 65536)
+            sums, counts, _ = _lloyd_iteration(sample, c + 0.0, bc, min(65536, bn))
             return sums / jnp.maximum(counts[:, None], 1.0)
 
         return jax.lax.fori_loop(0, 2, body, cents)
@@ -660,15 +702,24 @@ def main() -> None:
     from retrieval_scaling_tpu.models.continuous_batching import ContinuousBatcher
     from retrieval_scaling_tpu.models.generate import make_generate_fn as _mk_gen
 
-    gcfg = GPTNeoXConfig(
-        vocab_size=50304, hidden_size=1024, num_layers=8, num_heads=16,
-        intermediate_size=4096, max_position_embeddings=2048,
+    gcfg = (
+        GPTNeoXConfig(
+            vocab_size=512, hidden_size=64, num_layers=1, num_heads=2,
+            intermediate_size=128, max_position_embeddings=512,
+        )
+        if smoke
+        else GPTNeoXConfig(
+            vocab_size=50304, hidden_size=1024, num_layers=8, num_heads=16,
+            intermediate_size=4096, max_position_embeddings=2048,
+        )
     )
     gparams = init_gpt_neox_params(gcfg, jax.random.PRNGKey(5), dtype=jnp.bfloat16)
-    cb_n, cb_bs = 16, 8
-    cb_plens = rng.choice([32, 64, 128, 256], cb_n)
-    cb_prompts = [rng.randint(1, 50304, int(L)).tolist() for L in cb_plens]
-    cb_budgets = rng.choice([16, 32, 64, 128], cb_n).tolist()
+    cb_n, cb_bs = (4, 2) if smoke else (16, 8)
+    cb_len_pool = [8, 16] if smoke else [32, 64, 128, 256]
+    cb_budget_pool = [4, 8] if smoke else [16, 32, 64, 128]
+    cb_plens = rng.choice(cb_len_pool, cb_n)
+    cb_prompts = [rng.randint(1, gcfg.vocab_size, int(L)).tolist() for L in cb_plens]
+    cb_budgets = rng.choice(cb_budget_pool, cb_n).tolist()
     cb_gen_fns = {}
 
     def cb_static_run():
@@ -700,8 +751,9 @@ def main() -> None:
         for lo in range(0, cb_n, cb_bs)
     )
     engine = ContinuousBatcher(
-        gparams, gcfg, eos_id=0, slots=cb_bs, max_len=768, chunk=32,
-        pipeline_depth=6,
+        gparams, gcfg, eos_id=0, slots=cb_bs,
+        max_len=64 if smoke else 768, chunk=8 if smoke else 32,
+        pipeline_depth=2 if smoke else 6,
     )
     reqs = [(cb_prompts[i], cb_budgets[i]) for i in range(cb_n)]
     engine.generate(reqs)  # compile
@@ -723,9 +775,9 @@ def main() -> None:
     # generate() start — CB retires each request at its own budget, static
     # holds every row to its batch's max
     cbx_n = 4 * cb_n
-    cbx_plens = rng.choice([32, 64, 128, 256], cbx_n)
-    cbx_prompts = [rng.randint(1, 50304, int(L)).tolist() for L in cbx_plens]
-    cbx_budgets = rng.choice([16, 32, 64, 128], cbx_n).tolist()
+    cbx_plens = rng.choice(cb_len_pool, cbx_n)
+    cbx_prompts = [rng.randint(1, gcfg.vocab_size, int(L)).tolist() for L in cbx_plens]
+    cbx_budgets = rng.choice(cb_budget_pool, cbx_n).tolist()
     cbx_reqs = [(cbx_prompts[i], cbx_budgets[i]) for i in range(cbx_n)]
     lat = np.zeros(cbx_n)
     engine.generate(cbx_reqs)  # warm any new prefill widths
@@ -776,7 +828,7 @@ def main() -> None:
     # weight-streaming Pallas kernel (ops/quant_matmul.py int8_decode_matmul).
     from retrieval_scaling_tpu.models.generate import make_generate_fn, quantize_decode_params
 
-    gb, gs, gnew = 8, 32, 64
+    gb, gs, gnew = (2, 8, 8) if smoke else (8, 32, 64)
     g_ids = jnp.asarray(rng.randint(0, rcfg.vocab_size, (gb, gs)), jnp.int32)
     g_lens = jnp.full((gb,), gs, jnp.int32)
     gen_fn = make_generate_fn(rcfg, gnew, eos_id=-1)
@@ -837,7 +889,7 @@ def main() -> None:
     # compute. Prompts mimic nq_open concat_k=3: three context blocks +
     # question; generation copies ~8-token context spans between short
     # novel connectives (answer-extraction structure).
-    rag_plen, rag_new = 256, 64
+    rag_plen, rag_new = (32, 16) if smoke else (256, 64)
     rag_prompts = rng.randint(0, rcfg.vocab_size, (gb, rag_plen)).astype(np.int32)
     rag_lens = jnp.full((gb,), rag_plen, jnp.int32)
 

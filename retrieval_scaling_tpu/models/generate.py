@@ -376,8 +376,31 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
     """
     if all_visible is None:
         all_visible = write_onehot is None
+    act = cfg.gelu
     ln1 = _layer_norm(x, layer["ln1_scale"], layer["ln1_bias"], cfg.layer_norm_eps)
-    q, k, v = neox_qkv(layer, cfg, ln1)  # [B, H, S, hd]
+    # Launch fusion (parallel residual + fused qkv|mlp_in storage): ln2
+    # depends only on x, so ONE q8_dual_in_dot streams the fused weight
+    # once and yields both the qkv projection (from ln1) and the MLP
+    # hidden (from ln2) — 2 streaming calls/layer total with the
+    # attn_out+mlp_out split-K dot below.
+    fused = "qkv_mi@q8" in layer and cfg.use_parallel_residual
+    h_act = None
+    if fused:
+        from retrieval_scaling_tpu.models.gpt_neox import _mlp_act
+        from retrieval_scaling_tpu.ops.quant_matmul import (
+            q8_dual_in_dot,
+            q8_splitk_dot,
+        )
+
+        ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
+        b, s, _ = ln1.shape
+        nqkv = layer["qkv_b"].size  # 3 * H * hd
+        qkv_flat, mlp_h = q8_dual_in_dot(layer, "qkv_mi", ln1, ln2, nqkv)
+        qkv = qkv_flat.reshape(b, s, 3, cfg.num_heads, cfg.head_dim) + layer["qkv_b"][None, None]
+        q, k, v = tuple(jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
+        h_act = _mlp_act(mlp_h + layer["mlp_in_b"], act)
+    else:
+        q, k, v = neox_qkv(layer, cfg, ln1)  # [B, H, S, hd]
 
     rot = cfg.rotary_dims
     max_pos = cfg.max_position_embeddings
@@ -405,13 +428,20 @@ def _block_with_cache(layer, cfg, x, cache_k, cache_v, positions, key_valid, wri
         q, new_k, new_v, positions, key_valid, k_scale=nks, v_scale=nvs,
         all_visible=all_visible,
     )
-    attn_out = neox_attn_out(layer, attn)
 
-    act = cfg.gelu
-    if cfg.use_parallel_residual:
+    if fused:
+        # attn_out + mlp_out as ONE split-K streamed dot (the parallel
+        # residual ADDS them anyway); biases applied outside the kernel.
+        bb, hh, ss, hd = attn.shape
+        attn_flat = jnp.moveaxis(attn, 1, 2).reshape(bb, ss, hh * hd)
+        both = q8_splitk_dot(layer, "ao_mo", attn_flat.astype(h_act.dtype), h_act)
+        x = x + both + (layer["attn_out_b"] + layer["mlp_out_b"]).astype(x.dtype)
+    elif cfg.use_parallel_residual:
+        attn_out = neox_attn_out(layer, attn)
         ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
         x = x + attn_out + neox_mlp(layer, ln2, act)
     else:
+        attn_out = neox_attn_out(layer, attn)
         x = x + attn_out
         ln2b = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
         x = x + neox_mlp(layer, ln2b, act)

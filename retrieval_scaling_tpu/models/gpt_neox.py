@@ -161,11 +161,12 @@ def _mlp_act(h: jax.Array, act) -> jax.Array:
     return jax.nn.gelu(h, approximate=bool(act is True or act == "tanh"))
 
 
-def neox_mlp(layer: Params, inp: jax.Array, act="exact", qkv_cols: int = 0) -> jax.Array:
+def neox_mlp(layer: Params, inp: jax.Array, act="exact") -> jax.Array:
     """MLP (float or int8 weights); ``act``: exact gelu | "tanh" | "relu".
 
-    ``qkv_cols``: column offset of mlp_in inside launch-fused ``qkv_mi``
-    storage (= 3 * heads * head_dim; callers with a cfg pass it)."""
+    With launch-fused ``qkv_mi`` storage the mlp_in column offset is
+    derived from the stored qkv bias (= 3 * heads * head_dim) — never
+    passed by callers, so it cannot be wrong."""
     from retrieval_scaling_tpu.ops.quant_matmul import (
         has_q8,
         q8_col_slice_dot,
@@ -174,6 +175,7 @@ def neox_mlp(layer: Params, inp: jax.Array, act="exact", qkv_cols: int = 0) -> j
     )
 
     if "qkv_mi@q8" in layer:
+        qkv_cols = layer["qkv_b"].size  # [3, H, hd] bias spans the qkv columns
         n_total = layer["qkv_mi@q8"].shape[1]
         pad_marker = layer.get("qkv_mi@padcols")
         if pad_marker is not None:
@@ -236,11 +238,11 @@ def gpt_neox_forward(
 
         if cfg.use_parallel_residual:
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + attn_out + neox_mlp(layer, ln2, act, qkv_cols=3 * cfg.num_heads * cfg.head_dim)
+            x = x + attn_out + neox_mlp(layer, ln2, act)
         else:
             x = x + attn_out
             ln2 = _layer_norm(x, layer["ln2_scale"], layer["ln2_bias"], cfg.layer_norm_eps)
-            x = x + neox_mlp(layer, ln2, act, qkv_cols=3 * cfg.num_heads * cfg.head_dim)
+            x = x + neox_mlp(layer, ln2, act)
 
     x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"], cfg.layer_norm_eps)
     if return_hidden:

@@ -531,7 +531,7 @@ def q8_row_part_dot(store, name: str, x: jax.Array, part: str, out_dtype=None) -
     return _slice_padcols(store, name, out)
 
 
-def q8_dual_in_dot(store, name: str, x1: jax.Array, x2: jax.Array, n_split: int, out_dtype=None):
+def q8_dual_in_dot(store, name: str, x1: jax.Array, x2: jax.Array, n_split: int, out_dtype=None, interpret: bool = False):
     """(x1 @ W[:, :n_split], x2 @ W[:, n_split:]) with the N-concat fused
     weight streamed ONCE.
 
@@ -550,12 +550,12 @@ def q8_dual_in_dot(store, name: str, x1: jax.Array, x2: jax.Array, n_split: int,
         m *= s
     dt = out_dtype or x1.dtype
     part = max(M_DECODE, _round_up(m, 32))
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = interpret or jax.default_backend() == "tpu"
     if 2 * part <= M_DECODE_MAX and k % 128 == 0 and n % 128 == 0 and on_tpu:
         x1p = jnp.pad(x1.reshape(m, k), ((0, part - m), (0, 0)))
         x2p = jnp.pad(x2.reshape(m, k), ((0, part - m), (0, 0)))
         stack = jnp.concatenate([x1p, x2p], axis=0)          # [2*part, k]
-        out = _int8_decode_stream_jit(stack, QuantizedWeight(wq, sc), out_dtype=dt)
+        out = _int8_decode_stream_jit(stack, QuantizedWeight(wq, sc), out_dtype=dt, interpret=interpret)
         y1 = out[:m, :n_split].reshape(*batch_shape, n_split)
         y2 = out[part : part + m, n_split:].reshape(*batch_shape, n - n_split)
         pad_marker = store.get(f"{name}@padcols")
@@ -570,7 +570,7 @@ def q8_dual_in_dot(store, name: str, x1: jax.Array, x2: jax.Array, n_split: int,
     return y1, y2
 
 
-def q8_splitk_dot(store, name: str, xa: jax.Array, xb: jax.Array, out_dtype=None) -> jax.Array:
+def q8_splitk_dot(store, name: str, xa: jax.Array, xb: jax.Array, out_dtype=None, interpret: bool = False) -> jax.Array:
     """xa @ dequant(Wa) + xb @ dequant(Wb) with [Wa; Wb] streamed as ONE
     row-concatenated weight (store[name]@q8, scales ``@sa``/``@sb``).
 
@@ -586,13 +586,13 @@ def q8_splitk_dot(store, name: str, xa: jax.Array, xb: jax.Array, out_dtype=None
     for s in batch_shape:
         m *= s
     dt = out_dtype or xa.dtype
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = interpret or jax.default_backend() == "tpu"
     aligned = ka % 128 == 0 and k % 128 == 0 and n % 128 == 0
     if m <= M_DECODE_MAX and aligned and on_tpu:
         x_cat = jnp.concatenate(
             [xa.reshape(m, ka), xb.reshape(m, k - ka)], axis=-1
         )
-        out = _w8_splitk_stream_jit(x_cat, wq, sa, sb, ka=ka, out_dtype=dt)
+        out = _w8_splitk_stream_jit(x_cat, wq, sa, sb, ka=ka, out_dtype=dt, interpret=interpret)
         out = out.reshape(*batch_shape, n)
     else:
         ya = int8_decode_matmul(xa, QuantizedWeight(wq[:ka], sa), out_dtype=dt)
@@ -614,8 +614,8 @@ def _w8_splitk_kernel(x_ref, wq_ref, sa_ref, sb_ref, out_ref, *, ka):
     out_ref[:] = (acc_a * sa_ref[:] + acc_b * sb_ref[:]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("ka", "out_dtype"))
-def _w8_splitk_stream_jit(x2d, wq, sa, sb, ka: int, out_dtype=jnp.bfloat16):
+@functools.partial(jax.jit, static_argnames=("ka", "out_dtype", "interpret"))
+def _w8_splitk_stream_jit(x2d, wq, sa, sb, ka: int, out_dtype=jnp.bfloat16, interpret: bool = False):
     m, k = x2d.shape
     _, n = wq.shape
     bn = _pick_bn_decode(k, n, wq.dtype.itemsize)
@@ -633,6 +633,7 @@ def _w8_splitk_stream_jit(x2d, wq, sa, sb, ka: int, out_dtype=jnp.bfloat16):
         ],
         out_specs=pl.BlockSpec((m_pad, bn), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret,
     )(x_pad, wq, sa, sb)
     return out[:m]
 

@@ -479,3 +479,112 @@ def test_int8_decode_matmul_context_not_baked_into_jit_cache():
     # and a later no-context call must not inherit the sharded trace
     plain2 = int8_decode_matmul(x, qw, interpret=True)
     assert "data" not in str(plain2.sharding)
+
+
+def test_q8_dual_in_dot_kernel_matches_reference():
+    """The dual-input fused stream (NeoX parallel-residual qkv|mlp_in):
+    interpret-mode kernel vs the two column-slice dequant dots."""
+    from retrieval_scaling_tpu.ops.quant_matmul import q8_dual_in_dot
+
+    rng = np.random.RandomState(11)
+    k, n, n_split, b = 128, 640, 384, 4
+    w = jnp.asarray(rng.randn(k, n) * 0.05, jnp.float32)
+    qw = quantize_weight(w)
+    store = {"f@q8": qw.wq, "f@s": qw.scale}
+    x1 = jnp.asarray(rng.randn(b, 1, k), jnp.float32)
+    x2 = jnp.asarray(rng.randn(b, 1, k), jnp.float32)
+
+    y1, y2 = q8_dual_in_dot(store, "f", x1, x2, n_split, out_dtype=jnp.float32, interpret=True)
+    deq = qw.wq.astype(jnp.float32) * qw.scale
+    ref1 = jnp.einsum("bsk,kn->bsn", x1, deq[:, :n_split])
+    ref2 = jnp.einsum("bsk,kn->bsn", x2, deq[:, n_split:])
+    assert y1.shape == (b, 1, n_split) and y2.shape == (b, 1, n - n_split)
+    # kernel runs the dot in bf16 -> compare by row cosine
+    assert _cosine_rows(np.asarray(y1).reshape(b, -1), np.asarray(ref1).reshape(b, -1)).min() > 0.999
+    assert _cosine_rows(np.asarray(y2).reshape(b, -1), np.asarray(ref2).reshape(b, -1)).min() > 0.999
+
+    # padcols marker: trailing pad columns sliced off y2 only
+    pad = 128
+    store_p = {
+        "f@q8": jnp.pad(qw.wq, ((0, 0), (0, pad))),
+        "f@s": jnp.pad(qw.scale, ((0, 0), (0, pad))),
+        "f@padcols": jnp.zeros((pad,), jnp.int8),
+    }
+    p1, p2 = q8_dual_in_dot(store_p, "f", x1, x2, n_split, out_dtype=jnp.float32, interpret=True)
+    assert p1.shape == (b, 1, n_split) and p2.shape == (b, 1, n - n_split)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(y2), atol=1e-5, rtol=1e-5)
+
+
+def test_q8_splitk_dot_kernel_matches_reference():
+    """The split-K fused stream (NeoX attn_out + mlp_out summed):
+    interpret-mode kernel vs two dequant dots added."""
+    from retrieval_scaling_tpu.ops.quant_matmul import q8_splitk_dot
+
+    rng = np.random.RandomState(12)
+    ka, kb, n, b = 128, 256, 384, 4
+    wa = jnp.asarray(rng.randn(ka, n) * 0.05, jnp.float32)
+    wb = jnp.asarray(rng.randn(kb, n) * 0.05, jnp.float32)
+    qa, qb = quantize_weight(wa), quantize_weight(wb)
+    store = {
+        "g@q8": jnp.concatenate([qa.wq, qb.wq], axis=0),
+        "g@sa": qa.scale,
+        "g@sb": qb.scale,
+    }
+    xa = jnp.asarray(rng.randn(b, 1, ka), jnp.float32)
+    xb = jnp.asarray(rng.randn(b, 1, kb), jnp.float32)
+
+    out = q8_splitk_dot(store, "g", xa, xb, out_dtype=jnp.float32, interpret=True)
+    deq_a = qa.wq.astype(jnp.float32) * qa.scale
+    deq_b = qb.wq.astype(jnp.float32) * qb.scale
+    ref = jnp.einsum("bsk,kn->bsn", xa, deq_a) + jnp.einsum("bsk,kn->bsn", xb, deq_b)
+    assert out.shape == (b, 1, n)
+    assert _cosine_rows(np.asarray(out).reshape(b, -1), np.asarray(ref).reshape(b, -1)).min() > 0.999
+
+
+def test_fused_decode_block_calls_dual_in_and_splitk(monkeypatch):
+    """The quantized NeoX decode block must route through the launch-fused
+    kernels (not dead code): spy on q8_dual_in_dot / q8_splitk_dot and run
+    a decode step with fused int8 params."""
+    from retrieval_scaling_tpu.models.generate import (
+        forward_with_cache,
+        init_cache,
+        quantize_decode_params,
+    )
+    from retrieval_scaling_tpu.models.gpt_neox import (
+        GPTNeoXConfig,
+        init_gpt_neox_params,
+    )
+    from retrieval_scaling_tpu.ops import quant_matmul as qm
+
+    cfg = GPTNeoXConfig(
+        vocab_size=128, hidden_size=32, num_layers=1, num_heads=2,
+        intermediate_size=64, max_position_embeddings=32, rotary_pct=0.25,
+    )
+    params = init_gpt_neox_params(cfg, jax.random.PRNGKey(3))
+    qparams = quantize_decode_params(params, cfg)
+    assert "qkv_mi@q8" in qparams["layers"][0]
+    assert "ao_mo@q8" in qparams["layers"][0]
+
+    calls = {"dual": 0, "splitk": 0}
+    real_dual, real_splitk = qm.q8_dual_in_dot, qm.q8_splitk_dot
+
+    def spy_dual(*a, **kw):
+        calls["dual"] += 1
+        return real_dual(*a, **kw)
+
+    def spy_splitk(*a, **kw):
+        calls["splitk"] += 1
+        return real_splitk(*a, **kw)
+
+    monkeypatch.setattr(qm, "q8_dual_in_dot", spy_dual)
+    monkeypatch.setattr(qm, "q8_splitk_dot", spy_splitk)
+
+    b, m = 2, 8
+    cache = init_cache(cfg, b, m, dtype=jnp.float32)
+    pos = jnp.zeros((b, 1), jnp.int32)
+    key_valid = jnp.arange(m)[None, :] < 1
+    ids = jnp.zeros((b, 1), jnp.int32)
+    logits, _ = forward_with_cache(qparams, cfg, ids, pos, cache, key_valid)
+    assert logits.shape == (b, 1, 128)
+    assert calls["dual"] == cfg.num_layers, calls
+    assert calls["splitk"] == cfg.num_layers, calls

@@ -851,6 +851,67 @@ def main() -> None:
     jax.tree.leaves(rparams_q8)[0].block_until_ready()
     decode_int8 = decode_tok_s(rparams_q8, "int8")
     log(f"decode int8 speedup: {decode_int8 / decode_bf16:.2f}x")
+
+    # ---- decode weight-stream floor (VERDICT r3 #2 / r4 #3) ---------------
+    # Pure-DMA probe over the EXACT int8 buffers the decode step streams:
+    # the touch kernel copies one sublane row per block, so the loop time
+    # is the HBM weight-stream floor with near-zero compute. Reported:
+    # decode step ms vs floor ms -> % of roofline + effective GB/s.
+    from jax.experimental import pallas as pl
+
+    def _touch_kernel(w_ref, o_ref):
+        o_ref[:] = w_ref[:8, :].astype(jnp.float32)
+
+    def _divcap(nn, cap):
+        best = 128
+        for bnx in range(128, min(nn, max(cap, 128)) + 1, 128):
+            if nn % bnx == 0:
+                best = bnx
+        return best
+
+    stream_ws = [
+        v
+        for lay in rparams_q8["layers"]
+        for kk, v in lay.items()
+        if kk.endswith("@q8")
+    ]
+    if "embed_out@q8" in rparams_q8:
+        stream_ws.append(rparams_q8["embed_out@q8"])
+    stream_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in stream_ws)
+
+    def dma_loop(params, ws):
+        def body(i, acc):
+            a = acc
+            for w in ws:
+                bnx = _divcap(w.shape[1], (4 << 20) // (w.shape[0] * w.dtype.itemsize))
+                out = pl.pallas_call(
+                    _touch_kernel,
+                    grid=(w.shape[1] // bnx,),
+                    in_specs=[pl.BlockSpec((w.shape[0], bnx), lambda j: (0, j))],
+                    out_specs=pl.BlockSpec((8, bnx), lambda j: (0, j)),
+                    out_shape=jax.ShapeDtypeStruct((8, w.shape[1]), jnp.float32),
+                    interpret=interp,
+                )(w)
+                a = a + out[0, 0] * 0.0  # float dep: not foldable, not DCE-able
+            return a
+
+        di = 2 if smoke else 16
+        return jax.lax.fori_loop(0, di, body, jnp.zeros((), jnp.float32))
+
+    di = 2 if smoke else 16
+    floor_ms = timed_loop(
+        f"decode weight-stream floor ({stream_bytes / 1e9:.3f} GB int8)",
+        dma_loop, di, big=tuple(stream_ws),
+    )
+    step_ms_int8 = 1e3 * gb / decode_int8  # per decode step (incl. prefill share)
+    decode_pct_floor = 100.0 * floor_ms / step_ms_int8
+    floor_gbs = stream_bytes / (floor_ms / 1e3) / 1e9
+    eff_gbs = stream_bytes / (step_ms_int8 / 1e3) / 1e9
+    log(
+        f"decode vs stream floor: step {step_ms_int8:.2f} ms vs floor "
+        f"{floor_ms:.2f} ms ({floor_gbs:.0f} GB/s) = {decode_pct_floor:.0f}% "
+        f"of roofline (effective {eff_gbs:.0f} GB/s)"
+    )
     del rparams_q8
 
     # ---- aux: prompt-lookup speculative decoding --------------------------
@@ -988,6 +1049,11 @@ def main() -> None:
                     "gen_cb_64req_p95_s": round(cb_p95, 2),
                     "decode_bf16_tok_s": round(decode_bf16, 1),
                     "decode_int8_tok_s": round(decode_int8, 1),
+                    "decode_int8_step_ms": round(step_ms_int8, 3),
+                    "decode_stream_floor_ms": round(floor_ms, 3),
+                    "decode_stream_floor_gb_s": round(floor_gbs, 1),
+                    "decode_int8_eff_gb_s": round(eff_gbs, 1),
+                    "decode_pct_of_stream_floor": round(decode_pct_floor, 1),
                     "backend": backend,
                     "method": "amortized in-program loops (relay-safe)",
                 },

@@ -32,6 +32,8 @@ REQUIRED_AUX = (
     "gen_spec_rag_copy90_speedup",
     "decode_bf16_tok_s",
     "decode_int8_tok_s",
+    "decode_pct_of_stream_floor",
+    "decode_stream_floor_gb_s",
 )
 
 

@@ -120,6 +120,8 @@ class Indexer:
                 refine_factor=self.args.get("pq_refine_factor", 0),
                 opq=self.args.get("pq_opq", False),
                 refine_mode=self.args.get("pq_refine_mode", "device"),
+                aniso=self.args.get("pq_aniso", False),
+                aniso_threshold=self.args.get("pq_aniso_threshold", 0.2),
                 **common,
             )
         else:

@@ -170,6 +170,8 @@ class IVFPQIndex:
         refine_factor: int = 0,
         opq: bool = False,
         refine_mode: str = "device",
+        aniso: bool = False,
+        aniso_threshold: float = 0.2,
     ):
         self.index_path = index_path
         self.meta_file = meta_file
@@ -207,6 +209,15 @@ class IVFPQIndex:
         # by orthogonality). Measured on clustered data: meaningful raw-PQ
         # recall gains at identical bytes/vector.
         self.opq = bool(opq)
+        # Anisotropic (score-aware) codebooks + encoding (Guo et al. 2020 /
+        # ScaNN): weight the residual component PARALLEL to each row's
+        # direction eta = (d-1)T^2/(1-T^2) times the orthogonal one —
+        # parallel error is what perturbs the inner products of the queries
+        # that rank this row highly. Search is unchanged (same ADC LUT);
+        # only training/encoding differ. Composes with OPQ as rotation-init
+        # + anisotropic final fit.
+        self.aniso = bool(aniso)
+        self.aniso_threshold = float(aniso_threshold)
 
         if index_path and meta_file and os.path.exists(index_path) and os.path.exists(meta_file):
             logger.info("Loading IVF-PQ index from %s", index_path)
@@ -262,6 +273,24 @@ class IVFPQIndex:
             codebooks = np.asarray(
                 pq_train_codebooks(residuals, self.m, self.n_bits, iters=self.pq_iters), np.float32
             )
+        if self.aniso:
+            from retrieval_scaling_tpu.ops.kmeans import aniso_eta, aniso_pq_train
+
+            eta = aniso_eta(sample.shape[1], self.aniso_threshold)
+            dirs = sample / np.clip(
+                np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None
+            )
+            train_res, train_dirs = residuals, dirs
+            if self.opq_rotation is not None:
+                train_res = residuals @ self.opq_rotation
+                train_dirs = dirs @ self.opq_rotation
+            codebooks = np.asarray(
+                aniso_pq_train(
+                    train_res, self.m, self.n_bits, iters=self.pq_iters, eta=eta,
+                    dirs=train_dirs,
+                ),
+                np.float32,
+            )
         logger.info(
             "Trained %d centroids + %dx%d PQ codebooks in %.1fs",
             self.ncentroids, self.m, 1 << self.n_bits, time.time() - t0,
@@ -298,9 +327,24 @@ class IVFPQIndex:
             assign_clusters(jnp.asarray(emb), jnp.asarray(centroids), self.ncentroids, metric="ip")
         )
         residuals = emb - centroids[assignments]
+        dirs = None
+        if self.aniso:
+            dirs = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)
         if getattr(self, "opq_rotation", None) is not None:
             residuals = residuals @ self.opq_rotation
-        codes = np.asarray(pq_encode(jnp.asarray(residuals), jnp.asarray(codebooks)))
+            if dirs is not None:
+                dirs = dirs @ self.opq_rotation
+        if self.aniso:
+            from retrieval_scaling_tpu.ops.kmeans import aniso_eta, aniso_pq_encode
+
+            codes = np.asarray(
+                aniso_pq_encode(
+                    residuals, jnp.asarray(codebooks), dirs=jnp.asarray(dirs),
+                    eta=aniso_eta(emb.shape[1], self.aniso_threshold),
+                )
+            )
+        else:
+            codes = np.asarray(pq_encode(jnp.asarray(residuals), jnp.asarray(codebooks)))
         # lay codes out in the tiled CSR (layout works on any row payload)
         layout = build_list_layout(codes, assignments, self.ncentroids, TILE)
         self.centroids = centroids

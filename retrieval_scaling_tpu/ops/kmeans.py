@@ -208,6 +208,198 @@ def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
+def aniso_eta(dim: int, threshold: float = 0.2) -> float:
+    """Parallel-error weight h_par (with h_orth = 1) for score-aware
+    quantization (Guo et al. 2020, "Accelerating Large-Scale Inference with
+    Anisotropic Vector Quantization" / ScaNN). ``threshold`` T is the
+    minimum cosine a query must have with x for its score error to count;
+    the induced weight ratio is eta = (d-1) T^2 / (1 - T^2)."""
+    t2 = float(threshold) ** 2
+    return max((dim - 1) * t2 / max(1.0 - t2, 1e-9), 1.0)
+
+
+def _as_subspaces(x: jax.Array, m: int) -> jax.Array:
+    n, d = x.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    return x.reshape(n, m, d // m)
+
+
+def _default_dirs(data: jax.Array) -> jax.Array:
+    """Unit full-space direction per row (the score-relevant axis)."""
+    norm = jnp.linalg.norm(data.astype(jnp.float32), axis=-1, keepdims=True)
+    return data.astype(jnp.float32) / jnp.clip(norm, 1e-12, None)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size",))
+def _aniso_assign(
+    data: jax.Array,       # [N, m, dsub] f32 (subspace view)
+    dirs: jax.Array,       # [N, m, dsub] f32 — full-space unit dir, split
+    codebooks: jax.Array,  # [m, ksub, dsub] f32
+    eta: float,
+    chunk_size: int = 8192,
+) -> jax.Array:
+    """Per-subspace assignment minimizing the anisotropic loss
+    ``||c - x||^2 + (eta - 1) (v . (c - x))^2`` with v the row's full-space
+    unit direction restricted to the subspace. eta = 1 is plain L2."""
+    n, m, dsub = data.shape
+    cs = _chunk(n, chunk_size)
+    n_chunks = -(-n // cs)
+    total = n_chunks * cs
+    if total != n:
+        data = jnp.pad(data, ((0, total - n), (0, 0), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, total - n), (0, 0), (0, 0)))
+    xc = data.reshape(n_chunks, cs, m, dsub)
+    vc = dirs.reshape(n_chunks, cs, m, dsub)
+    c_norms = jnp.sum(codebooks**2, axis=-1)  # [m, ksub]
+
+    def body(_, inp):
+        x, v = inp  # [cs, m, dsub]
+        cx = jnp.einsum("nmd,mkd->nmk", x, codebooks)  # c . x
+        cv = jnp.einsum("nmd,mkd->nmk", v, codebooks)  # c . v
+        vx = jnp.sum(v * x, axis=-1)  # [cs, m]
+        # ||c||^2 - 2 c.x + (eta-1) ((c.v)^2 - 2 (v.x)(c.v))   (+ row consts)
+        loss = c_norms[None] - 2.0 * cx + (eta - 1.0) * (cv**2 - 2.0 * vx[..., None] * cv)
+        return None, jnp.argmin(loss, axis=-1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(body, None, (xc, vc))
+    return assign.reshape(total, m)[:n]  # [N, m]
+
+
+def aniso_pq_encode(
+    data,
+    codebooks: jax.Array,
+    dirs=None,
+    eta: float | None = None,
+    threshold: float = 0.2,
+) -> jax.Array:
+    """Score-aware PQ encoding: per-subspace codeword choice that weights
+    the residual component PARALLEL to the row's direction ``eta`` times
+    the orthogonal component — parallel error is what perturbs inner
+    products with the queries that score this row highly. ``dirs`` defaults
+    to the rows' own unit directions; for IVF residual coding pass the
+    ORIGINAL vectors' directions. Returns uint8 codes [N, m]."""
+    data = jnp.asarray(data, jnp.float32)
+    m = codebooks.shape[0]
+    if eta is None:
+        eta = aniso_eta(data.shape[1], threshold)
+    v = _default_dirs(data) if dirs is None else jnp.asarray(dirs, jnp.float32)
+    assign = _aniso_assign(_as_subspaces(data, m), _as_subspaces(v, m), codebooks.astype(jnp.float32), float(eta))
+    return assign.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("ksub", "chunk_size"))
+def _aniso_stats(
+    data: jax.Array,    # [N, m, dsub]
+    dirs: jax.Array,    # [N, m, dsub]
+    assign: jax.Array,  # [N, m] int32
+    ksub: int,
+    chunk_size: int = 4096,
+):
+    """Per-(subspace, codeword) sufficient statistics for the anisotropic
+    codeword update: counts n_k, sums Sx_k = sum x, Sv2_k = sum v v^T,
+    Svx_k = sum v (v.x). The v v^T grams go through one [ksub, cs] @
+    [cs, dsub^2] matmul per subspace per chunk (MXU-shaped)."""
+    n, m, dsub = data.shape
+    cs = _chunk(n, chunk_size)
+    n_chunks = -(-n // cs)
+    total = n_chunks * cs
+    if total != n:
+        data = jnp.pad(data, ((0, total - n), (0, 0), (0, 0)))
+        dirs = jnp.pad(dirs, ((0, total - n), (0, 0), (0, 0)))
+        assign = jnp.pad(assign, ((0, total - n), (0, 0)), constant_values=-1)
+    xc = data.reshape(n_chunks, cs, m, dsub)
+    vc = dirs.reshape(n_chunks, cs, m, dsub)
+    ac = assign.reshape(n_chunks, cs, m)
+
+    def body(carry, inp):
+        counts, sx, sv2, svx = carry
+        x, v, a = inp
+        onehot = jax.nn.one_hot(a, ksub, axis=-1, dtype=jnp.float32)  # [cs, m, k]
+        counts = counts + jnp.sum(onehot, axis=0).T  # [k, m] -> transpose later
+        sx = sx + jnp.einsum("nmk,nmd->mkd", onehot, x)
+        vx = jnp.sum(v * x, axis=-1)  # [cs, m]
+        svx = svx + jnp.einsum("nmk,nmd->mkd", onehot, v * vx[..., None])
+        outer = (v[..., :, None] * v[..., None, :]).reshape(-1, m, dsub * dsub)
+        sv2 = sv2 + jnp.einsum("nmk,nmp->mkp", onehot, outer)
+        return (counts, sx, sv2, svx), None
+
+    init = (
+        jnp.zeros((ksub, m), jnp.float32),
+        jnp.zeros((m, ksub, dsub), jnp.float32),
+        jnp.zeros((m, ksub, dsub * dsub), jnp.float32),
+        jnp.zeros((m, ksub, dsub), jnp.float32),
+    )
+    (counts, sx, sv2, svx), _ = jax.lax.scan(body, init, (xc, vc, ac))
+    return counts.T, sx, sv2.reshape(m, ksub, dsub, dsub), svx
+
+
+def aniso_pq_train(
+    data,
+    n_subquantizers: int,
+    n_bits: int = 8,
+    iters: int = 10,
+    eta: float | None = None,
+    threshold: float = 0.2,
+    dirs=None,
+    seed: int = 1,
+    max_points: int = 65536,
+):
+    """Train anisotropic PQ codebooks [m, 2^bits, D/m] (ScaNN-style
+    score-aware loss; see ``aniso_eta``). Alternates the anisotropic
+    assignment with the exact weighted-least-squares codeword update
+
+        (n_k I + (eta-1) sum v v^T) c_k = sum x + (eta-1) sum v (v.x)
+
+    solved as a batched [ksub, dsub, dsub] system. Decoupled per-subspace
+    formulation: the parallel direction is the row's FULL-space unit vector
+    restricted to the subspace, so summed over subspaces the parallel
+    penalties add up to the full-space score error (cross-subspace terms
+    are dropped; Guo et al.'s ablations attribute most of the recall gain
+    to the weighting itself). ``max_points`` caps the training sample
+    (FAISS-style 256/centroid default) since the v v^T grams are the
+    expensive part. Empty codewords re-seed by splitting the fullest
+    (FAISS policy, as in ``kmeans``)."""
+    data = jnp.asarray(data, jnp.float32)
+    n, d = data.shape
+    m = n_subquantizers
+    dsub = d // m
+    ksub = 1 << n_bits
+    if eta is None:
+        eta = aniso_eta(d, threshold)
+    eta = float(eta)
+    v = _default_dirs(data) if dirs is None else jnp.asarray(dirs, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    if n > max_points:
+        key, sub = jax.random.split(key)
+        idx = jax.random.choice(sub, n, shape=(max_points,), replace=False)
+        data, v = data[idx], v[idx]
+        n = max_points
+    xs, vs = _as_subspaces(data, m), _as_subspaces(v, m)
+
+    # init: random data points per subspace (FAISS k-means init)
+    key, sub = jax.random.split(key)
+    init_idx = jax.random.choice(sub, n, shape=(min(ksub, n),), replace=False)
+    books = jnp.moveaxis(xs[init_idx], 0, 1)  # [m, min(ksub,n), dsub]
+    if ksub > n:
+        books = jnp.concatenate([books, books[:, : ksub - n]], axis=1)
+
+    for _ in range(iters):
+        assign = _aniso_assign(xs, vs, books, eta)
+        counts, sx, sv2, svx = _aniso_stats(xs, vs, assign, ksub)
+        eye = jnp.eye(dsub, dtype=jnp.float32)
+        lhs = counts[..., None, None] * eye + (eta - 1.0) * sv2 + 1e-6 * eye
+        rhs = sx + (eta - 1.0) * svx
+        new_books = jnp.linalg.solve(lhs, rhs[..., None])[..., 0]  # [m, k, dsub]
+        # empty codewords: perturbed copy of the fullest codeword
+        key, sub = jax.random.split(key)
+        largest = jnp.argmax(counts, axis=1)  # [m]
+        donor = jnp.take_along_axis(new_books, largest[:, None, None], axis=1)
+        noise = 1.0 + 1e-4 * jax.random.normal(sub, books.shape)
+        books = jnp.where((counts < 0.5)[..., None], donor * noise, new_books)
+
+    return books
+
+
 def opq_train(
     data,
     n_subquantizers: int,

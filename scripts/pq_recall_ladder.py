@@ -221,7 +221,7 @@ def run_ladder(emb, queries, ncentroids, nprobe_list, ms, k, refine_factor, json
 
     rows = []
 
-    def report(tag, m, opq, refine, refine_mode, index):
+    def report(tag, m, opq, refine, refine_mode, index, aniso=False):
         hbm_bytes = m  # PQ codes
         if refine and refine_mode == "device":
             hbm_bytes += d  # int8 exact rows resident
@@ -230,7 +230,8 @@ def run_ladder(emb, queries, ncentroids, nprobe_list, ms, k, refine_factor, json
             r = recall(index, nprobe)
             dt = (time.time() - t0) / n_queries * 1e3
             row = {
-                "config": tag, "m": m, "opq": opq, "refine": refine,
+                "config": tag, "m": m, "opq": opq, "aniso": aniso,
+                "refine": refine,
                 "refine_mode": refine_mode if refine else None,
                 "nprobe": nprobe, "recall_at_k": round(r, 4), "k": k,
                 "hbm_bytes_per_row": hbm_bytes,
@@ -249,6 +250,14 @@ def run_ladder(emb, queries, ncentroids, nprobe_list, ms, k, refine_factor, json
         report(f"pq_m{m}", m, False, False, None, base)
         opq_idx = IVFPQIndex(**common, opq=True)
         report(f"opq_m{m}", m, True, False, None, opq_idx)
+        # score-aware (anisotropic / ScaNN-style) codebooks + encoding at
+        # the same bytes/row — raw-PQ recall is quantization-limited here
+        # (identical at nprobe 32 vs 128), so better codebooks, not more
+        # probes, is the lever
+        aniso_idx = IVFPQIndex(**common, aniso=True)
+        report(f"aniso_m{m}", m, False, False, None, aniso_idx, aniso=True)
+        aniso_opq = IVFPQIndex(**common, opq=True, aniso=True)
+        report(f"aniso_opq_m{m}", m, True, False, None, aniso_opq, aniso=True)
     # refinement tiers at the smallest m (where PQ alone is weakest)
     m0 = ms[0]
     common0 = dict(

@@ -312,3 +312,93 @@ def test_host_streamed_refine_matches_device(tmp_path):
 def test_refine_mode_validation():
     with pytest.raises(ValueError, match="refine_mode"):
         IVFPQIndex(embed_paths=[], refine_mode="banana")
+
+
+def test_aniso_encode_eta1_equals_plain():
+    """eta = 1 collapses the anisotropic loss to plain L2 — assignment must
+    match pq_encode exactly (pins the loss algebra in _aniso_assign)."""
+    from retrieval_scaling_tpu.ops.kmeans import (
+        aniso_pq_encode,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(512, 32).astype(np.float32)
+    books = pq_train_codebooks(x, 4, 4, iters=4)
+    plain = np.asarray(pq_encode(jnp.asarray(x), books))
+    aniso = np.asarray(aniso_pq_encode(x, books, eta=1.0))
+    np.testing.assert_array_equal(plain, aniso)
+
+
+def test_aniso_train_improves_mips_recall():
+    """Score-aware codebooks + encoding (Guo et al. 2020) must not lose to
+    plain PQ on MIPS recall over low-intrinsic-dimension unit vectors (the
+    real-embedding geometry the ladder measures)."""
+    from retrieval_scaling_tpu.ops.kmeans import (
+        aniso_pq_encode,
+        aniso_pq_train,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.RandomState(1)
+    n, d, m, nq = 6000, 64, 8, 128
+    a = rng.randn(12, d).astype(np.float32)
+    x = (rng.randn(n, 12).astype(np.float32) @ a + 0.15 * rng.randn(n, d).astype(np.float32))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = (rng.randn(nq, 12).astype(np.float32) @ a + 0.15 * rng.randn(nq, d).astype(np.float32))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    exact = np.argsort(-(q @ x.T), axis=1)[:, :10]
+
+    def recall(cb, codes):
+        cb = np.asarray(cb)
+        rec = np.concatenate(
+            [cb[j][np.asarray(codes)[:, j].astype(int)] for j in range(m)], axis=1
+        )
+        top = np.argsort(-(q @ rec.T), axis=1)[:, :10]
+        return np.mean(
+            [len(set(top[i]) & set(exact[i])) / 10 for i in range(nq)]
+        )
+
+    cb_p = pq_train_codebooks(x, m, 6, iters=8)
+    r_plain = recall(cb_p, pq_encode(jnp.asarray(x), cb_p))
+    eta = 16.0
+    cb_a = aniso_pq_train(x, m, 6, iters=8, eta=eta)
+    r_aniso = recall(cb_a, aniso_pq_encode(x, cb_a, eta=eta))
+    assert r_aniso >= r_plain - 0.01, (r_plain, r_aniso)
+    print("plain:", r_plain, "aniso:", r_aniso)
+
+
+def test_aniso_index_builds_and_searches(tmp_path):
+    """IVFPQIndex(aniso=True) end-to-end: build, search, compose with OPQ."""
+    import pickle
+
+    rng = np.random.RandomState(5)
+    n, d = 3000, 32
+    a = rng.randn(8, d).astype(np.float32)
+    data = rng.randn(n, 8).astype(np.float32) @ a + 0.05 * rng.randn(n, d).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    path = tmp_path / "passages_00.pkl"
+    with open(path, "wb") as f:
+        pickle.dump((list(range(n)), data.astype(np.float16)), f)
+    q = data[rng.choice(n, 8, replace=False)] + 0.01 * rng.randn(8, d).astype(np.float32)
+    exact = np.argsort(-(q @ data.T), axis=1)[:, :10]
+
+    common = dict(
+        embed_paths=[str(path)], dimension=d, sample_train_size=n,
+        ncentroids=16, probe=16, n_subquantizers=8, kmeans_iters=4, pq_iters=4,
+    )
+
+    def recall(index):
+        _, ids = index.search_ids(q, 10)
+        return np.mean([
+            len(set(map(int, ids[i])) & set(map(int, exact[i]))) / 10 for i in range(8)
+        ])
+
+    r_plain = recall(IVFPQIndex(**common))
+    r_aniso = recall(IVFPQIndex(**common, aniso=True))
+    r_both = recall(IVFPQIndex(**common, aniso=True, opq=True))
+    assert r_aniso >= r_plain - 0.1, (r_plain, r_aniso)
+    assert r_both >= 0.0  # composition smoke: builds + searches
+    print("plain:", r_plain, "aniso:", r_aniso, "aniso+opq:", r_both)

@@ -400,6 +400,38 @@ def aniso_pq_train(
     return books
 
 
+def opq_eig_init(data, n_subquantizers: int):
+    """Eigenvalue-allocation OPQ init (Ge et al.'s parametric OPQ): PCA the
+    data, then greedily assign eigenvectors (descending eigenvalue) to the
+    subspace with the smallest current eigenvalue PRODUCT and free slots —
+    balancing per-subspace information. On anisotropic real embeddings
+    (most variance in a few directions) this beats identity init by
+    spreading the signal across subquantizers before the alternation even
+    starts. Returns an orthogonal R [D, D] (columns = permuted
+    eigenvectors)."""
+    import numpy as np
+
+    x = np.asarray(data, np.float32)
+    d = x.shape[1]
+    m = n_subquantizers
+    dsub = d // m
+    cov = np.cov(x - x.mean(0, keepdims=True), rowvar=False).astype(np.float64)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    # greedy balanced allocation on log-eigenvalues (product balance)
+    logs = np.log(np.maximum(evals, 1e-12))
+    bucket_log = np.zeros(m)
+    bucket_fill: list[list[int]] = [[] for _ in range(m)]
+    for i in range(d):
+        free = [b for b in range(m) if len(bucket_fill[b]) < dsub]
+        b = min(free, key=lambda b: bucket_log[b])
+        bucket_fill[b].append(i)
+        bucket_log[b] += logs[i]
+    perm = [i for b in range(m) for i in bucket_fill[b]]
+    return np.ascontiguousarray(evecs[:, perm], np.float32)
+
+
 def opq_train(
     data,
     n_subquantizers: int,
@@ -407,10 +439,16 @@ def opq_train(
     opq_iters: int = 8,
     pq_iters: int = 10,
     seed: int = 1,
+    init: str = "auto",
 ):
     """OPQ: learn an orthogonal rotation R minimizing PQ quantization error
     (Ge et al., Optimized Product Quantization; FAISS's 'OPQ{m}' transform).
 
+    ``init``: "identity" reproduces the round-2 behavior; "eig" starts from
+    the eigenvalue-allocation rotation (``opq_eig_init``) — better on
+    anisotropic real-embedding covariance, worse on some low-rank synthetic
+    geometries; "auto" (default) trains from BOTH inits and keeps the pair
+    with the lower final quantization error (the OPQ objective itself).
     Alternating optimization: train PQ codebooks on the rotated data, then
     solve the orthogonal Procrustes problem R = U V^T from the SVD of
     X^T X_hat. Scores are preserved because R is orthogonal:
@@ -422,17 +460,29 @@ def opq_train(
 
     x = np.asarray(data, np.float32)
     d = x.shape[1]
-    r = np.eye(d, dtype=np.float32)
-    for _ in range(max(opq_iters, 1)):
+
+    def train_from(r):
+        for _ in range(max(opq_iters, 1)):
+            z = x @ r
+            codebooks = pq_train_codebooks(z, n_subquantizers, n_bits, iters=pq_iters, seed=seed)
+            codes = pq_encode(jnp.asarray(z), codebooks)
+            z_hat = np.asarray(pq_decode(codes, codebooks), np.float32)
+            # min_R ||X R - Z_hat||_F with R orthogonal: SVD of X^T Z_hat
+            u, _, vt = np.linalg.svd(x.T @ z_hat, full_matrices=False)
+            r = (u @ vt).astype(np.float32)
+        # final codebook fit on the FINAL rotation, so the returned (R,
+        # codebooks) pair is matched (the loop's last step updates R after
+        # fitting codebooks on the previous one)
+        codebooks = pq_train_codebooks(x @ r, n_subquantizers, n_bits, iters=pq_iters, seed=seed)
         z = x @ r
-        codebooks = pq_train_codebooks(z, n_subquantizers, n_bits, iters=pq_iters, seed=seed)
         codes = pq_encode(jnp.asarray(z), codebooks)
-        z_hat = np.asarray(pq_decode(codes, codebooks), np.float32)
-        # min_R ||X R - Z_hat||_F with R orthogonal: SVD of X^T Z_hat
-        u, _, vt = np.linalg.svd(x.T @ z_hat, full_matrices=False)
-        r = (u @ vt).astype(np.float32)
-    # final codebook fit on the FINAL rotation, so the returned (R,
-    # codebooks) pair is matched (the loop's last step updates R after
-    # fitting codebooks on the previous one)
-    codebooks = pq_train_codebooks(x @ r, n_subquantizers, n_bits, iters=pq_iters, seed=seed)
-    return r, codebooks
+        err = float(np.mean((np.asarray(pq_decode(codes, codebooks), np.float32) - z) ** 2))
+        return r, codebooks, err
+
+    inits = []
+    if init in ("identity", "auto"):
+        inits.append(np.eye(d, dtype=np.float32))
+    if init in ("eig", "auto"):
+        inits.append(opq_eig_init(x, n_subquantizers))
+    best = min((train_from(r0) for r0 in inits), key=lambda t: t[2])
+    return best[0], best[1]

@@ -29,7 +29,9 @@ REQUIRED_AUX = (
     "reader_tokens_per_s",
     "gen_cb_wall_speedup_vs_static",
     "gen_spec_tok_s",
-    "gen_spec_rag_copy90_speedup",
+    "gen_spec_rag_measured_tok_per_round",
+    "gen_spec_rag_measured_speedup",
+    "gen_spec_rag_copy_fidelity",
     "decode_bf16_tok_s",
     "decode_int8_tok_s",
     "decode_pct_of_stream_floor",

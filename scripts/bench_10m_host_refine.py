@@ -29,6 +29,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)

@@ -288,7 +288,7 @@ def main():
     ap.add_argument("--seq", type=int, default=64)
     ap.add_argument("--train-steps", type=int, default=150)
     ap.add_argument("--train-batch", type=int, default=64)
-    ap.add_argument("--ncentroids", type=int, default=128)
+    ap.add_argument("--ncentroids", type=int, default=512)  # ~4*sqrt(N) at 20k passages (FAISS guideline); r5 sweep: m16+OPQ 0.334 -> 0.364 vs 128 lists (smaller residuals)
     ap.add_argument("--nprobe", type=int, nargs="+", default=[32, 128])
     ap.add_argument("--m", type=int, nargs="+", default=[16, 32, 64])
     ap.add_argument("--k", type=int, default=10)

@@ -77,7 +77,7 @@ def test_pq_recall_vs_exact(pq_index_env):
     # measurement so a quantizer regression trips it. The full quality
     # ladder on REAL embeddings (m in {8,16,32} x {raw, OPQ, refine},
     # recall vs exact at stated bytes/row) is pinned in BENCH.md from
-    # scripts/pq_recall_ladder.py (bench_artifacts/pq_ladder_r04.jsonl).
+    # scripts/pq_recall_ladder.py (bench_artifacts/pq_ladder_r05.jsonl).
     assert np.mean(recalls) >= 0.59, np.mean(recalls)
 
 

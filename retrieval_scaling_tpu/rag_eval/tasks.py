@@ -108,13 +108,18 @@ class TaskConfig:
     # samples:` — e.g. the canonical BBH 3-shot exemplars): literal doc
     # dicts used first_n instead of sampling a split.
     fewshot_samples: Optional[List[dict]] = None
-    # Promptsource template hook (reference: lm_eval/api/task.py:80,829 —
-    # `use_prompt: promptsource:<collection>/<name>` swaps doc_to_text/
-    # doc_to_target for a promptsource Jinja template). Accepted at the
-    # config level so reference YAMLs parse; MATERIALIZING such a task
-    # refuses loudly — promptsource's template library is a deliberate
-    # exclusion (MIGRATION.md "Deliberate exclusions").
+    # Prompt-library hook (reference: lm_eval/api/task.py:80,829 —
+    # `use_prompt: <category>:<name>` swaps doc_to_text/doc_to_target for a
+    # template from rag_eval.prompts). Registry prompts (`qa-basic:...`)
+    # and local prompt YAMLs (`<file>.yaml:<name>`) materialize fully;
+    # `promptsource:<name>` needs the external promptsource library and
+    # raises when it is absent, exactly as the reference does without its
+    # [promptsource] extra (MIGRATION.md "Deliberate exclusions").
     use_prompt: Optional[str] = None
+    # Directory of the YAML this config was loaded from (set by from_yaml);
+    # relative `use_prompt: <file>.yaml:...` paths resolve against it
+    # (reference: prompts/__init__.py:90-91 yaml_path join).
+    source_dir: Optional[str] = None
     # Replacement for empty/whitespace-only generations before scoring
     # (reference: scrolls/task.py Qasper.process_results -> "Unanswerable").
     empty_prediction: Optional[str] = None
@@ -269,7 +274,9 @@ class TaskConfig:
         with open(path) as f:
             raw = yaml.safe_load(f)
         known = {f_.name for f_ in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
-        return cls(**{k: v for k, v in raw.items() if k in known})
+        cfg = cls(**{k: v for k, v in raw.items() if k in known})
+        cfg.source_dir = os.path.dirname(os.path.abspath(path))
+        return cfg
 
 
 _BUILTIN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "task_configs")
@@ -1165,12 +1172,19 @@ class Task:
         seed: int = 1234,
         cache_dir: str | None = None,
     ):
+        # Prompt-library swap (reference: lm_eval/api/task.py:829-835):
+        # resolves registry/YAML prompts to a template that overrides
+        # doc_to_text/doc_to_target below; `promptsource:` raises here when
+        # the external library is absent, matching the reference.
+        self.prompt = None
         if cfg.use_prompt is not None:
-            raise NotImplementedError(
-                f"task {cfg.task!r} sets use_prompt={cfg.use_prompt!r}: "
-                "promptsource templates are a deliberate exclusion "
-                "(MIGRATION.md) — port the template into doc_to_text/"
-                "doc_to_target format strings instead"
+            from retrieval_scaling_tpu.rag_eval import prompts as _prompts
+
+            self.prompt = _prompts.get_prompt(
+                cfg.use_prompt,
+                dataset_name=cfg.hf_path or cfg.dataset_path or cfg.task,
+                subset_name=cfg.hf_name,
+                yaml_dir=cfg.source_dir,
             )
         self.cfg = cfg
         self.docs = load_documents(cfg, data_root=data_root, cache_dir=cache_dir)
@@ -1210,9 +1224,26 @@ class Task:
 
     # ---------------- prompt assembly
     def doc_text(self, doc: dict) -> str:
+        if self.prompt is not None:
+            # use_prompt override (reference: api/task.py:1160-1189): a
+            # registry STRING renders as a Jinja template; a PromptTemplate
+            # applies to [text, target] and text is element 0.
+            if isinstance(self.prompt, str):
+                from retrieval_scaling_tpu.rag_eval.prompts import render_jinja
+
+                return render_jinja(self.prompt, doc)
+            return self.prompt.apply(doc)[0]
         return _render(self.cfg.doc_to_text, doc)
 
     def doc_target(self, doc: dict) -> str:
+        if self.prompt is not None:
+            # use_prompt override (reference: api/task.py:1194-1233) — the
+            # prompt supersedes all doc_to_target/choice resolution below.
+            if isinstance(self.prompt, str):
+                from retrieval_scaling_tpu.rag_eval.prompts import render_jinja
+
+                return render_jinja(self.prompt, doc)
+            return self.prompt.apply(doc)[1]
         # Multiple-choice targets are usually stored as the gold choice
         # INDEX (a bare key like 'label': 2 or a template '{{answer}}'):
         # fewshot assembly and answer export need the gold choice TEXT, so

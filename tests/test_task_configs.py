@@ -243,10 +243,10 @@ def test_math_family_scoring(tmp_path):
     assert res["results"]["hendrycks_math_geometry"]["exact_match,boxed"] == 1.0
 
 
-def test_use_prompt_parses_but_refuses_materialization(tmp_path):
-    # config-level parity: the reference's promptsource hook key parses
-    # (lm_eval/api/task.py:80); materializing refuses with a porting hint
-    # (deliberate exclusion, MIGRATION.md)
+def test_use_prompt_promptsource_raises_without_library(tmp_path):
+    # `promptsource:` needs the external template library; absent it, the
+    # reference's lazy import raises (lm_eval/prompts/__init__.py:29-36) —
+    # ours raises the same way with a porting hint.
     import pytest
     import yaml as _yaml
 
@@ -260,5 +260,76 @@ def test_use_prompt_parses_but_refuses_materialization(tmp_path):
     }))
     cfg = TaskConfig.from_yaml(str(p))
     assert cfg.use_prompt == "promptsource:natural_questions/answer"
-    with pytest.raises(NotImplementedError, match="promptsource"):
+    with pytest.raises(ModuleNotFoundError, match="promptsource"):
         Task(cfg, data_root=str(tmp_path))
+
+
+def _write_docs(tmp_path, rel, docs):
+    import json as _json
+    import os as _os
+
+    d = tmp_path / rel
+    d.mkdir(parents=True, exist_ok=True)
+    with open(_os.path.join(str(d), "test.jsonl"), "w") as f:
+        for doc in docs:
+            f.write(_json.dumps(doc) + "\n")
+
+
+def test_use_prompt_registry_materializes(tmp_path):
+    # registry prompts (reference PROMPT_REGISTRY,
+    # lm_eval/prompts/__init__.py:13-18) swap doc_to_text for the template
+    # string, rendered as Jinja (api/task.py:1160-1175)
+    import yaml as _yaml
+
+    from retrieval_scaling_tpu.rag_eval.tasks import Task, TaskConfig
+
+    _write_docs(tmp_path, "qa_ds", [{"question": "Who?", "answers": ["X"]}])
+    p = tmp_path / "t.yaml"
+    p.write_text(_yaml.safe_dump({
+        "task": "registry_prompt_task",
+        "dataset_path": "qa_ds",
+        "use_prompt": "qa-basic:question-newline-answer",
+    }))
+    task = Task(TaskConfig.from_yaml(str(p)), data_root=str(tmp_path))
+    assert task.doc_text(task.docs[0]) == "Question: Who?\nAnswer:"
+
+
+def test_use_prompt_yaml_materializes_and_wildcards(tmp_path):
+    # local prompt YAML (reference PromptString path,
+    # prompts/__init__.py:52-59): apply(doc) -> [text, target]; relative
+    # paths resolve against the task YAML's directory; fnmatch expansion
+    # via load_prompt_list (:70-108)
+    import yaml as _yaml
+
+    from retrieval_scaling_tpu.rag_eval.prompts import load_prompt_list
+    from retrieval_scaling_tpu.rag_eval.tasks import Task, TaskConfig
+
+    (tmp_path / "my_prompts.yaml").write_text(_yaml.safe_dump({
+        "prompts": {
+            "qa_plain": {
+                "doc_to_text": "{{question}}?",
+                "doc_to_target": "{{answers[0]}}",
+            },
+            "qa_cot": {
+                "doc_to_text": "Q: {{question}}\nThink step by step.",
+                "doc_to_target": "{{answers[0]}}",
+            },
+        },
+    }))
+    _write_docs(tmp_path, "qa_ds", [{"question": "Who", "answers": ["X", "Y"]}])
+    p = tmp_path / "t.yaml"
+    p.write_text(_yaml.safe_dump({
+        "task": "yaml_prompt_task",
+        "dataset_path": "qa_ds",
+        "use_prompt": "my_prompts.yaml:qa_plain",
+    }))
+    task = Task(TaskConfig.from_yaml(str(p)), data_root=str(tmp_path))
+    doc = task.docs[0]
+    assert task.doc_text(doc) == "Who?"
+    assert task.doc_target(doc) == "X"
+
+    # the reference realpaths the file against yaml_path before listing
+    # (prompts/__init__.py:90-91), so ids carry the resolved path
+    ids = load_prompt_list("my_prompts.yaml:qa_*", yaml_path=str(tmp_path))
+    assert [i.rsplit(":", 1)[1] for i in ids] == ["qa_cot", "qa_plain"]
+    assert all(i.rsplit(":", 1)[0].endswith("my_prompts.yaml") for i in ids)

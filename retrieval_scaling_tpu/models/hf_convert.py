@@ -541,6 +541,74 @@ def llama_from_hf_model(hf_model, dtype=np.float32, attention_impl: str = "auto"
 
 
 # --------------------------------------------------------------------------
+# Mamba family (state-spaces/mamba-*): replaces the reference harness's
+# CUDA-only mamba_ssm backend (rag-evaluation-harness/lm_eval/models/
+# mamba_lm.py) with the TPU-native selective scan in models/mamba.py.
+# --------------------------------------------------------------------------
+def mamba_config_from_hf(hf_config) -> "MambaConfig":
+    from retrieval_scaling_tpu.models.mamba import MambaConfig
+
+    tsr = getattr(hf_config, "time_step_rank", "auto")
+    return MambaConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        state_size=getattr(hf_config, "state_size", 16),
+        num_layers=hf_config.num_hidden_layers,
+        conv_kernel=getattr(hf_config, "conv_kernel", 4),
+        expand=getattr(hf_config, "expand", 2),
+        time_step_rank=None if tsr == "auto" else int(tsr),
+        use_conv_bias=getattr(hf_config, "use_conv_bias", True),
+        use_bias=getattr(hf_config, "use_bias", False),
+        rms_eps=getattr(hf_config, "layer_norm_epsilon", 1e-5),
+        tie_embeddings=getattr(hf_config, "tie_word_embeddings", True),
+    )
+
+
+def mamba_params_from_state_dict(
+    state: Mapping[str, Any], cfg: "MambaConfig", dtype=np.float32
+) -> Dict[str, Any]:
+    def get(name):
+        return np.asarray(state[name], dtype=dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"backbone.layers.{i}"
+        layer = {
+            "norm_scale": get(f"{p}.norm.weight"),
+            "in_proj_w": get(f"{p}.mixer.in_proj.weight").T,          # [D, 2*Din]
+            # HF depthwise Conv1d weight [Din, 1, K] -> [K, Din]
+            "conv_w": get(f"{p}.mixer.conv1d.weight")[:, 0, :].T,
+            "x_proj_w": get(f"{p}.mixer.x_proj.weight").T,            # [Din, R+2N]
+            "dt_proj_w": get(f"{p}.mixer.dt_proj.weight").T,          # [R, Din]
+            "dt_proj_b": get(f"{p}.mixer.dt_proj.bias"),
+            "A_log": get(f"{p}.mixer.A_log"),                         # [Din, N]
+            "D": get(f"{p}.mixer.D"),
+            "out_proj_w": get(f"{p}.mixer.out_proj.weight").T,        # [Din, D]
+        }
+        if cfg.use_conv_bias:
+            layer["conv_b"] = get(f"{p}.mixer.conv1d.bias")
+        if cfg.use_bias:
+            layer["in_proj_b"] = get(f"{p}.mixer.in_proj.bias")
+            layer["out_proj_b"] = get(f"{p}.mixer.out_proj.bias")
+        layers.append(layer)
+
+    params: Dict[str, Any] = {
+        "embed": get("backbone.embeddings.weight"),
+        "layers": layers,
+        "final_norm_scale": get("backbone.norm_f.weight"),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = get("lm_head.weight").T
+    return params
+
+
+def mamba_from_hf_model(hf_model, dtype=np.float32):
+    cfg = mamba_config_from_hf(hf_model.config)
+    params = mamba_params_from_state_dict(hf_model.state_dict(), cfg, dtype=dtype)
+    return params, cfg
+
+
+# --------------------------------------------------------------------------
 # T5 encoder (sentence-transformers GTR family)
 # --------------------------------------------------------------------------
 def t5_config_from_hf(hf_config, projection_dim: int | None = None) -> "T5EncoderConfig":
@@ -699,7 +767,14 @@ def _unflatten_params(flat: Mapping[str, np.ndarray]):
     return listify(root)
 
 
-_READER_CFG_CLASSES = {"GPTNeoXConfig": GPTNeoXConfig, "LlamaConfig": LlamaConfig}
+def _reader_cfg_classes():
+    from retrieval_scaling_tpu.models.mamba import MambaConfig
+
+    return {
+        "GPTNeoXConfig": GPTNeoXConfig,
+        "LlamaConfig": LlamaConfig,
+        "MambaConfig": MambaConfig,
+    }
 
 
 def _save_cached_reader(base: str, params, cfg, revision: str | None = None) -> None:
@@ -727,7 +802,7 @@ def _load_cached_reader(base: str):
     for key in ("sliding_pattern",):  # tuples round-trip json as lists
         if fields.get(key) is not None:
             fields[key] = tuple(fields[key])
-    cfg = _READER_CFG_CLASSES[meta["family"]](**fields)
+    cfg = _reader_cfg_classes()[meta["family"]](**fields)
     with np.load(base + ".npz") as data:
         params = _unflatten_params({k: data[k] for k in data.files})
     return params, cfg
@@ -814,6 +889,8 @@ def load_hf_reader(name_or_path: str, dtype=np.float32, cache_dir: str | None = 
         out = gpt2_from_hf_model(hf, dtype=dtype)
     elif model_type == "opt":
         out = opt_from_hf_model(hf, dtype=dtype)
+    elif model_type == "mamba":
+        out = mamba_from_hf_model(hf, dtype=dtype)
     else:
         out = gpt_neox_from_hf_model(hf, dtype=dtype)
     if base is not None:
@@ -828,9 +905,12 @@ def reader_lm_loss(params, cfg, input_ids, labels):
     """Architecture-dispatching causal LM loss: (sum_loss, n_scored_tokens)."""
     from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_lm
     from retrieval_scaling_tpu.models.llama import llama_lm
+    from retrieval_scaling_tpu.models.mamba import MambaConfig, mamba_lm
 
     if isinstance(cfg, LlamaConfig):
         return llama_lm(params, cfg, input_ids, labels)
+    if isinstance(cfg, MambaConfig):
+        return mamba_lm(params, cfg, input_ids, labels)
     return gpt_neox_lm(params, cfg, input_ids, labels)
 
 
@@ -839,9 +919,12 @@ def reader_hidden(params, cfg, input_ids):
     (no vocab head) — the blockwise-loss entry point (models/loss.py)."""
     from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
     from retrieval_scaling_tpu.models.llama import llama_forward
+    from retrieval_scaling_tpu.models.mamba import MambaConfig, mamba_forward
 
     if isinstance(cfg, LlamaConfig):
         return llama_forward(params, cfg, input_ids)
+    if isinstance(cfg, MambaConfig):
+        return mamba_forward(params, cfg, input_ids, return_hidden=True)
     return gpt_neox_forward(params, cfg, input_ids, return_hidden=True)
 
 
@@ -849,9 +932,12 @@ def reader_logits_from_hidden(params, cfg, hidden):
     """Vocab head only (incl. soft-capping / int8-head dispatch)."""
     from retrieval_scaling_tpu.models.gpt_neox import neox_logits
     from retrieval_scaling_tpu.models.llama import llama_logits
+    from retrieval_scaling_tpu.models.mamba import MambaConfig, mamba_logits
 
     if isinstance(cfg, LlamaConfig):
         return llama_logits(params, cfg, hidden)
+    if isinstance(cfg, MambaConfig):
+        return mamba_logits(params, cfg, hidden)
     return neox_logits(params, hidden)
 
 
@@ -859,7 +945,10 @@ def reader_logits(params, cfg, input_ids):
     """Architecture-dispatching causal LM forward: logits [B, S, V]."""
     from retrieval_scaling_tpu.models.gpt_neox import gpt_neox_forward
     from retrieval_scaling_tpu.models.llama import llama_forward, llama_logits
+    from retrieval_scaling_tpu.models.mamba import MambaConfig, mamba_forward
 
     if isinstance(cfg, LlamaConfig):
         return llama_logits(params, cfg, llama_forward(params, cfg, input_ids))
+    if isinstance(cfg, MambaConfig):
+        return mamba_forward(params, cfg, input_ids)
     return gpt_neox_forward(params, cfg, input_ids)

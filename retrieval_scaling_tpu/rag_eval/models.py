@@ -80,7 +80,9 @@ class EchoAnswerLM:
 
 
 class JaxReaderLM:
-    """GPT-NeoX reader backend."""
+    """JAX reader backend: GPT-NeoX/GPT-2/OPT, the llama family, and
+    Mamba (recurrent SSM — replaces the reference's CUDA-only mamba_ssm
+    backend, rag-evaluation-harness/lm_eval/models/mamba_lm.py)."""
 
     def __init__(
         self,
@@ -103,6 +105,27 @@ class JaxReaderLM:
 
         if quantization not in (None, "", "none", "int8", "int4", "bf16"):
             raise ValueError(f"unknown reader quantization {quantization!r}")
+        from retrieval_scaling_tpu.models.mamba import MambaConfig
+
+        self._is_mamba = isinstance(cfg, MambaConfig)
+        if self._is_mamba:
+            # recurrent reader: scoring + static generation only (the KV-
+            # cache engines — speculative/continuous — and the Megatron TP
+            # layout are transformer-specific; quantize_decode_params
+            # covers transformer weight layouts)
+            bad = []
+            if quantization in ("int8", "int4", "bf16"):
+                bad.append(f"quantization={quantization}")
+            if tensor_parallel:
+                bad.append("tensor_parallel")
+            if gen_engine in ("speculative", "continuous", "continuous_spec"):
+                bad.append(f"gen_engine={gen_engine}")
+            if kv_cache == "int8":
+                bad.append("kv_cache=int8 (mamba has no KV cache)")
+            if bad:
+                raise ValueError(
+                    "mamba readers do not support: " + ", ".join(bad)
+                )
         if kv_cache not in (None, "", "none", "int8"):
             raise ValueError(f"unknown kv_cache {kv_cache!r}")
         self.kv_cache = kv_cache if kv_cache == "int8" else None
@@ -320,7 +343,16 @@ class JaxReaderLM:
     def _gen_fn(self, max_new: int, temperature: float = 0.0):
         key = (max_new, temperature)
         if key not in self._gen_fns:
-            if self.gen_engine == "speculative":
+            if self._is_mamba:
+                from retrieval_scaling_tpu.models.mamba import (
+                    make_mamba_generate_fn,
+                )
+
+                self._gen_fns[key] = make_mamba_generate_fn(
+                    self.cfg, max_new, self._eos_id(),
+                    temperature=temperature, mesh=self.mesh,
+                )
+            elif self.gen_engine == "speculative":
                 from retrieval_scaling_tpu.models.speculative import (
                     make_speculative_generate_fn,
                 )

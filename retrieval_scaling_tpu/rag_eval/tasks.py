@@ -1165,6 +1165,10 @@ def load_documents(
 class Task:
     """Materialized task: documents + prompt building + requests."""
 
+    # class-level default: prompt-rendering must work on partially-built
+    # Tasks too (request caches / tests construct via __new__ + cfg)
+    prompt = None
+
     def __init__(
         self,
         cfg: TaskConfig,

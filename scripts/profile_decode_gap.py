@@ -91,19 +91,21 @@ def main() -> None:
     layers = qparams["layers"]
     nqkv = 3 * cfg.num_heads * cfg.head_dim
 
+    # weights enter as a jit ARGUMENT (closure constants would be inlined
+    # into the uploaded HLO — GBs over the remote-compile tunnel)
     @jax.jit
-    def streams_loop(x0):
+    def streams_loop(qp, x0):
         def body(_, x):
-            for layer in layers:
+            for layer in qp["layers"]:
                 qkv, h = q8_dual_in_dot(layer, "qkv_mi", x, x, nqkv)
                 a = qkv[..., : cfg.hidden_size]
                 x = x + q8_splitk_dot(layer, "ao_mo", a.astype(x.dtype), h.astype(x.dtype))
-            logits = q8_dot(qparams, "embed_out", x, out_dtype=jnp.float32)
+            logits = q8_dot(qp, "embed_out", x, out_dtype=jnp.float32)
             return x + logits[..., : cfg.hidden_size].astype(x.dtype) * 0
         return jax.lax.fori_loop(0, iters, body, x0)
 
     x0 = jnp.asarray(rng.randn(b, 1, cfg.hidden_size), jnp.bfloat16)
-    streams_s = timed(streams_loop, x0, label=f"streams-only x{iters}")
+    streams_s = timed(streams_loop, qparams, x0, label=f"streams-only x{iters}")
     streams_ms = streams_s * 1e3 / iters
 
     # ---- launch: same call count, near-zero work -------------------------
@@ -136,21 +138,8 @@ def main() -> None:
     bufs.append(qparams["embed_out@q8"])
     total_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in bufs)
 
-    def touch_row(w_ref, o_ref):
-        o_ref[...] = w_ref[pl.dslice(0, 8), pl.dslice(0, 128)].astype(jnp.float32)
-
-    @jax.jit
-    def floor_loop(z):
-        def body(_, acc):
-            for w in bufs:
-                acc = acc + pl.pallas_call(
-                    touch_row, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
-                )(w)
-            return acc
-        return jax.lax.fori_loop(0, iters, body, z)
-
-    # NOTE: touch_row only DMAs one tile; the real floor probe in bench.py
-    # streams whole buffers. Use bench.py's published floor if available.
+    # The real whole-buffer DMA floor probe lives in bench.py; reuse its
+    # published number if available.
     floor_ms = None
     try:
         with open("bench_artifacts/decode_floor.json") as f:

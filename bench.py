@@ -131,6 +131,43 @@ def main() -> None:
     _ = np.asarray(jnp.ones(4))  # absorb relay warmup
     log(f"warmup transfer: {time.perf_counter() - t0:.1f}s")
 
+    # Every host-visible timing through the relay carries a near-constant
+    # dispatch+sync round trip (~25 ms on this tunnel, ~0 on local chips).
+    # Measure it so short-loop sections can difference it out (see
+    # diffed_device_ms) and report it for transparency.
+    _rtt_probe = jax.jit(lambda t: t + 1.0)
+    _rtt_in = jnp.zeros((8, 8), jnp.float32)
+    np.asarray(_rtt_probe(_rtt_in))  # compile + warm
+    _rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(_rtt_probe(_rtt_in))
+        _rtts.append((time.perf_counter() - t0) * 1e3)
+    relay_rtt_ms = sorted(_rtts)[2]
+    log(f"relay dispatch+sync RTT: {relay_rtt_ms:.1f} ms (median of 5)")
+
+    def diffed_device_ms(fn, *args, reps=3, sync=None):
+        """Per-call DEVICE ms: (T(reps back-to-back calls) - T(1 call)) / (reps-1).
+
+        A single timed call includes the relay round trip, so dividing it
+        by a small step count inflates per-step numbers by rtt/steps.
+        Back-to-back async dispatches execute in order on device and sync
+        once, so differencing two run counts cancels the constant exactly.
+        Caller must have compiled fn already. Returns (per_call_ms, t1_ms).
+        """
+        sync = sync or jax.block_until_ready
+        sync(fn(*args))  # warm
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fn(*args)
+        sync(out)
+        tr = time.perf_counter() - t0
+        return max((tr - t1) * 1e3 / (reps - 1), 1e-9), t1 * 1e3
+
     # Generate the datastore ON DEVICE: a 3 GB host->device transfer through
     # the relay takes tens of minutes; random rows are statistically identical
     # for scan timing and cost <1s of device time.
@@ -837,11 +874,12 @@ def main() -> None:
         t0 = time.perf_counter()
         np.asarray(gen_fn(p, g_ids, g_lens, 0))  # compile + first run
         log(f"decode {label} compile+run: {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        np.asarray(gen_fn(p, g_ids, g_lens, 0))
-        dt = time.perf_counter() - t0
-        tok_s = gb * gnew / dt
-        log(f"decode {label}: {tok_s:.0f} tok/s ({dt * 1e3 / gnew:.2f} ms/step, b{gb})")
+        per_call_ms, t1_ms = diffed_device_ms(gen_fn, p, g_ids, g_lens, 0)
+        tok_s = gb * gnew / (per_call_ms / 1e3)
+        log(
+            f"decode {label}: {tok_s:.0f} tok/s ({per_call_ms / gnew:.2f} "
+            f"ms/step incl. prefill share, b{gb}; 1-call wall {t1_ms:.0f} ms)"
+        )
         return tok_s
 
     decode_bf16 = decode_tok_s(rparams, "bf16")
@@ -879,29 +917,35 @@ def main() -> None:
         stream_ws.append(rparams_q8["embed_out@q8"])
     stream_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in stream_ws)
 
-    def dma_loop(params, ws):
-        def body(i, acc):
-            a = acc
-            for w in ws:
-                bnx = _divcap(w.shape[1], (4 << 20) // (w.shape[0] * w.dtype.itemsize))
-                out = pl.pallas_call(
-                    _touch_kernel,
-                    grid=(w.shape[1] // bnx,),
-                    in_specs=[pl.BlockSpec((w.shape[0], bnx), lambda j: (0, j))],
-                    out_specs=pl.BlockSpec((8, bnx), lambda j: (0, j)),
-                    out_shape=jax.ShapeDtypeStruct((8, w.shape[1]), jnp.float32),
-                    interpret=interp,
-                )(w)
-                a = a + out[0, 0] * 0.0  # float dep: not foldable, not DCE-able
-            return a
+    # ONE pass over every streamed buffer per call — no fori_loop: with
+    # loop-invariant inputs XLA hoists the pallas calls out of the loop
+    # body, so an N-iter loop streams the weights ONCE (measured: a "16x"
+    # loop returned 10.7 TB/s). Repetition comes from diffed_device_ms
+    # instead: back-to-back executions of the same executable re-run the
+    # DMAs, and the differencing cancels the relay RTT.
+    def dma_pass(ws):
+        a = jnp.zeros((), jnp.float32)
+        for w in ws:
+            bnx = _divcap(w.shape[1], (4 << 20) // (w.shape[0] * w.dtype.itemsize))
+            out = pl.pallas_call(
+                _touch_kernel,
+                grid=(w.shape[1] // bnx,),
+                in_specs=[pl.BlockSpec((w.shape[0], bnx), lambda j: (0, j))],
+                out_specs=pl.BlockSpec((8, bnx), lambda j: (0, j)),
+                out_shape=jax.ShapeDtypeStruct((8, w.shape[1]), jnp.float32),
+                interpret=interp,
+            )(w)
+            a = a + out[0, 0] * 0.0  # float dep: not foldable, not DCE-able
+        return a
 
-        di = 2 if smoke else 16
-        return jax.lax.fori_loop(0, di, body, jnp.zeros((), jnp.float32))
-
-    di = 2 if smoke else 16
-    floor_ms = timed_loop(
-        f"decode weight-stream floor ({stream_bytes / 1e9:.3f} GB int8)",
-        dma_loop, di, big=tuple(stream_ws),
+    dma_jit = jax.jit(dma_pass)
+    np.asarray(dma_jit(tuple(stream_ws)))  # compile + first run
+    floor_ms, _ = diffed_device_ms(
+        dma_jit, tuple(stream_ws), reps=3 if smoke else 32, sync=np.asarray
+    )
+    log(
+        f"decode weight-stream floor ({stream_bytes / 1e9:.3f} GB int8): "
+        f"{floor_ms:.2f} ms/iter"
     )
     step_ms_int8 = 1e3 * gb / decode_int8  # per decode step (incl. prefill share)
     decode_pct_floor = 100.0 * floor_ms / step_ms_int8
@@ -925,15 +969,13 @@ def main() -> None:
         rcfg, gnew, eos_id=-1, draft_len=7, with_stats=True
     )
     t0 = time.perf_counter()
-    np.asarray(spec_fn(rparams, g_ids, g_lens, 0)[0])  # compile + first
-    log(f"decode speculative compile+run: {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
     spec_toks, spec_rounds, spec_emitted = spec_fn(rparams, g_ids, g_lens, 0)
-    np.asarray(spec_toks)
-    spec_dt = time.perf_counter() - t0
+    np.asarray(spec_toks)  # compile + first
+    log(f"decode speculative compile+run: {time.perf_counter() - t0:.1f}s")
+    spec_call_ms, _ = diffed_device_ms(spec_fn, rparams, g_ids, g_lens, 0)
     spec_rounds = int(np.asarray(spec_rounds))
     spec_emitted = int(np.asarray(spec_emitted))
-    spec_tok_s = gb * gnew / spec_dt
+    spec_tok_s = gb * gnew / (spec_call_ms / 1e3)
     spec_tpr = spec_emitted / max(gb * spec_rounds, 1)
     log(
         f"decode speculative: {spec_tok_s:.0f} tok/s, {spec_rounds} rounds "
@@ -987,17 +1029,15 @@ def main() -> None:
         icfg, rag_new, eos_id=-1, draft_len=7, with_stats=True
     )
     static_rag_fn = make_generate_fn(icfg, rag_new, eos_id=-1)
-    np.asarray(static_rag_fn(iparams, rag_ids, rag_lens, 0))  # compile
-    t0 = time.perf_counter()
-    static_out = np.asarray(static_rag_fn(iparams, rag_ids, rag_lens, 0))
-    static_rag_s = time.perf_counter() - t0
+    static_out = np.asarray(static_rag_fn(iparams, rag_ids, rag_lens, 0))  # compile
+    static_rag_s, _ = diffed_device_ms(static_rag_fn, iparams, rag_ids, rag_lens, 0)
+    static_rag_s /= 1e3
     cmp_n = min(rag_new, rag_answer.shape[1])
     rag_fidelity = float(np.mean(static_out[:, :cmp_n] == rag_answer[:, :cmp_n]))
-    np.asarray(spec_rag_fn(iparams, rag_ids, rag_lens, 0)[0])  # compile/warm
-    t0 = time.perf_counter()
     toks_r, rounds_r, emitted_r = spec_rag_fn(iparams, rag_ids, rag_lens, 0)
-    toks_r = np.asarray(toks_r)
-    spec_rag_s = time.perf_counter() - t0
+    toks_r = np.asarray(toks_r)  # compile + values
+    spec_rag_s, _ = diffed_device_ms(spec_rag_fn, iparams, rag_ids, rag_lens, 0)
+    spec_rag_s /= 1e3
     assert (toks_r == static_out).all(), "spec output != static greedy"
     rag_tpr = int(np.asarray(emitted_r)) / max(rag_b * int(np.asarray(rounds_r)), 1)
     rag_speedup = static_rag_s / spec_rag_s
@@ -1068,8 +1108,13 @@ def main() -> None:
                     "decode_stream_floor_gb_s": round(floor_gbs, 1),
                     "decode_int8_eff_gb_s": round(eff_gbs, 1),
                     "decode_pct_of_stream_floor": round(decode_pct_floor, 1),
+                    "relay_rtt_ms": round(relay_rtt_ms, 1),
                     "backend": backend,
-                    "method": "amortized in-program loops (relay-safe)",
+                    "method": (
+                        "amortized in-program loops; decode/floor/spec "
+                        "sections difference out the relay RTT "
+                        "(diffed_device_ms)"
+                    ),
                 },
             }
         )

@@ -1008,10 +1008,15 @@ def main() -> None:
             intermediate_size=2048, max_position_embeddings=1024,
         )
     )
-    ind_steps, ind_seq = (30, 64) if smoke else (1500, 384)
+    # Recipe (measured on chip, see models/induction.py): adam, linear
+    # warmup then CONSTANT lr — the circuit forms as a phase transition
+    # around step ~600 and a schedule that decays through it never gets
+    # there (round-4 adamw+cosine plateaued at ln V at every scale/lr).
+    ind_steps, ind_seq, ind_b = (30, 64, 8) if smoke else (3000, 384, 64)
     t0 = time.perf_counter()
     iparams, ind_loss = train_induction_reader(
-        icfg, steps=ind_steps, batch=16, seq_len=ind_seq, lr=5e-3 if smoke else 3e-3
+        icfg, steps=ind_steps, batch=ind_b, seq_len=ind_seq,
+        lr=5e-3 if smoke else 1e-3,
     )
     log(
         f"induction reader trained: {ind_steps} steps in "

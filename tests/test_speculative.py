@@ -323,23 +323,36 @@ def test_scripted_copy_structure_raises_acceptance():
 
 # ------------------------------------------------- induction copy reader
 def test_induction_batch_structure():
-    """Offset-copy rows: every position t >= off repeats t - off, and the
-    per-row offset varies (content-based induction, no positional
-    shortcut)."""
+    """Every row contains repeated spans (the induction-solvable signal)
+    but rows must NOT be globally periodic: a periodic row admits a
+    per-row period-detector shortcut that solves the curriculum without
+    content matching — trained to loss 0.009 it transferred 0.001 copy
+    fidelity to rag-shaped prompts (round-5 on-chip measurement)."""
     from retrieval_scaling_tpu.models.induction import make_induction_batch
 
     rng = np.random.RandomState(0)
-    ids = make_induction_batch(rng, 32, 96, 128, min_offset=8)
-    offs = []
-    for r in range(32):
+    ids = make_induction_batch(rng, 64, 96, 8192, min_offset=8)
+    periodic = 0
+    with_span = 0
+    for r in range(64):
         row = ids[r]
-        # recover the offset: smallest off with row[t] == row[t-off] for all t
         for off in range(8, 96 - 7):
             if (row[off:] == row[:-off]).all():
-                offs.append(off)
+                periodic += 1
                 break
-    assert len(offs) == 32  # every row is an offset-copy
-    assert len(set(offs)) > 5  # offsets vary across rows
+        # a repeated span of length >= 8 exists somewhere (content match)
+        found = False
+        for t in range(96 - 8):
+            window = row[t : t + 8]
+            for u in range(t + 8, 96 - 7):
+                if (row[u : u + 8] == window).all():
+                    found = True
+                    break
+            if found:
+                break
+        with_span += found
+    assert with_span >= 60, with_span      # spans are the curriculum
+    assert periodic <= 8, periodic         # the shortcut is gone
 
 
 def test_rag_shaped_prompts_reopen_context_span():
